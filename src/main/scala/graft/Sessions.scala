@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with graft's scale-oriented defaults.
+  *
+  * Mirrors the event-loop bootstrap role of the reference's
+  * `deva.core.Deva.run` (deva/core/core.py:1964) — but in Spark the
+  * "loop" is the cluster scheduler; we only pin configuration:
+  * UTC (oracle parity), AQE (runtime re-planning / skew joins),
+  * shuffle partitions sized for the local test harness.
+  */
+object Sessions {
+  def local(cores: Int = 4, shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage:
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_verify"
+  python3 tools/check.py /root/testdata/sf0.01 /tmp/graft_verify [query ...]
+
+For each query in oracle_sql.json: run the SQL in DuckDB against views
+over the sf parquet tables, load the Spark parquet result, sort columns
+by name and rows by value, compare cell-by-cell.
+"""
+import sys, os, json, glob
+import duckdb
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b))
+    # timestamps, decimals, ints, strings, lists
+    return str(a) == str(b)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            res = con.execute(sql)
+            dk_cols = [d[0] for d in res.description]
+            dk_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        res2 = con.execute(
+            "SELECT * FROM read_parquet(" + json.dumps(files) + ")")
+        sp_cols = [d[0] for d in res2.description]
+        sp_rows = res2.fetchall()
+        dk_cols_s, dk = canon(dk_rows, dk_cols)
+        sp_cols_s, sp = canon(sp_rows, sp_cols)
+        if dk_cols_s != sp_cols_s:
+            print(f"FAIL {name}: columns differ spark={sp_cols_s} duckdb={dk_cols_s}")
+            n_fail += 1
+            continue
+        if len(dk) != len(sp):
+            print(f"FAIL {name}: rowcount spark={len(sp)} duckdb={len(dk)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (r1, r2) in enumerate(zip(sp, dk)):
+            for j, (a, b) in enumerate(zip(r1, r2)):
+                if not cells_equal(a, b):
+                    bad = (i, dk_cols_s[j], a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, a, b = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={a!r} duckdb={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sp)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
