@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOf
+import graft.functions.Determinism._
+
+/** Event-stream queries: the deva `Stream` transform surface
+  * (`deva/core/compute/ops.py`) evaluated batch-side over the
+  * `events` table. The same plans run under Structured Streaming
+  * (see graft.streaming.EventFlow) — `window()` aggregation, keyed
+  * windows, dedup and as-of pairing are streaming-compatible shapes.
+  */
+object EventQueries {
+
+  /** q08 — deva `unique`/`dedup` (ops.py:403, pipe.py:337): keep the
+    * *first* event per key, deterministically (dropDuplicates keeps an
+    * arbitrary row; a rank-1 window is the reproducible form).
+    */
+  def q08_unique(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q08_unique_sql: String =
+    """SELECT user_id, event_type, event_id, value FROM events
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q12 — deva `collect` (ops.py:569): gather a flow into an ordered
+    * sequence per key (sorted structs → transform, pure expressions).
+    */
+  def q12_collect(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("seq"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
+  val q12_collect_sql: String =
+    """SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq, COUNT(*) AS n
+      |FROM events WHERE event_type = 'signup'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q14 — deva `pluck` (ops.py:526): field extraction from nested
+    * payloads — JSON props stay strings until the exact field is
+    * needed (no full parse per event).
+    */
+  def q14_pluck_json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  val q14_pluck_json_sql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q15 — deva `frequencies` (core.py:841): value counts. */
+  def q15_frequencies(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q15_frequencies_sql: String =
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+
+  /** q16 — deva `timed_window` (ops.py:976): event-time tumbling
+    * window via Spark's streaming-compatible `window()` — the exact
+    * same expression runs under Structured Streaming with a watermark.
+    */
+  def q16_timed_window(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("v"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val q16_timed_window_sql: String =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** q17 — sliding time window (deva timed sliding): per-user rolling
+    * 1-hour stats as a RANGE frame over epoch seconds.
+    */
+  def q17_sliding_time(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(dec2(col("value"))).over(w).cast("double").as("v_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val q17_sliding_time_sql: String =
+    """SELECT event_id, user_id, ts,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** q18 — deva `latest` (ops.py:682): newest value per key. */
+  def q18_latest(spark: SparkSession, dir: String): DataFrame =
+    AsOf.latest(Tables.events(spark, dir), Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  val q18_latest_sql: String =
+    """SELECT user_id, event_id, event_type, value FROM events
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** q19 — deva `zip` (ops.py:179): pair two flows by arrival index.
+    * Inherently a global sequence — documented as non-scalable by
+    * nature (deva's zip is single-threaded too); keyed as-of joins
+    * (q30) are the scale-safe pairing.
+    */
+  def q19_zip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def indexed(t: String, idCol: String, vCol: String): DataFrame = {
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      ev.filter(col("event_type") === t)
+        .withColumn("idx", row_number().over(w))
+        .select(col("idx"), col("event_id").as(idCol), col("value").as(vCol))
+    }
+    indexed("click", "click_id", "click_value")
+      .join(indexed("view", "view_id", "view_value"), "idx")
+      .orderBy(col("idx"))
+  }
+
+  val q19_zip_sql: String =
+    """WITH a AS (SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS idx, event_id AS click_id, value AS click_value
+      |           FROM events WHERE event_type = 'click'),
+      |     b AS (SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS idx, event_id AS view_id, value AS view_value
+      |           FROM events WHERE event_type = 'view')
+      |SELECT a.idx, a.click_id, a.click_value, b.view_id, b.view_value
+      |FROM a JOIN b USING (idx) ORDER BY idx""".stripMargin
+
+  /** q20 — deva `partition` (ops.py:875): chunk the flow into size-n
+    * batches, aggregate each batch.
+    */
+  def q20_partition(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("grp", floor((row_number().over(w) - 1) / 100).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"),
+        min(col("event_id")).as("first_id"), max(col("event_id")).as("last_id"))
+      .orderBy(col("grp"))
+  }
+
+  val q20_partition_sql: String =
+    """SELECT grp, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+      |  MIN(event_id) AS first_id, MAX(event_id) AS last_id
+      |FROM (SELECT *, CAST(floor((ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1) / 100) AS BIGINT) AS grp FROM events) t
+      |GROUP BY grp ORDER BY grp""".stripMargin
+
+  /** q23 — deva `catch`/error channel (core.py:879): errors become a
+    * tagged side-output instead of exceptions — `when` guards, no
+    * driver-side try/except per element.
+    */
+  def q23_try_catch(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_id"), k.as("k"),
+        when(k % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value") / (k % 7).cast("double")).as("safe_div"),
+        when(k % 7 === 0, lit("div_by_zero")).otherwise(lit("ok")).as("status"))
+      .orderBy(col("event_id"))
+  }
+
+  val q23_try_catch_sql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0 THEN NULL
+      |       ELSE value / CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS DOUBLE) END AS safe_div,
+      |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0 THEN 'div_by_zero' ELSE 'ok' END AS status
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q26 — deva `transpose` (pipe.py:1178): rows(user)×cols(position)
+    * → rows(position) stats over each user's first 3 events.
+    */
+  def q26_transpose(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 3)
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_users"), dsum(col("value")).as("v"))
+      .orderBy(col("pos"))
+  }
+
+  val q26_transpose_sql: String =
+    """SELECT pos, COUNT(*) AS n_users, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos FROM events) t
+      |WHERE pos <= 3 GROUP BY pos ORDER BY pos""".stripMargin
+
+  /** q29 — conditional agg / pivot shape: one pass over the flow,
+    * per-key measures by event type (map-side partial agg friendly).
+    */
+  def q29_pivot(spark: SparkSession, dir: String): DataFrame = {
+    def typedSum(t: String) =
+      coalesce(sum(when(col("event_type") === t, dec2(col("value")))), lit(0).cast("decimal(18,2)"))
+        .cast("double")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        typedSum("click").as("click_v"),
+        typedSum("view").as("view_v"),
+        typedSum("purchase").as("purchase_v"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q29_pivot_sql: String =
+    """SELECT user_id,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS click_v,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS view_v,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS purchase_v,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q30 — as-of join (deva `combine_latest`/`zip_latest`,
+    * ops.py:291/:618): each event paired with the customer's latest
+    * order at or before the event time. One shuffle on the key —
+    * see [[graft.operators.AsOf]].
+    */
+  def q30_asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // dedup right side to one row per (key, ts) so tie-break is total:
+    val ord = AsOf.latest(
+      Tables.orders(spark, dir)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey").as("ord_key"), col("o_totalprice").as("ord_price")),
+      Seq("user_id", "o_orderdate"), Seq(col("ord_key")))
+    AsOf.joinLeft(ev, ord, "user_id", "ts", "o_orderdate", Seq("ord_key", "ord_price"))
+      .select(col("event_id"), col("user_id"), col("ord_key"), col("ord_price"))
+      .orderBy(col("event_id"))
+  }
+
+  val q30_asof_sql: String =
+    """WITH o1 AS (
+      |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey AS ord_key, o_totalprice AS ord_price
+      |  FROM orders
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+      |SELECT e.event_id, e.user_id, o1.ord_key, o1.ord_price
+      |FROM events e ASOF LEFT JOIN o1 ON e.user_id = o1.user_id AND o1.o_orderdate <= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_unique" -> (q08_unique _),
+    "q12_collect" -> (q12_collect _),
+    "q14_pluck_json" -> (q14_pluck_json _),
+    "q15_frequencies" -> (q15_frequencies _),
+    "q16_timed_window" -> (q16_timed_window _),
+    "q17_sliding_time" -> (q17_sliding_time _),
+    "q18_latest" -> (q18_latest _),
+    "q19_zip" -> (q19_zip _),
+    "q20_partition" -> (q20_partition _),
+    "q23_try_catch" -> (q23_try_catch _),
+    "q26_transpose" -> (q26_transpose _),
+    "q29_pivot" -> (q29_pivot _),
+    "q30_asof" -> (q30_asof _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q08_unique" -> q08_unique_sql,
+    "q12_collect" -> q12_collect_sql,
+    "q14_pluck_json" -> q14_pluck_json_sql,
+    "q15_frequencies" -> q15_frequencies_sql,
+    "q16_timed_window" -> q16_timed_window_sql,
+    "q17_sliding_time" -> q17_sliding_time_sql,
+    "q18_latest" -> q18_latest_sql,
+    "q19_zip" -> q19_zip_sql,
+    "q20_partition" -> q20_partition_sql,
+    "q23_try_catch" -> q23_try_catch_sql,
+    "q26_transpose" -> q26_transpose_sql,
+    "q29_pivot" -> q29_pivot_sql,
+    "q30_asof" -> q30_asof_sql
+  )
+}

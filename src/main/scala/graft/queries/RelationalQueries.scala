@@ -1,23 +1,384 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Determinism._
 
-/** Relational/analytical queries: the deva pipe/aggregation surface
-  * (`deva/core/pipe.py` groupby/aggregate/average/count/sort) and the
-  * multi-table compositions deva applications build over pandas
-  * frames, re-expressed as declarative Spark plans.
+/** Relational/batch queries: the deva pipe surface
+  * (`deva/core/pipe.py` — map/filter/head/sort/groupby/aggregate/
+  * dedup/take_while/sample/extract/…) and the multi-table analytics
+  * deva applications compose, re-expressed as declarative Spark plans
+  * that Catalyst can push down, broadcast, and codegen.
   *
-  * Determinism doctrine (SURVEY §4): money arithmetic on
-  * DECIMAL(18,2|4) so sums are exact and order-independent, result
-  * cast to DOUBLE for a bit-identical DuckDB oracle.
+  * Every query ends in a total ORDER BY so the driver's row-level
+  * hash compare is order-stable; Catalyst drops these sorts under
+  * `count()`-style actions, so they cost nothing in Bench.
   */
 object RelationalQueries {
 
-  /** decimal(18,2) view of a double column — exact, order-independent sums. */
-  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  /** Exact per-line revenue: decimal operands BEFORE multiplying —
+    * rounding the double product differs between engines (SURVEY §4).
+    */
+  private def revDec: Column =
+    dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+
+  private val revDecSql: String =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** q02 — deva `map`/`starmap` (core.py:1327,1467): per-event
+    * transform as codegen'd column expressions, never a row loop.
+    */
+  def q02_map(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q02_map_sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  l_returnflag || '/' || l_linestatus AS flag
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q03 — deva `filter` (core.py:1522): predicate gate; filters reach
+    * the parquet scan (PushedFilters), so at 100 TB only matching row
+    * groups are read.
+    */
+  def q03_filter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q03_filter_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q04 — deva `head`/`sort`/`recent` (pipe.py:277,1019, core.py:1104):
+    * global top-k. Spark computes per-partition top-k then merges
+    * (TakeOrderedAndProject) — no full sort at scale.
+    */
+  def q04_topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+
+  val q04_topk_sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** q05 — 3-table join + agg + top-k (TPC-H Q3 shape). The filtered
+    * customer dim is broadcast; lineitem never shuffles for the join.
+    */
+  def q05_join3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revDec).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  val q05_join3_sql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM($revDecSql) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1996-06-01' AND l_shipdate > TIMESTAMP '1996-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
+
+  /** q06 — 6-table snowflake join (TPC-H Q5 shape): dims broadcast,
+    * facts join on keys; revenue per nation.
+    */
+  def q06_join5(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(revDec).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q06_join5_sql: String =
+    s"""SELECT r_name, n_name,
+      |  CAST(SUM($revDecSql) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM region, nation, customer, orders, lineitem, supplier
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q07 — deva `union` (ops.py:489): merge two flows, schema by name. */
+  def q07_union(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val returned = li.filter(col("l_returnflag") === "R")
+    val accepted = li.filter(col("l_returnflag") === "A")
+    returned.unionByName(accepted)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q07_union_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q09 — deva `slice`/ranked-within-group (ops.py:827): top-3 parts
+    * per brand via window rank — one shuffle on the partition key.
+    */
+  def q09_rank_slice(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rank_in_brand", row_number().over(w))
+      .filter(col("rank_in_brand") <= 3)
+      .select(col("p_brand"), col("rank_in_brand"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rank_in_brand"))
+  }
+
+  val q09_rank_slice_sql: String =
+    """SELECT p_brand, rank_in_brand, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
+      |  FROM part) t
+      |WHERE rank_in_brand <= 3
+      |ORDER BY p_brand, rank_in_brand""".stripMargin
+
+  /** q10 — deva `accumulate`/`scan` (ops.py:738): running fold as a
+    * cumulative window — state per key, evaluated streamingly after
+    * one shuffle on the key.
+    */
+  def q10_accumulate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"),
+        count(lit(1)).over(w).as("running_orders"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q10_accumulate_sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+      |  COUNT(*) OVER w AS running_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** q11 — deva `sliding_window` (ops.py:925, pipe.py:1591): last-n
+    * window per key as a bounded rows frame.
+    */
+  def q11_sliding_window(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in this dataset — the
+    // window order appends the measures to stay total (SURVEY §4)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        sum(dec2(col("l_quantity"))).over(w).cast("double").as("mov_qty"),
+        count(lit(1)).over(w).as("mov_n"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+  }
+
+  val q11_sliding_window_sql: String =
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_qty,
+      |  COUNT(*) OVER w AS mov_n
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity""".stripMargin
+
+  /** q13 — deva `flatten`+`split` (ops.py:357, pipe.py:818): explode
+    * nested sequences into the stream.
+    */
+  def q13_flatten(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .orderBy(col("doc_id"), col("token"))
+
+  val q13_flatten_sql: String =
+    """SELECT doc_id, token FROM
+      |  (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents) t
+      |WHERE token <> '' ORDER BY doc_id, token""".stripMargin
+
+  /** q21 — deva `all`/`any` (pipe.py:465,496) as grouped boolean aggs. */
+  def q21_all_any(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("bool_and(o_totalprice > 5000)").as("all_over_5k"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_finished"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q21_all_any_sql: String =
+    """SELECT o_orderpriority,
+      |  bool_and(o_totalprice > 5000) AS all_over_5k,
+      |  bool_or(o_orderstatus = 'F') AS any_finished,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q22 — deva `take_while` (pipe.py:985): ordered prefix per key —
+    * "running min of the predicate" window trick, no driver loop.
+    */
+  def q22_take_while(spark: SparkSession, dir: String): DataFrame = {
+    // per customer: orders in date order while total < 200k (o_orderkey
+    // is the unique tiebreak — window order must be total, SURVEY §4)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("ok", min(when(col("o_totalprice") < 200000, 1).otherwise(0)).over(w))
+      .filter(col("ok") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q22_take_while_sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |    MIN(CASE WHEN o_totalprice < 200000 THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ok
+      |  FROM orders) t
+      |WHERE ok = 1 ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** q24 — deva string pipe ops: `truncate`/`strip`/`concat`
+    * (pipe.py:1520,1045,784) as codegen'd string expressions.
+    */
+  def q24_strings(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        when(length(col("c_name")) > 12, concat(substring(col("c_name"), 1, 12), lit("...")))
+          .otherwise(col("c_name")).as("short_name"),
+        length(col("c_name")).cast("long").as("name_len"),
+        upper(col("c_mktsegment")).as("segment_uc"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"))
+      .orderBy(col("c_custkey"))
+
+  val q24_strings_sql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN length(c_name) > 12 THEN substr(c_name, 1, 12) || '...' ELSE c_name END AS short_name,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  upper(c_mktsegment) AS segment_uc,
+      |  concat_ws('|', c_name, c_mktsegment) AS joined
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** q25 — deva `extract` (pipe.py:1429): regex extraction over text. */
+  def q25_extract(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("sp[a-z]+"), lit(0))).cast("long").as("n_matches"),
+        coalesce(regexp_extract(col("text"), "(sc[a-z]+)", 1), lit("")).as("first_sc"))
+      .orderBy(col("doc_id"))
+
+  val q25_extract_sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, 'sp[a-z]+')) AS BIGINT) AS n_matches,
+      |  COALESCE(regexp_extract(text, '(sc[a-z]+)', 1), '') AS first_sc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q27 — deva `permutations` (pipe.py:606): bounded pair generation
+    * via self-join (dims only — never a fact-table cross product).
+    */
+  def q27_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val a = n.select(col("n_regionkey").as("rk"), col("n_name").as("nation_a"))
+    val b = n.select(col("n_regionkey").as("rk"), col("n_name").as("nation_b"))
+    a.join(b, "rk")
+      .filter(col("nation_a") < col("nation_b"))
+      .select(col("rk").cast("long").as("region_key"), col("nation_a"), col("nation_b"))
+      .orderBy(col("region_key"), col("nation_a"), col("nation_b"))
+  }
+
+  val q27_pairs_sql: String =
+    """SELECT CAST(a.n_regionkey AS BIGINT) AS region_key, a.n_name AS nation_a, b.n_name AS nation_b
+      |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+      |ORDER BY region_key, nation_a, nation_b""".stripMargin
+
+  /** q28 — semi/anti joins (EXISTS / NOT EXISTS): deva's predicate
+    * routing between "seen" and "unseen" flows (core.py:1064 route).
+    */
+  def q28_semi_anti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val has = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("has_orders"))
+    val not = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("no_orders"))
+    has.unionByName(not)
+      .select(col("kind"), col("c_mktsegment"), col("n"))
+      .orderBy(col("kind"), col("c_mktsegment"))
+  }
+
+  val q28_semi_anti_sql: String =
+    """SELECT 'has_orders' AS kind, c_mktsegment, COUNT(*) AS n FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'no_orders' AS kind, c_mktsegment, COUNT(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY kind, c_mktsegment""".stripMargin
+
+  /** q31 — deva `sample` (pipe.py:1381): *deterministic* hash-mod
+    * sampling (portable + reproducible at any parallelism — the
+    * scalable way to sample 100 TB consistently across reruns).
+    */
+  def q31_sample(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(pmod(hash60(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), lit(20)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q31_sample_sql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       |WHERE ${graft.functions.Determinism.hash60Sql("concat_ws('|', l_orderkey, l_linenumber)")} % 20 = 0
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   def q01_agg(spark: SparkSession, dir: String): DataFrame = {
     // TPC-H Q1 shape: map + groupby + aggregate + sort
@@ -48,10 +409,44 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg" -> (q01_agg _)
+    "q01_agg" -> (q01_agg _),
+    "q02_map" -> (q02_map _),
+    "q03_filter" -> (q03_filter _),
+    "q04_topk" -> (q04_topk _),
+    "q05_join3" -> (q05_join3 _),
+    "q06_join5" -> (q06_join5 _),
+    "q07_union" -> (q07_union _),
+    "q09_rank_slice" -> (q09_rank_slice _),
+    "q10_accumulate" -> (q10_accumulate _),
+    "q11_sliding_window" -> (q11_sliding_window _),
+    "q13_flatten" -> (q13_flatten _),
+    "q21_all_any" -> (q21_all_any _),
+    "q22_take_while" -> (q22_take_while _),
+    "q24_strings" -> (q24_strings _),
+    "q25_extract" -> (q25_extract _),
+    "q27_pairs" -> (q27_pairs _),
+    "q28_semi_anti" -> (q28_semi_anti _),
+    "q31_sample" -> (q31_sample _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q01_agg" -> q01_agg_sql
+    "q01_agg" -> q01_agg_sql,
+    "q02_map" -> q02_map_sql,
+    "q03_filter" -> q03_filter_sql,
+    "q04_topk" -> q04_topk_sql,
+    "q05_join3" -> q05_join3_sql,
+    "q06_join5" -> q06_join5_sql,
+    "q07_union" -> q07_union_sql,
+    "q09_rank_slice" -> q09_rank_slice_sql,
+    "q10_accumulate" -> q10_accumulate_sql,
+    "q11_sliding_window" -> q11_sliding_window_sql,
+    "q13_flatten" -> q13_flatten_sql,
+    "q21_all_any" -> q21_all_any_sql,
+    "q22_take_while" -> q22_take_while_sql,
+    "q24_strings" -> q24_strings_sql,
+    "q25_extract" -> q25_extract_sql,
+    "q27_pairs" -> q27_pairs_sql,
+    "q28_semi_anti" -> q28_semi_anti_sql,
+    "q31_sample" -> q31_sample_sql
   )
 }
