@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Determinism
+
+/** Deduplication for LLM-training-data pipelines, designed so the
+  * candidate-generation stage is linear at 100 TB:
+  *
+  *  - exact: hash-groupBy on normalized text (one shuffle)
+  *  - MinHash + LSH: shingles → k minhashes → b bands; docs sharing a
+  *    band bucket are candidates (shuffle on band key — never O(n²))
+  *  - SimHash: 60-bit fingerprint by bit-vote (deva/utils/simhash.py
+  *    re-expressed as a columnar aggregation)
+  *  - n-gram Jaccard: exact verification, run ONLY on LSH candidates
+  *
+  * All hashing derives from the engine-portable md5-60bit hash
+  * (Determinism.hash60) so every stage is reproducible in DuckDB for
+  * the oracle — and across reruns/partitionings in production.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1: permutation modulus. Values stay under
+    * 2^62 in (a*x + b) so int64 never overflows in either engine.
+    */
+  val P: Long = 2147483647L
+
+  /** 16 fixed (a, b) permutation constants — literal so Spark and the
+    * SQL oracle can't disagree.
+    */
+  val perms: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (214013L, 2531011L), (69069L, 362437L),
+    (1664525L, 1013904223L), (22695477L, 1L), (134775813L, 1L),
+    (214903917L, 11L), (16843009L, 826366247L), (1220703125L, 7L),
+    (32310901L, 33554431L), (48271L, 0L), (65539L, 0L),
+    (40692L, 3791L), (1588635695L, 3L), (1223106847L, 5L), (279470273L, 13L))
+
+  val numBands = 4
+  val rowsPerBand = 4
+
+  /** Per-shingle base hashes, reduced mod P. */
+  def baseHashes(sh: Column): Column =
+    transform(sh, s => pmod(Determinism.hash60(s), lit(P)))
+
+  def baseHashesSql(shRef: String): String =
+    s"list_transform($shRef, s -> ${Determinism.hash60Sql("s")} % ${P})"
+
+  /** i-th minhash over the base-hash array (P when the doc is empty). */
+  def minhash(hs: Column, i: Int): Column = {
+    val (a, b) = perms(i)
+    coalesce(array_min(transform(hs, x => (lit(a) * x + lit(b)) % lit(P))), lit(P))
+  }
+
+  def minhashSql(hsRef: String, i: Int): String = {
+    val (a, b) = perms(i)
+    s"COALESCE(list_min(list_transform($hsRef, x -> ($a * x + $b) % ${P})), ${P})"
+  }
+
+  /** Band key: md5 of the band's minhashes — the LSH bucket id. */
+  def bandKey(sig: Seq[Column], band: Int): Column =
+    md5(concat_ws(",", sig.slice(band * rowsPerBand, (band + 1) * rowsPerBand): _*))
+
+  def bandKeySql(sigRefs: Seq[String], band: Int): String =
+    s"md5(concat_ws(',', ${sigRefs.slice(band * rowsPerBand, (band + 1) * rowsPerBand).mkString(", ")}))"
+
+  /** SimHash fingerprint (60-bit, term-frequency weighted): explode
+    * tokens, per-bit majority vote, recompose. `tokensDf` must have
+    * columns (id, tok). Output: (id, simhash).
+    *
+    * One shuffle on id; the 60 votes are map-side partial sums.
+    */
+  def simhash(tokensDf: DataFrame, idCol: String): DataFrame = {
+    val h = pmod(Determinism.hash60(col("tok")), lit(1L << 60))
+    val votes = (0 until 60).map { b =>
+      sum(shiftright(h, b).bitwiseAND(1) * 2 - 1).as(s"s_$b")
+    }
+    val fp = (0 until 60).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    tokensDf.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
+  }
+
+  /** DuckDB rendering of [[simhash]] — same bit math, generated from
+    * the same loop bounds. `tokTable(id, tok)` exploded tokens.
+    */
+  def simhashSql(tokTable: String, idCol: String): String = {
+    val h = s"(${Determinism.hash60Sql("tok")} % ${1L << 60})"
+    val votes = (0 until 60)
+      .map(b => s"SUM((($h >> $b) & 1) * 2 - 1) AS s_$b").mkString(", ")
+    val fp = (0 until 60)
+      .map(b => s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"SELECT $idCol, CAST($fp AS BIGINT) AS simhash FROM (SELECT $idCol, $votes FROM $tokTable GROUP BY $idCol) v"
+  }
+
+  /** LSH candidate pairs from a signature frame with columns
+    * (id, m0..m15): docs sharing any band bucket, each pair once.
+    * Shuffles on the band key — linear in corpus size, never O(n²).
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String): DataFrame = {
+    val sigCols = perms.indices.map(i => col(s"m$i"))
+    val banded = sig.select(
+      col(idCol),
+      posexplode(array((0 until numBands).map(b => bandKey(sigCols, b)): _*)).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col(idCol).as("a_id"))
+    val b = banded.select(col("band"), col("bkey"), col(idCol).as("b_id"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+}

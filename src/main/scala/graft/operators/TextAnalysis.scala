@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expressions for LLM-training-data pipelines:
+  * tokenization, quality scoring, language ID, token counting.
+  *
+  * Everything is a Catalyst expression tree (codegen'd, no UDFs) with
+  * a DuckDB-identical SQL rendering for the oracle. The reference's
+  * text utilities (`deva/core/pipe.py:1429 extract`, `:1520 truncate`,
+  * `deva/utils/simhash.py` tokenization) are per-string Python; here
+  * they are columnar and run where the data lives.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  val tokensSql: String = "list_filter(str_split(text, ' '), t -> t <> '')"
+
+  /** Word n-gram shingles over a token array (n fixed at call site).
+    * Guarded for short docs: fewer than n tokens → empty array.
+    */
+  def shingles(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB rendering of [[shingles]]. `tkRef` must be a simple
+    * column reference (define the token list in a CTE first).
+    * range(a,b) is [a,b): i runs 1..len-(n-1); short docs → empty.
+    */
+  def shinglesSql(tkRef: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"$tkRef[i+$o]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($tkRef) - ${n - 2}), i -> $parts)"
+  }
+
+  /** Stopword hit count within a token array. */
+  def stopCount(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => t.isin(words.map(lit): _*))).cast("long")
+
+  def stopCountSql(tkExpr: String, words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter($tkExpr, t -> t IN ($list))) AS BIGINT)"
+  }
+
+  val stopEn: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+  val stopEs: Seq[String] = Seq("el", "la", "de", "y", "es", "un", "en")
+  val stopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis => TA}
+
+/** LLM-training-data text operators over `documents` (SURVEY §2.6):
+  * token counting, quality scoring, language ID, exact/fuzzy dedup
+  * (MinHash-LSH, SimHash, n-gram Jaccard).
+  *
+  * The Spark plans and the DuckDB oracle SQL are generated from the
+  * same constants (Dedup.perms etc.) so they cannot drift.
+  */
+object TextQueries {
+
+  private def toks: Column = TA.tokens(col("text"))
+
+  /** Shared CTE prefix: tokens → 3-shingles → base hashes → 16 minhashes. */
+  private val sigCte: String = {
+    val ms = Dedup.perms.indices.map(i => s"${Dedup.minhashSql("hs", i)} AS m$i").mkString(",\n    ")
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |sht AS (SELECT doc_id, ${TA.shinglesSql("tk", 3)} AS sh FROM tkt),
+       |hst AS (SELECT doc_id, ${Dedup.baseHashesSql("sh")} AS hs FROM sht),
+       |sig AS (SELECT doc_id,
+       |    $ms
+       |  FROM hst)""".stripMargin
+  }
+
+  /** Spark side of the shared signature frame. */
+  private def sigFrame(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.baseHashes(TA.shingles(toks, 3)).as("hs"))
+    base.select(
+      col("doc_id") +: Dedup.perms.indices.map(i => Dedup.minhash(col("hs"), i).as(s"m$i")): _*)
+  }
+
+  /** q40 — token counting: whitespace tokens + BPE-ish regex tokens.
+    * (deva counts per-string in Python — `pipe.py:561 count`; here a
+    * single codegen'd projection.)
+    */
+  def q40_token_count(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpeish"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  val q40_token_count_sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${TA.tokensSql}) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish,
+       |  CAST(length(text) AS BIGINT) AS n_chars_calc
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q41 — quality scoring: length/stopword/digit signals → score. */
+  def q41_quality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val stopN = TA.stopCount(toks, TA.stopEn)
+    val nChars = length(col("text")).cast("long")
+    val digits = (nChars - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+    val stopRatio = stopN.cast("double") / greatest(nTok, lit(1L)).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"), stopN.as("n_stop"),
+        digits.as("n_digits"),
+        stopRatio.as("stop_ratio"),
+        (least(lit(1.0), nTok.cast("double") / 100.0) * (lit(1.0) - stopRatio)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q41_quality_sql: String = {
+    val nTok = s"CAST(len(${TA.tokensSql}) AS BIGINT)"
+    val stopN = TA.stopCountSql(TA.tokensSql, TA.stopEn)
+    val stopRatio = s"CAST($stopN AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE)"
+    s"""SELECT doc_id, $nTok AS n_tokens, $stopN AS n_stop,
+       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       |  $stopRatio AS stop_ratio,
+       |  least(1.0, CAST($nTok AS DOUBLE) / 100.0) * (1.0 - $stopRatio) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q42 — language ID: stopword-profile argmax (the n-gram heuristic
+    * the brief asks for, kept SQL-expressible for the oracle).
+    */
+  def q42_langid(spark: SparkSession, dir: String): DataFrame = {
+    val en = TA.stopCount(toks, TA.stopEn)
+    val es = TA.stopCount(toks, TA.stopEs)
+    val de = TA.stopCount(toks, TA.stopDe)
+    val pred = when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+        pred.as("pred_lang"), col("lang"), (pred === col("lang")).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q42_langid_sql: String = {
+    val en = TA.stopCountSql(TA.tokensSql, TA.stopEn)
+    val es = TA.stopCountSql(TA.tokensSql, TA.stopEs)
+    val de = TA.stopCountSql(TA.tokensSql, TA.stopDe)
+    val pred = s"CASE WHEN $en >= $es AND $en >= $de THEN 'en' WHEN $es >= $de THEN 'es' ELSE 'de' END"
+    s"""SELECT doc_id, $en AS en_hits, $es AS es_hits, $de AS de_hits,
+       |  $pred AS pred_lang, lang, ($pred = lang) AS is_match
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q43 — exact dedup after normalization: key = md5 of the sorted
+    * token multiset, keep the smallest doc_id. One hash-shuffle —
+    * the 100 TB path (never compares texts pairwise).
+    */
+  def q43_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(concat_ws(" ", array_sort(toks))).as("norm_key"))
+      .groupBy(col("norm_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("norm_key"))
+      .orderBy(col("keep_id"))
+
+  val q43_dedup_exact_sql: String =
+    s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, norm_key
+       |FROM (SELECT doc_id, md5(array_to_string(list_sort(${TA.tokensSql}), ' ')) AS norm_key FROM documents) t
+       |GROUP BY norm_key ORDER BY keep_id""".stripMargin
+
+  /** q44 — MinHash signatures (16 perms over 3-word shingles). */
+  def q44_minhash_sig(spark: SparkSession, dir: String): DataFrame =
+    sigFrame(spark, dir)
+      .select(col("doc_id"),
+        concat_ws(",", Dedup.perms.indices.map(i => col(s"m$i")): _*).as("sig"))
+      .orderBy(col("doc_id"))
+
+  val q44_minhash_sig_sql: String = {
+    val refs = Dedup.perms.indices.map(i => s"m$i").mkString(", ")
+    s"""$sigCte
+       |SELECT doc_id, concat_ws(',', $refs) AS sig FROM sig ORDER BY doc_id""".stripMargin
+  }
+
+  /** q45 — MinHash-LSH near-dup candidate pairs: 4 bands × 4 rows;
+    * pairs that share a band bucket. Linear candidate generation
+    * (shuffle on band key), never an O(n²) cross join.
+    */
+  def q45_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(sigFrame(spark, dir), "doc_id")
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val bandedCte: String = {
+    val sigRefs = Dedup.perms.indices.map(i => s"m$i")
+    val bands = (0 until Dedup.numBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${Dedup.bandKeySql(sigRefs, b)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"banded AS (\n  $bands)"
+  }
+
+  val q45_minhash_lsh_pairs_sql: String =
+    s"""$sigCte,
+       |$bandedCte
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q46 — SimHash fingerprints (deva/utils/simhash.py:76 re-expressed
+    * as a 60-bit columnar bit-vote; term-frequency weighted).
+    */
+  def q46_simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokensDf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    Dedup.simhash(tokensDf, "doc_id").orderBy(col("doc_id"))
+  }
+
+  val q46_simhash_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |tokt AS (SELECT doc_id, unnest(tk) AS tok FROM tkt)
+       |SELECT * FROM (${Dedup.simhashSql("tokt", "doc_id")}) s ORDER BY doc_id""".stripMargin
+
+  /** q47 — exact n-gram Jaccard, computed ONLY on LSH candidates:
+    * the verify stage of the dedup pipeline (candidates ≪ corpus²).
+    */
+  def q47_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshCandidatePairs(sigFrame(spark, dir), "doc_id")
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(TA.shingles(toks, 3)).as("dsh"))
+    val withA = pairs.join(sets.select(col("doc_id").as("a_id"), col("dsh").as("a_sh")), "a_id")
+    val joined = withA.join(sets.select(col("doc_id").as("b_id"), col("dsh").as("b_sh")), "b_id")
+    joined
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter"),
+        (size(col("a_sh")) + size(col("b_sh")) - size(array_intersect(col("a_sh"), col("b_sh"))))
+          .cast("long").as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q47_jaccard_pairs_sql: String =
+    s"""$sigCte,
+       |$bandedCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |dsh AS (SELECT s.doc_id, list_distinct(s.sh) AS dsh FROM sht s)
+       |SELECT a_id, b_id,
+       |  CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT) AS inter,
+       |  CAST(len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)) AS BIGINT) AS uni,
+       |  CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) / CAST(len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) AS jaccard
+       |FROM pairs JOIN dsh x ON pairs.a_id = x.doc_id JOIN dsh y ON pairs.b_id = y.doc_id
+       |WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) / CAST(len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_token_count" -> (q40_token_count _),
+    "q41_quality" -> (q41_quality _),
+    "q42_langid" -> (q42_langid _),
+    "q43_dedup_exact" -> (q43_dedup_exact _),
+    "q44_minhash_sig" -> (q44_minhash_sig _),
+    "q45_minhash_lsh_pairs" -> (q45_minhash_lsh_pairs _),
+    "q46_simhash" -> (q46_simhash _),
+    "q47_jaccard_pairs" -> (q47_jaccard_pairs _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q40_token_count" -> q40_token_count_sql,
+    "q41_quality" -> q41_quality_sql,
+    "q42_langid" -> q42_langid_sql,
+    "q43_dedup_exact" -> q43_dedup_exact_sql,
+    "q44_minhash_sig" -> q44_minhash_sig_sql,
+    "q45_minhash_lsh_pairs" -> q45_minhash_lsh_pairs_sql,
+    "q46_simhash" -> q46_simhash_sql,
+    "q47_jaccard_pairs" -> q47_jaccard_pairs_sql
+  )
+}
