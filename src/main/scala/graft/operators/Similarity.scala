@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns (SURVEY §2.6):
+  * brute-force cosine top-k (baseline), IVF coarse quantization and
+  * random-hyperplane LSH (the 100 TB paths — candidate cells/buckets
+  * keep the pair space linear).
+  *
+  * Determinism: dot products are a *sequential* left fold in array
+  * order (Spark `aggregate` ≡ DuckDB `list_reduce`), so the same
+  * bits come out of both engines — float sums are order-dependent,
+  * a parallel/grouped sum would not verify.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product, elements widened to double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB rendering of [[dot]] — identical fold order incl. the 0.0
+    * seed (list_reduce alone would seed with element 1).
+    */
+  def dotSql(aRef: String, bRef: String, dim: Int): String =
+    s"list_reduce(list_concat([CAST(0 AS DOUBLE)], " +
+      s"list_transform(range(1, ${dim + 1}), i -> CAST($aRef[i] AS DOUBLE) * CAST($bRef[i] AS DOUBLE))), " +
+      s"(x, y) -> x + y)"
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normSql(aRef: String, dim: Int): String = s"sqrt(${dotSql(aRef, aRef, dim)})"
+
+  /** 8 random hyperplanes × 64 dims from a fixed LCG — literal
+    * constants shared by the Spark plan and the SQL oracle.
+    */
+  val lshPlanes: Array[Array[Long]] = {
+    var x = 42L
+    Array.fill(8) {
+      Array.fill(64) {
+        x = (1103515245L * x + 12345L) % 2147483648L
+        (x % 2001L) - 1000L
+      }
+    }
+  }
+
+  /** Sign-bit bucket id (0..255) of an embedding under [[lshPlanes]]. */
+  def lshBucket(emb: Column): Column =
+    lshPlanes.zipWithIndex.map { case (w, j) =>
+      val plane = array(w.map(v => lit(v)): _*)
+      when(dot(emb, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(embRef: String, dim: Int): String =
+    lshPlanes.zipWithIndex.map { case (w, j) =>
+      val planeLit = w.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(embRef, planeLit, dim)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+}

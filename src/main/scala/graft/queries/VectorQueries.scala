@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Embedding similarity-search queries (SURVEY §2.6 #75–78) over the
+  * `embeddings` table (64-dim unit vectors).
+  *
+  * q50 brute-force is the correctness baseline; q51 (IVF) and q52/q53
+  * (random-hyperplane LSH) are the linear-at-100TB candidate paths:
+  * probe only the nearest cells / the shared bucket, never the full
+  * corpus per query.
+  */
+object VectorQueries {
+
+  private val dim = 64
+
+  /** q50 — brute-force cosine top-k: probes (vec_id % 50 = 0) are
+    * broadcast against the corpus; per-partition top-k then merge.
+    */
+  def q50_ann_topk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"), col("nrm").as("pnrm"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("embedding"), col("pemb")) / (col("nrm") * col("pnrm")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val q50_ann_topk_sql: String = {
+    val dotPC = Similarity.dotSql("ce", "pe", dim)
+    s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding", dim)} AS nrm FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm FROM n WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id, embedding AS ce, nrm AS cnrm FROM n),
+       |s AS (SELECT probe_id, vec_id, $dotPC / (cnrm * pnrm) AS cosine
+       |      FROM c, p WHERE vec_id <> probe_id)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank FROM s) t
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** q51 — IVF top-k: 5 deterministic centroids (vec_id % 100 = 0);
+    * every vector is assigned to its nearest centroid (the "index");
+    * probes scan only their 2 nearest cells. At 100 TB the corpus is
+    * bucketed/partitioned by cell so a probe touches ~2/k of data.
+    */
+  def q51_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
+    val cent = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    // index: nearest centroid per vector
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cos_c", Similarity.dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+    // probes: 2 nearest cells each
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"), col("nrm").as("pnrm"))
+    val wProbe = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cent_id"))
+    val pcells = probes.crossJoin(broadcast(cent))
+      .withColumn("pcos", Similarity.dot(col("pemb"), col("cemb")) / (col("pnrm") * col("cnrm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("probe_id"), col("pemb"), col("pnrm"), col("cent_id").as("cell"))
+    // search only those cells
+    val wTop = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    pcells.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", Similarity.dot(col("embedding"), col("pemb")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val q51_ivf_topk_sql: String = {
+    val dVC = Similarity.dotSql("embedding", "cemb", dim)
+    val dPC = Similarity.dotSql("pemb", "cemb", dim)
+    val dCP = Similarity.dotSql("embedding", "pemb", dim)
+    s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding", dim)} AS nrm FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell, embedding, nrm FROM (
+       |    SELECT n.vec_id, cent.cent_id, n.embedding, n.nrm,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $dVC / (nrm * cnrm) DESC, cent_id) AS rn
+       |    FROM n, cent) t WHERE rn = 1),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pemb, nrm AS pnrm FROM n WHERE vec_id % 50 = 0),
+       |pcells AS (
+       |  SELECT probe_id, pemb, pnrm, cent_id AS cell FROM (
+       |    SELECT probes.probe_id, probes.pemb, probes.pnrm, cent.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY $dPC / (pnrm * cnrm) DESC, cent_id) AS prn
+       |    FROM probes, cent) t WHERE prn <= 2)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, cell, cosine FROM (
+       |  SELECT p.probe_id, a.vec_id, a.cell,
+       |    $dCP / (a.nrm * p.pnrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY $dCP / (a.nrm * p.pnrm) DESC, a.vec_id) AS rank
+       |  FROM pcells p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.probe_id) t
+       |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** q52 — random-hyperplane LSH bucket per vector: the O(1)-probe
+    * vector analogue of MinHash banding.
+    */
+  def q52_vec_lsh(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("bucket"))
+      .orderBy(col("vec_id"))
+
+  val q52_vec_lsh_sql: String =
+    s"""SELECT vec_id, ${Similarity.lshBucketSql("embedding", dim)} AS bucket
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** q53 — embedding near-dup candidates: pairs sharing an LSH bucket
+    * with their exact cosine (the verify stage; pair space is linear
+    * in corpus size because buckets are small).
+    */
+  def q53_cosine_neardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
+        Similarity.lshBucket(col("embedding")).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_e"), col("nrm").as("a_n"))
+    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_e"), col("nrm").as("b_n"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", Similarity.dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      .select(col("bucket"), col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q53_cosine_neardup_sql: String = {
+    val dAB = Similarity.dotSql("a_e", "b_e", dim)
+    s"""WITH e AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding", dim)} AS nrm,
+       |  ${Similarity.lshBucketSql("embedding", dim)} AS bucket FROM embeddings)
+       |SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${Similarity.dotSql("a.embedding", "b.embedding", dim)} / (a.nrm * b.nrm) AS cosine
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_ann_topk" -> (q50_ann_topk _),
+    "q51_ivf_topk" -> (q51_ivf_topk _),
+    "q52_vec_lsh" -> (q52_vec_lsh _),
+    "q53_cosine_neardup" -> (q53_cosine_neardup _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q50_ann_topk" -> q50_ann_topk_sql,
+    "q51_ivf_topk" -> q51_ivf_topk_sql,
+    "q52_vec_lsh" -> q52_vec_lsh_sql,
+    "q53_cosine_neardup" -> q53_cosine_neardup_sql
+  )
+}
