@@ -1,0 +1,97 @@
+package graft.queries
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventFlow, Stateful}
+import graft.functions.Determinism._
+
+/** Queries that run REAL Structured Streaming jobs inside the gate
+  * (SURVEY §2.7): the events parquet is consumed through
+  * `readStream` + AvailableNow, results land in a memory sink, and
+  * the returned DataFrame is compared against the same DuckDB oracle
+  * as a batch query — proving the streaming plans produce the exact
+  * batch answers (Dataflow-model consistency).
+  */
+object StreamQueries {
+
+  private val runId = new AtomicInteger(0)
+
+  case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** q60 — deva timed_window as a streaming tumbling aggregation
+    * (complete mode, so all windows are emitted at end of input).
+    */
+  def q60_stream_tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q60_mem_${runId.incrementAndGet()}"
+    val res = EventFlow.fromEvents(spark, dir)
+      .timedWindow("ts", "1 hour", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), dsum(col("value")).as("v")))
+      .toMemory(spark, name, "complete")
+    res.select(col("window.start").as("bucket"), col("event_type"), col("n"), col("v"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val q60_stream_tumbling_sql: String =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** q61 — deva unique on a stream: streaming dropDuplicates; the
+    * emitted key set equals batch DISTINCT (first-arrival rows are
+    * nondeterministic under parallelism, the key set is not).
+    */
+  def q61_stream_unique(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q61_mem_${runId.incrementAndGet()}"
+    val res = EventFlow.fromEvents(spark, dir)
+      .unique(Seq("user_id", "event_type"))
+      .toMemory(spark, name, "append")
+    res.select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q61_stream_unique_sql: String =
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"
+
+  /** q62 — deva accumulate on a stream: per-key stateful fold via
+    * flatMapGroupsWithState (cents-exact so the fold is
+    * order-independent and matches the batch oracle bit-for-bit).
+    */
+  def q62_stream_accumulate(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q62_mem_${runId.incrementAndGet()}"
+    val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+    val folded = Stateful.foldPerKey[Long, EvRow, (Long, Long), (Long, Long, Long)](
+      ds)(_.user_id)((0L, 0L))(
+      (s, e) => (s._1 + math.floor(e.value * 100 + 0.5).toLong, s._2 + 1))(
+      (k, s) => (k, s._1, s._2))
+    val q = folded.toDF("user_id", "total_cents", "n")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"))
+  }
+
+  val q62_stream_accumulate_sql: String =
+    """SELECT user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents, COUNT(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_stream_tumbling" -> (q60_stream_tumbling _),
+    "q61_stream_unique" -> (q61_stream_unique _),
+    "q62_stream_accumulate" -> (q62_stream_accumulate _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q60_stream_tumbling" -> q60_stream_tumbling_sql,
+    "q61_stream_unique" -> q61_stream_unique_sql,
+    "q62_stream_accumulate" -> q62_stream_accumulate_sql
+  )
+}

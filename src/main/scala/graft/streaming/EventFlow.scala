@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming port of the reference's `Stream` node graph
+  * (deva/core/core.py:391): a fluent flow of transforms over an
+  * unbounded DataFrame.
+  *
+  * Mapping (SURVEY §2.1/§2.7):
+  *  - `map`/`starmap`      → [[select]] (codegen'd column exprs)
+  *  - `filter`             → [[where]]
+  *  - `timed_window`       → [[timedWindow]] (tumbling event-time agg)
+  *  - sliding variant      → [[slidingWindow]]
+  *  - session gap grouping → [[sessionWindow]] (beyond the reference)
+  *  - `unique`             → [[unique]] / [[uniqueWithinWatermark]]
+  *  - `union`              → [[union]]
+  *  - `accumulate`/`scan`  → Stateful.scanPerKey (flatMapGroupsWithState)
+  *  - `delay` (lateness)   → [[withWatermark]]
+  *  - `rate_limit`/`buffer`→ trigger cadence on the sink ([[start]])
+  *  - `sink`/`to_textfile` → [[toMemory]] / [[toParquet]] / [[foreachBatchSink]]
+  *
+  * deva pushes one Python object at a time through callbacks on an
+  * event loop; EventFlow declares the same dataflow and lets Spark
+  * run it incrementally with partial aggregation, state stores and
+  * watermark-bounded state — the form that survives 100 TB/day.
+  */
+final case class EventFlow(df: DataFrame) {
+
+  def select(cols: Column*): EventFlow = EventFlow(df.select(cols: _*))
+
+  def where(cond: Column): EventFlow = EventFlow(df.where(cond))
+
+  /** Bound lateness/state: deva `delay` + state-expiry analogue. */
+  def withWatermark(tsCol: String, delay: String): EventFlow =
+    EventFlow(df.withWatermark(tsCol, delay))
+
+  /** Tumbling event-time window aggregation (deva timed_window). */
+  def timedWindow(tsCol: String, duration: String, keys: Seq[Column], aggs: Seq[Column]): EventFlow =
+    EventFlow(
+      df.groupBy(window(col(tsCol), duration) +: keys: _*)
+        .agg(aggs.head, aggs.tail: _*))
+
+  /** Sliding event-time window aggregation. */
+  def slidingWindow(tsCol: String, duration: String, slide: String,
+      keys: Seq[Column], aggs: Seq[Column]): EventFlow =
+    EventFlow(
+      df.groupBy(window(col(tsCol), duration, slide) +: keys: _*)
+        .agg(aggs.head, aggs.tail: _*))
+
+  /** Session windows by inactivity gap (no deva equivalent — a
+    * streaming capability the Spark engine adds for free).
+    */
+  def sessionWindow(tsCol: String, gap: String, keys: Seq[Column], aggs: Seq[Column]): EventFlow =
+    EventFlow(
+      df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
+        .agg(aggs.head, aggs.tail: _*))
+
+  /** Drop duplicate events by key (deva unique, unbounded history). */
+  def unique(cols: Seq[String]): EventFlow = EventFlow(df.dropDuplicates(cols))
+
+  /** Dedup with bounded state — requires a watermark upstream. */
+  def uniqueWithinWatermark(cols: Seq[String]): EventFlow =
+    EventFlow(df.dropDuplicatesWithinWatermark(cols))
+
+  def union(other: EventFlow): EventFlow = EventFlow(df.unionByName(other.df))
+
+  /** Stream-stream interval join (the keyed, bounded-time pairing
+    * that replaces deva's zip/combine_latest at scale).
+    */
+  def intervalJoin(other: EventFlow, cond: Column, joinType: String = "inner"): EventFlow =
+    EventFlow(df.join(other.df, cond, joinType))
+
+  // ---- sinks -------------------------------------------------------
+
+  /** Run to completion over available data into an in-memory table
+    * and return the result (batch-like smoke path for tests/gate).
+    */
+  def toMemory(spark: SparkSession, name: String, outputMode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming parquet sink (deva to_textfile/Sink analogue). */
+  def toParquet(path: String, checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Arbitrary per-batch action (deva sink(func) analogue); also the
+    * hook for the KV upsert store (graft.sources.KvStore).
+    */
+  def foreachBatchSink(checkpoint: String, trigger: Trigger)(f: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Generic start with a configured writer tweak — rate limiting
+    * (deva rate_limit/buffer) is the trigger cadence here.
+    */
+  def start(configure: DataStreamWriter[Row] => DataStreamWriter[Row]): StreamingQuery =
+    configure(df.writeStream).start()
+}
+
+object EventFlow {
+
+  /** File-source flow over a parquet path (deva from_textfile's
+    * tail-a-growing-source analogue; new files become new events).
+    */
+  def fromParquet(spark: SparkSession, path: String, schema: StructType): EventFlow =
+    EventFlow(spark.readStream.schema(schema).parquet(path))
+
+  /** The test-data events table as a stream, nanos handled as in
+    * [[graft.Tables.events]].
+    */
+  def fromEvents(spark: SparkSession, dir: String): EventFlow = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    // file stream sources need a directory: scope to events.parquet
+    // via glob filter (at scale this is a date-partitioned directory)
+    EventFlow(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+  }
+
+  /** Text-file tail source (deva from_textfile, sources.py:199). */
+  def fromText(spark: SparkSession, dir: String): EventFlow =
+    EventFlow(spark.readStream.text(dir))
+
+  /** Synthetic periodic source (deva from_periodic, sources.py:1419). */
+  def fromRate(spark: SparkSession, rowsPerSecond: Int): EventFlow =
+    EventFlow(spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load())
+
+  /** Socket text source (deva from_tcp_port, sources.py:341). */
+  def fromSocket(spark: SparkSession, host: String, port: Int): EventFlow =
+    EventFlow(spark.readStream.format("socket")
+      .option("host", host).option("port", port.toString).load())
+
+  /** Kafka topic source config (deva from_kafka, sources.py:682).
+    * Returns the configured reader — no broker in this container.
+    */
+  def kafkaReader(spark: SparkSession, servers: String, topics: String) =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topics)
+}
