@@ -1,0 +1,119 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** The deva-named batch DSL: a user of the reference's pipe/stream
+  * API can express the same dataflow here, and each combinator lowers
+  * to a declarative Spark plan (so Catalyst still sees through it —
+  * nothing is opaque to pushdown/codegen).
+  *
+  * Reference surface → Flow:
+  *   `x | pipe.map(f)`        → `flow.map(expr)`        (pipe.py:426)
+  *   `x | pipe.filter(p)`     → `flow.filter(col)`      (pipe.py:456)
+  *   `stream.pluck(k)`        → `flow.pluck(...)`       (ops.py:526)
+  *   `stream.unique(key)`     → `flow.unique(...)`      (ops.py:403)
+  *   `stream.union(s2)`       → `flow.union(f2)`        (ops.py:489)
+  *   `stream.zip(s2)`         → `flow.zipByIndex(f2)`   (ops.py:179)
+  *   `stream.combine_latest`  → `flow.combineLatest`    (ops.py:291)
+  *   `stream.sliding_window`  → `flow.slidingWindow`    (ops.py:925)
+  *   `stream.partition(n)`    → `flow.partitioned(n)`   (ops.py:875)
+  *   `stream.accumulate(f)`   → `flow.accumulate(...)`  (ops.py:738)
+  *   `pipe.head/tail/sort`    → `flow.head/tail/sort`   (pipe.py:277+)
+  *   `pipe.sample(n)`         → `flow.sampleHash(...)`  (pipe.py:1381)
+  *   `pipe.dedup(key)`        → `flow.firstPerKey(...)` (pipe.py:337)
+  *
+  * Ordering note: deva streams have implicit arrival order; a
+  * distributed DataFrame does not. Every order-sensitive combinator
+  * therefore takes explicit (and ideally total) ordering columns —
+  * the price of running the same dataflow on 1000 executors.
+  */
+final case class Flow(df: DataFrame) {
+
+  def map(cols: Column*): Flow = Flow(df.select(cols: _*))
+
+  def mapWith(f: DataFrame => DataFrame): Flow = Flow(f(df))
+
+  def filter(p: Column): Flow = Flow(df.filter(p))
+
+  /** Extract a field/key — JSON path or struct/array access. */
+  def pluckJson(src: Column, path: String, as: String): Flow =
+    Flow(df.withColumn(as, get_json_object(src, path)))
+
+  def flatten(src: Column, as: String): Flow =
+    Flow(df.withColumn(as, explode(src)))
+
+  def union(other: Flow): Flow = Flow(df.unionByName(other.df))
+
+  /** Keep first row per key under an explicit total order. */
+  def firstPerKey(keys: Seq[String], order: Seq[Column]): Flow = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    Flow(df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** Keep newest row per key (deva latest). */
+  def latestPerKey(keys: Seq[String], order: Seq[Column]): Flow =
+    Flow(AsOf.latest(df, keys, order))
+
+  def unique(keys: Seq[String]): Flow = Flow(df.dropDuplicates(keys))
+
+  /** Pair rows of two flows by position under explicit total orders
+    * (deva zip). Inherently a global sequence — use keyed
+    * [[combineLatest]] at scale.
+    */
+  def zipByIndex(other: Flow, thisOrder: Seq[Column], otherOrder: Seq[Column]): Flow = {
+    val wa = Window.orderBy(thisOrder: _*)
+    val wb = Window.orderBy(otherOrder: _*)
+    val a = df.withColumn("__idx", row_number().over(wa))
+    val b = other.df.withColumn("__idx", row_number().over(wb))
+    Flow(a.join(b, "__idx").drop("__idx"))
+  }
+
+  /** As-of pairing: each left row gets the latest right row at or
+    * before its timestamp per key (deva combine_latest/zip_latest).
+    */
+  def combineLatest(right: Flow, key: String, leftTs: String, rightTs: String,
+      payload: Seq[String], tolerance: Option[Long] = None): Flow =
+    Flow(AsOf.joinLeft(df, right.df, key, leftTs, rightTs, payload, tolerance))
+
+  /** Rows-frame sliding aggregate per key (deva sliding_window). */
+  def slidingWindow(n: Int, keys: Seq[String], order: Seq[Column], aggs: (Column => Column, String)*): Flow = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    Flow(aggs.foldLeft(df) { case (d, (f, name)) => d.withColumn(name, f(lit(1)).over(w)) })
+  }
+
+  /** Cumulative fold per key (deva accumulate as a window). */
+  def accumulate(keys: Seq[String], order: Seq[Column], agg: Column, as: String): Flow = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Flow(df.withColumn(as, agg.over(w)))
+  }
+
+  /** Chunk into size-n groups under a total order (deva partition). */
+  def partitioned(n: Int, order: Seq[Column]): Flow = {
+    val w = Window.orderBy(order: _*)
+    Flow(df.withColumn("__grp", floor((row_number().over(w) - 1) / n).cast("long")))
+  }
+
+  def head(n: Int, order: Seq[Column]): Flow = Flow(df.orderBy(order: _*).limit(n))
+
+  def tail(n: Int, order: Seq[Column]): Flow =
+    Flow(df.orderBy(order.map(_.desc): _*).limit(n))
+
+  def sort(order: Column*): Flow = Flow(df.orderBy(order: _*))
+
+  /** Deterministic hash-mod sample (deva sample — but reproducible
+    * at any parallelism, which `.sample()` is not across reruns).
+    */
+  def sampleHash(keyExpr: Column, oneIn: Int): Flow =
+    Flow(df.filter(pmod(graft.functions.Determinism.hash60(keyExpr), lit(oneIn)) === 0))
+
+  def groupAgg(keys: Seq[Column], aggs: Seq[Column]): Flow =
+    Flow(df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
+
+  def toDF: DataFrame = df
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Flow
+import graft.operators.Multimodal
+import graft.sources.{KvStore, Sources}
+
+/** Specs for the deva-named batch DSL, file/command sources, the KV
+  * upsert store (DBStream analogue), and multimodal plumbing.
+  */
+class FlowSourcesSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 4, shufflePartitions = 4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("Flow: map/filter/accumulate compose to the window-query answer") {
+    val got = Flow(Tables.orders(spark, dir))
+      .filter(col("o_totalprice") > 0)
+      .accumulate(Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")),
+        sum(col("o_totalprice")), "running")
+      .toDF
+    val custTotal = got.groupBy("o_custkey").agg(max("running").as("m"), sum("o_totalprice").as("s"))
+      .filter(abs(col("m") - col("s")) > 1e-6)
+    assert(custTotal.count() == 0, "running total must end at the per-key sum")
+  }
+
+  test("Flow: zipByIndex pairs positionally; combineLatest pairs as-of") {
+    val ev = Tables.events(spark, dir)
+    val clicks = Flow(ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("ts").as("cts")))
+    val views = Flow(ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("ts").as("vts")))
+    val zipped = clicks.zipByIndex(views, Seq(col("cts"), col("cid")), Seq(col("vts"), col("vid"))).toDF
+    assert(zipped.count() > 0)
+    val asof = Flow(ev.select(col("event_id"), col("user_id"), col("ts")))
+      .combineLatest(
+        Flow(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value").as("pvalue"))),
+        "user_id", "ts", "pts", Seq("pvalue"))
+      .toDF
+    assert(asof.count() == ev.count(), "as-of join must preserve all left rows")
+  }
+
+  test("Flow: sampleHash is deterministic across evaluations") {
+    val f = () => Flow(Tables.lineitem(spark, dir))
+      .sampleHash(concat_ws("|", col("l_orderkey"), col("l_linenumber")), 10)
+      .toDF.count()
+    assert(f() == f())
+  }
+
+  test("Sources: text round-trip and filenames") {
+    val tmp = Files.createTempDirectory("graft_txt").toString
+    Sources.toTextFile(
+      Tables.nation(spark, dir).select(col("n_name")), tmp + "/out")
+    val back = Sources.textFile(spark, tmp + "/out")
+    assert(back.count() == 25)
+    val withF = Sources.withFilenames(back)
+    assert(withF.select("__file").distinct().count() >= 1)
+  }
+
+  test("Sources: fromCommand captures process stdout") {
+    val df = Sources.fromCommand(spark, Seq("echo", "a\nb\nc"))
+    assert(df.count() == 3)
+  }
+
+  test("KvStore: upsert is last-write-wins per key") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_kv").toString + "/t"
+    val store = new KvStore(spark, tmp, Seq("k"), "v")
+    store.upsert(Seq(("a", 1L, "x"), ("b", 1L, "y")).toDF("k", "v", "payload"))
+    store.upsert(Seq(("a", 2L, "x2"), ("c", 1L, "z")).toDF("k", "v", "payload"))
+    val got = store.get().orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(("a", 2L, "x2"), ("b", 1L, "y"), ("c", 1L, "z")))
+  }
+
+  test("Multimodal: stub decode is deterministic, frame slices cover payload") {
+    val corpus = Multimodal.fakeCorpus(spark, 8, "image")
+    val f1 = Multimodal.decodeStub(corpus).collect().map(f => (f.media_id, f.checksum)).toSet
+    val f2 = Multimodal.decodeStub(Multimodal.fakeCorpus(spark, 8, "image"))
+      .collect().map(f => (f.media_id, f.checksum)).toSet
+    assert(f1 == f2 && f1.size == 8)
+    val framed = Multimodal.frameSample(corpus.toDF, 4)
+      .select(col("media_id"), expr("aggregate(transform(frames, f -> length(f)), 0, (a, x) -> a + x)").as("tot"))
+    framed.collect().foreach(r => assert(r.getInt(1) == 1024, "4 frames must cover the 1 KiB payload"))
+  }
+
+  test("Multimodal: meta projection prunes the byte column at the scan") {
+    val tmp = Files.createTempDirectory("graft_media").toString + "/media"
+    Multimodal.fakeCorpus(spark, 8, "audio").write.mode("overwrite").parquet(tmp)
+    val plan = Multimodal.metaOnly(spark.read.parquet(tmp))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("data#") || !plan.toLowerCase.contains("readschema: struct<media_id:bigint,meta"),
+      "plan sanity")
+    val read = plan.split("ReadSchema:").last
+    assert(!read.contains("data:binary"), s"byte column must be pruned, got $read")
+  }
+}
