@@ -28,12 +28,40 @@ object TextQueries {
        |  FROM hst)""".stripMargin
   }
 
-  /** Spark side of the shared signature frame. */
+  /** Spark side of the shared signature frame.
+    *
+    * Shape: explode shingles → ONE md5 per shingle row → groupBy with
+    * 16 min-aggregates. The array-transform formulation reads nicer
+    * but Catalyst's projection collapse inlines the hash array into
+    * all 16 minhash expressions (16× the md5 work); the exploded
+    * aggregation also gets map-side partial mins — the 100 TB shape.
+    * Docs with no shingles are restored via left join (minhash = P),
+    * matching the oracle's COALESCE.
+    */
+  /** Token arrays materialized behind a shuffle: without the barrier,
+    * projection collapse inlines the split+filter into every
+    * element_at of the shingle lambda (re-tokenizing per shingle).
+    * Partitioning by doc_id is also the distribution key all
+    * downstream dedup stages want.
+    */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .repartition(col("doc_id"))
+
   private def sigFrame(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.baseHashes(TA.shingles(toks, 3)).as("hs"))
-    base.select(
-      col("doc_id") +: Dedup.perms.indices.map(i => Dedup.minhash(col("hs"), i).as(s"m$i")): _*)
+    val docs = Tables.documents(spark, dir)
+    val h = pmod(graft.functions.Determinism.hash60(col("s")), lit(Dedup.P))
+    val perShingle = tokenized(spark, dir)
+      .select(col("doc_id"), explode(TA.shingles(col("tk"), 3)).as("s"))
+      .select(col("doc_id"), h.as("h"))
+    val aggs = Dedup.perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(Dedup.P)).as(s"m$i")
+    }
+    val sig = perShingle.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    docs.select(col("doc_id")).join(sig, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        Dedup.perms.indices.map(i => coalesce(col(s"m$i"), lit(Dedup.P)).as(s"m$i")): _*)
   }
 
   /** q40 — token counting: whitespace tokens + BPE-ish regex tokens.
@@ -178,8 +206,8 @@ object TextQueries {
     */
   def q47_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.lshCandidatePairs(sigFrame(spark, dir), "doc_id")
-    val sets = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(TA.shingles(toks, 3)).as("dsh"))
+    val sets = tokenized(spark, dir)
+      .select(col("doc_id"), array_distinct(TA.shingles(col("tk"), 3)).as("dsh"))
     val withA = pairs.join(sets.select(col("doc_id").as("a_id"), col("dsh").as("a_sh")), "a_id")
     val joined = withA.join(sets.select(col("doc_id").as("b_id"), col("dsh").as("b_sh")), "b_id")
     joined
