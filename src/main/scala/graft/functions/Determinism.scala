@@ -29,8 +29,18 @@ object Determinism {
   /** Portable 60-bit hash of a string: first 15 hex digits of md5.
     * DuckDB rendering: ('0x' || substr(md5(x),1,15))::BIGINT
     * 60 bits keeps the value inside a signed int64 in both engines.
+    *
+    * Implemented as the native codegen expression
+    * [[graft.plans.Hash60]] (bytes→long directly); the composed
+    * `conv(substring(md5(c),1,15),16,10)` form is numerically
+    * identical but pays hex-string materialization per row.
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = graft.plans.Hash60(c)
+
+  /** The composed-builtins form of [[hash60]] — kept for A/B
+    * verification against the native expression.
+    */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB SQL fragment for [[hash60]]. */

@@ -265,6 +265,43 @@ object EventQueries {
       |FROM events e ASOF LEFT JOIN o1 ON e.user_id = o1.user_id AND o1.o_orderdate <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** q34 — sessionization by inactivity gap (the batch mirror of
+    * EventFlow.sessionWindow): a new session starts when the gap to
+    * the previous event exceeds 30 min; session id = running count of
+    * session starts. Two windows over one shuffle on user_id.
+    */
+  def q34_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wSeq))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"),
+        dsum(col("value")).as("v"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q34_sessionize_sql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event,
+      |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |FROM (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT *, CASE WHEN prev_ts IS NULL
+      |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |      THEN 1 ELSE 0 END AS new_sess
+      |    FROM (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |          FROM events) a) b) c
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_unique" -> (q08_unique _),
     "q12_collect" -> (q12_collect _),
@@ -278,7 +315,8 @@ object EventQueries {
     "q23_try_catch" -> (q23_try_catch _),
     "q26_transpose" -> (q26_transpose _),
     "q29_pivot" -> (q29_pivot _),
-    "q30_asof" -> (q30_asof _)
+    "q30_asof" -> (q30_asof _),
+    "q34_sessionize" -> (q34_sessionize _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -294,6 +332,7 @@ object EventQueries {
     "q23_try_catch" -> q23_try_catch_sql,
     "q26_transpose" -> q26_transpose_sql,
     "q29_pivot" -> q29_pivot_sql,
-    "q30_asof" -> q30_asof_sql
+    "q30_asof" -> q30_asof_sql,
+    "q34_sessionize" -> q34_sessionize_sql
   )
 }

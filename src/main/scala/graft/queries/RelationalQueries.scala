@@ -408,6 +408,45 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q32 — exact quantiles + distinct counts per group: deva pipes
+    * compute these per-list in Python (`pipe.py:527 average` et al.);
+    * here exact linear-interpolated percentiles as one aggregation.
+    */
+  def q32_quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25_qty"),
+        expr("percentile(l_quantity, 0.5)").as("q50_qty"),
+        expr("percentile(l_extendedprice, 0.75)").as("q75_price"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q32_quantiles_sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25_qty,
+      |  quantile_cont(l_quantity, 0.5) AS q50_qty,
+      |  quantile_cont(l_extendedprice, 0.75) AS q75_price,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q33 — rollup (hierarchical subtotals): the aggregation lattice
+    * deva applications assemble by hand loops; one pass here.
+    */
+  def q33_rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  val q33_rollup_sql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01_agg _),
     "q02_map" -> (q02_map _),
@@ -426,7 +465,9 @@ object RelationalQueries {
     "q25_extract" -> (q25_extract _),
     "q27_pairs" -> (q27_pairs _),
     "q28_semi_anti" -> (q28_semi_anti _),
-    "q31_sample" -> (q31_sample _)
+    "q31_sample" -> (q31_sample _),
+    "q32_quantiles" -> (q32_quantiles _),
+    "q33_rollup" -> (q33_rollup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -447,6 +488,8 @@ object RelationalQueries {
     "q25_extract" -> q25_extract_sql,
     "q27_pairs" -> q27_pairs_sql,
     "q28_semi_anti" -> q28_semi_anti_sql,
-    "q31_sample" -> q31_sample_sql
+    "q31_sample" -> q31_sample_sql,
+    "q32_quantiles" -> q32_quantiles_sql,
+    "q33_rollup" -> q33_rollup_sql
   )
 }
