@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join.
+  *
+  * Spark plans a plain `l.ts BETWEEN r.start AND r.end` join as a
+  * BroadcastNestedLoopJoin — O(|L|·|R|) compares. This operator
+  * rewrites it as: explode each interval into the time buckets it
+  * covers → equi-join on (key, bucket) → exact containment filter.
+  * One hash shuffle, linear in |L| + Σ interval-width/bucket — the
+  * standard trick Databricks' range-join optimization and KDB's
+  * window joins apply, composed here from public Spark operators
+  * (preference (a) of the build brief: compose before custom plans).
+  *
+  * Bucket width trades shuffle fan-out (wide intervals → many bucket
+  * copies) against join selectivity; pick ≈ median interval width.
+  */
+object RangeJoin {
+
+  /** @param left      probe rows
+    * @param right     interval rows
+    * @param key       equi key column name on both sides
+    * @param leftTs    epoch-seconds column on left
+    * @param rightLo   epoch-seconds interval start on right
+    * @param rightHi   epoch-seconds interval end (inclusive) on right
+    * @param bucketSec bucket width in seconds
+    */
+  def pointInInterval(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightLo: String, rightHi: String,
+      bucketSec: Long): DataFrame = {
+    val lb = left.withColumn("__bucket", floor(col(leftTs) / bucketSec))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(floor(col(rightLo) / bucketSec), floor(col(rightHi) / bucketSec))))
+    lb.join(rb, Seq(key, "__bucket"))
+      .filter(col(leftTs) >= col(rightLo) && col(leftTs) <= col(rightHi))
+      .drop("__bucket")
+  }
+}

@@ -302,6 +302,32 @@ object EventQueries {
       |          FROM events) a) b) c
       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** q35 — point-in-interval range join via bucketed rewrite
+    * ([[graft.operators.RangeJoin]]): clicks within 1 hour after a
+    * purchase by the same user. A naive `BETWEEN` join is a
+    * nested-loop in Spark; the bucket rewrite is one hash shuffle.
+    */
+  def q35_range_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").cast("long").as("es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("long").as("lo"), (col("ts").cast("long") + 3600).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, purchases, "user_id", "es", "lo", "hi", bucketSec = 3600)
+      .select(col("click_id"), col("user_id"), col("purchase_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  val q35_range_join_sql: String =
+    """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND CAST(floor(epoch(c.ts)) AS BIGINT) >= CAST(floor(epoch(p.ts)) AS BIGINT)
+      | AND CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(p.ts)) AS BIGINT) + 3600
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_unique" -> (q08_unique _),
     "q12_collect" -> (q12_collect _),
@@ -316,7 +342,8 @@ object EventQueries {
     "q26_transpose" -> (q26_transpose _),
     "q29_pivot" -> (q29_pivot _),
     "q30_asof" -> (q30_asof _),
-    "q34_sessionize" -> (q34_sessionize _)
+    "q34_sessionize" -> (q34_sessionize _),
+    "q35_range_join" -> (q35_range_join _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -333,6 +360,7 @@ object EventQueries {
     "q26_transpose" -> q26_transpose_sql,
     "q29_pivot" -> q29_pivot_sql,
     "q30_asof" -> q30_asof_sql,
-    "q34_sessionize" -> q34_sessionize_sql
+    "q34_sessionize" -> q34_sessionize_sql,
+    "q35_range_join" -> q35_range_join_sql
   )
 }

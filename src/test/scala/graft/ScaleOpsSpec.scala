@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{RangeJoin, Skew}
+
+/** Scale-path operators: the bucketed range join and salted join must
+  * be RESULT-identical to their naive forms (only distribution
+  * differs), and bucketed tables must join without an Exchange.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 4, shufflePartitions = 4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("RangeJoin.pointInInterval equals the naive BETWEEN join") {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts").cast("long").as("es"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").cast("long").as("lo"), (col("ts").cast("long") + 3600).as("hi"))
+    val bucketed = RangeJoin.pointInInterval(clicks, purch, "user_id", "es", "lo", "hi", 900)
+      .select("cid", "pid")
+    val naive = clicks.join(purch, Seq("user_id"))
+      .filter(col("es") >= col("lo") && col("es") <= col("hi"))
+      .select("cid", "pid")
+    assert(bucketed.count() == naive.count())
+    assert(bucketed.exceptAll(naive).count() == 0 && naive.exceptAll(bucketed).count() == 0)
+  }
+
+  test("RangeJoin plans an equi-join, not a nested loop") {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.select(col("event_id").as("cid"), col("user_id"), col("ts").cast("long").as("es"))
+    val purch = ev.select(col("event_id").as("pid"), col("user_id"),
+      col("ts").cast("long").as("lo"), (col("ts").cast("long") + 3600).as("hi"))
+    val plan = RangeJoin.pointInInterval(clicks, purch, "user_id", "es", "lo", "hi", 3600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
+
+  test("saltedJoin result-identical to plain join") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+    val supp = Tables.supplier(spark, dir).withColumnRenamed("s_suppkey", "l_suppkey")
+    val plain = li.join(supp, Seq("l_suppkey"))
+    val salted = Skew.saltedJoin(li, supp, Seq("l_suppkey"), salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
+  test("bucketed tables sort-merge-join without shuffle exchanges") {
+    // warehouse dir is a static conf — use the default ./spark-warehouse
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(spark, dir).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    Tables.orders(spark, dir)
+      .withColumnRenamed("o_orderkey", "l_orderkey").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("ord_b")
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(li_b) */ l.l_orderkey, l.l_quantity, o.o_totalprice
+        |FROM li_b l JOIN ord_b o USING (l_orderkey)""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 0, s"bucketed join must not shuffle, found $exchanges exchanges:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
