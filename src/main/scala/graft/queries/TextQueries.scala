@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -235,6 +236,68 @@ object TextQueries {
        |WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) / CAST(len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q36 — full-text search (deva IndexStream.search, search.py:18):
+    * AND-of-terms matching ranked by hit count, computed
+    * inverted-index style (explode→filter→group) — the shape that
+    * distributes: term postings are partial-aggregated map-side, no
+    * per-query corpus scan at serving time if tokens are
+    * pre-materialized.
+    */
+  def q36_text_search(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "query", "spark")
+    val w = Window.orderBy(col("n_hits").desc, col("doc_id"))
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("tok")).as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("rank").cast("long").as("rank"), col("doc_id"), col("n_hits"))
+      .orderBy(col("rank"))
+  }
+
+  val q36_text_search_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT tok) AS n_terms
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tkt) t
+       |  WHERE tok IN ('table', 'query', 'spark')
+       |  GROUP BY doc_id HAVING COUNT(DISTINCT tok) = 3)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_hits FROM (
+       |  SELECT doc_id, n_hits, ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS rank FROM hits) r
+       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** q37 — keyword extraction (deva IndexStream.get_tags): top-3
+    * terms per doc by tf (desc) then rarity (df asc) — a tf-idf
+    * ranking kept on integers so the ordering is engine-exact
+    * (float idf would tie-break on libm's last bit).
+    */
+  def q37_keywords(spark: SparkSession, dir: String): DataFrame = {
+    val toksEx = tokenized(spark, dir).select(col("doc_id"), explode(col("tk")).as("tok"))
+    val tf = toksEx.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = toksEx.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("tok"))
+    tf.join(broadcast(df_), "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("tok"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q37_keywords_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |tox AS (SELECT doc_id, unnest(tk) AS tok FROM tkt),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tox GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tox GROUP BY tok)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df FROM (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rank
+       |  FROM tf JOIN df USING (tok)) r
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q41_quality" -> (q41_quality _),
@@ -243,7 +306,9 @@ object TextQueries {
     "q44_minhash_sig" -> (q44_minhash_sig _),
     "q45_minhash_lsh_pairs" -> (q45_minhash_lsh_pairs _),
     "q46_simhash" -> (q46_simhash _),
-    "q47_jaccard_pairs" -> (q47_jaccard_pairs _)
+    "q47_jaccard_pairs" -> (q47_jaccard_pairs _),
+    "q36_text_search" -> (q36_text_search _),
+    "q37_keywords" -> (q37_keywords _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -254,6 +319,8 @@ object TextQueries {
     "q44_minhash_sig" -> q44_minhash_sig_sql,
     "q45_minhash_lsh_pairs" -> q45_minhash_lsh_pairs_sql,
     "q46_simhash" -> q46_simhash_sql,
-    "q47_jaccard_pairs" -> q47_jaccard_pairs_sql
+    "q47_jaccard_pairs" -> q47_jaccard_pairs_sql,
+    "q36_text_search" -> q36_text_search_sql,
+    "q37_keywords" -> q37_keywords_sql
   )
 }
