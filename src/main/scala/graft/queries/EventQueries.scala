@@ -328,6 +328,37 @@ object EventQueries {
       | AND CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(p.ts)) AS BIGINT) + 3600
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** q38 — as-of join with tolerance (deva zip_latest with max age):
+    * like q30 but a purchase older than 1 hour doesn't count —
+    * the payload nulls out, the left row survives.
+    */
+  def q38_asof_tolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = AsOf.latest(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("p_id"), col("value").as("p_value")),
+      Seq("user_id", "pts"), Seq(col("p_id")))
+    AsOf.joinLeft(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, "user_id", "ts", "pts", Seq("p_id", "p_value"), tolerance = Some(3600L))
+      .select(col("event_id"), col("user_id"), col("p_id"), col("p_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q38_asof_tolerance_sql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts AS pts, event_id AS p_id, value AS p_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+      |j AS (
+      |  SELECT e.event_id, e.user_id, p.p_id, p.p_value, p.pts, e.ts
+      |  FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.pts <= e.ts)
+      |SELECT event_id, user_id,
+      |  CASE WHEN pts IS NOT NULL AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(pts)) AS BIGINT) <= 3600 THEN p_id END AS p_id,
+      |  CASE WHEN pts IS NOT NULL AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(pts)) AS BIGINT) <= 3600 THEN p_value END AS p_value
+      |FROM j ORDER BY event_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_unique" -> (q08_unique _),
     "q12_collect" -> (q12_collect _),
@@ -343,7 +374,8 @@ object EventQueries {
     "q29_pivot" -> (q29_pivot _),
     "q30_asof" -> (q30_asof _),
     "q34_sessionize" -> (q34_sessionize _),
-    "q35_range_join" -> (q35_range_join _)
+    "q35_range_join" -> (q35_range_join _),
+    "q38_asof_tolerance" -> (q38_asof_tolerance _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -361,6 +393,7 @@ object EventQueries {
     "q29_pivot" -> q29_pivot_sql,
     "q30_asof" -> q30_asof_sql,
     "q34_sessionize" -> q34_sessionize_sql,
-    "q35_range_join" -> q35_range_join_sql
+    "q35_range_join" -> q35_range_join_sql,
+    "q38_asof_tolerance" -> q38_asof_tolerance_sql
   )
 }

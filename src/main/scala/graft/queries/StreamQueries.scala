@@ -83,15 +83,46 @@ object StreamQueries {
     """SELECT user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents, COUNT(*) AS n
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q63 — streaming SLIDING window (1h window, 30m slide): each
+    * event lands in 2 overlapping windows. The DuckDB oracle
+    * reconstructs the same windows by exploding each event into its
+    * two covering window-starts — verifying Spark's streaming window
+    * assignment semantics exactly.
+    */
+  def q63_stream_sliding(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q63_mem_${runId.incrementAndGet()}"
+    val res = EventFlow.fromEvents(spark, dir)
+      .slidingWindow("ts", "1 hour", "30 minutes", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), dsum(col("value")).as("v")))
+      .toMemory(spark, name, "complete")
+    res.select(col("window.start").as("bucket"), col("event_type"), col("n"), col("v"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val q63_stream_sliding_sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    make_timestamp(unnest([
+      |      CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800,
+      |      CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800]) * 1000000) AS bucket,
+      |    ts
+      |  FROM events)
+      |SELECT bucket, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |FROM e
+      |GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
     "q61_stream_unique" -> (q61_stream_unique _),
-    "q62_stream_accumulate" -> (q62_stream_accumulate _)
+    "q62_stream_accumulate" -> (q62_stream_accumulate _),
+    "q63_stream_sliding" -> (q63_stream_sliding _)
   )
 
   def oracles: Map[String, String] = Map(
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
     "q61_stream_unique" -> q61_stream_unique_sql,
-    "q62_stream_accumulate" -> q62_stream_accumulate_sql
+    "q62_stream_accumulate" -> q62_stream_accumulate_sql,
+    "q63_stream_sliding" -> q63_stream_sliding_sql
   )
 }

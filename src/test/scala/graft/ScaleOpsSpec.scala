@@ -49,9 +49,20 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("bucketed tables sort-merge-join without shuffle exchanges") {
-    // warehouse dir is a static conf — use the default ./spark-warehouse
+    // warehouse dir is a static conf — use the default ./spark-warehouse.
+    // The in-memory catalog forgets tables between JVMs but the files
+    // remain → clear locations too, or saveAsTable fails.
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("li_b", "ord_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (d.exists()) rm(d)
+    }
     Tables.lineitem(spark, dir).write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
     Tables.orders(spark, dir)
