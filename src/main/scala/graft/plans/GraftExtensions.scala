@@ -1,0 +1,22 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions wiring: makes graft's custom expressions
+  * first-class for SQL users (`SELECT graft_hash60(col)`), the same
+  * channel a custom Rule/Strategy would register through if a future
+  * operator genuinely needs one (SURVEY §8 records why none does yet).
+  *
+  * Use: SparkSession.builder().withExtensions(new GraftExtensions) …
+  * or spark.sql.extensions=graft.plans.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60(children.head)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan audits: the optimizer properties SURVEY §5 promises must be
+  * visible in the physical plans — pushdown at the scan, broadcast
+  * for dims, no nested loops or cartesian products anywhere in the
+  * gate, and partition pruning on partitioned layouts.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 4, shufflePartitions = 4)
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03 filter reaches the parquet scan") {
+    assert(plan("q03_filter").contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
+  test("q05/q06 broadcast their dimension sides") {
+    assert(plan("q05_join3").contains("BroadcastHashJoin"))
+    assert(plan("q06_join5").split("BroadcastHashJoin").length >= 5,
+      "all five dim joins should broadcast")
+  }
+
+  test("no gate query plans a cartesian product or nested loop (except intended broadcasts of probes)") {
+    val allowedNested = Set("q50_ann_topk", "q51_ivf_topk") // probe×corpus cross joins are the algorithm
+    SparkEntry.queries.keys.filterNot(allowedNested).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("q04 global top-k uses TakeOrderedAndProject, not a full sort") {
+    assert(plan("q04_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("projection pruning: q02 reads only needed lineitem columns") {
+    val p = plan("q02_map")
+    val read = p.split("ReadSchema:").last.split("\n").head
+    assert(!read.contains("l_comment") && !read.contains("l_tax") && !read.contains("l_suppkey"),
+      s"unneeded columns read: $read")
+  }
+
+  test("partitioned writes prune partitions at read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val read = spark.read.parquet(tmp).filter(col("day") === lit("2024-01-02"))
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(day"), s"no partition filter:\n$p")
+    assert(read.count() > 0)
+  }
+
+  test("graft_hash60 is callable from SQL via extensions") {
+    val r = spark.sql("SELECT graft_hash60('hello') AS h").collect()(0).getLong(0)
+    // same value as the composed md5 form
+    val expected = spark.sql(
+      "SELECT CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS BIGINT)").collect()(0).getLong(0)
+    assert(r == expected)
+  }
+}
