@@ -14,10 +14,13 @@ object Bench {
     // measured query isn't charged for session startup
     try SparkEntry.queries("q01_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // a failed query reports -1, never its time-to-throw (which would
+    // make breakage look like a speedup)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -74,16 +74,24 @@ final case class Flow(df: DataFrame) {
 
   /** As-of pairing: each left row gets the latest right row at or
     * before its timestamp per key (deva combine_latest/zip_latest).
+    * Right-side ties on (key, rightTs) are resolved deterministically
+    * by the payload struct (newest wins) before the join.
     */
   def combineLatest(right: Flow, key: String, leftTs: String, rightTs: String,
-      payload: Seq[String], tolerance: Option[Long] = None): Flow =
-    Flow(AsOf.joinLeft(df, right.df, key, leftTs, rightTs, payload, tolerance))
+      payload: Seq[String], tolerance: Option[Long] = None): Flow = {
+    val dedupedRight = AsOf.latest(right.df, Seq(key, rightTs),
+      payload.map(col))
+    Flow(AsOf.joinLeft(df, dedupedRight, key, leftTs, rightTs, payload, tolerance))
+  }
 
-  /** Rows-frame sliding aggregate per key (deva sliding_window). */
-  def slidingWindow(n: Int, keys: Seq[String], order: Seq[Column], aggs: (Column => Column, String)*): Flow = {
+  /** Rows-frame sliding aggregate per key (deva sliding_window):
+    * each (aggregate expression, output name) is evaluated over the
+    * trailing n-row frame, e.g. `(sum(col("v")), "mov_sum")`.
+    */
+  def slidingWindow(n: Int, keys: Seq[String], order: Seq[Column], aggs: (Column, String)*): Flow = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(-(n - 1), Window.currentRow)
-    Flow(aggs.foldLeft(df) { case (d, (f, name)) => d.withColumn(name, f(lit(1)).over(w)) })
+    Flow(aggs.foldLeft(df) { case (d, (agg, name)) => d.withColumn(name, agg.over(w)) })
   }
 
   /** Cumulative fold per key (deva accumulate as a window). */
@@ -101,8 +109,12 @@ final case class Flow(df: DataFrame) {
 
   def head(n: Int, order: Seq[Column]): Flow = Flow(df.orderBy(order: _*).limit(n))
 
+  /** Last n rows under an ASCENDING order (plain columns — direction
+    * is handled here), returned in that same ascending order like
+    * deva's tail preserves stream order.
+    */
   def tail(n: Int, order: Seq[Column]): Flow =
-    Flow(df.orderBy(order.map(_.desc): _*).limit(n))
+    Flow(df.orderBy(order.map(_.desc): _*).limit(n).orderBy(order: _*))
 
   def sort(order: Column*): Flow = Flow(df.orderBy(order: _*))
 

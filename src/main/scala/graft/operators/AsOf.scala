@@ -28,6 +28,10 @@ object AsOf {
     * @param tolerance optional max age in seconds (right row older
     *                  than leftTs - tolerance is not matched)
     */
+  /** NOTE: when two right rows share (key, rightTs) exactly, which
+    * one wins is undefined — pre-dedup with [[latest]] (as q30/q38
+    * and Flow.combineLatest do) to make the pick total.
+    */
   def joinLeft(
       left: DataFrame,
       right: DataFrame,
@@ -37,12 +41,15 @@ object AsOf {
       payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
-    // tag: right rows sort before left rows at equal timestamps → "<=" semantics
+    // tag: right rows sort before left rows at equal timestamps → "<=" semantics.
+    // The payload travels as ONE struct so the carried values always
+    // come from a single right row (per-column last() could mix a
+    // NULL field from the newest row with a value from an older one).
     val taggedRight = right.select(
-      (col(key).as(key) +:
-        col(rightTs).cast("timestamp").as("__t") +:
-        lit(0).as("__side") +:
-        payload.map(p => col(p).as(s"__p_$p"))): _*)
+      col(key).as(key),
+      col(rightTs).cast("timestamp").as("__t"),
+      lit(0).as("__side"),
+      struct(payload.map(col): _*).as("__p"))
     val taggedLeft = left.select(
       (col(key).as(key) +:
         col(leftTs).cast("timestamp").as("__t") +:
@@ -52,25 +59,20 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
-    val carriedTs = carried
+    val carried = unioned
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
       .withColumn("__c_ts", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
     val matched = tolerance match {
       case Some(sec) =>
         // outside tolerance → null out the carried payload
-        payload.foldLeft(
-          carriedTs.withColumn("__ok",
-            col("__c_ts").isNotNull &&
-              col("__t").cast("long") - col("__c_ts").cast("long") <= sec)) { (df, p) =>
-          df.withColumn(s"__c_$p", when(col("__ok"), col(s"__c_$p")))
-        }
-      case None => carriedTs
+        carried.withColumn("__c",
+          when(col("__c_ts").isNotNull &&
+            col("__t").cast("long") - col("__c_ts").cast("long") <= sec, col("__c")))
+      case None => carried
     }
     matched
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(p))): _*)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"__c.$p").as(p))): _*)
   }
 
   /** Latest row per key — deva `latest` (ops.py:682): deterministic

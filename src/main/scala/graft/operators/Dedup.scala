@@ -39,17 +39,18 @@ object Dedup {
   val numBands = 4
   val rowsPerBand = 4
 
-  /** Per-shingle base hashes, reduced mod P. */
-  def baseHashes(sh: Column): Column =
-    transform(sh, s => pmod(Determinism.hash60(s), lit(P)))
+  /** Per-shingle base hash, reduced mod P — the row-level form the
+    * executed plan uses (explode→hash→groupBy-min, SURVEY §5).
+    */
+  def baseHash(s: Column): Column = pmod(Determinism.hash60(s), lit(P))
 
   def baseHashesSql(shRef: String): String =
     s"list_transform($shRef, s -> ${Determinism.hash60Sql("s")} % ${P})"
 
-  /** i-th minhash over the base-hash array (P when the doc is empty). */
-  def minhash(hs: Column, i: Int): Column = {
+  /** i-th permutation of a base hash (min-aggregated per doc). */
+  def permuted(h: Column, i: Int): Column = {
     val (a, b) = perms(i)
-    coalesce(array_min(transform(hs, x => (lit(a) * x + lit(b)) % lit(P))), lit(P))
+    (lit(a) * h + lit(b)) % lit(P)
   }
 
   def minhashSql(hsRef: String, i: Int): String = {

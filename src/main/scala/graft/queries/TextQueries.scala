@@ -52,12 +52,11 @@ object TextQueries {
 
   private def sigFrame(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val h = pmod(graft.functions.Determinism.hash60(col("s")), lit(Dedup.P))
     val perShingle = tokenized(spark, dir)
       .select(col("doc_id"), explode(TA.shingles(col("tk"), 3)).as("s"))
-      .select(col("doc_id"), h.as("h"))
-    val aggs = Dedup.perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % lit(Dedup.P)).as(s"m$i")
+      .select(col("doc_id"), Dedup.baseHash(col("s")).as("h"))
+    val aggs = Dedup.perms.indices.map { i =>
+      min(Dedup.permuted(col("h"), i)).as(s"m$i")
     }
     val sig = perShingle.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     docs.select(col("doc_id")).join(sig, Seq("doc_id"), "left")

@@ -71,24 +71,32 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String], versionCo
           .drop("__rn", "__gen")
       case None => incoming.drop("__gen")
     }
-    // parquet has no transactional replace: stage then swap
+    // parquet has no transactional replace: stage then swap.
+    // renameTo reports failure via its return value, not an exception
+    // — an unchecked false would silently lose the upsert.
     val staged = path + ".staged"
     merged.write.mode("overwrite").parquet(staged)
     val fs = new java.io.File(path)
     if (fs.exists()) {
       val old = new java.io.File(path + ".old")
       deleteRec(old)
-      fs.renameTo(old)
+      if (!fs.renameTo(old))
+        throw new java.io.IOException(s"KvStore swap failed: cannot move $path aside")
     }
-    new java.io.File(staged).renameTo(new java.io.File(path))
+    if (!new java.io.File(staged).renameTo(new java.io.File(path)))
+      throw new java.io.IOException(s"KvStore swap failed: cannot move $staged to $path")
     deleteRec(new java.io.File(path + ".old"))
   }
 
   def current(): Option[DataFrame] =
     if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
 
+  /** The stored table; fails loudly when nothing has been written yet
+    * (an empty store has no schema to return).
+    */
   def get(): DataFrame =
-    current().getOrElse(spark.emptyDataFrame)
+    current().getOrElse(throw new NoSuchElementException(
+      s"KvStore at $path is empty — upsert a batch before reading"))
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)

@@ -17,8 +17,7 @@ object Stateful {
     * deva `accumulate(returns_state=False)` semantics.
     */
   def scanPerKey[K: Encoder, I: Encoder, S: Encoder, O: Encoder](
-      ds: Dataset[I])(key: I => K)(zero: S)(step: (S, I) => S)(out: (K, S, I) => O)(
-      implicit tupleEnc: Encoder[(K, I)]): Dataset[O] = {
+      ds: Dataset[I])(key: I => K)(zero: S)(step: (S, I) => S)(out: (K, S, I) => O): Dataset[O] = {
     ds.groupByKey(key)
       .flatMapGroupsWithState[S, O](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (k: K, it: Iterator[I], state: GroupState[S]) =>

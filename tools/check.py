@@ -12,10 +12,18 @@ by name and rows by value, compare cell-by-cell.
 import sys, os, json, glob
 import duckdb
 
+def sort_key_cell(x):
+    # floats sort by a rounded representation so near-equal values
+    # (within cells_equal tolerance) land in the same position on
+    # both sides; everything else sorts by its string form
+    if isinstance(x, float):
+        return (x is None, f"{x:.9e}")
+    return (x is None, str(x))
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=lambda t: tuple(sort_key_cell(x) for x in t))
     return [cols[i] for i in order], out
 
 def cells_equal(a, b):
