@@ -92,7 +92,10 @@ object RelationalQueries {
       .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    // no forced broadcast: the filtered ord×cust side is small at test
+    // SFs (AQE broadcasts it at runtime) but grows with the data — a
+    // broadcast() hint here would OOM the driver at 100 TB
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(revDec).cast("double").as("revenue"))
@@ -119,9 +122,12 @@ object RelationalQueries {
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     val supp = Tables.supplier(spark, dir)
-    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    // broadcast hints ONLY on the bounded dims (nation/region are 25/5
+    // rows at any SF); supplier/customer/orders scale with the data —
+    // AQE decides those at runtime from actual sizes
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

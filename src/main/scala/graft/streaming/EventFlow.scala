@@ -127,15 +127,19 @@ object EventFlow {
     */
   def fromEvents(spark: SparkSession, dir: String): EventFlow = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    // schema from a footer read — the driver's events.parquet stores
+    // nanos-as-long ts, derived copies store real timestamps
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
     // file stream sources need a directory: scope to events.parquet
     // via glob filter (at scale this is a date-partitioned directory)
+    val st = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
     EventFlow(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else st)
   }
 
   /** Text-file tail source (deva from_textfile, sources.py:199). */

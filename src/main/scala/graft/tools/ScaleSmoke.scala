@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Sessions, SparkEntry, Tables}
+
+/** Scale smoke: replicate the sf0.1 tables N× with shifted keys into
+  * a scratch dir and run representative operators — measuring how the
+  * plans behave an order of magnitude past the bench SF (shuffle
+  * sizing, dedup under heavy duplication, window state). Replication
+  * makes every document an exact 10-way duplicate, which stresses the
+  * LSH bucket → pair path far harder than the original corpus.
+  *
+  *   sbt "runMain graft.tools.ScaleSmoke [factor] [srcSf] [outDir]"
+  */
+object ScaleSmoke {
+
+  def replicate(df: DataFrame, factor: Int, shifts: Map[String, Long]): DataFrame =
+    (0 until factor).map { i =>
+      shifts.foldLeft(df) { case (d, (c, span)) =>
+        d.withColumn(c, col(c) + lit(i * span))
+      }
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val skipWrite = args.contains("skipwrite")
+    val spark = Sessions.local(cores = 32, shufflePartitions = 64)
+
+    val span = 10_000_000L
+    val specs: Seq[(String, Map[String, Long])] = Seq(
+      "lineitem" -> Map("l_orderkey" -> span, "l_suppkey" -> span, "l_partkey" -> span),
+      "orders" -> Map("o_orderkey" -> span, "o_custkey" -> span),
+      "customer" -> Map("c_custkey" -> span),
+      "supplier" -> Map("s_suppkey" -> span),
+      "part" -> Map("p_partkey" -> span),
+      "nation" -> Map(), "region" -> Map(),
+      "events" -> Map("event_id" -> span, "user_id" -> span),
+      "documents" -> Map("doc_id" -> span),
+      "embeddings" -> Map("vec_id" -> span))
+
+    if (!skipWrite) specs.foreach { case (t, shifts) =>
+      val d = Tables(spark, src, t)
+      replicate(d, factor, shifts)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scale] wrote $t x$factor")
+    }
+
+    // absorb JVM/codegen/parquet warmup outside the measurements
+    try SparkEntry.queries("q01_agg")(spark, out).count()
+    catch { case _: Throwable => }
+
+    val queries = Seq(
+      "q01_agg", "q05_join3", "q06_join5", "q16_timed_window",
+      "q34_sessionize", "q43_dedup_exact", "q45_minhash_lsh_pairs",
+      "q46_simhash", "q52_vec_lsh", "q53_cosine_neardup")
+    val times = queries.map { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, out).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-24s $sec%8.2f s  ($n rows)")
+      name -> sec
+    }
+    val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke_total","value":${times.map(_._2).sum},"unit":"sec","factor":$factor,"queries":$qs}""")
+    spark.stop()
+  }
+}

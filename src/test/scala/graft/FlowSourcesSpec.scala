@@ -44,6 +44,30 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(asof.count() == ev.count(), "as-of join must preserve all left rows")
   }
 
+  test("Flow: slidingWindow aggregates real columns over the trailing frame") {
+    val got = Flow(Tables.orders(spark, dir))
+      .slidingWindow(3, Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")),
+        (sum(col("o_totalprice")), "mov_sum"), (count(lit(1)), "mov_n"))
+      .toDF
+    // frame of 1 row at partition start: mov_sum == o_totalprice there
+    val first = got.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")))
+      .filter(col("rn") === 1)
+      .filter(abs(col("mov_sum") - col("o_totalprice")) > 1e-9)
+    assert(first.count() == 0, "first row's trailing window must equal its own value")
+    assert(got.filter(col("mov_n") > 3).count() == 0)
+  }
+
+  test("Flow: tail returns last-n in ascending order") {
+    val t = Flow(Tables.orders(spark, dir))
+      .tail(5, Seq(col("o_orderkey")))
+      .toDF.select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val all = Tables.orders(spark, dir).select("o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(t == all.takeRight(5), s"tail must be the last 5 keys ascending, got $t")
+  }
+
   test("Flow: sampleHash is deterministic across evaluations") {
     val f = () => Flow(Tables.lineitem(spark, dir))
       .sampleHash(concat_ws("|", col("l_orderkey"), col("l_linenumber")), 10)
