@@ -386,6 +386,33 @@ object RelationalQueries {
        |WHERE ${graft.functions.Determinism.hash60Sql("concat_ws('|', l_orderkey, l_linenumber)")} % 20 = 0
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q39 — CSV source fidelity (deva readlines/from_textfile family):
+    * customer flows parquet → CSV → back, then aggregates; the oracle
+    * aggregates the parquet directly, so any CSV read/write
+    * distortion (quoting, header, type inference) fails the hash.
+    * Double columns stay out — text round-trips of floats are a
+    * separate (lossy-by-default) concern.
+    */
+  def q39_csv_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_q39_csv_${java.util.UUID.randomUUID()}"
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      .write.option("header", "true").csv(tmp)
+    val back = graft.sources.Sources.csv(spark, tmp)
+    back.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).cast("long").as("key_sum"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        max(length(col("c_name")).cast("long")).as("max_name_len"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q39_csv_roundtrip_sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+      |  COUNT(DISTINCT c_nationkey) AS n_nations,
+      |  CAST(MAX(length(c_name)) AS BIGINT) AS max_name_len
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def q01_agg(spark: SparkSession, dir: String): DataFrame = {
     // TPC-H Q1 shape: map + groupby + aggregate + sort
     // (deva pipe.py:1001 aggregate, 1011 groupby, 527 average, 561 count).
@@ -473,7 +500,8 @@ object RelationalQueries {
     "q28_semi_anti" -> (q28_semi_anti _),
     "q31_sample" -> (q31_sample _),
     "q32_quantiles" -> (q32_quantiles _),
-    "q33_rollup" -> (q33_rollup _)
+    "q33_rollup" -> (q33_rollup _),
+    "q39_csv_roundtrip" -> (q39_csv_roundtrip _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -496,6 +524,7 @@ object RelationalQueries {
     "q28_semi_anti" -> q28_semi_anti_sql,
     "q31_sample" -> q31_sample_sql,
     "q32_quantiles" -> q32_quantiles_sql,
-    "q33_rollup" -> q33_rollup_sql
+    "q33_rollup" -> q33_rollup_sql,
+    "q39_csv_roundtrip" -> q39_csv_roundtrip_sql
   )
 }

@@ -112,17 +112,50 @@ object StreamQueries {
       |FROM e
       |GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin
 
+  /** q64 — streaming SESSION windows (30-min inactivity gap per
+    * user): Spark's `session_window` merges events into sessions in
+    * the state store; the DuckDB oracle reconstructs the identical
+    * sessions with the lag/cumsum technique (same definition), so
+    * the streaming merge logic is verified against an independent
+    * batch algorithm.
+    */
+  def q64_stream_session(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q64_mem_${runId.incrementAndGet()}"
+    val res = EventFlow.fromEvents(spark, dir)
+      .sessionWindow("ts", "30 minutes", Seq(col("user_id")),
+        Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("v")))
+      .toMemory(spark, name, "complete")
+    res.select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("v"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val q64_stream_session_sql: String =
+    """SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |FROM (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT *, CASE WHEN prev_ts IS NULL
+      |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+      |    FROM (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |          FROM events) a) b) c
+      |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
     "q61_stream_unique" -> (q61_stream_unique _),
     "q62_stream_accumulate" -> (q62_stream_accumulate _),
-    "q63_stream_sliding" -> (q63_stream_sliding _)
+    "q63_stream_sliding" -> (q63_stream_sliding _),
+    "q64_stream_session" -> (q64_stream_session _)
   )
 
   def oracles: Map[String, String] = Map(
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
     "q61_stream_unique" -> q61_stream_unique_sql,
     "q62_stream_accumulate" -> q62_stream_accumulate_sql,
-    "q63_stream_sliding" -> q63_stream_sliding_sql
+    "q63_stream_sliding" -> q63_stream_sliding_sql,
+    "q64_stream_session" -> q64_stream_session_sql
   )
 }
