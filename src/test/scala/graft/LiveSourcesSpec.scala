@@ -46,6 +46,27 @@ class LiveSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed pipeline restarts without loss or duplication (exactly-once sink)") {
+    val in = Files.createTempDirectory("graft_eo_in").toString
+    val out = Files.createTempDirectory("graft_eo_out").toString + "/data"
+    val cp = Files.createTempDirectory("graft_eo_cp").toString
+    def runOnce(): Unit = {
+      val q = EventFlow.fromText(spark, in).df
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.writeString(Paths.get(in, "p1.txt"), (1 to 100).map(i => s"r$i").mkString("", "\n", "\n"))
+    runOnce()
+    Files.writeString(Paths.get(in, "p2.txt"), (101 to 200).map(i => s"r$i").mkString("", "\n", "\n"))
+    runOnce() // a NEW query resuming from the same checkpoint
+    val got = spark.read.parquet(out)
+    assert(got.count() == 200, "restart must process only the new file: no loss")
+    assert(got.distinct().count() == 200, "and no duplication of the first batch")
+  }
+
   test("text file-tail source picks up newly arriving files") {
     val dir = Files.createTempDirectory("graft_tail").toString
     Files.writeString(Paths.get(dir, "a.txt"), "a1\na2\na3\n")
