@@ -297,6 +297,49 @@ object TextQueries {
        |  FROM tf JOIN df USING (tok)) r
        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** q48 — SimHash near-dup pairs (deva SimhashIndex.get_near_dups,
+    * simhash.py): pairs with hamming distance ≤ 4 over the 60-bit
+    * fingerprints. Candidate generation is the reference's own
+    * pigeonhole block index — 5 blocks of 12 bits; distance ≤ 4
+    * implies at least one identical block — re-expressed as a bucket
+    * groupBy + in-bucket pair expansion (linear, like MinHash-LSH).
+    */
+  def q48_simhash_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val tokensDf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val fp = Dedup.simhash(tokensDf, "doc_id")
+    val blocks = fp.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(4))).as("j"))
+      .withColumn("bval", expr("(simhash >> (12 * j)) & 4095"))
+    val pairs = blocks
+      .groupBy(col("j"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("doc_id").as("a_id"), y.getField("doc_id").as("b_id"),
+            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash"))).as("hamming")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.hamming").cast("long").as("hamming"))
+      .distinct()
+    pairs.filter(col("hamming") <= 4)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q48_simhash_pairs_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |tokt AS (SELECT doc_id, unnest(tk) AS tok FROM tkt),
+       |fp AS (${Dedup.simhashSql("tokt", "doc_id")}),
+       |blocks AS (
+       |  SELECT doc_id, simhash, j, (simhash >> (12 * j)) & 4095 AS bval
+       |  FROM fp, range(0, 5) t(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM blocks a JOIN blocks b
+       |    ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 4
+       |ORDER BY a_id, b_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q41_quality" -> (q41_quality _),
@@ -307,7 +350,8 @@ object TextQueries {
     "q46_simhash" -> (q46_simhash _),
     "q47_jaccard_pairs" -> (q47_jaccard_pairs _),
     "q36_text_search" -> (q36_text_search _),
-    "q37_keywords" -> (q37_keywords _)
+    "q37_keywords" -> (q37_keywords _),
+    "q48_simhash_pairs" -> (q48_simhash_pairs _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -320,6 +364,7 @@ object TextQueries {
     "q46_simhash" -> q46_simhash_sql,
     "q47_jaccard_pairs" -> q47_jaccard_pairs_sql,
     "q36_text_search" -> q36_text_search_sql,
-    "q37_keywords" -> q37_keywords_sql
+    "q37_keywords" -> q37_keywords_sql,
+    "q48_simhash_pairs" -> q48_simhash_pairs_sql
   )
 }
