@@ -340,6 +340,30 @@ object TextQueries {
        |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 4
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q49 — stratified (quota) sampling: up to 30 docs per language,
+    * chosen by deterministic hash rank — the data-mixing primitive of
+    * training-data curation. Hash ranking (not `.sample()`) makes the
+    * selection reproducible at any parallelism AND stable under
+    * corpus growth (a doc's rank only changes if higher-ranked docs
+    * of its language appear).
+    */
+  def q49_stratified_sample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(graft.functions.Determinism.hash60(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= 30)
+      .select(col("lang"), col("pick").cast("long").as("pick"), col("doc_id"))
+      .orderBy(col("lang"), col("pick"))
+  }
+
+  val q49_stratified_sample_sql: String =
+    s"""SELECT lang, CAST(pick AS BIGINT) AS pick, doc_id FROM (
+       |  SELECT lang, doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY lang ORDER BY ${graft.functions.Determinism.hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS pick
+       |  FROM documents) t
+       |WHERE pick <= 30 ORDER BY lang, pick""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q41_quality" -> (q41_quality _),
@@ -351,7 +375,8 @@ object TextQueries {
     "q47_jaccard_pairs" -> (q47_jaccard_pairs _),
     "q36_text_search" -> (q36_text_search _),
     "q37_keywords" -> (q37_keywords _),
-    "q48_simhash_pairs" -> (q48_simhash_pairs _)
+    "q48_simhash_pairs" -> (q48_simhash_pairs _),
+    "q49_stratified_sample" -> (q49_stratified_sample _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -365,6 +390,7 @@ object TextQueries {
     "q47_jaccard_pairs" -> q47_jaccard_pairs_sql,
     "q36_text_search" -> q36_text_search_sql,
     "q37_keywords" -> q37_keywords_sql,
-    "q48_simhash_pairs" -> q48_simhash_pairs_sql
+    "q48_simhash_pairs" -> q48_simhash_pairs_sql,
+    "q49_stratified_sample" -> q49_stratified_sample_sql
   )
 }
