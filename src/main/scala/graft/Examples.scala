@@ -50,7 +50,7 @@ object Examples {
     // multimodal plumbing: binary payloads + stub decode
     val feats = Multimodal.decodeStub(Multimodal.fakeCorpus(spark, 4, "image"))
     println("== multimodal stub decode ==")
-    feats.toDF.select("media_id", "kind", "n_bytes", "checksum").orderBy("media_id").show(truncate = false)
+    feats.toDF().select("media_id", "kind", "n_bytes", "checksum").orderBy("media_id").show(truncate = false)
 
     // text source round-trip
     val tmp = Files.createTempDirectory("graft_demo_txt").toString

@@ -48,6 +48,17 @@ final case class Flow(df: DataFrame) {
 
   def union(other: Flow): Flow = Flow(df.unionByName(other.df))
 
+  /** Multi-way predicate dispatch (deva `route`, core.py:1064): each
+    * named branch gets the rows matching its predicate; `rest`
+    * collects rows no predicate claimed. One scan feeds all branches
+    * when the sinks share an action (Catalyst reuses the subplan).
+    */
+  def route(branches: Seq[(String, Column)]): Map[String, Flow] = {
+    val named = branches.map { case (name, p) => name -> Flow(df.filter(p)) }.toMap
+    val claimed = branches.map(_._2).reduce(_ || _)
+    named + ("rest" -> Flow(df.filter(!claimed)))
+  }
+
   /** Keep first row per key under an explicit total order. */
   def firstPerKey(keys: Seq[String], order: Seq[Column]): Flow = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)

@@ -54,7 +54,7 @@ object AsOf {
       (col(key).as(key) +:
         col(leftTs).cast("timestamp").as("__t") +:
         lit(1).as("__side") +:
-        leftCols.filterNot(_ == key).map(c => col(c))): _*)
+        leftCols.filterNot(_ == key).toIndexedSeq.map(c => col(c))): _*)
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
@@ -72,7 +72,7 @@ object AsOf {
     }
     matched
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"__c.$p").as(p))): _*)
+      .select((leftCols.toIndexedSeq.map(col) ++ payload.map(p => col(s"__c.$p").as(p))): _*)
   }
 
   /** Latest row per key — deva `latest` (ops.py:682): deterministic

@@ -49,7 +49,7 @@ object Similarity {
   /** Sign-bit bucket id (0..255) of an embedding under [[lshPlanes]]. */
   def lshBucket(emb: Column): Column =
     lshPlanes.zipWithIndex.map { case (w, j) =>
-      val plane = array(w.map(v => lit(v)): _*)
+      val plane = array(w.toIndexedSeq.map(v => lit(v)): _*)
       when(dot(emb, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

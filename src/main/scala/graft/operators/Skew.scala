@@ -20,7 +20,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
     // deterministic scatter: hash of all columns mod salts (spreads
     // duplicates of the hot key too, unlike rand()-based salting)
-    val scatter = pmod(hash(big.columns.map(col): _*), lit(salts))
+    val scatter = pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(salts))
     val bigS = big.withColumn("__salt", scatter)
     val smallS = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, keys :+ "__salt").drop("__salt")

@@ -68,6 +68,20 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(t == all.takeRight(5), s"tail must be the last 5 keys ascending, got $t")
   }
 
+  test("Flow: route partitions rows exhaustively and disjointly") {
+    val ev = Tables.events(spark, dir)
+    val routed = Flow(ev).route(Seq(
+      "clicks" -> (col("event_type") === "click"),
+      "big" -> (col("value") > 15.0)))
+    val total = routed.values.map(_.toDF.count()).sum
+    // "big" overlaps clicks with value>15 → disjointness only between
+    // rest and the claimed union:
+    val claimed = ev.filter(col("event_type") === "click" || col("value") > 15.0).count()
+    assert(routed("rest").toDF.count() == ev.count() - claimed)
+    assert(routed("clicks").toDF.count() == ev.filter(col("event_type") === "click").count())
+    assert(total >= ev.count())
+  }
+
   test("Flow: sampleHash is deterministic across evaluations") {
     val f = () => Flow(Tables.lineitem(spark, dir))
       .sampleHash(concat_ws("|", col("l_orderkey"), col("l_linenumber")), 10)
