@@ -413,6 +413,42 @@ object RelationalQueries {
       |  CAST(MAX(length(c_name)) AS BIGINT) AS max_name_len
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q55/q56 — ORC and JSON source fidelity, same pattern as q39:
+    * round-trip through the format, aggregate, compare against the
+    * oracle aggregating the original parquet.
+    */
+  private def roundtripAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_suppkey")).cast("long").as("key_sum"),
+        max(length(col("s_name")).cast("long")).as("max_name_len"))
+      .orderBy(col("s_nationkey"))
+
+  private val roundtripAggSql: String =
+    """SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+      |  CAST(MAX(length(s_name)) AS BIGINT) AS max_name_len
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  def q55_orc_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_q55_orc_${java.util.UUID.randomUUID()}"
+    Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .write.orc(tmp)
+    roundtripAgg(spark.read.orc(tmp))
+  }
+
+  val q55_orc_roundtrip_sql: String = roundtripAggSql
+
+  def q56_json_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_q56_json_${java.util.UUID.randomUUID()}"
+    Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .write.json(tmp)
+    roundtripAgg(graft.sources.Sources.json(spark, tmp))
+  }
+
+  val q56_json_roundtrip_sql: String = roundtripAggSql
+
   def q01_agg(spark: SparkSession, dir: String): DataFrame = {
     // TPC-H Q1 shape: map + groupby + aggregate + sort
     // (deva pipe.py:1001 aggregate, 1011 groupby, 527 average, 561 count).
@@ -501,7 +537,9 @@ object RelationalQueries {
     "q31_sample" -> (q31_sample _),
     "q32_quantiles" -> (q32_quantiles _),
     "q33_rollup" -> (q33_rollup _),
-    "q39_csv_roundtrip" -> (q39_csv_roundtrip _)
+    "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
+    "q55_orc_roundtrip" -> (q55_orc_roundtrip _),
+    "q56_json_roundtrip" -> (q56_json_roundtrip _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -525,6 +563,8 @@ object RelationalQueries {
     "q31_sample" -> q31_sample_sql,
     "q32_quantiles" -> q32_quantiles_sql,
     "q33_rollup" -> q33_rollup_sql,
-    "q39_csv_roundtrip" -> q39_csv_roundtrip_sql
+    "q39_csv_roundtrip" -> q39_csv_roundtrip_sql,
+    "q55_orc_roundtrip" -> q55_orc_roundtrip_sql,
+    "q56_json_roundtrip" -> q56_json_roundtrip_sql
   )
 }
