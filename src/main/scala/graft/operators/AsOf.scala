@@ -41,6 +41,14 @@ object AsOf {
       payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
+    // fail at call time, not with silent duplicate output columns
+    val reserved = Set("__t", "__side", "__p", "__c", "__c_ts")
+    val payloadClash = payload.toSet.intersect(leftCols.toSet)
+    require(payloadClash.isEmpty,
+      s"as-of payload column(s) ${payloadClash.mkString(", ")} collide with left columns — rename the payload")
+    val reservedClash = (leftCols.toSet ++ payload.toSet).intersect(reserved)
+    require(reservedClash.isEmpty,
+      s"column name(s) ${reservedClash.mkString(", ")} are reserved by AsOf.joinLeft — rename them")
     // tag: right rows sort before left rows at equal timestamps → "<=" semantics.
     // The payload travels as ONE struct so the carried values always
     // come from a single right row (per-column last() could mix a

@@ -267,8 +267,12 @@ object EventQueries {
 
   /** q34 — sessionization by inactivity gap (the batch mirror of
     * EventFlow.sessionWindow): a new session starts when the gap to
-    * the previous event exceeds 30 min; session id = running count of
-    * session starts. Two windows over one shuffle on user_id.
+    * the previous event exceeds 30 min. Gaps are compared at FULL
+    * microsecond precision on both engines (Spark `unix_micros` vs
+    * DuckDB `epoch` with fractional seconds) and the session is keyed
+    * by its natural `MIN(ts)` start rather than a derived ordinal —
+    * the same formulation the streaming twin q64 is verified with.
+    * Two windows over one shuffle on user_id.
     */
   def q34_sessionize(spark: SparkSession, dir: String): DataFrame = {
     val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -277,30 +281,32 @@ object EventQueries {
       .withColumn("prev_ts", lag(col("ts"), 1).over(wSeq))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(wRun))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
         min(col("event_id")).as("first_event"),
-        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"),
         dsum(col("value")).as("v"))
-      .orderBy(col("user_id"), col("session_id"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("first_event"), col("v"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   val q34_sessionize_sql: String =
-    """SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event,
-      |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s,
+    """SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      |  MIN(event_id) AS first_event,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
       |FROM (
       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM (
       |    SELECT *, CASE WHEN prev_ts IS NULL
-      |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-      |      THEN 1 ELSE 0 END AS new_sess
+      |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
       |    FROM (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |          FROM events) a) b) c
-      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+      |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin
 
   /** q35 — point-in-interval range join via bucketed rewrite
     * ([[graft.operators.RangeJoin]]): clicks within 1 hour after a

@@ -394,10 +394,12 @@ object RelationalQueries {
     * separate (lossy-by-default) concern.
     */
   def q39_csv_roundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_q39_csv_${java.util.UUID.randomUUID()}"
+    // fixed path + overwrite: repeated Bench/Verify/spec runs reuse
+    // the same dir instead of leaking a fresh UUID dir per invocation
+    val tmp = "/tmp/graft_q39_csv"
     Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-      .write.option("header", "true").csv(tmp)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
     val back = graft.sources.Sources.csv(spark, tmp)
     back.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
@@ -430,20 +432,20 @@ object RelationalQueries {
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   def q55_orc_roundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_q55_orc_${java.util.UUID.randomUUID()}"
+    val tmp = "/tmp/graft_q55_orc"
     Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
-      .write.orc(tmp)
+      .write.mode("overwrite").orc(tmp)
     roundtripAgg(spark.read.orc(tmp))
   }
 
   val q55_orc_roundtrip_sql: String = roundtripAggSql
 
   def q56_json_roundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_q56_json_${java.util.UUID.randomUUID()}"
+    val tmp = "/tmp/graft_q56_json"
     Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
-      .write.json(tmp)
+      .write.mode("overwrite").json(tmp)
     roundtripAgg(graft.sources.Sources.json(spark, tmp))
   }
 

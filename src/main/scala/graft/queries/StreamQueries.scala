@@ -41,14 +41,19 @@ object StreamQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
-  /** q61 — deva unique on a stream: streaming dropDuplicates; the
-    * emitted key set equals batch DISTINCT (first-arrival rows are
-    * nondeterministic under parallelism, the key set is not).
+  /** q61 — deva unique on a stream: streaming dedup with
+    * WATERMARK-BOUNDED state (`dropDuplicatesWithinWatermark`) — the
+    * only form whose state stops growing on an unbounded stream; the
+    * unbounded `dropDuplicates` variant remains available as
+    * EventFlow.unique but the gate exercises the scale-safe path.
+    * The emitted key set equals batch DISTINCT (first-arrival rows
+    * are nondeterministic under parallelism, the key set is not).
     */
   def q61_stream_unique(spark: SparkSession, dir: String): DataFrame = {
     val name = s"q61_mem_${runId.incrementAndGet()}"
     val res = EventFlow.fromEvents(spark, dir)
-      .unique(Seq("user_id", "event_type"))
+      .withWatermark("ts", "7 days")
+      .uniqueWithinWatermark(Seq("user_id", "event_type"))
       .toMemory(spark, name, "append")
     res.select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))

@@ -244,15 +244,21 @@ object TextQueries {
     */
   def q36_text_search(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("table", "query", "spark")
-    val w = Window.orderBy(col("n_hits").desc, col("doc_id"))
-    tokenized(spark, dir)
+    // top-k FIRST via orderBy+limit → TakeOrderedAndProject (each
+    // partition keeps its own top 20, driver merges) — never a global
+    // partition-less Window over every matching doc, which would
+    // funnel a hot term set through one task at 100 TB. The ranking
+    // window then runs over ≤ 20 surviving rows.
+    val top = tokenized(spark, dir)
       .select(col("doc_id"), explode(col("tk")).as("tok"))
       .filter(col("tok").isin(terms.map(lit): _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("tok")).as("n_terms"))
       .filter(col("n_terms") === terms.size)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(20)
+    val w = Window.orderBy(col("n_hits").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
       .select(col("rank").cast("long").as("rank"), col("doc_id"), col("n_hits"))
       .orderBy(col("rank"))
   }

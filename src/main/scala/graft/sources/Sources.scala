@@ -55,6 +55,21 @@ object Sources {
   */
 class KvStore(spark: SparkSession, path: String, keyCols: Seq[String], versionCol: String) {
 
+  // SINGLE-WRITER store (like the reference's sqlite-backed DB): the
+  // stage-then-swap below is not safe under concurrent writers or a
+  // reader racing the swap window. Recover from a crash mid-swap on
+  // open: if the main path vanished but `.old` survived, the previous
+  // table is intact — restore it; a leftover `.old` next to a live
+  // main path is a completed swap's debris.
+  locally {
+    val main = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    if (!main.exists() && old.exists()) {
+      if (!old.renameTo(main))
+        throw new java.io.IOException(s"KvStore recovery failed: cannot restore $old to $path")
+    } else if (main.exists() && old.exists()) deleteRec(old)
+  }
+
   /** Upsert a batch: new rows win over stored rows at equal keys by
     * (versionCol, then presence in the incoming batch).
     */
@@ -98,8 +113,10 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String], versionCo
     current().getOrElse(throw new NoSuchElementException(
       s"KvStore at $path is empty — upsert a batch before reading"))
 
-  private def deleteRec(f: java.io.File): Unit = {
+  // Files.delete throws on failure — a partially-undeletable dir must
+  // fail the current call, not poison the NEXT swap with a stale .old
+  private def deleteRec(f: java.io.File): Unit = if (f.exists()) {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) f.delete()
+    java.nio.file.Files.delete(f.toPath)
   }
 }

@@ -37,6 +37,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q04_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("no gate query funnels unbounded data through a partition-less Window") {
+    // A Window with an empty partitionSpec is a single-task total
+    // order — a straggler at 100 TB — unless its input is already
+    // limit-bounded (top-k first, then number the survivors), or the
+    // operator is inherently sequential by the reference's own
+    // semantics (deva zip/partition preserve global arrival order).
+    val allowedSequential = Set("q19_zip", "q20_partition")
+    def boundedBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      }.getOrElse(false)
+    SparkEntry.queries.keys.filterNot(allowedSequential).foreach { q =>
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val offenders = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && !w.children.exists(boundedBelow) => w
+      }
+      assert(offenders.isEmpty,
+        s"$q has a partition-less Window over unbounded input:\n${offenders.headOption.getOrElse("")}")
+    }
+  }
+
   test("projection pruning: q02 reads only needed lineitem columns") {
     val p = plan("q02_map")
     val read = p.split("ReadSchema:").last.split("\n").head
