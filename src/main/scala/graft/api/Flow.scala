@@ -46,6 +46,26 @@ final case class Flow(df: DataFrame) {
   def flatten(src: Column, as: String): Flow =
     Flow(df.withColumn(as, explode(src)))
 
+  /** Recursive flatten (deva `traverse`, pipe.py:699): fully unnest a
+    * nested array column to its atoms, one output row per atom. deva
+    * recurses per element at runtime; a DataFrame's nesting depth is
+    * static in the schema, so the recursion runs at PLAN time — one
+    * `flatten` per level collapses the nesting, then a single explode
+    * emits the atoms (all codegen'd, no per-row recursion).
+    */
+  def traverse(src: String, as: String): Flow = {
+    import org.apache.spark.sql.types.{ArrayType, DataType}
+    def depth(dt: DataType): Int = dt match {
+      case ArrayType(e, _) => 1 + depth(e)
+      case _ => 0
+    }
+    val d = depth(df.schema(src).dataType)
+    require(d >= 1, s"traverse: column '$src' is not an array")
+    val collapsed = (1 until d).foldLeft(col(src))((c, _) =>
+      org.apache.spark.sql.functions.flatten(c))
+    Flow(df.withColumn(as, explode(collapsed)).drop(src))
+  }
+
   def union(other: Flow): Flow = Flow(df.unionByName(other.df))
 
   /** Multi-way predicate dispatch (deva `route`, core.py:1064): each

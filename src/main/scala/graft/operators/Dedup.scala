@@ -96,6 +96,54 @@ object Dedup {
     s"SELECT $idCol, CAST($fp AS BIGINT) AS simhash FROM (SELECT $idCol, $votes FROM $tokTable GROUP BY $idCol) v"
   }
 
+  /** Connected components over a near-dup pair list — the missing
+    * last stage of the dedup pipeline (reference: deva/utils/
+    * simhash.py:360 cluster_texts builds clusters then keeps one
+    * canonical text per cluster).
+    *
+    * Hash-min label propagation: every node starts labeled with its
+    * own id and repeatedly takes the min of its neighbors' labels;
+    * at convergence label = min id of the component (the natural
+    * keep_id). Rounds needed = component diameter — near-dup
+    * clusters are shallow by construction (pairs share LSH buckets),
+    * so a handful of rounds suffice; each round is ONE shuffle on id,
+    * no driver-side graph. Convergence is detected through the
+    * monotone label sum (labels only ever decrease), and every round
+    * persists its frame so the plan doesn't grow with iterations (at
+    * cluster scale swap persist for checkpoint to truncate lineage).
+    *
+    * Input: one row per undirected pair (aCol, bCol), numeric ids.
+    * Output: (id, label) for every id that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("lbl")), "dst")
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr")), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist()
+      val s = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** LSH candidate pairs from a signature frame with columns
     * (id, m0..m15): docs sharing any band bucket, each pair once.
     *

@@ -365,8 +365,45 @@ object EventQueries {
       |  CASE WHEN pts IS NOT NULL AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(pts)) AS BIGINT) <= 3600 THEN p_value END AS p_value
       |FROM j ORDER BY event_id""".stripMargin
 
+  /** q58 — sketch accuracy gate (KMV bottom-k + HyperLogLog): per
+    * event_type, estimate distinct users with BOTH sketches and emit
+    * `within_tolerance` booleans the oracle pins to TRUE — the gate
+    * goes red the moment either estimator drifts out of bounds. Both
+    * estimates are hash-deterministic (no RNG), so the comparison is
+    * reproducible at any parallelism. k=64 < |users| at sf0.01, so
+    * the KMV ESTIMATION path (not the exact small-set path) is what's
+    * being graded; tolerances are ~3σ for k=64 / rsd=0.05.
+    */
+  def q58_sketch_distinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val bottomK = udaf(new graft.operators.Sketches.BottomK(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val est = when(size(col("bk")) < k, size(col("bk")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+        element_at(col("bk"), k).cast("double"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        hash60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(bottomK(col("h")).as("bk"),
+        approx_count_distinct(col("user_id")).as("hll"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(est - col("exact_users").cast("double")) / col("exact_users").cast("double") <= 0.40)
+          .as("kmv_in_tol"),
+        (abs(col("hll").cast("double") - col("exact_users").cast("double")) / col("exact_users").cast("double") <= 0.15)
+          .as("hll_in_tol"))
+      .orderBy(col("event_type"))
+  }
+
+  val q58_sketch_distinct_sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS kmv_in_tol, TRUE AS hll_in_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_unique" -> (q08_unique _),
+    "q58_sketch_distinct" -> (q58_sketch_distinct _),
     "q12_collect" -> (q12_collect _),
     "q14_pluck_json" -> (q14_pluck_json _),
     "q15_frequencies" -> (q15_frequencies _),
@@ -386,6 +423,7 @@ object EventQueries {
 
   def oracles: Map[String, String] = Map(
     "q08_unique" -> q08_unique_sql,
+    "q58_sketch_distinct" -> q58_sketch_distinct_sql,
     "q12_collect" -> q12_collect_sql,
     "q14_pluck_json" -> q14_pluck_json_sql,
     "q15_frequencies" -> q15_frequencies_sql,

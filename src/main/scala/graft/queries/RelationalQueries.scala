@@ -248,6 +248,31 @@ object RelationalQueries {
       |  (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents) t
       |WHERE token <> '' ORDER BY doc_id, token""".stripMargin
 
+  /** q57 — deva `traverse` (pipe.py:699): RECURSIVE flatten of nested
+    * sequences to atoms. The nesting is built here (array<array<long>>
+    * per order: quantities grouped by return flag) and Flow.traverse
+    * collapses every level at plan time; the oracle uses DuckDB's
+    * native `unnest(recursive := true)` as the independent algorithm.
+    */
+  def q57_traverse(spark: SparkSession, dir: String): DataFrame = {
+    val grp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(collect_list(col("l_quantity").cast("long")).as("qs"))
+    val nested = grp.groupBy(col("l_orderkey"))
+      .agg(collect_list(col("qs")).as("nst"))
+    graft.api.Flow(nested).traverse("nst", "v").toDF
+      .select(col("l_orderkey"), col("v"))
+      .orderBy(col("l_orderkey"), col("v"))
+  }
+
+  val q57_traverse_sql: String =
+    """WITH grp AS (
+      |  SELECT l_orderkey, l_returnflag, list(CAST(l_quantity AS BIGINT)) AS qs
+      |  FROM lineitem GROUP BY l_orderkey, l_returnflag),
+      |nested AS (SELECT l_orderkey, list(qs) AS nst FROM grp GROUP BY l_orderkey)
+      |SELECT l_orderkey, unnest(nst, recursive := true) AS v
+      |FROM nested ORDER BY l_orderkey, v""".stripMargin
+
   /** q21 — deva `all`/`any` (pipe.py:465,496) as grouped boolean aggs. */
   def q21_all_any(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -541,7 +566,8 @@ object RelationalQueries {
     "q33_rollup" -> (q33_rollup _),
     "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
     "q55_orc_roundtrip" -> (q55_orc_roundtrip _),
-    "q56_json_roundtrip" -> (q56_json_roundtrip _)
+    "q56_json_roundtrip" -> (q56_json_roundtrip _),
+    "q57_traverse" -> (q57_traverse _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -567,6 +593,7 @@ object RelationalQueries {
     "q33_rollup" -> q33_rollup_sql,
     "q39_csv_roundtrip" -> q39_csv_roundtrip_sql,
     "q55_orc_roundtrip" -> q55_orc_roundtrip_sql,
-    "q56_json_roundtrip" -> q56_json_roundtrip_sql
+    "q56_json_roundtrip" -> q56_json_roundtrip_sql,
+    "q57_traverse" -> q57_traverse_sql
   )
 }

@@ -346,6 +346,38 @@ object TextQueries {
        |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 4
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q54 — near-dup CLUSTERS (deva/utils/simhash.py:360
+    * cluster_texts): connected components over the MinHash-LSH pair
+    * list via bounded hash-min label propagation
+    * ([[Dedup.connectedComponents]]), then cluster_id = keep_id = the
+    * min doc_id of each component. The oracle reconstructs the same
+    * components with a recursive transitive closure — verifying the
+    * distributed iteration against an independent exact algorithm.
+    */
+  def q54_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshCandidatePairs(sigFrame(spark, dir), "doc_id")
+    Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q54_dedup_clusters_sql: String =
+    s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$bandedCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id,
+       |  least(src, MIN(dst)) = src AS is_keep
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   /** q49 — stratified (quota) sampling: up to 30 docs per language,
     * chosen by deterministic hash rank — the data-mixing primitive of
     * training-data curation. Hash ranking (not `.sample()`) makes the
@@ -382,7 +414,8 @@ object TextQueries {
     "q36_text_search" -> (q36_text_search _),
     "q37_keywords" -> (q37_keywords _),
     "q48_simhash_pairs" -> (q48_simhash_pairs _),
-    "q49_stratified_sample" -> (q49_stratified_sample _)
+    "q49_stratified_sample" -> (q49_stratified_sample _),
+    "q54_dedup_clusters" -> (q54_dedup_clusters _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -397,6 +430,7 @@ object TextQueries {
     "q36_text_search" -> q36_text_search_sql,
     "q37_keywords" -> q37_keywords_sql,
     "q48_simhash_pairs" -> q48_simhash_pairs_sql,
-    "q49_stratified_sample" -> q49_stratified_sample_sql
+    "q49_stratified_sample" -> q49_stratified_sample_sql,
+    "q54_dedup_clusters" -> q54_dedup_clusters_sql
   )
 }
