@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * the lakehouse-native layout: bytes travel with the row, metadata
   * is queryable/prunable without touching bytes.
   *
-  * The decode/feature kernels are **STUBS** — no image/audio codecs
-  * exist in this container. `decodeStub` derives deterministic fake
-  * features from the bytes so the Spark-side contract (schema,
-  * batching, partition sizing, null handling) is real and tested;
-  * swap `stubFeatures` for an actual codec (JNI/FFI or `mapInArrow`
-  * from PySpark) without touching any plan structure.
+  * IMAGE decode is REAL: [[decodeImages]] decodes PNG/JPEG through
+  * `javax.imageio` (ships in the JDK — zero added dependencies) and
+  * extracts luminance statistics per image. AUDIO/VIDEO decode stays
+  * a **STUB** ([[decodeStub]]: deterministic fake features — no
+  * audio/video codecs exist in the JDK or this container); its
+  * Spark-side contract (schema, per-partition batching, partition
+  * sizing, null handling) is real and tested, so a codec (JNI/FFI or
+  * `mapInArrow` from PySpark) can be swapped in without touching any
+  * plan structure.
   */
 object Multimodal {
 
@@ -53,6 +56,79 @@ object Multimodal {
         val hex = sum.map("%02x".format(_)).mkString
         val feats = sum.take(8).map(b => (b & 0xff) / 255.0)
         MediaFeatures(r.media_id, r.meta.kind, r.data.length.toLong, hex, feats)
+      }
+    }
+  }
+
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_lum: Double, var_lum: Double,
+      min_lum: Double, max_lum: Double, quadrant_lum: Array[Double])
+
+  /** Deterministic REAL-PNG corpus: a gradient keyed by (x, y, id),
+    * encoded through the JDK's PNG writer — decodable test media with
+    * asserteable pixel statistics, no fixture files.
+    */
+  def pngCorpus(spark: SparkSession, n: Int, w: Int, h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            ((x * 255 / math.max(w - 1, 1)) << 16) |
+              ((y * 255 / math.max(h - 1, 1)) << 8) |
+              (id.toInt & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, MediaMeta("image", w, h, 0, 0L), bos.toByteArray)
+    }
+  }
+
+  /** REAL image decode (PNG/JPEG via `javax.imageio`): width/height +
+    * luminance mean/variance/min/max + per-quadrant means — the
+    * feature-extraction stage of an image curation pipeline. Same
+    * per-partition kernel shape as [[decodeStub]] (decode init is
+    * amortized, rows stream through); a corrupt/undecodable payload
+    * fails loudly rather than emitting garbage features.
+    */
+  def decodeImages(ds: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+        require(img != null, s"media ${r.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0; var sq = 0.0; var mn = 1.0; var mx = 0.0
+        val qSum = new Array[Double](4)
+        val qN = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 0.299 +
+              ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114) / 255.0
+            sum += lum; sq += lum * lum
+            if (lum < mn) mn = lum
+            if (lum > mx) mx = lum
+            val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+            qSum(q) += lum; qN(q) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val mean = sum / n
+        ImageFeatures(r.media_id, w, h, n, mean, sq / n - mean * mean, mn, mx,
+          Array.tabulate(4)(i => if (qN(i) == 0) 0.0 else qSum(i) / qN(i)))
       }
     }
   }

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.sources.Topic
+import graft.streaming.Schedule
+
+/** Scheduled incremental runs, topic fan-out, and real image decode:
+  * the deva scheduler/pub-sub surface driven live against local dirs.
+  */
+class ScheduleTopicSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 4, shufflePartitions = 4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("Schedule.runOnce processes each arrival exactly once across invocations") {
+    val src = tmp("sched_src")
+    val out = tmp("sched_out") + "/out"
+    val ckpt = tmp("sched_ckpt")
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val schema = ev.schema
+
+    // tick 1: first file arrives
+    ev.limit(100).write.mode("append").parquet(src)
+    Schedule.runOnce(spark, src, schema, ckpt, out)(df =>
+      df.withColumn("doubled", col("value") * 2))
+    assert(spark.read.parquet(out).count() == 100)
+
+    // tick 2: new data arrived between ticks → only IT is processed
+    ev.limit(150).write.mode("append").parquet(src)
+    Schedule.runOnce(spark, src, schema, ckpt, out)(df =>
+      df.withColumn("doubled", col("value") * 2))
+    assert(spark.read.parquet(out).count() == 250, "second tick must add exactly the new rows")
+
+    // tick 3: nothing new → nothing added, no failure (a missed-cron
+    // catch-up run is indistinguishable from an idle tick)
+    Schedule.runOnce(spark, src, schema, ckpt, out)(df =>
+      df.withColumn("doubled", col("value") * 2))
+    assert(spark.read.parquet(out).count() == 250, "idle tick must be a no-op")
+  }
+
+  test("Topic: two subscribers each see the full topic; resume picks up only new publishes") {
+    val root = tmp("topic_root")
+    val topic = Topic(spark, root, "clicks")
+    val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
+
+    topic.publish(ev.limit(40))
+    topic.publish(ev.limit(70))  // second batch appends
+
+    // two independent subscribers (own checkpoints + sinks): both get
+    // the complete topic — fan-out without a broker
+    val outs = Seq("a", "b").map { who =>
+      val out = tmp(s"topic_sub_$who") + "/out"
+      val q = topic.subscribe(topic.schema)
+        .where(col("value").isNotNull)
+        .toParquet(out, tmp(s"topic_ck_$who"))
+      q.awaitTermination()
+      out
+    }
+    val counts = outs.map(o => spark.read.parquet(o).count())
+    assert(counts == Seq(110, 110), s"both subscribers must see all 110 rows, got $counts")
+    assert(topic.replay().count() == 110)
+  }
+
+  test("Topic: checkpointed subscriber resume delivers only the delta") {
+    val root = tmp("topic_root2")
+    val topic = Topic(spark, root, "t")
+    val ev = Tables.events(spark, dir).select("event_id", "value")
+    val out = tmp("topic_sub2") + "/out"
+    val ckpt = tmp("topic_ck2")
+
+    topic.publish(ev.limit(30))
+    topic.subscribe(topic.schema).toParquet(out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() == 30)
+
+    topic.publish(ev.limit(20))
+    topic.subscribe(topic.schema).toParquet(out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() == 50,
+      "resume must append exactly the 20 new rows — no loss, no dup")
+  }
+
+  test("Multimodal.decodeImages decodes real PNGs via javax.imageio") {
+    val feats = Multimodal.decodeImages(Multimodal.pngCorpus(spark, 6, 32, 16))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 6)
+    feats.foreach { f =>
+      assert(f.width == 32 && f.height == 16 && f.n_pixels == 512)
+      // gradient spans the full range → mean mid-ish, min < max
+      assert(f.mean_lum > 0.2 && f.mean_lum < 0.8, s"mean ${f.mean_lum}")
+      assert(f.min_lum < f.max_lum)
+      assert(f.quadrant_lum.length == 4)
+      // red grows rightward, green downward: quadrant means must be
+      // ordered left<right and top<bottom
+      assert(f.quadrant_lum(0) < f.quadrant_lum(1) && f.quadrant_lum(0) < f.quadrant_lum(2))
+      assert(f.quadrant_lum(3) > f.quadrant_lum(1) && f.quadrant_lum(3) > f.quadrant_lum(2))
+    }
+    // deterministic: same corpus → identical features
+    val again = Multimodal.decodeImages(Multimodal.pngCorpus(spark, 6, 32, 16))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.mean_lum).toSeq == again.map(_.mean_lum).toSeq)
+  }
+}
