@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.api.Flow
 import graft.operators.Multimodal
-import graft.sources.{KvStore, Sources}
+import graft.sources.{KvStore, Sources, Topic}
+import graft.streaming.Schedule
 
 /** Runnable tour of the library surface a reference (deva) user would
   * reach for — the README's examples, executable:
@@ -47,9 +48,32 @@ object Examples {
     println("== KvStore (DBStream analogue, last-write-wins) ==")
     store.get().orderBy("k").show()
 
-    // multimodal plumbing: binary payloads + stub decode
-    val feats = Multimodal.decodeStub(Multimodal.fakeCorpus(spark, 4, "image"))
-    println("== multimodal stub decode ==")
+    // deva:  pub('topic') / sub('topic')  — file-backed fan-out
+    val topic = Topic(spark, Files.createTempDirectory("graft_demo_topic").toString, "signups")
+    topic.publish(ev.filter(col("event_type") === "signup").limit(50))
+    println(s"== Topic pub/sub: replay sees ${topic.replay().count()} events ==")
+
+    // deva:  scheduler: every tick, process only what's new
+    val schedSrc = Files.createTempDirectory("graft_demo_sched").toString
+    val schedOut = Files.createTempDirectory("graft_demo_schedout").toString + "/out"
+    val schedCp = Files.createTempDirectory("graft_demo_schedcp").toString
+    val evs = ev.select("event_id", "user_id", "value")
+    evs.limit(20).write.mode("append").parquet(schedSrc)
+    Schedule.runOnce(spark, schedSrc, evs.schema, schedCp, schedOut)(df => df)
+    evs.limit(30).write.mode("append").parquet(schedSrc)
+    Schedule.runOnce(spark, schedSrc, evs.schema, schedCp, schedOut)(df => df)
+    println(s"== Schedule (2 ticks, exactly-once): ${spark.read.parquet(schedOut).count()} rows ==")
+
+    // deva:  traverse  — recursive flatten to atoms
+    val nested = Seq((1L, Seq(Seq(1, 2), Seq(3)))).toDF("id", "nst")
+    println(s"== traverse: ${Flow(nested).traverse("nst", "v").toDF.count()} atoms ==")
+
+    // multimodal: REAL image decode (javax.imageio) + a-v stub
+    val imgFeats = Multimodal.decodeImages(Multimodal.pngCorpus(spark, 4, 32, 16))
+    println("== multimodal real PNG decode ==")
+    imgFeats.toDF().select("media_id", "width", "height", "mean_lum").orderBy("media_id").show(truncate = false)
+    val feats = Multimodal.decodeStub(Multimodal.fakeCorpus(spark, 4, "audio"))
+    println("== multimodal stub decode (audio/video) ==")
     feats.toDF().select("media_id", "kind", "n_bytes", "checksum").orderBy("media_id").show(truncate = false)
 
     // text source round-trip

@@ -56,7 +56,12 @@ object ScaleSmoke {
     val queries = Seq(
       "q01_agg", "q05_join3", "q06_join5", "q16_timed_window",
       "q34_sessionize", "q43_dedup_exact", "q45_minhash_lsh_pairs",
-      "q46_simhash", "q52_vec_lsh", "q53_cosine_neardup")
+      "q46_simhash", "q52_vec_lsh", "q53_cosine_neardup",
+      // round 2: clustering under ×N-way duplication (every doc has
+      // N-1 exact copies → LSH pairs explode quadratically per
+      // bucket — the worst realistic case for label propagation) and
+      // the plan-time recursive flatten
+      "q54_dedup_clusters", "q57_traverse")
     val times = queries.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()

@@ -82,6 +82,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("uq_spec").select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L))
   }
 
+  test("uniqueWithinWatermark EVICTS state once the watermark passes (bounded state)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val flow = EventFlow(mem.toDF.toDF("ts", "id"))
+      .withWatermark("ts", "10 minutes")
+      .uniqueWithinWatermark(Seq("id"))
+    val q = flow.df.writeStream.format("memory").queryName("uq_evict_spec")
+      .outputMode("append").start()
+    try {
+      // key 7 arrives (and a same-horizon duplicate is dropped)
+      mem.addData((ts(0), 7L), (ts(1), 7L))
+      q.processAllAvailable()
+      // unrelated traffic 2 h later advances the watermark far past
+      // key 7's expiry (ts(0) + 10 min)
+      mem.addData((ts(120), 9L))
+      q.processAllAvailable()
+      // key 7 again, far outside the horizon: its state MUST be gone,
+      // so it is emitted a second time — the bounded-state contract
+      // (an unbounded dropDuplicates would suppress it forever)
+      mem.addData((ts(121), 7L))
+      q.processAllAvailable()
+      val ids = spark.table("uq_evict_spec").select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(7L, 7L, 9L),
+        s"expected key 7 re-emitted after eviction, got $ids")
+      // and the store itself shrank: eviction is observable in the
+      // state operator metrics (whichever micro-batch did the removal),
+      // not just implied by the output
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "state rows must have been removed by the watermark")
+      assert(q.lastProgress.stateOperators.head.numRowsTotal <= 2,
+        "state must stay bounded (evicted keys gone)")
+    } finally q.stop()
+  }
+
   test("scanPerKey emits running state per event (deva accumulate)") {
     val sp = spark
     import sp.implicits._
