@@ -72,14 +72,19 @@ object Dedup {
     * One shuffle on id; the 60 votes are map-side partial sums.
     */
   def simhash(tokensDf: DataFrame, idCol: String): DataFrame = {
-    val h = pmod(Determinism.hash60(col("tok")), lit(1L << 60))
+    // hash materialized BELOW the aggregate: the 60 vote expressions
+    // each reference h, and CollapseProject refuses to inline a
+    // non-cheap expression consumed 60 times — so md5 runs once per
+    // token, not 60 times (the projection-collapse trap, SURVEY §5)
+    val withH = tokensDf.select(col(idCol),
+      pmod(Determinism.hash60(col("tok")), lit(1L << 60)).as("h"))
     val votes = (0 until 60).map { b =>
-      sum(shiftright(h, b).bitwiseAND(1) * 2 - 1).as(s"s_$b")
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b")
     }
     val fp = (0 until 60).map { b =>
       when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
-    tokensDf.groupBy(col(idCol))
+    withH.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol), fp.as("simhash"))
   }
@@ -106,11 +111,16 @@ object Dedup {
     * at convergence label = min id of the component (the natural
     * keep_id). Rounds needed = component diameter — near-dup
     * clusters are shallow by construction (pairs share LSH buckets),
-    * so a handful of rounds suffice; each round is ONE shuffle on id,
-    * no driver-side graph. Convergence is detected through the
-    * monotone label sum (labels only ever decrease), and every round
-    * persists its frame so the plan doesn't grow with iterations (at
-    * cluster scale swap persist for checkpoint to truncate lineage).
+    * so a handful of rounds suffice; no driver-side graph. Each round
+    * is push-then-min: propagate every node's label across its out-
+    * edges, union the nodes' current labels back in, take min per id
+    * — one join + one aggregation. Edges are cached pre-partitioned
+    * on src, so the (large) edge side never re-shuffles across
+    * rounds; only the label frame moves. Convergence is detected
+    * through the monotone label sum (labels only ever decrease), and
+    * every round persists its frame so the plan doesn't grow with
+    * iterations (at cluster scale swap persist for checkpoint to
+    * truncate lineage).
     *
     * Input: one row per undirected pair (aCol, bCol), numeric ids.
     * Output: (id, label) for every id that appears in a pair.
@@ -124,19 +134,20 @@ object Dedup {
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().persist()
+      .distinct()
+      .repartition(col("src")) // cached partitioning reused by every round's join
+      .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("lbl")), "dst")
-        .groupBy(col("src")).agg(min(col("lbl")).as("nbr"))
-      val next = labels
-        .join(nbrMin.select(col("src").as("id"), col("nbr")), Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      val pushed = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = pushed.union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist()
       val s = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       labels.unpersist()
