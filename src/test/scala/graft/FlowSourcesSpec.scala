@@ -114,6 +114,28 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(got == Seq(("a", 2L, "x2"), ("b", 1L, "y"), ("c", 1L, "z")))
   }
 
+  test("KvStore: upsert rewrites ONLY the buckets its keys hash into") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_kv_bkt").toString + "/t"
+    val store = new KvStore(spark, tmp, Seq("k"), "v", numBuckets = 8)
+    // seed enough keys that several buckets exist
+    store.upsert((0 until 64).map(i => (s"k$i", 1L, s"p$i")).toDF("k", "v", "payload"))
+    val before = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("b="))
+      .map(d => d.getName -> d.lastModified()).toMap
+    assert(before.size > 1, s"seed should populate multiple buckets, got ${before.keySet}")
+    Thread.sleep(1100) // dir mtime granularity can be a full second
+    // a single-key upsert must swap exactly one bucket directory
+    store.upsert(Seq(("k3", 2L, "p3v2")).toDF("k", "v", "payload"))
+    val after = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("b="))
+      .map(d => d.getName -> d.lastModified()).toMap
+    val changed = after.filter { case (n, m) => before.get(n).forall(_ != m) }.keySet
+    assert(changed.size == 1, s"one bucket should change, got $changed")
+    // and the merge is still correct
+    val got = store.get().filter(col("k") === "k3").collect()
+    assert(got.length == 1 && got.head.getString(2) == "p3v2")
+    assert(store.get().count() == 64)
+  }
+
   test("Multimodal: stub decode is deterministic, frame slices cover payload") {
     val corpus = Multimodal.fakeCorpus(spark, 8, "image")
     val f1 = Multimodal.decodeStub(corpus).collect().map(f => (f.media_id, f.checksum)).toSet
