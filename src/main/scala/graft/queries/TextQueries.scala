@@ -50,9 +50,9 @@ object TextQueries {
       .select(col("doc_id"), toks.as("tk"))
       .repartition(col("doc_id"))
 
-  private def sigFrame(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val perShingle = tokenized(spark, dir)
+  private def sigFrameOf(docs: DataFrame): DataFrame = {
+    val perShingle = docs.select(col("doc_id"), toks.as("tk"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(TA.shingles(col("tk"), 3)).as("s"))
       .select(col("doc_id"), Dedup.baseHash(col("s")).as("h"))
     val aggs = Dedup.perms.indices.map { i =>
@@ -63,6 +63,9 @@ object TextQueries {
       .select(col("doc_id") +:
         Dedup.perms.indices.map(i => coalesce(col(s"m$i"), lit(Dedup.P)).as(s"m$i")): _*)
   }
+
+  private def sigFrame(spark: SparkSession, dir: String): DataFrame =
+    sigFrameOf(Tables.documents(spark, dir))
 
   /** q40 — token counting: whitespace tokens + BPE-ish regex tokens.
     * (deva counts per-string in Python — `pipe.py:561 count`; here a
@@ -402,8 +405,138 @@ object TextQueries {
        |  FROM documents) t
        |WHERE pick <= 30 ORDER BY lang, pick""".stripMargin
 
+  /** q59 — heavy hitters via count-min sketch
+    * ([[graft.operators.Sketches.CountMin]]): tokens taking ≥0.5% of
+    * the stream, with the sketch's frequency estimate checked against
+    * the exact count (`cms_in_tol` pinned TRUE by the oracle — the
+    * gate goes red if the sketch drifts past its error bound). The
+    * sketch is ONE map-side-mergeable aggregate of depth×width longs;
+    * at 100 TB that replaces a full token groupBy for the
+    * frequency-threshold step — here the exact counts are also
+    * computed to grade it.
+    */
+  def q59_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    val depth = 5; val width = 2048
+    val toksDf = Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .select(col("tok"),
+        pmod(graft.functions.Determinism.hash60(col("tok")), lit(Dedup.P)).as("h"))
+    val cmsAgg = udaf(new graft.operators.Sketches.CountMin(depth, width),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val global = toksDf.agg(cmsAgg(col("h")).as("cms"), count(lit(1)).as("n_total"))
+    toksDf.groupBy(col("tok"), col("h")).agg(count(lit(1)).as("exact_n"))
+      .join(broadcast(global))
+      .filter(col("exact_n").cast("double") >= col("n_total").cast("double") / 200.0)
+      .withColumn("est", graft.operators.Sketches.cmsEstimate(col("cms"), col("h"), depth, width))
+      .select(col("tok"), col("exact_n"),
+        (col("est") >= col("exact_n") &&
+          (col("est") - col("exact_n")).cast("double") <=
+            greatest(lit(8.0), lit(4.0) * col("n_total").cast("double") / width))
+          .as("cms_in_tol"))
+      .orderBy(col("tok"))
+  }
+
+  val q59_heavy_hitters_sql: String =
+    """WITH tkt AS (SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS tk FROM documents),
+      |toks AS (SELECT unnest(tk) AS tok FROM tkt),
+      |tot AS (SELECT COUNT(*) AS n FROM toks)
+      |SELECT tok, COUNT(*) AS exact_n, TRUE AS cms_in_tol
+      |FROM toks, tot GROUP BY tok, n
+      |HAVING CAST(COUNT(*) AS DOUBLE) >= CAST(n AS DOUBLE) / 200.0
+      |ORDER BY tok""".stripMargin
+
+  /** q65 — the FLAGSHIP training-corpus curation pipeline, every
+    * stage composed end-to-end the way a 100 TB data-curation job
+    * runs them (the reference user's `docs >> quality >> dedup >>
+    * cluster >> stats` chain):
+    *
+    *   1. quality-score filter (q41's signals)
+    *   2. exact dedup — min doc_id per normalized-token md5 (q43)
+    *   3. near-dup clustering — MinHash-LSH pairs → connected
+    *      components → keep each cluster's min doc_id (q45+q54)
+    *   4. per-language corpus stats, with per-stage drop counts
+    *
+    * Everything stays declarative: two hash shuffles for the dedup
+    * stages, the bounded label-propagation loop, and bigint-only
+    * aggregates (no float sums — order-independent, oracle-exact).
+    */
+  def q65_corpus_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val stopN = TA.stopCount(toks, TA.stopEn)
+    val stopRatio = stopN.cast("double") / greatest(nTok, lit(1L)).cast("double")
+    val quality = least(lit(1.0), nTok.cast("double") / 100.0) * (lit(1.0) - stopRatio)
+    val filtered = Tables.documents(spark, dir)
+      .filter(quality >= 0.3)
+      .select(col("doc_id"), col("lang"), col("text"), nTok.as("n_tokens"))
+      .persist()
+    val keepExact = filtered
+      .select(col("doc_id"), md5(concat_ws(" ", array_sort(toks))).as("nk"))
+      .groupBy(col("nk")).agg(min(col("doc_id")).as("doc_id"))
+    val survivors = filtered.join(keepExact.select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist()
+    val pairs = Dedup.lshCandidatePairs(sigFrameOf(survivors), "doc_id")
+    val dropIds = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+    val fin = survivors.join(dropIds, Seq("doc_id"), "left_anti")
+    val perFiltered = filtered.groupBy(col("lang")).agg(count(lit(1)).as("nf"))
+    val perSurvived = survivors.groupBy(col("lang")).agg(count(lit(1)).as("ns"))
+    val perFinal = fin.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    perFiltered.join(perSurvived, "lang").join(perFinal, "lang")
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        (col("nf") - col("ns")).as("n_exact_dropped"),
+        (col("ns") - col("n_docs")).as("n_neardup_dropped"))
+      .orderBy(col("lang"))
+  }
+
+  val q65_corpus_pipeline_sql: String = {
+    val ntok = s"CAST(len(${TA.tokensSql}) AS BIGINT)"
+    val stopN = TA.stopCountSql(TA.tokensSql, TA.stopEn)
+    val ratio = s"CAST($stopN AS DOUBLE) / CAST(greatest($ntok, 1) AS DOUBLE)"
+    val q = s"least(1.0, CAST($ntok AS DOUBLE) / 100.0) * (1.0 - $ratio)"
+    val ms = Dedup.perms.indices.map(i => s"${Dedup.minhashSql("hs", i)} AS m$i").mkString(",\n    ")
+    s"""WITH RECURSIVE
+       |filtered AS (
+       |  SELECT doc_id, lang, text, $ntok AS n_tokens FROM documents WHERE $q >= 0.3),
+       |exact AS (
+       |  SELECT min(doc_id) AS keep_id
+       |  FROM (SELECT doc_id, md5(array_to_string(list_sort(${TA.tokensSql}), ' ')) AS nk FROM filtered) t
+       |  GROUP BY nk),
+       |survivors AS (SELECT f.* FROM filtered f JOIN exact e ON f.doc_id = e.keep_id),
+       |tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM survivors),
+       |sht AS (SELECT doc_id, ${TA.shinglesSql("tk", 3)} AS sh FROM tkt),
+       |hst AS (SELECT doc_id, ${Dedup.baseHashesSql("sh")} AS hs FROM sht),
+       |sig AS (SELECT doc_id,
+       |    $ms
+       |  FROM hst),
+       |$bandedCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster FROM reach GROUP BY src),
+       |final AS (
+       |  SELECT s.* FROM survivors s LEFT JOIN comp c ON s.doc_id = c.doc_id
+       |  WHERE c.doc_id IS NULL OR c.cluster = s.doc_id),
+       |pf AS (SELECT lang, COUNT(*) AS nf FROM filtered GROUP BY lang),
+       |ps AS (SELECT lang, COUNT(*) AS ns FROM survivors GROUP BY lang),
+       |pfin AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM final GROUP BY lang)
+       |SELECT pf.lang AS lang, pfin.n_docs AS n_docs, pfin.total_tokens AS total_tokens,
+       |  nf - ns AS n_exact_dropped, ns - n_docs AS n_neardup_dropped
+       |FROM pf JOIN ps ON pf.lang = ps.lang JOIN pfin ON pf.lang = pfin.lang
+       |ORDER BY lang""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
+    "q59_heavy_hitters" -> (q59_heavy_hitters _),
+    "q65_corpus_pipeline" -> (q65_corpus_pipeline _),
     "q41_quality" -> (q41_quality _),
     "q42_langid" -> (q42_langid _),
     "q43_dedup_exact" -> (q43_dedup_exact _),
@@ -419,6 +552,8 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q59_heavy_hitters" -> q59_heavy_hitters_sql,
+    "q65_corpus_pipeline" -> q65_corpus_pipeline_sql,
     "q40_token_count" -> q40_token_count_sql,
     "q41_quality" -> q41_quality_sql,
     "q42_langid" -> q42_langid_sql,

@@ -48,6 +48,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Spark's InjectRuntimeFilter builds a bloom filter from the
+    // selective (filtered) dim side and applies might_contain on the
+    // fact scan — the engine-native form of bloom-join pruning. The
+    // thresholds exist to avoid the overhead on small scans; at
+    // 100 TB the defaults (10 GB application side) fire on their own,
+    // here they are lowered so the tiny test tables qualify.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join so pruning matters
+      val li = Tables.lineitem(spark, dir)
+      val part = Tables.part(spark, dir).filter(col("p_size") === 1)
+      val j = li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_type")).agg(sum(col("l_quantity")).as("q"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter (might_contain) on the fact scan:\n$plan")
+      assert(j.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables sort-merge-join without shuffle exchanges") {
     // warehouse dir is a static conf — use the default ./spark-warehouse.
     // The in-memory catalog forgets tables between JVMs but the files
