@@ -61,7 +61,12 @@ object ScaleSmoke {
       // N-1 exact copies → LSH pairs explode quadratically per
       // bucket — the worst realistic case for label propagation) and
       // the plan-time recursive flatten
-      "q54_dedup_clusters", "q57_traverse")
+      "q54_dedup_clusters", "q57_traverse",
+      // round 2b: the sketch (global mergeable agg), and the full
+      // curation pipeline — under ×N duplication every survivor doc
+      // drags N-1 exact copies through exact-dedup and the LSH
+      // cluster stage, the heaviest realistic load for both
+      "q59_heavy_hitters", "q65_corpus_pipeline")
     val times = queries.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
