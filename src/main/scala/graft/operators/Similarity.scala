@@ -58,4 +58,32 @@ object Similarity {
       val planeLit = w.mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql(embRef, planeLit, dim)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  // ---- int8 quantization (4× smaller vectors for the ANN index) ----
+  //
+  // Symmetric per-vector scheme: scale = max|x| / 127, code =
+  // floor(x/scale + 0.5) ∈ [-127, 127]. floor(+0.5) instead of
+  // round(): both engines floor identically, while round() half-away
+  // vs half-even would desync the oracle.
+
+  /** Per-vector quantization scale (max-abs / 127). */
+  def qScale(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0)
+
+  def qScaleSql(embRef: String): String =
+    s"list_max(list_transform($embRef, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+
+  /** Int8 codes for an embedding under a given scale column. */
+  def quantize(emb: Column, scale: Column): Column =
+    transform(emb, x => floor(x.cast("double") / scale + lit(0.5)).cast("long"))
+
+  def quantizeSql(embRef: String, scaleRef: String): String =
+    s"list_transform($embRef, x -> CAST(floor(CAST(x AS DOUBLE) / $scaleRef + 0.5) AS BIGINT))"
+
+  /** Dequantized (double) vector from codes + scale. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, v => v.cast("double") * scale)
+
+  def dequantizeSql(codesRef: String, scaleRef: String): String =
+    s"list_transform($codesRef, v -> CAST(v AS DOUBLE) * $scaleRef)"
 }

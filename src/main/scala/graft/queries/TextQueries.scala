@@ -533,10 +533,55 @@ object TextQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  /** q66 — token-diversity / repetition quality signals (the
+    * Gopher-style corpus-cleaning rules: most-common-token fraction,
+    * duplicate-bigram fraction). All columnar — zero shuffles; the
+    * per-doc O(distinct × len) top-token scan is bounded because doc
+    * length is bounded (for book-length docs, explode→groupBy-count
+    * is the alternative shape).
+    */
+  def q66_diversity(spark: SparkSession, dir: String): DataFrame = {
+    val sh2 = TA.shingles(col("tk"), 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        array_max(transform(array_distinct(col("tk")),
+          t => size(filter(col("tk"), x => x === t)))).cast("long").as("top_tok_cnt"),
+        sh2.as("sh2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_tok_cnt"),
+        (col("top_tok_cnt").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double"))
+          .as("top_tok_ratio"),
+        when(size(col("sh2")) > 0,
+          lit(1.0) - size(array_distinct(col("sh2"))).cast("double") / size(col("sh2")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q66_diversity_sql: String = {
+    val tk = TA.tokensSql
+    val sh2 = TA.shinglesSql("tk", 2)
+    s"""WITH tkt AS (SELECT doc_id, $tk AS tk FROM documents),
+       |base AS (SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+       |    CAST(list_max(list_transform(list_distinct(tk), t -> len(list_filter(tk, x -> x = t)))) AS BIGINT) AS top_tok_cnt,
+       |    $sh2 AS sh2
+       |  FROM tkt)
+       |SELECT doc_id, n_tokens, n_distinct, top_tok_cnt,
+       |  CAST(top_tok_cnt AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS top_tok_ratio,
+       |  CASE WHEN len(sh2) > 0
+       |    THEN 1.0 - CAST(len(list_distinct(sh2)) AS DOUBLE) / CAST(len(sh2) AS DOUBLE)
+       |    ELSE 0.0 END AS dup_bigram_ratio
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
     "q65_corpus_pipeline" -> (q65_corpus_pipeline _),
+    "q66_diversity" -> (q66_diversity _),
     "q41_quality" -> (q41_quality _),
     "q42_langid" -> (q42_langid _),
     "q43_dedup_exact" -> (q43_dedup_exact _),
@@ -554,6 +599,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q59_heavy_hitters" -> q59_heavy_hitters_sql,
     "q65_corpus_pipeline" -> q65_corpus_pipeline_sql,
+    "q66_diversity" -> q66_diversity_sql,
     "q40_token_count" -> q40_token_count_sql,
     "q41_quality" -> q41_quality_sql,
     "q42_langid" -> q42_langid_sql,

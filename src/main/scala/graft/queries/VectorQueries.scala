@@ -152,8 +152,42 @@ object VectorQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** q67 — int8 embedding quantization (4× smaller ANN index): codes
+    * and their checksum must match the oracle EXACTLY (integer sum —
+    * order-independent), and the reconstruction cosine vs the
+    * original vector must stay ≥ 0.995 (`recon_ok` pinned TRUE).
+    * Columnar, zero shuffles — the quantization pass at 100 TB is a
+    * pure map stage writing the compact index.
+    */
+  def q67_vec_quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Similarity.qScale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        Similarity.quantize(col("embedding"), col("scale")).as("codes"))
+      .select(col("vec_id"), col("embedding"), col("scale"), col("codes"),
+        Similarity.dequantize(col("codes"), col("scale")).as("deq"))
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (a, v) => a + v).as("code_sum"),
+        lit(dim.toLong * 4).as("n_bytes_fp32"), lit(dim.toLong).as("n_bytes_int8"),
+        (Similarity.dot(col("embedding"), col("deq")) /
+          (Similarity.norm(col("embedding")) * Similarity.norm(col("deq"))) >= 0.995)
+          .as("recon_ok"))
+      .orderBy(col("vec_id"))
+
+  val q67_vec_quantize_sql: String =
+    s"""WITH s AS (SELECT vec_id, embedding, ${Similarity.qScaleSql("embedding")} AS scale FROM embeddings),
+       |q AS (SELECT vec_id, embedding, scale, ${Similarity.quantizeSql("embedding", "scale")} AS codes FROM s),
+       |d AS (SELECT vec_id, embedding, codes, ${Similarity.dequantizeSql("codes", "scale")} AS deq FROM q)
+       |SELECT vec_id,
+       |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       |  CAST(${dim * 4} AS BIGINT) AS n_bytes_fp32, CAST($dim AS BIGINT) AS n_bytes_int8,
+       |  (${Similarity.dotSql("embedding", "deq", dim)} /
+       |    (${Similarity.normSql("embedding", dim)} * ${Similarity.normSql("deq", dim)}) >= 0.995) AS recon_ok
+       |FROM d ORDER BY vec_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_topk" -> (q50_ann_topk _),
+    "q67_vec_quantize" -> (q67_vec_quantize _),
     "q51_ivf_topk" -> (q51_ivf_topk _),
     "q52_vec_lsh" -> (q52_vec_lsh _),
     "q53_cosine_neardup" -> (q53_cosine_neardup _)
@@ -161,6 +195,7 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "q50_ann_topk" -> q50_ann_topk_sql,
+    "q67_vec_quantize" -> q67_vec_quantize_sql,
     "q51_ivf_topk" -> q51_ivf_topk_sql,
     "q52_vec_lsh" -> q52_vec_lsh_sql,
     "q53_cosine_neardup" -> q53_cosine_neardup_sql
