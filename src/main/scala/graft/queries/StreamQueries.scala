@@ -148,8 +148,41 @@ object StreamQueries {
       |          FROM events) a) b) c
       |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin
 
+  /** q69 — stream-stream INTERVAL JOIN (the keyed bounded-time
+    * pairing that replaces deva's zip/combine_latest at scale): each
+    * click pairs with the same user's purchases in the following
+    * hour. Watermarks on BOTH sides bound the join state (late rows
+    * beyond 1h+watermark are dropped from the store); the streaming
+    * result must equal the batch join bit-for-bit.
+    */
+  def q69_stream_join(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q69_mem_${runId.incrementAndGet()}"
+    val clicks = EventFlow.fromEvents(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = EventFlow.fromEvents(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val res = clicks.intervalJoin(purchases,
+        col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .toMemory(spark, name, "append")
+    res.select(col("click_id"), col("purchase_id"), col("user_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  val q69_stream_join_sql: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
+    "q69_stream_join" -> (q69_stream_join _),
     "q61_stream_unique" -> (q61_stream_unique _),
     "q62_stream_accumulate" -> (q62_stream_accumulate _),
     "q63_stream_sliding" -> (q63_stream_sliding _),
@@ -158,6 +191,7 @@ object StreamQueries {
 
   def oracles: Map[String, String] = Map(
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
+    "q69_stream_join" -> q69_stream_join_sql,
     "q61_stream_unique" -> q61_stream_unique_sql,
     "q62_stream_accumulate" -> q62_stream_accumulate_sql,
     "q63_stream_sliding" -> q63_stream_sliding_sql,

@@ -185,9 +185,67 @@ object VectorQueries {
        |    (${Similarity.normSql("embedding", dim)} * ${Similarity.normSql("deq", dim)}) >= 0.995) AS recon_ok
        |FROM d ORDER BY vec_id""".stripMargin
 
+  /** q68 — two-stage quantized ANN search (the PQ-style shape): the
+    * int8 codes score the whole corpus per probe with INTEGER dot
+    * products (4× less memory traffic, order-independent, engine-
+    * exact), a top-20 shortlist is reranked with exact float cosine,
+    * and the final top-5 is emitted. At 100 TB this composes with
+    * IVF (q51): coarse int8 scan inside the probed cells only.
+    */
+  def q68_quantized_rerank(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Similarity.qScale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        Similarity.quantize(col("embedding"), col("scale")).as("codes"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val probes = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"),
+        col("scale").as("pscale"), col("codes").as("pcodes"), col("nrm").as("pnrm"))
+    val intDot = aggregate(
+      zip_with(col("codes"), col("pcodes"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+    val coarse = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("approx", intDot.cast("double") * col("scale") * col("pscale"))
+    val wCoarse = Window.partitionBy(col("probe_id")).orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = coarse.withColumn("crn", row_number().over(wCoarse)).filter(col("crn") <= 20)
+    val wExact = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .withColumn("cosine", Similarity.dot(col("embedding"), col("pemb")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val q68_quantized_rerank_sql: String = {
+    val intDot = s"list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform(range(1, ${dim + 1}), i -> codes[i] * pcodes[i])), (x, y) -> x + y)"
+    s"""WITH s AS (SELECT vec_id, embedding, ${Similarity.qScaleSql("embedding")} AS scale,
+       |    ${Similarity.normSql("embedding", dim)} AS nrm FROM embeddings),
+       |b AS (SELECT vec_id, embedding, scale, nrm, ${Similarity.quantizeSql("embedding", "scale")} AS codes FROM s),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pemb, scale AS pscale, codes AS pcodes, nrm AS pnrm
+       |      FROM b WHERE vec_id % 50 = 0),
+       |coarse AS (
+       |  SELECT b.vec_id, b.embedding, b.nrm, p.probe_id, p.pemb, p.pnrm,
+       |    CAST($intDot AS DOUBLE) * b.scale * p.pscale AS approx
+       |  FROM b, p WHERE b.vec_id <> p.probe_id),
+       |shortlist AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx DESC, vec_id) AS crn
+       |    FROM coarse) t WHERE crn <= 20)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine FROM (
+       |  SELECT probe_id, vec_id,
+       |    ${Similarity.dotSql("embedding", "pemb", dim)} / (nrm * pnrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY ${Similarity.dotSql("embedding", "pemb", dim)} / (nrm * pnrm) DESC, vec_id) AS rank
+       |  FROM shortlist) t
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_topk" -> (q50_ann_topk _),
     "q67_vec_quantize" -> (q67_vec_quantize _),
+    "q68_quantized_rerank" -> (q68_quantized_rerank _),
     "q51_ivf_topk" -> (q51_ivf_topk _),
     "q52_vec_lsh" -> (q52_vec_lsh _),
     "q53_cosine_neardup" -> (q53_cosine_neardup _)
@@ -196,6 +254,7 @@ object VectorQueries {
   def oracles: Map[String, String] = Map(
     "q50_ann_topk" -> q50_ann_topk_sql,
     "q67_vec_quantize" -> q67_vec_quantize_sql,
+    "q68_quantized_rerank" -> q68_quantized_rerank_sql,
     "q51_ivf_topk" -> q51_ivf_topk_sql,
     "q52_vec_lsh" -> q52_vec_lsh_sql,
     "q53_cosine_neardup" -> q53_cosine_neardup_sql
