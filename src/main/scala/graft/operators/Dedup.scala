@@ -157,6 +157,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // an unconverged result silently mislabels components (q65 would
+    // keep several docs of one true cluster) — fail loudly instead;
+    // rounds needed = component diameter, so hitting this means the
+    // pair graph has long chains and maxIter must be raised
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — component diameter exceeds maxIter")
     labels
   }
 

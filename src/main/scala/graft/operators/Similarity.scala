@@ -66,12 +66,17 @@ object Similarity {
   // round(): both engines floor identically, while round() half-away
   // vs half-even would desync the oracle.
 
-  /** Per-vector quantization scale (max-abs / 127). */
+  /** Per-vector quantization scale (max-abs / 127). The greatest()
+    * floor keeps an all-zero vector from yielding scale 0 → 0/0 NaN
+    * codes, where Spark's non-ANSI long cast (0) and DuckDB's
+    * erroring cast would diverge; with the floor both engines emit
+    * all-zero codes for it.
+    */
   def qScale(emb: Column): Column =
-    array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0)
+    greatest(array_max(transform(emb, x => abs(x.cast("double")))), lit(1e-30)) / lit(127.0)
 
   def qScaleSql(embRef: String): String =
-    s"list_max(list_transform($embRef, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+    s"greatest(list_max(list_transform($embRef, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0"
 
   /** Int8 codes for an embedding under a given scale column. */
   def quantize(emb: Column, scale: Column): Column =

@@ -267,9 +267,11 @@ object EventQueries {
 
   /** q34 — sessionization by inactivity gap (the batch mirror of
     * EventFlow.sessionWindow): a new session starts when the gap to
-    * the previous event exceeds 30 min. Gaps are compared at FULL
-    * microsecond precision on both engines (Spark `unix_micros` vs
-    * DuckDB `epoch` with fractional seconds) and the session is keyed
+    * the previous event exceeds 30 min. Gaps are compared in INTEGER
+    * microseconds on both engines (Spark `unix_micros` vs DuckDB
+    * `epoch_us` — a double `epoch()` carries ~0.5 µs of rounding at
+    * current epochs, enough to split a session on an exact-threshold
+    * gap) and the session is keyed
     * by its natural `MIN(ts)` start rather than a derived ordinal —
     * the same formulation the streaming twin q64 is verified with.
     * Two windows over one shuffle on user_id.
@@ -303,7 +305,7 @@ object EventQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM (
       |    SELECT *, CASE WHEN prev_ts IS NULL
-      |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+      |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
       |    FROM (SELECT *, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |          FROM events) a) b) c
       |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin

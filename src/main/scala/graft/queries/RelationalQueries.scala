@@ -418,10 +418,15 @@ object RelationalQueries {
     * Double columns stay out — text round-trips of floats are a
     * separate (lossy-by-default) concern.
     */
+  // pid-scoped scratch dir: stable within a JVM (repeated runs
+  // overwrite the same dir — no per-invocation leak) yet distinct
+  // across concurrent JVMs (Bench and Verify running side by side
+  // must not overwrite each other's round-trip files mid-read)
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_p${ProcessHandle.current().pid()}"
+
   def q39_csv_roundtrip(spark: SparkSession, dir: String): DataFrame = {
-    // fixed path + overwrite: repeated Bench/Verify/spec runs reuse
-    // the same dir instead of leaking a fresh UUID dir per invocation
-    val tmp = "/tmp/graft_q39_csv"
+    val tmp = scratch("q39_csv")
     Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
       .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -457,7 +462,7 @@ object RelationalQueries {
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   def q55_orc_roundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = "/tmp/graft_q55_orc"
+    val tmp = scratch("q55_orc")
     Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
       .write.mode("overwrite").orc(tmp)
@@ -467,7 +472,7 @@ object RelationalQueries {
   val q55_orc_roundtrip_sql: String = roundtripAggSql
 
   def q56_json_roundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = "/tmp/graft_q56_json"
+    val tmp = scratch("q56_json")
     Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
       .write.mode("overwrite").json(tmp)

@@ -81,7 +81,9 @@ object HttpIngest {
   /** deva `post_to`: deliver each row of a single string column as an
     * HTTP POST. Runs ON THE EXECUTORS — one client per partition,
     * rows stream through it — so delivery scales with the data
-    * instead of funneling through the driver.
+    * instead of funneling through the driver. A non-2xx response
+    * fails the task (Spark's task retry then re-sends the partition:
+    * at-least-once delivery, never a silent drop).
     */
   def postTo(df: DataFrame, colName: String, url: String): Unit = {
     val uri = java.net.URI.create(url)
@@ -91,8 +93,10 @@ object HttpIngest {
         val req = java.net.http.HttpRequest.newBuilder(uri)
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(r.getString(0)))
           .build()
-        client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
-        ()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+        if (resp.statusCode() / 100 != 2)
+          throw new java.io.IOException(
+            s"postTo $url returned HTTP ${resp.statusCode()} — delivery not accepted")
       }
     }
   }

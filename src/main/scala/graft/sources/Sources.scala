@@ -73,12 +73,33 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   // next to a live main dir is a completed swap's debris.
   locally {
     val root = new java.io.File(path)
-    if (root.exists()) root.listFiles().filter(_.getName.endsWith(".old")).foreach { old =>
-      val main = new java.io.File(path, old.getName.stripSuffix(".old"))
-      if (!main.exists()) {
-        if (!old.renameTo(main))
-          throw new java.io.IOException(s"KvStore recovery failed: cannot restore $old to $main")
-      } else deleteRec(old)
+    if (root.exists()) {
+      root.listFiles().filter(_.getName.endsWith(".old")).foreach { old =>
+        val main = new java.io.File(path, old.getName.stripSuffix(".old"))
+        if (!main.exists()) {
+          if (!old.renameTo(main))
+            throw new java.io.IOException(s"KvStore recovery failed: cannot restore $old to $main")
+        } else deleteRec(old)
+      }
+      // refuse to silently shadow a store written in another layout:
+      // anything at the root that is not a bucket dir or the meta
+      // file (e.g. a pre-bucketing flat parquet table) would become
+      // invisible to current() and permanently masked by upserts
+      val strangers = root.listFiles().filterNot { f =>
+        f.getName == "_graft_buckets" ||
+          (f.isDirectory && (f.getName.startsWith("b=")))
+      }
+      if (strangers.nonEmpty)
+        throw new IllegalStateException(
+          s"KvStore at $path contains non-bucketed entries ${strangers.map(_.getName).mkString(", ")} — " +
+            "migrate the old flat-layout table (read it, then upsert into a fresh path) instead of opening it in place")
+      // bucket dirs without the creation-time bucket count are
+      // ambiguous: a different constructor count would mis-bucket
+      // every future key
+      if (root.listFiles().exists(f => f.isDirectory && f.getName.startsWith("b=")) &&
+          !new java.io.File(path, "_graft_buckets").exists())
+        throw new IllegalStateException(
+          s"KvStore at $path has bucket dirs but no _graft_buckets meta — bucket count unknown")
     }
   }
 

@@ -71,6 +71,7 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // ×N-sized persisted frames must not accumulate
       println(f"[scale] $name%-24s $sec%8.2f s  ($n rows)")
       name -> sec
     }

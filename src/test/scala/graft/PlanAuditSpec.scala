@@ -44,21 +44,40 @@ class PlanAuditSpec extends AnyFunSuite {
     // operator is inherently sequential by the reference's own
     // semantics (deva zip/partition preserve global arrival order).
     val allowedSequential = Set("q19_zip", "q20_partition")
+    // AdaptiveSparkPlanExec is a LEAF node (children = Nil), so a
+    // plain collect over the AQE-wrapped plan never descends into the
+    // real tree and the audit would pass vacuously — unwrap it.
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(s.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
     def boundedBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      p.collectFirst {
+      flatten(p).exists {
         case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
         case _: org.apache.spark.sql.execution.GlobalLimitExec => true
         case _: org.apache.spark.sql.execution.CollectLimitExec => true
-      }.getOrElse(false)
+        case _ => false
+      }
+    var sawWindow = 0
     SparkEntry.queries.keys.filterNot(allowedSequential).foreach { q =>
       val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
-      val offenders = exec.collect {
+      val nodes = flatten(exec)
+      sawWindow += nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+      val offenders = nodes.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty && !w.children.exists(boundedBelow) => w
       }
       assert(offenders.isEmpty,
         s"$q has a partition-less Window over unbounded input:\n${offenders.headOption.getOrElse("")}")
     }
+    // self-test of the audit itself: the gate DOES contain Window
+    // nodes, so an inert traversal (the AQE-leaf trap) cannot recur
+    // silently
+    assert(sawWindow > 0, "audit traversal found no Window nodes at all — traversal is broken")
   }
 
   test("projection pruning: q02 reads only needed lineitem columns") {
