@@ -105,4 +105,35 @@ class ScheduleTopicSpec extends AnyFunSuite {
       .collect().sortBy(_.media_id)
     assert(feats.map(_.mean_lum).toSeq == again.map(_.mean_lum).toSeq)
   }
+
+  test("IncrementalDedup: ticks admit each distinct content exactly once, forever") {
+    import spark.implicits._
+    import graft.sources.KvStore
+    import graft.streaming.IncrementalDedup
+    val src = tmp("incdedup_src")
+    val out = tmp("incdedup_out") + "/corpus"
+    val ckpt = tmp("incdedup_ckpt")
+    val store = new KvStore(spark, tmp("incdedup_store") + "/seen", Seq("nk"), "v")
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val schema = docs().schema
+
+    // tick 1: two distinct docs → both admitted
+    docs(1L -> "x y z", 2L -> "p q").write.mode("append").parquet(src)
+    IncrementalDedup.tick(spark, src, schema, ckpt, out, store, "doc_id", "text")
+    assert(spark.read.parquet(out).count() == 2)
+
+    // tick 2: a cross-tick dup (tokens of doc 1, reordered — the
+    // normalization must catch it), one fresh doc, and an in-tick dup
+    // of that fresh doc → only the fresh doc's min id is admitted
+    docs(3L -> "z y x", 4L -> "new stuff", 5L -> "new stuff")
+      .write.mode("append").parquet(src)
+    IncrementalDedup.tick(spark, src, schema, ckpt, out, store, "doc_id", "text")
+    val ids = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"corpus must hold exactly first-seen docs, got $ids")
+
+    // idle tick: nothing new → nothing written, store unchanged
+    IncrementalDedup.tick(spark, src, schema, ckpt, out, store, "doc_id", "text")
+    assert(spark.read.parquet(out).count() == 3)
+    assert(store.get().count() == 3, "seen-key index holds one row per distinct content")
+  }
 }
