@@ -64,6 +64,20 @@ object Examples {
     Schedule.runOnce(spark, schedSrc, evs.schema, schedCp, schedOut)(df => df)
     println(s"== Schedule (2 ticks, exactly-once): ${spark.read.parquet(schedOut).count()} rows ==")
 
+    // incremental ingestion: every tick admits only first-seen
+    // content, checked against the persistent seen-key index
+    val incSrc = Files.createTempDirectory("graft_demo_inc").toString
+    val incOut = Files.createTempDirectory("graft_demo_incout").toString + "/corpus"
+    val incCp = Files.createTempDirectory("graft_demo_inccp").toString
+    val seen = new KvStore(spark, Files.createTempDirectory("graft_demo_seen").toString + "/seen", Seq("nk"), "v")
+    val d1 = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    d1.write.mode("append").parquet(incSrc)
+    graft.streaming.IncrementalDedup.tick(spark, incSrc, d1.schema, incCp, incOut, seen, "doc_id", "text")
+    Seq((3L, "beta alpha"), (4L, "delta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(incSrc)
+    graft.streaming.IncrementalDedup.tick(spark, incSrc, d1.schema, incCp, incOut, seen, "doc_id", "text")
+    println(s"== IncrementalDedup (4 docs in, dups dropped): ${spark.read.parquet(incOut).count()} admitted ==")
+
     // deva:  traverse  — recursive flatten to atoms
     val nested = Seq((1L, Seq(Seq(1, 2), Seq(3)))).toDF("id", "nst")
     println(s"== traverse: ${Flow(nested).traverse("nst", "v").toDF.count()} atoms ==")
