@@ -142,7 +142,10 @@ object Dedup {
     var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // maxIter bounds CHANGE rounds; detection needs one extra
+    // no-change round, hence <= — a component of diameter exactly
+    // maxIter must converge, not throw
+    while (!converged && i <= maxIter) {
       val pushed = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .select(col("dst").as("id"), col("label"))
@@ -161,9 +164,11 @@ object Dedup {
     // keep several docs of one true cluster) — fail loudly instead;
     // rounds needed = component diameter, so hitting this means the
     // pair graph has long chains and maxIter must be raised
-    if (!converged)
+    if (!converged) {
+      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — component diameter exceeds maxIter")
+    }
     labels
   }
 

@@ -419,11 +419,25 @@ object RelationalQueries {
     * separate (lossy-by-default) concern.
     */
   // pid-scoped scratch dir: stable within a JVM (repeated runs
-  // overwrite the same dir — no per-invocation leak) yet distinct
+  // overwrite the same dir — no per-invocation leak), distinct
   // across concurrent JVMs (Bench and Verify running side by side
-  // must not overwrite each other's round-trip files mid-read)
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_p${ProcessHandle.current().pid()}"
+  // must not overwrite each other's round-trip files mid-read), and
+  // deleted on JVM exit so runs don't accumulate dirs in /tmp
+  private val scratchRoots = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      scratchRoots.keySet().forEach(p => rm(new java.io.File(p)))
+    }))
+  }
+  private def scratch(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_p${ProcessHandle.current().pid()}"
+    scratchRoots.put(p, true)
+    p
+  }
 
   def q39_csv_roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = scratch("q39_csv")

@@ -542,8 +542,12 @@ object TextQueries {
     */
   def q66_diversity(spark: SparkSession, dir: String): DataFrame = {
     val sh2 = TA.shingles(col("tk"), 2)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("tk"))
+    // tokenized() puts a shuffle barrier under the token array: the
+    // shingle/filter lambdas below consume `tk` many times, and
+    // without the barrier CollapseProject would inline the
+    // split+filter into each consumer (re-tokenizing per element —
+    // the measured trap documented at the top of this file)
+    tokenized(spark, dir)
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_tokens"),
         size(array_distinct(col("tk"))).cast("long").as("n_distinct"),

@@ -38,24 +38,39 @@ object IncrementalDedup {
 
   /** One ingestion tick. `store` must be keyed on "nk" with version
     * column "v" (e.g. `new KvStore(spark, path, Seq("nk"), "v")`).
+    *
+    * Crash-safe exactly-once: the corpus lands in a per-batch
+    * directory (`batch=<id>`, OVERWRITE — a replayed batch rewrites
+    * its own output instead of appending duplicates), the seen-key
+    * store records which batch admitted each key, and the anti-join
+    * ignores keys admitted by the CURRENT batch id — so a replay
+    * after a crash at ANY point (corpus written / keys upserted /
+    * neither) recomputes the identical admitted set and converges to
+    * the same state. The checkpoint guarantees a batch id always
+    * re-reads the same input files.
     */
   def tick(spark: SparkSession, sourceDir: String, schema: StructType,
       checkpoint: String, outDir: String, store: KvStore,
       idCol: String, textCol: String): Unit =
-    Schedule.runOnceForeach(spark, sourceDir, schema, checkpoint)(identity) { (batch, _) =>
+    Schedule.runOnceForeach(spark, sourceDir, schema, checkpoint)(identity) { (batch, batchId) =>
       val keyed = batch.withColumn("__nk", normKey(col(textCol)))
       val unseen = store.current() match {
         case Some(seen) =>
-          keyed.join(seen.select(col("nk").as("__nk")), Seq("__nk"), "left_anti")
+          keyed.join(seen.filter(col("b") =!= batchId).select(col("nk").as("__nk")),
+            Seq("__nk"), "left_anti")
         case None => keyed
       }
-      // keep the smallest id per key within the tick
-      val admitted = unseen.join(
-          unseen.groupBy(col("__nk")).agg(min(col(idCol)).as(idCol)),
-          Seq("__nk", idCol), "left_semi")
+      // exactly ONE row per key within the tick (min id; row_number
+      // also collapses fully-identical duplicate rows, which a
+      // min-id semi-join would all keep)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__nk")).orderBy(col(idCol))
+      val admitted = unseen.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
         .persist()
-      admitted.drop("__nk").write.mode("append").parquet(outDir)
-      store.upsert(admitted.select(col("__nk").as("nk"), col(idCol).cast("long").as("v")))
+      admitted.drop("__nk").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      store.upsert(admitted.select(col("__nk").as("nk"),
+        col(idCol).cast("long").as("v"), lit(batchId).as("b")))
       admitted.unpersist()
       ()
     }
