@@ -53,25 +53,34 @@ object IncrementalDedup {
       checkpoint: String, outDir: String, store: KvStore,
       idCol: String, textCol: String): Unit =
     Schedule.runOnceForeach(spark, sourceDir, schema, checkpoint)(identity) { (batch, batchId) =>
-      val keyed = batch.withColumn("__nk", normKey(col(textCol)))
-      val unseen = store.current() match {
-        case Some(seen) =>
-          keyed.join(seen.filter(col("b") =!= batchId).select(col("nk").as("__nk")),
-            Seq("__nk"), "left_anti")
-        case None => keyed
-      }
-      // exactly ONE row per key within the tick (min id; row_number
-      // also collapses fully-identical duplicate rows, which a
-      // min-id semi-join would all keep)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__nk")).orderBy(col(idCol))
-      val admitted = unseen.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-        .persist()
-      admitted.drop("__nk").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      store.upsert(admitted.select(col("__nk").as("nk"),
-        col(idCol).cast("long").as("v"), lit(batchId).as("b")))
-      admitted.unpersist()
-      ()
+      processBatch(batch, batchId, outDir, store, idCol, textCol)
     }
+
+  /** The per-batch body — separated so the crash-replay contract
+    * (calling it AGAIN with the same batchId converges to the same
+    * corpus and store state) is directly spec-testable.
+    */
+  private[graft] def processBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      outDir: String, store: KvStore, idCol: String, textCol: String): Unit = {
+    val keyed = batch.withColumn("__nk", normKey(col(textCol)))
+    val unseen = store.current() match {
+      case Some(seen) =>
+        keyed.join(seen.filter(col("b") =!= batchId).select(col("nk").as("__nk")),
+          Seq("__nk"), "left_anti")
+      case None => keyed
+    }
+    // exactly ONE row per key within the tick (min id; row_number
+    // also collapses fully-identical duplicate rows, which a
+    // min-id semi-join would all keep)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__nk")).orderBy(col(idCol))
+    val admitted = unseen.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist()
+    admitted.drop("__nk").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    store.upsert(admitted.select(col("__nk").as("nk"),
+      col(idCol).cast("long").as("v"), lit(batchId).as("b")))
+    admitted.unpersist()
+    ()
+  }
 }

@@ -135,5 +135,16 @@ class ScheduleTopicSpec extends AnyFunSuite {
     IncrementalDedup.tick(spark, src, schema, ckpt, out, store, "doc_id", "text")
     assert(spark.read.parquet(out).count() == 3)
     assert(store.get().count() == 3, "seen-key index holds one row per distinct content")
+
+    // crash replay: re-running a batch body with ITS OWN batchId (as
+    // the checkpoint would after a crash mid-tick) must converge to
+    // the identical corpus and store — no duplicates, no data loss.
+    // Batch 1 admitted doc 4; replay it twice more.
+    val b1 = docs(3L -> "z y x", 4L -> "new stuff", 5L -> "new stuff")
+    IncrementalDedup.processBatch(b1, 1L, out, store, "doc_id", "text")
+    IncrementalDedup.processBatch(b1, 1L, out, store, "doc_id", "text")
+    val after = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(1L, 2L, 4L), s"replays must be idempotent, got $after")
+    assert(store.get().count() == 3)
   }
 }
