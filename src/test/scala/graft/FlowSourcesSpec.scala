@@ -136,6 +136,30 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(store.get().count() == 64)
   }
 
+  test("Namespace: same name resolves to the same flow/topic/table from independent call sites") {
+    import graft.api.Namespace
+    val ns = new Namespace(spark, Files.createTempDirectory("graft_ns").toString)
+    // two "modules" ask for the same named flow; the second gets the
+    // first's registration, not a fresh evaluation
+    var evals = 0
+    def make = { evals += 1; Tables.nation(spark, dir).select(col("n_name")) }
+    val a = ns.flow("nations")(make)
+    val b = ns.flow("nations")(make)
+    assert(evals == 1, "producer must run once; second call resolves by name")
+    assert(a.toDF.count() == b.toDF.count())
+    assert(ns.get("nations").toDF.count() == 25)
+    intercept[NoSuchElementException](ns.get("missing"))
+    // same-named topic is the same log
+    val t1 = ns.topic("clicks"); val t2 = ns.topic("clicks")
+    t1.publish(Tables.nation(spark, dir).select(col("n_name")).limit(3))
+    assert(t2.replay().count() == 3, "publish via one handle, read via the other")
+    // same-named table is the same store
+    val s1 = ns.table("kv", Seq("k"), "v")
+    import spark.implicits._
+    s1.upsert(Seq(("a", 1L)).toDF("k", "v"))
+    assert(ns.table("kv", Seq("k"), "v").get().count() == 1)
+  }
+
   test("Multimodal: stub decode is deterministic, frame slices cover payload") {
     val corpus = Multimodal.fakeCorpus(spark, 8, "image")
     val f1 = Multimodal.decodeStub(corpus).collect().map(f => (f.media_id, f.checksum)).toSet
