@@ -160,6 +160,27 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(ns.table("kv", Seq("k"), "v").get().count() == 1)
   }
 
+  test("Inference.annotate batches per partition and returns one response per row") {
+    import graft.operators.Inference
+    val docs = Tables.documents(spark, dir).limit(100)
+    // deterministic stand-in for the external model call; counts
+    // batch sizes through an accumulator to prove batching happened
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val out = Inference.annotate(spark, docs, "doc_id", "text", batchSize = 16) { prompts =>
+      batchSizes.add(prompts.length)
+      prompts.map(p => s"len=${p.length}")
+    }
+    val rows = out.collect()
+    assert(rows.length == 100, "one response per input row")
+    assert(rows.forall(_.getString(1).startsWith("len=")))
+    val sizes = batchSizes.value
+    assert(sizes.size() < 100, s"calls must be batched, saw ${sizes.size()} calls")
+    sizes.forEach(s => assert(s <= 16))
+    // responses keyed by id → order-independent join back
+    val joined = docs.join(out, "doc_id")
+    assert(joined.filter(length(col("text")) =!= expr("CAST(substring(response, 5) AS INT)")).count() == 0)
+  }
+
   test("Multimodal: stub decode is deterministic, frame slices cover payload") {
     val corpus = Multimodal.fakeCorpus(spark, 8, "image")
     val f1 = Multimodal.decodeStub(corpus).collect().map(f => (f.media_id, f.checksum)).toSet
