@@ -31,6 +31,21 @@ class ClusterTraverseSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(pairs, "a", "b").count() == 0)
   }
 
+  test("connectedComponents converges at diameter == maxIter and throws past it") {
+    val sp = spark
+    import sp.implicits._
+    // path graph 1-2-3-4-5-6: diameter 5. maxIter bounds CHANGE
+    // rounds (detection takes one extra no-change round), so
+    // maxIter = 5 must converge with correct labels...
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val ok = Dedup.connectedComponents(path, "a", "b", maxIter = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L) && ok.size == 6)
+    // ...and maxIter = 2 must fail LOUDLY, not return mislabeled rows
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(path, "a", "b", maxIter = 2).count())
+  }
+
   test("traverse flattens any nesting depth to atoms") {
     val sp = spark
     import sp.implicits._
