@@ -78,6 +78,18 @@ object Examples {
     graft.streaming.IncrementalDedup.tick(spark, incSrc, d1.schema, incCp, incOut, seen, "doc_id", "text")
     println(s"== IncrementalDedup (4 docs in, dups dropped): ${spark.read.parquet(incOut).count()} admitted ==")
 
+    // deva:  NS('name') / NT('name')  — named objects shared by name
+    val ns = new graft.api.Namespace(spark, Files.createTempDirectory("graft_demo_ns").toString)
+    ns.flow("signups")(ev.filter(col("event_type") === "signup"))
+    println(s"== Namespace: NS('signups') resolves to ${ns.get("signups").toDF.count()} events ==")
+
+    // deva:  GPT.sync_query(batch)  — executor-side batched annotation
+    // (transport stubbed: zero egress; plumbing is the real part)
+    val annotated = graft.operators.Inference.annotate(
+      spark, Tables.documents(spark, dir).limit(40), "doc_id", "text", 16)(
+      prompts => prompts.map(p => s"${p.split(' ').length} tokens"))
+    println(s"== Inference.annotate: ${annotated.count()} docs annotated in executor-side batches ==")
+
     // deva:  traverse  — recursive flatten to atoms
     val nested = Seq((1L, Seq(Seq(1, 2), Seq(3)))).toDF("id", "nst")
     println(s"== traverse: ${Flow(nested).traverse("nst", "v").toDF.count()} atoms ==")
