@@ -403,8 +403,40 @@ object EventQueries {
       |  TRUE AS kmv_in_tol, TRUE AS hll_in_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q70 — approximate quantiles (completing the sketch family:
+    * distinct=q58, frequency=q59, quantiles here): per event_type,
+    * `percentile_approx` at accuracy 100 (a real approximation — the
+    * Greenwald-Khanna summary, mergeable map-side, the 100 TB path
+    * where exact quantiles need a full sort). Graded by RANK error:
+    * the fraction of values ≤ the approximate quantile must sit
+    * within ±0.05 of the target rank — a bound the oracle can pin
+    * TRUE without depending on which element the sketch picked.
+    */
+  def q70_approx_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sk = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(100)).as("aps"),
+        count(lit(1)).as("n"))
+    ev.join(sk, "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        (sum(when(col("value") <= element_at(col("aps"), 1), 1L).otherwise(0L)) /
+          first(col("n"))).as("r50"),
+        (sum(when(col("value") <= element_at(col("aps"), 2), 1L).otherwise(0L)) /
+          first(col("n"))).as("r90"))
+      .select(col("event_type"), col("n"),
+        (col("r50") >= 0.45 && col("r50") <= 0.55).as("p50_ok"),
+        (col("r90") >= 0.85 && col("r90") <= 0.95).as("p90_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val q70_approx_quantiles_sql: String =
+    """SELECT event_type, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_unique" -> (q08_unique _),
+    "q70_approx_quantiles" -> (q70_approx_quantiles _),
     "q58_sketch_distinct" -> (q58_sketch_distinct _),
     "q12_collect" -> (q12_collect _),
     "q14_pluck_json" -> (q14_pluck_json _),
@@ -425,6 +457,7 @@ object EventQueries {
 
   def oracles: Map[String, String] = Map(
     "q08_unique" -> q08_unique_sql,
+    "q70_approx_quantiles" -> q70_approx_quantiles_sql,
     "q58_sketch_distinct" -> q58_sketch_distinct_sql,
     "q12_collect" -> q12_collect_sql,
     "q14_pluck_json" -> q14_pluck_json_sql,
