@@ -581,11 +581,79 @@ object TextQueries {
        |FROM base ORDER BY doc_id""".stripMargin
   }
 
+  /** q71 — deterministic train/val/test split (90/5/5 by content
+    * hash): the split a doc lands in depends ONLY on its id — stable
+    * under reruns, partitioning, and corpus growth (adding docs never
+    * moves existing ones between splits, the property that prevents
+    * silent eval-set contamination). Output proves the split is a
+    * partition: per lang × split counts, which the oracle recomputes
+    * from the same hash.
+    */
+  def q71_train_split(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(graft.functions.Determinism.hash60(col("doc_id").cast("string")), lit(100L))
+    val split = when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("lang"), split.as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q71_train_split_sql: String = {
+    val h = s"${graft.functions.Determinism.hash60Sql("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""SELECT lang,
+       |  CASE WHEN $h < 90 THEN 'train' WHEN $h < 95 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  }
+
+  /** q72 — sequence packing (concat-and-chunk): docs in deterministic
+    * order are packed into fixed 4096-token bins by running-cumsum
+    * assignment — the GPT-style document-concatenation step that
+    * turns a curated corpus into training sequences. Packing is LOCAL
+    * to a (lang, shard) range of doc ids, so the cumsum window's
+    * parallelism grows with the corpus instead of being capped at the
+    * language count (a per-lang-only window is one task per language
+    * — a straggler at 100 TB; shard-local packing is also what keeps
+    * ingestion incremental: new shards pack without touching old
+    * ones).
+    */
+  def q72_seq_packing(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 4096L
+    val shardSpan = 1000L
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") / shardSpan).cast("long").as("shard"),
+        col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / cap).cast("long"))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("lang"), col("shard"), col("bin"))
+  }
+
+  val q72_seq_packing_sql: String =
+    s"""WITH t AS (
+       |  SELECT lang, CAST(floor(CAST(doc_id AS DOUBLE) / 1000) AS BIGINT) AS shard,
+       |    doc_id, CAST(len(${TA.tokensSql}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, shard, doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT lang, shard, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
     "q65_corpus_pipeline" -> (q65_corpus_pipeline _),
     "q66_diversity" -> (q66_diversity _),
+    "q71_train_split" -> (q71_train_split _),
+    "q72_seq_packing" -> (q72_seq_packing _),
     "q41_quality" -> (q41_quality _),
     "q42_langid" -> (q42_langid _),
     "q43_dedup_exact" -> (q43_dedup_exact _),
@@ -604,6 +672,8 @@ object TextQueries {
     "q59_heavy_hitters" -> q59_heavy_hitters_sql,
     "q65_corpus_pipeline" -> q65_corpus_pipeline_sql,
     "q66_diversity" -> q66_diversity_sql,
+    "q71_train_split" -> q71_train_split_sql,
+    "q72_seq_packing" -> q72_seq_packing_sql,
     "q40_token_count" -> q40_token_count_sql,
     "q41_quality" -> q41_quality_sql,
     "q42_langid" -> q42_langid_sql,
