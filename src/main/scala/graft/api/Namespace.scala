@@ -11,33 +11,46 @@ import graft.sources.{KvStore, Topic}
   * name instead of wiring references through.
   *
   * Spark-first mapping — the engine already HAS a name registry:
-  *  - named stream  → a temp view in the session catalog (`NS`)
-  *  - named topic   → a directory under the namespace root (`NT`;
-  *    [[Topic]] is stateless over its dir, so get-or-create is just
-  *    the path convention)
-  *  - named table   → a [[KvStore]] under the root (`table`/DBStream)
+  *  - named flow  → a temp view in the session catalog (`NS`),
+  *    PREFIXED with a root-derived tag so two namespaces with
+  *    different roots cannot see each other's names (and cannot
+  *    collide with unrelated catalog tables)
+  *  - named topic → a directory under the namespace root (`NT`)
+  *  - named table → ONE [[KvStore]] instance per (root, name),
+  *    cached JVM-wide — KvStore is single-writer, so every module
+  *    resolving the name must share the same handle, not construct
+  *    its own
   *
-  * Thread-safety comes from the catalog itself plus a local monitor
-  * for the create-if-absent race (the reference uses an RLock).
+  * Get-or-create is serialized on a JVM-global lock (the reference
+  * uses an RLock on its global namespace): two modules racing the
+  * same name run the producer exactly once.
   */
 final class Namespace(spark: SparkSession, root: String) {
+
+  private def tag(name: String): String = {
+    val h = Integer.toHexString(root.hashCode)
+    s"graft_ns_${h}_$name"
+  }
 
   /** deva `NS(name)` with a producer: return the flow registered
     * under `name`, creating and registering it on first call.
     */
-  def flow(name: String)(create: => DataFrame): Flow = synchronized {
-    if (spark.catalog.tableExists(name)) Flow(spark.table(name))
+  def flow(name: String)(create: => DataFrame): Flow = Namespace.lock.synchronized {
+    val v = tag(name)
+    if (spark.catalog.tableExists(v)) Flow(spark.table(v))
     else {
       val df = create
-      df.createOrReplaceTempView(name)
+      df.createOrReplaceTempView(v)
       Flow(df)
     }
   }
 
   /** deva `NS(name)` lookup form; fails loudly when absent. */
-  def get(name: String): Flow =
-    if (spark.catalog.tableExists(name)) Flow(spark.table(name))
+  def get(name: String): Flow = {
+    val v = tag(name)
+    if (spark.catalog.tableExists(v)) Flow(spark.table(v))
     else throw new NoSuchElementException(s"namespace has no flow named '$name'")
+  }
 
   /** deva `NT(name)`: the named topic (same name → same directory →
     * same log, from any module or process).
@@ -45,8 +58,28 @@ final class Namespace(spark: SparkSession, root: String) {
   def topic(name: String): Topic = Topic(spark, s"$root/topics", name)
 
   /** deva `namespace.create(name, 'table')` (DBStream): the named
-    * keyed table.
+    * keyed table. Same (root, name) → the SAME KvStore instance
+    * JVM-wide (the store is single-writer); asking for an existing
+    * name with a different key configuration is an error, not a
+    * silent re-keying.
     */
   def table(name: String, keyCols: Seq[String], versionCol: String): KvStore =
-    synchronized { new KvStore(spark, s"$root/tables/$name", keyCols, versionCol) }
+    Namespace.lock.synchronized {
+      val path = s"$root/tables/$name"
+      Namespace.tables.get(path) match {
+        case null =>
+          val s = new KvStore(spark, path, keyCols, versionCol)
+          Namespace.tables.put(path, (s, keyCols, versionCol))
+          s
+        case (s, k, v) =>
+          require(k == keyCols && v == versionCol,
+            s"table '$name' already registered with keys $k/version $v — got $keyCols/$versionCol")
+          s
+      }
+    }
+}
+
+private object Namespace {
+  val lock = new Object
+  val tables = new java.util.concurrent.ConcurrentHashMap[String, (KvStore, Seq[String], String)]()
 }

@@ -23,13 +23,17 @@ object Inference {
   /** Annotate `textCol` of every row, `batchSize` prompts per call.
     * `call` receives one batch of prompts and must return exactly one
     * response per prompt, in order — the executor-side analogue of
-    * `GPT.sync_query(list_of_prompts)`.
+    * `GPT.sync_query(list_of_prompts)`. `idCol` must be numeric and
+    * non-null (it keys the responses back); null text becomes the
+    * empty prompt rather than an executor NPE.
     */
   def annotate(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
       batchSize: Int = 32)(call: Seq[String] => Seq[String]): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val ds: Dataset[(Long, String)] =
-      df.selectExpr(s"CAST($idCol AS BIGINT)", s"CAST($textCol AS STRING)").as[(Long, String)]
+      df.select(col(idCol).cast("long"),
+        coalesce(col(textCol).cast("string"), lit(""))).as[(Long, String)]
     ds.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val responses = call(batch.map(_._2))

@@ -411,12 +411,22 @@ object EventQueries {
     * the fraction of values ≤ the approximate quantile must sit
     * within ±0.05 of the target rank — a bound the oracle can pin
     * TRUE without depending on which element the sketch picked.
+    * Assumes a near-continuous value column (heavy ties at one value
+    * make rank fractions jump past any band; gate the tie mass, not
+    * the quantile, for such columns).
     */
   def q70_approx_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    // groups below 100 rows are excluded on BOTH sides: with n small
+    // the achievable rank fractions step by 1/n, so the ±0.05 band
+    // is unreachable and the TRUE-pinned oracle would false-fail.
+    // Null guards likewise mirrored (null values can deflate the
+    // rank ratio; null types desync the grouping between engines).
     val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
     val sk = ev.groupBy(col("event_type"))
       .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(100)).as("aps"),
         count(lit(1)).as("n"))
+      .filter(col("n") >= 100)
     ev.join(sk, "event_type")
       .groupBy(col("event_type"))
       .agg(first(col("n")).as("n"),
@@ -432,7 +442,8 @@ object EventQueries {
 
   val q70_approx_quantiles_sql: String =
     """SELECT event_type, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |GROUP BY event_type HAVING COUNT(*) >= 100 ORDER BY event_type""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_unique" -> (q08_unique _),
