@@ -153,8 +153,15 @@ class FlowSourcesSpec extends AnyFunSuite {
     val t1 = ns.topic("clicks"); val t2 = ns.topic("clicks")
     t1.publish(Tables.nation(spark, dir).select(col("n_name")).limit(3))
     assert(t2.replay().count() == 3, "publish via one handle, read via the other")
-    // same-named table is the same store
+    // DIFFERENT roots must not see each other's names (regression:
+    // flows used to be session-global regardless of root)
+    val other = new graft.api.Namespace(spark, Files.createTempDirectory("graft_ns2").toString)
+    intercept[NoSuchElementException](other.get("nations"))
+    // same-named table is the same store INSTANCE (single-writer),
+    // and re-registering with different keys fails loudly
     val s1 = ns.table("kv", Seq("k"), "v")
+    assert(ns.table("kv", Seq("k"), "v") eq s1)
+    intercept[IllegalArgumentException](ns.table("kv", Seq("other"), "v"))
     import spark.implicits._
     s1.upsert(Seq(("a", 1L)).toDF("k", "v"))
     assert(ns.table("kv", Seq("k"), "v").get().count() == 1)
