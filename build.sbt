@@ -32,3 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The bench driver parses the LAST stdout line of the sbt invocation
+// as the metric JSON. The forked Bench JVM prints that JSON, but sbt's
+// "[success] Total time: ..." epilogue then lands after it and becomes
+// the last line, so the driver recorded "parsed": null. Suppress the
+// epilogue whenever the bench env var is present (interactive builds
+// keep it).
+Global / showSuccess := sys.env.get("SPARK_GRAFT_SF_DIR").isEmpty
+Global / excludeLintKeys += showSuccess

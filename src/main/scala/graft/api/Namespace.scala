@@ -25,12 +25,23 @@ import graft.sources.{KvStore, Topic}
   * uses an RLock on its global namespace): two modules racing the
   * same name run the producer exactly once.
   */
-final class Namespace(spark: SparkSession, root: String) {
+final class Namespace(spark: SparkSession, rawRoot: String) {
 
-  private def tag(name: String): String = {
-    val h = Integer.toHexString(root.hashCode)
-    s"graft_ns_${h}_$name"
-  }
+  /** Canonical identity. Two spellings of one directory (trailing
+    * slash, relative vs absolute, `..` segments) must resolve to ONE
+    * namespace — otherwise two KvStore handles exist over the same
+    * files and the single-writer guarantee silently breaks. And two
+    * DIFFERENT roots must never alias: the previous 32-bit
+    * `root.hashCode` tag could collide (silent cross-namespace
+    * visibility), so the tag is the full md5 of the canonical root.
+    */
+  private val root: String = new java.io.File(rawRoot).getCanonicalPath
+
+  private val rootTag: String = java.security.MessageDigest
+    .getInstance("MD5").digest(root.getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString
+
+  private def tag(name: String): String = s"graft_ns_${rootTag}_$name"
 
   /** deva `NS(name)` with a producer: return the flow registered
     * under `name`, creating and registering it on first call.

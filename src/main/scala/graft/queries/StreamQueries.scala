@@ -20,6 +20,23 @@ object StreamQueries {
 
   private val runId = new AtomicInteger(0)
 
+  /** Stateful streaming allocates ONE state-store instance per shuffle
+    * partition per stateful operator, and every micro-batch pays a
+    * commit/maintenance round-trip on each of them. For the local gate
+    * (≤100k rows of state) 32 partitions is pure fixed overhead — the
+    * round-2 bench showed q61/q64 at 2.3×/2.6× their round-1 times for
+    * exactly this reason. Run the streaming plan under a small
+    * partition count and restore the session default afterwards; on a
+    * real cluster this knob is sized to executor cores × executors,
+    * not hard-coded (GRAFT_STREAM_SHUFFLE env overrides).
+    */
+  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "5"))
+    try body finally spark.conf.set(key, prev)
+  }
+
   case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
@@ -28,10 +45,12 @@ object StreamQueries {
     */
   def q60_stream_tumbling(spark: SparkSession, dir: String): DataFrame = {
     val name = s"q60_mem_${runId.incrementAndGet()}"
-    val res = EventFlow.fromEvents(spark, dir)
-      .timedWindow("ts", "1 hour", Seq(col("event_type")),
-        Seq(count(lit(1)).as("n"), dsum(col("value")).as("v")))
-      .toMemory(spark, name, "complete")
+    val res = withStreamShuffle(spark) {
+      EventFlow.fromEvents(spark, dir)
+        .timedWindow("ts", "1 hour", Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("v")))
+        .toMemory(spark, name, "complete")
+    }
     res.select(col("window.start").as("bucket"), col("event_type"), col("n"), col("v"))
       .orderBy(col("bucket"), col("event_type"))
   }
@@ -57,10 +76,12 @@ object StreamQueries {
     */
   def q61_stream_unique(spark: SparkSession, dir: String): DataFrame = {
     val name = s"q61_mem_${runId.incrementAndGet()}"
-    val res = EventFlow.fromEvents(spark, dir)
-      .withWatermark("ts", "7 days")
-      .uniqueWithinWatermark(Seq("user_id", "event_type"))
-      .toMemory(spark, name, "append")
+    val res = withStreamShuffle(spark) {
+      EventFlow.fromEvents(spark, dir)
+        .withWatermark("ts", "7 days")
+        .uniqueWithinWatermark(Seq("user_id", "event_type"))
+        .toMemory(spark, name, "append")
+    }
     res.select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
   }
@@ -76,17 +97,19 @@ object StreamQueries {
     val sp = spark
     import sp.implicits._
     val name = s"q62_mem_${runId.incrementAndGet()}"
-    val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
-    val folded = Stateful.foldPerKey[Long, EvRow, (Long, Long), (Long, Long, Long)](
-      ds)(_.user_id)((0L, 0L))(
-      (s, e) => (s._1 + math.floor(e.value * 100 + 0.5).toLong, s._2 + 1))(
-      (k, s) => (k, s._1, s._2))
-    val q = folded.toDF("user_id", "total_cents", "n")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val folded = Stateful.foldPerKey[Long, EvRow, (Long, Long), (Long, Long, Long)](
+        ds)(_.user_id)((0L, 0L))(
+        (s, e) => (s._1 + math.floor(e.value * 100 + 0.5).toLong, s._2 + 1))(
+        (k, s) => (k, s._1, s._2))
+      val q = folded.toDF("user_id", "total_cents", "n")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy(col("user_id"))
   }
 
@@ -102,10 +125,12 @@ object StreamQueries {
     */
   def q63_stream_sliding(spark: SparkSession, dir: String): DataFrame = {
     val name = s"q63_mem_${runId.incrementAndGet()}"
-    val res = EventFlow.fromEvents(spark, dir)
-      .slidingWindow("ts", "1 hour", "30 minutes", Seq(col("event_type")),
-        Seq(count(lit(1)).as("n"), dsum(col("value")).as("v")))
-      .toMemory(spark, name, "complete")
+    val res = withStreamShuffle(spark) {
+      EventFlow.fromEvents(spark, dir)
+        .slidingWindow("ts", "1 hour", "30 minutes", Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("v")))
+        .toMemory(spark, name, "complete")
+    }
     res.select(col("window.start").as("bucket"), col("event_type"), col("n"), col("v"))
       .orderBy(col("bucket"), col("event_type"))
   }
@@ -132,10 +157,12 @@ object StreamQueries {
     */
   def q64_stream_session(spark: SparkSession, dir: String): DataFrame = {
     val name = s"q64_mem_${runId.incrementAndGet()}"
-    val res = EventFlow.fromEvents(spark, dir)
-      .sessionWindow("ts", "30 minutes", Seq(col("user_id")),
-        Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("v")))
-      .toMemory(spark, name, "complete")
+    val res = withStreamShuffle(spark) {
+      EventFlow.fromEvents(spark, dir)
+        .sessionWindow("ts", "30 minutes", Seq(col("user_id")),
+          Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("v")))
+        .toMemory(spark, name, "complete")
+    }
     res.select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("v"))
       .orderBy(col("user_id"), col("session_start"))
@@ -169,18 +196,20 @@ object StreamQueries {
     */
   def q69_stream_join(spark: SparkSession, dir: String): DataFrame = {
     val name = s"q69_mem_${runId.incrementAndGet()}"
-    val clicks = EventFlow.fromEvents(spark, dir)
-      .where(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
-      .withWatermark("cts", "1 hour")
-    val purchases = EventFlow.fromEvents(spark, dir)
-      .where(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("pts"))
-      .withWatermark("pts", "1 hour")
-    val res = clicks.intervalJoin(purchases,
-        col("user_id") === col("p_user") &&
-        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
-      .toMemory(spark, name, "append")
+    val res = withStreamShuffle(spark) {
+      val clicks = EventFlow.fromEvents(spark, dir)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val purchases = EventFlow.fromEvents(spark, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      clicks.intervalJoin(purchases,
+          col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+        .toMemory(spark, name, "append")
+    }
     res.select(col("click_id"), col("purchase_id"), col("user_id"))
       .orderBy(col("click_id"), col("purchase_id"))
   }

@@ -74,8 +74,13 @@ object HttpIngest {
     import spark.implicits._
     val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
-    val body = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
-    body.split("\n").toIndexedSeq.filter(_.nonEmpty).toDF("value")
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    // an error page is not data: fail loudly (mirrors postTo's non-2xx
+    // contract) instead of silently ingesting a 404/500 body as rows
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"readFrom $url returned HTTP ${resp.statusCode()} — refusing to ingest error body")
+    resp.body().split("\n").toIndexedSeq.filter(_.nonEmpty).toDF("value")
   }
 
   /** deva `post_to`: deliver each row of a single string column as an

@@ -65,59 +65,122 @@ object Sources {
 class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     versionCol: String, numBuckets: Int = 16) {
 
+  // All metadata ops go through the Hadoop FileSystem API so the
+  // bucketed store works on ANY filesystem Spark can reach (local fs,
+  // HDFS, rename-capable object-store connectors) — not just
+  // java.io.File. The FS is resolved from the store path itself.
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private val rootPath = new org.apache.hadoop.fs.Path(path)
+  private val fs = rootPath.getFileSystem(hconf)
+  private val stagedPath = new org.apache.hadoop.fs.Path(path + ".staged")
+  private val manifestPath = new org.apache.hadoop.fs.Path(stagedPath, "_graft_swap")
+  private val metaPath = new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets")
+
+  // rename reports failure via its return value, not an exception —
+  // an unchecked false would silently lose the upsert
+  private def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"KvStore rename failed: $src -> $dst")
+
+  private def deleteOrThrow(p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"KvStore delete failed: $p")
+
+  private def writeSmallFile(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Finish one bucket's stage-then-swap, resumable from any crash
+    * point: (a) main→.old, (b) staged→main, (c) drop .old. Used by
+    * both the live upsert and open-time roll-forward, so there is
+    * exactly one implementation of the protocol.
+    */
+  private def completeSwap(b: Int): Unit = {
+    val stagedB = new org.apache.hadoop.fs.Path(stagedPath, s"__b=$b")
+    val mainB = new org.apache.hadoop.fs.Path(rootPath, s"b=$b")
+    val oldB = new org.apache.hadoop.fs.Path(rootPath, s"b=$b.old")
+    if (fs.exists(stagedB)) {
+      if (fs.exists(mainB)) {
+        deleteOrThrow(oldB)
+        renameOrThrow(mainB, oldB)
+      }
+      renameOrThrow(stagedB, mainB)
+    } else if (!fs.exists(mainB) && fs.exists(oldB)) {
+      // unreachable under the protocol (staged only vanishes by
+      // becoming main) — but never drop the .old while no main exists
+      renameOrThrow(oldB, mainB)
+    }
+    deleteOrThrow(oldB)
+  }
+
   // SINGLE-WRITER store (like the reference's sqlite-backed DB): the
-  // per-bucket stage-then-swap below is not safe under concurrent
-  // writers or a reader racing a swap window. Recover from a crash
-  // mid-swap on open, bucket by bucket: a `.old` whose main dir
-  // vanished is the intact previous bucket — restore it; a `.old`
-  // next to a live main dir is a completed swap's debris.
+  // per-bucket stage-then-swap is not safe under concurrent writers.
+  // Upsert protocol: (1) stage every touched bucket under
+  // `path+".staged"`, (2) write the `_graft_swap` manifest naming the
+  // touched buckets — THE commit point, (3) swap each bucket,
+  // (4) drop manifest, (5) drop staging. Open-time recovery makes a
+  // crashed upsert atomic: a manifest present means staging completed
+  // → ROLL FORWARD (finish every listed swap); staging without a
+  // manifest means the stage write itself died → ROLL BACK (drop it).
+  // Afterwards ALL touched buckets show the new data or NONE do —
+  // never the torn prefix a crash mid-loop used to leave.
   locally {
-    val root = new java.io.File(path)
-    if (root.exists()) {
-      root.listFiles().filter(_.getName.endsWith(".old")).foreach { old =>
-        val main = new java.io.File(path, old.getName.stripSuffix(".old"))
-        if (!main.exists()) {
-          if (!old.renameTo(main))
-            throw new java.io.IOException(s"KvStore recovery failed: cannot restore $old to $main")
-        } else deleteRec(old)
+    if (fs.exists(manifestPath)) {
+      readSmallFile(manifestPath).split("\n").filter(_.nonEmpty).map(_.trim.toInt)
+        .foreach(completeSwap)
+      deleteOrThrow(manifestPath)
+      deleteOrThrow(stagedPath)
+    } else deleteOrThrow(stagedPath)
+    if (fs.exists(rootPath)) {
+      val entries = fs.listStatus(rootPath)
+      // residual `.old` outside any manifested swap: main vanished →
+      // it IS the intact previous bucket, restore it; main live →
+      // completed-swap debris, drop it
+      entries.filter(_.getPath.getName.endsWith(".old")).foreach { old =>
+        val main = new org.apache.hadoop.fs.Path(rootPath, old.getPath.getName.stripSuffix(".old"))
+        if (!fs.exists(main)) renameOrThrow(old.getPath, main)
+        else deleteOrThrow(old.getPath)
       }
       // refuse to silently shadow a store written in another layout:
       // anything at the root that is not a bucket dir or the meta
       // file (e.g. a pre-bucketing flat parquet table) would become
       // invisible to current() and permanently masked by upserts
-      val strangers = root.listFiles().filterNot { f =>
-        f.getName == "_graft_buckets" ||
-          (f.isDirectory && (f.getName.startsWith("b=")))
+      val strangers = fs.listStatus(rootPath).map(_.getPath.getName).filterNot { n =>
+        n == "_graft_buckets" || n.startsWith("b=")
       }
       if (strangers.nonEmpty)
         throw new IllegalStateException(
-          s"KvStore at $path contains non-bucketed entries ${strangers.map(_.getName).mkString(", ")} — " +
+          s"KvStore at $path contains non-bucketed entries ${strangers.mkString(", ")} — " +
             "migrate the old flat-layout table (read it, then upsert into a fresh path) instead of opening it in place")
       // bucket dirs without the creation-time bucket count are
       // ambiguous: a different constructor count would mis-bucket
       // every future key
-      if (root.listFiles().exists(f => f.isDirectory && f.getName.startsWith("b=")) &&
-          !new java.io.File(path, "_graft_buckets").exists())
+      if (fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("b=")) &&
+          !fs.exists(metaPath))
         throw new IllegalStateException(
           s"KvStore at $path has bucket dirs but no _graft_buckets meta — bucket count unknown")
     }
   }
 
-  private val metaFile = new java.io.File(path, "_graft_buckets")
-
   /** Buckets in the on-disk layout (creation-time count wins). */
   private def buckets: Int =
-    if (metaFile.exists())
-      new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8").trim.toInt
+    if (fs.exists(metaPath)) readSmallFile(metaPath).trim.toInt
     else numBuckets
 
   private def bucketOf = pmod(hash(keyCols.map(col): _*), lit(buckets))
 
-  private def bucketDirs: Seq[java.io.File] = {
-    val root = new java.io.File(path)
-    if (!root.exists()) Seq.empty
-    else root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("b=") &&
-      !f.getName.endsWith(".old")).toSeq.sortBy(_.getName)
+  private def bucketDirs: Seq[org.apache.hadoop.fs.Path] = {
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b=") &&
+        !st.getPath.getName.endsWith(".old"))
+      .map(_.getPath).toSeq.sortBy(_.getName)
   }
 
   /** Upsert a batch: new rows win over stored rows at equal keys by
@@ -136,12 +199,12 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     val touched = incoming.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) { incoming.unpersist(); return }
-    val existingTouched = touched.map(b => new java.io.File(path, s"b=$b"))
-      .filter(_.exists())
+    val existingTouched = touched.map(b => new org.apache.hadoop.fs.Path(rootPath, s"b=$b"))
+      .filter(fs.exists)
     val merged = if (existingTouched.nonEmpty) {
       // bucket id re-derived from the keys (same deterministic hash)
       // rather than parsed from the directory name
-      val cur = spark.read.parquet(existingTouched.map(_.getPath): _*)
+      val cur = spark.read.parquet(existingTouched.map(_.toString): _*)
         .withColumn("__gen", lit(0)).withColumn("__b", bucketOf)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*)
@@ -151,39 +214,29 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
         .filter(col("__rn") === 1)
         .drop("__rn", "__gen")
     } else incoming.drop("__gen")
-    // one job stages every touched bucket; then each bucket dir is
-    // swapped into place. renameTo reports failure via its return
-    // value, not an exception — an unchecked false would silently
-    // lose the upsert.
-    val staged = path + ".staged"
-    deleteRec(new java.io.File(staged))
-    merged.write.partitionBy("__b").mode("overwrite").parquet(staged)
-    new java.io.File(path).mkdirs()
-    if (!metaFile.exists())
-      java.nio.file.Files.write(metaFile.toPath, nb.toString.getBytes("UTF-8"))
+    // one job stages every touched bucket; the manifest write below is
+    // the commit point (see the recovery protocol above)
+    deleteOrThrow(stagedPath)
+    merged.write.partitionBy("__b").mode("overwrite").parquet(stagedPath.toString)
+    fs.mkdirs(rootPath)
+    if (!fs.exists(metaPath)) writeSmallFile(metaPath, nb.toString)
+    // every staged bucket must exist BEFORE the manifest commits the
+    // swap — a missing one here means the write job lied about success
     touched.foreach { b =>
-      val stagedB = new java.io.File(staged, s"__b=$b")
-      val mainB = new java.io.File(path, s"b=$b")
-      val oldB = new java.io.File(path, s"b=$b.old")
-      if (!stagedB.exists())
-        throw new IllegalStateException(s"KvStore staged bucket $b missing under $staged")
-      if (mainB.exists()) {
-        deleteRec(oldB)
-        if (!mainB.renameTo(oldB))
-          throw new java.io.IOException(s"KvStore swap failed: cannot move $mainB aside")
-      }
-      if (!stagedB.renameTo(mainB))
-        throw new java.io.IOException(s"KvStore swap failed: cannot move $stagedB to $mainB")
-      deleteRec(oldB)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(stagedPath, s"__b=$b")))
+        throw new IllegalStateException(s"KvStore staged bucket $b missing under $stagedPath")
     }
-    deleteRec(new java.io.File(staged))
+    writeSmallFile(manifestPath, touched.mkString("\n"))
+    touched.foreach(completeSwap)
+    deleteOrThrow(manifestPath)
+    deleteOrThrow(stagedPath)
     incoming.unpersist()
   }
 
   def current(): Option[DataFrame] = {
     val dirs = bucketDirs
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_.getPath): _*))
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
   }
 
   /** The stored table; fails loudly when nothing has been written yet
@@ -192,11 +245,4 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   def get(): DataFrame =
     current().getOrElse(throw new NoSuchElementException(
       s"KvStore at $path is empty — upsert a batch before reading"))
-
-  // Files.delete throws on failure — a partially-undeletable dir must
-  // fail the current call, not poison the NEXT swap with a stale .old
-  private def deleteRec(f: java.io.File): Unit = if (f.exists()) {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    java.nio.file.Files.delete(f.toPath)
-  }
 }

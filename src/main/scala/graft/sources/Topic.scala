@@ -27,11 +27,36 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
 
   val dir = s"$root/$name"
 
-  /** Publish a batch (deva `pub`): an atomic append of immutable
-    * files — visible to every subscriber's next poll.
+  /** Publish a batch (deva `pub`). Atomicity contract: the batch is
+    * written to a dot-prefixed staging dir (invisible to Spark's file
+    * listings) and its part files are renamed into the topic only
+    * AFTER the write job commits — so a failed publish never leaves
+    * partial data in the topic (only a staging dir, deleted here /
+    * trivially GC-able), and the visibility window for a multi-file
+    * batch shrinks from job-duration to a loop of metadata renames.
+    * Visibility is per-FILE atomic: a subscriber polling inside that
+    * rename loop can see a prefix of the batch — delivery is still
+    * exactly-once per row, just possibly split across two polls.
     */
-  def publish(df: DataFrame): Unit =
-    df.write.mode("append").parquet(dir)
+  def publish(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    val stageName = s".stage_${System.nanoTime()}"
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/$stageName")
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(stage.toString)
+    try {
+      val parts = fs.listStatus(stage).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      parts.foreach { st =>
+        // prefix with the stage id so two concurrent publishes cannot
+        // collide on part-file names
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dst, s"${stageName.drop(1)}_${st.getPath.getName}"))
+      }
+    } finally fs.delete(stage, true)
+  }
 
   /** Continuous publisher (a stream >> topic): exactly-once via the
     * writer's checkpoint.

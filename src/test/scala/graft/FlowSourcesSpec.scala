@@ -136,6 +136,51 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(store.get().count() == 64)
   }
 
+  test("KvStore: a crash mid-swap rolls FORWARD on open (manifest recovery, no torn upsert)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_kv_crash").toString + "/t"
+    val store = new KvStore(spark, tmp, Seq("k"), "v", numBuckets = 8)
+    store.upsert((0 until 64).map(i => (s"k$i", 1L, s"p$i")).toDF("k", "v", "payload"))
+    // stage a second upsert the way upsert() does, then "crash" after
+    // the manifest commit with only a PREFIX of the swaps applied —
+    // exactly the torn state ADVICE r2 flagged
+    val batch = (0 until 64).map(i => (s"k$i", 2L, s"v2_$i")).toDF("k", "v", "payload")
+    val staged = tmp + ".staged"
+    val withB = batch.withColumn("__b", pmod(hash(col("k")), lit(8)))
+    withB.write.partitionBy("__b").mode("overwrite").parquet(staged)
+    val touched = withB.select("__b").distinct().collect().map(_.getInt(0)).sorted
+    assert(touched.length > 2, "need several buckets for a meaningful prefix")
+    java.nio.file.Files.write(java.nio.file.Paths.get(staged, "_graft_swap"),
+      touched.mkString("\n").getBytes("UTF-8"))
+    // apply the FIRST swap only (main aside → staged in → debris left)
+    val b0 = touched.head
+    val main0 = new java.io.File(tmp, s"b=$b0")
+    assert(main0.renameTo(new java.io.File(tmp, s"b=$b0.old")))
+    assert(new java.io.File(staged, s"__b=$b0").renameTo(main0))
+    // a fresh open must finish ALL remaining swaps, not restore the prefix
+    val reopened = new KvStore(spark, tmp, Seq("k"), "v", numBuckets = 8)
+    val got = reopened.get()
+    assert(got.count() == 64)
+    assert(got.filter(col("v") =!= 2L).count() == 0,
+      "every bucket must show the manifested batch after recovery")
+    assert(!new java.io.File(staged).exists(), "staging cleaned up after roll-forward")
+    assert(!new java.io.File(tmp).listFiles().exists(_.getName.endsWith(".old")))
+  }
+
+  test("KvStore: staging WITHOUT a manifest rolls back on open (stage write died)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_kv_rb").toString + "/t"
+    val store = new KvStore(spark, tmp, Seq("k"), "v", numBuckets = 4)
+    store.upsert((0 until 16).map(i => (s"k$i", 1L, s"p$i")).toDF("k", "v", "payload"))
+    // a half-written staging dir with no commit manifest
+    val staged = new java.io.File(tmp + ".staged/__b=0")
+    staged.mkdirs()
+    java.nio.file.Files.write(new java.io.File(staged, "part-junk").toPath, "x".getBytes)
+    val reopened = new KvStore(spark, tmp, Seq("k"), "v", numBuckets = 4)
+    assert(reopened.get().filter(col("v") =!= 1L).count() == 0, "old data intact")
+    assert(!new java.io.File(tmp + ".staged").exists(), "uncommitted staging dropped")
+  }
+
   test("Namespace: same name resolves to the same flow/topic/table from independent call sites") {
     import graft.api.Namespace
     val ns = new Namespace(spark, Files.createTempDirectory("graft_ns").toString)
@@ -165,6 +210,28 @@ class FlowSourcesSpec extends AnyFunSuite {
     import spark.implicits._
     s1.upsert(Seq(("a", 1L)).toDF("k", "v"))
     assert(ns.table("kv", Seq("k"), "v").get().count() == 1)
+  }
+
+  test("Namespace: hashCode-colliding roots stay isolated; root spellings canonicalize") {
+    import graft.api.Namespace
+    val base = Files.createTempDirectory("graft_nsc").toString
+    // "Aa" and "BB" have identical String.hashCode, so these two FULL
+    // paths collide under the old 32-bit tag — they must not alias
+    val rootA = s"$base/Aa"; val rootB = s"$base/BB"
+    assert(rootA.hashCode == rootB.hashCode, "precondition: constructed collision")
+    val nsA = new Namespace(spark, rootA)
+    val nsB = new Namespace(spark, rootB)
+    nsA.flow("shared_name")(Tables.nation(spark, dir).select(col("n_name")))
+    intercept[NoSuchElementException](nsB.get("shared_name"))
+    // trailing slash / redundant segments are the SAME namespace: one
+    // registry key, one shared single-writer KvStore handle
+    val ns1 = new Namespace(spark, s"$base/Aa")
+    val ns2 = new Namespace(spark, s"$base/Aa/")
+    val ns3 = new Namespace(spark, s"$base/BB/../Aa")
+    assert(ns2.get("shared_name").toDF.count() == 25)
+    val t1 = ns1.table("kvc", Seq("k"), "v")
+    assert(ns2.table("kvc", Seq("k"), "v") eq t1)
+    assert(ns3.table("kvc", Seq("k"), "v") eq t1)
   }
 
   test("Inference.annotate batches per partition and returns one response per row") {
