@@ -172,6 +172,20 @@ object Dedup {
     labels
   }
 
+  /** In-plan guard against quadratic blow-up: a bucket member list
+    * larger than `maxBucket` raises a LOUD error inside the expansion
+    * (raise_error sits in the data path, so the optimizer cannot
+    * prune it) instead of silently exploding O(n²) pairs on one task.
+    * A tripped guard means the banding/blocking needs retuning (more
+    * bands, or salt-split the hot bucket) — not a bigger cluster.
+    */
+  def cappedMembers(ids: Column, maxBucket: Int, what: String): Column =
+    when(size(ids) > maxBucket,
+      raise_error(concat(
+        lit(s"$what bucket exceeds $maxBucket members ("), size(ids).cast("string"),
+        lit(") — quadratic pair expansion refused; retune bands or salt-split"))))
+      .otherwise(ids)
+
   /** LSH candidate pairs from a signature frame with columns
     * (id, m0..m15): docs sharing any band bucket, each pair once.
     *
@@ -180,10 +194,11 @@ object Dedup {
     * pipeline is evaluated ONCE — a bucket self-join would recompute
     * it for each join side (measured 2× on the scale smoke). Bucket
     * membership is small by construction (that's what banding is
-    * for); a pathological giant bucket means the band width needs
-    * retuning, not a different join.
+    * for); [[cappedMembers]] turns the pathological giant bucket into
+    * a loud failure instead of a silent quadratic task.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String): DataFrame = {
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+      maxBucket: Int = 10000): DataFrame = {
     val sigCols = perms.indices.map(i => col(s"m$i"))
     val banded = sig.select(
       col(idCol),
@@ -192,6 +207,7 @@ object Dedup {
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .withColumn("ids", cappedMembers(col("ids"), maxBucket, "LSH band"))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))

@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[decodeImages]] decodes PNG/JPEG through
   * `javax.imageio` (ships in the JDK — zero added dependencies) and
-  * extracts luminance statistics per image. AUDIO/VIDEO decode stays
-  * a **STUB** ([[decodeStub]]: deterministic fake features — no
-  * audio/video codecs exist in the JDK or this container); its
-  * Spark-side contract (schema, per-partition batching, partition
-  * sizing, null handling) is real and tested, so a codec (JNI/FFI or
-  * `mapInArrow` from PySpark) can be swapped in without touching any
-  * plan structure.
+  * extracts luminance statistics per image. AUDIO decode is REAL for
+  * WAV/PCM: [[decodeAudio]] goes through `javax.sound.sampled`
+  * (also JDK-only) and extracts duration/RMS/peak/zero-crossing
+  * features. VIDEO decode stays the one **STUB** ([[decodeStub]]:
+  * deterministic fake features — no video codec exists in the JDK or
+  * this container); its Spark-side contract (schema, per-partition
+  * batching, partition sizing, null handling) is real and tested, so
+  * a codec (JNI/FFI or `mapInArrow` from PySpark) can be swapped in
+  * without touching any plan structure.
   */
 object Multimodal {
 
@@ -129,6 +131,86 @@ object Multimodal {
         val mean = sum / n
         ImageFeatures(r.media_id, w, h, n, mean, sq / n - mean * mean, mn, mx,
           Array.tabulate(4)(i => if (qN(i) == 0) 0.0 else qSum(i) / qN(i)))
+      }
+    }
+  }
+
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, duration_ms: Long, rms: Double, peak: Double,
+      zero_cross_rate: Double)
+
+  /** Deterministic REAL-WAV corpus: a 16-bit PCM mono sine wave whose
+    * frequency is keyed by the id, encoded through the JDK's WAV
+    * writer — decodable test media with closed-form feature values
+    * (RMS = amp/√2, zero-crossing rate = 2f/sr), no fixture files.
+    */
+  def wavCorpus(spark: SparkSession, n: Int, sampleRate: Int = 8000,
+      seconds: Double = 0.25): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val nSamples = (sampleRate * seconds).toInt
+      val freq = 200.0 + 50.0 * id // id-keyed tone
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * 0.5 * Short.MaxValue).toInt
+        pcm(i * 2) = (s & 0xff).toByte // little-endian
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(id, MediaMeta("audio", 0, 0, sampleRate, (seconds * 1000).toLong),
+        bos.toByteArray)
+    }
+  }
+
+  /** REAL audio decode (WAV/PCM via `javax.sound.sampled`): sample
+    * rate/channels/duration + RMS, peak and zero-crossing rate over
+    * the first channel — the feature stage of an audio curation
+    * pipeline (silence/clipping/tone filters). Same per-partition
+    * kernel shape as [[decodeImages]]; an undecodable payload fails
+    * loudly rather than emitting garbage features.
+    */
+  def decodeAudio(ds: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.data))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"media ${r.media_id}: payload is not a decodable audio file", e)
+        }
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"media ${r.media_id}: only 16-bit little-endian PCM supported, got $fmt")
+        val bytes = ais.readAllBytes()
+        val ch = fmt.getChannels
+        val stride = 2 * ch // first channel of each frame
+        val nSamples = bytes.length / stride
+        var sq = 0.0; var peak = 0.0; var crossings = 0L; var prev = 0
+        var i = 0
+        while (i < nSamples) {
+          val lo = bytes(i * stride) & 0xff
+          val hi = bytes(i * stride + 1).toInt
+          val s = ((hi << 8) | lo).toShort / 32768.0
+          sq += s * s
+          val a = math.abs(s); if (a > peak) peak = a
+          val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+          if (sign != 0 && prev != 0 && sign != prev) crossings += 1
+          if (sign != 0) prev = sign
+          i += 1
+        }
+        AudioFeatures(r.media_id, fmt.getSampleRate.toInt, ch, nSamples.toLong,
+          (nSamples * 1000L) / fmt.getSampleRate.toInt,
+          math.sqrt(sq / math.max(nSamples, 1)), peak,
+          crossings.toDouble / math.max(nSamples, 1))
       }
     }
   }

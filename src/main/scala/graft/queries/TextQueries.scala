@@ -277,6 +277,25 @@ object TextQueries {
        |  SELECT doc_id, n_hits, ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS rank FROM hits) r
        |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /** q73 — INDEX-SERVED search (deva IndexStream, search.py:19/:131/
+    * :163): q36 recomputes postings from raw text per query; here the
+    * postings are built ONCE into a persistent term-bucketed
+    * [[graft.operators.SearchIndex]] store and the query is served
+    * from the index — reading only the buckets its terms hash into.
+    * Same oracle as q36: the index must not change the answer.
+    * The store lands in a fresh temp dir per invocation so gate
+    * reruns can never serve stale postings.
+    */
+  def q73_index_search(spark: SparkSession, dir: String): DataFrame = {
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_q73_idx")
+      .toString + "/postings"
+    val store = graft.operators.SearchIndex.open(spark, idxPath)
+    graft.operators.SearchIndex.index(store, Tables.documents(spark, dir), "doc_id", "text")
+    graft.operators.SearchIndex.search(spark, store, Seq("table", "query", "spark"), 20)
+  }
+
+  val q73_index_search_sql: String = q36_text_search_sql
+
   /** q37 — keyword extraction (deva IndexStream.get_tags): top-3
     * terms per doc by tf (desc) then rarity (df asc) — a tf-idf
     * ranking kept on integers so the ordering is engine-exact
@@ -324,6 +343,7 @@ object TextQueries {
       .groupBy(col("j"), col("bval"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
       .filter(size(col("ms")) > 1)
+      .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "SimHash block"))
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms"))),
           y => struct(x.getField("doc_id").as("a_id"), y.getField("doc_id").as("b_id"),
@@ -662,6 +682,7 @@ object TextQueries {
     "q46_simhash" -> (q46_simhash _),
     "q47_jaccard_pairs" -> (q47_jaccard_pairs _),
     "q36_text_search" -> (q36_text_search _),
+    "q73_index_search" -> (q73_index_search _),
     "q37_keywords" -> (q37_keywords _),
     "q48_simhash_pairs" -> (q48_simhash_pairs _),
     "q49_stratified_sample" -> (q49_stratified_sample _),
@@ -683,6 +704,7 @@ object TextQueries {
     "q46_simhash" -> q46_simhash_sql,
     "q47_jaccard_pairs" -> q47_jaccard_pairs_sql,
     "q36_text_search" -> q36_text_search_sql,
+    "q73_index_search" -> q73_index_search_sql,
     "q37_keywords" -> q37_keywords_sql,
     "q48_simhash_pairs" -> q48_simhash_pairs_sql,
     "q49_stratified_sample" -> q49_stratified_sample_sql,

@@ -63,7 +63,15 @@ object Sources {
   * so every future batch hashes keys identically.
   */
 class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
-    versionCol: String, numBuckets: Int = 16) {
+    versionCol: String, numBuckets: Int = 16, bucketCols: Seq[String] = Nil) {
+
+  // Bucketing may use a SUBSET of the key (e.g. a postings table keyed
+  // (term, doc) but bucketed by term alone, so one term's rows share a
+  // directory and a term lookup reads one bucket). It must remain a
+  // function of the key or a key could migrate between buckets.
+  private val effBucketCols: Seq[String] = if (bucketCols.isEmpty) keyCols else bucketCols
+  require(effBucketCols.forall(keyCols.contains),
+    s"bucketCols $bucketCols must be a subset of keyCols $keyCols")
 
   // All metadata ops go through the Hadoop FileSystem API so the
   // bucketed store works on ANY filesystem Spark can reach (local fs,
@@ -165,15 +173,24 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
           !fs.exists(metaPath))
         throw new IllegalStateException(
           s"KvStore at $path has bucket dirs but no _graft_buckets meta — bucket count unknown")
+      // a store bucketed on different columns would mis-route every
+      // future key — refuse to open rather than silently re-bucket
+      // (older meta files carry only the count; no second line → skip)
+      if (fs.exists(metaPath)) {
+        val lines = readSmallFile(metaPath).split("\n").map(_.trim).filter(_.nonEmpty)
+        if (lines.length > 1 && lines(1) != effBucketCols.mkString(","))
+          throw new IllegalStateException(
+            s"KvStore at $path was bucketed by ${lines(1)} — got ${effBucketCols.mkString(",")}")
+      }
     }
   }
 
   /** Buckets in the on-disk layout (creation-time count wins). */
   private def buckets: Int =
-    if (fs.exists(metaPath)) readSmallFile(metaPath).trim.toInt
+    if (fs.exists(metaPath)) readSmallFile(metaPath).split("\n").head.trim.toInt
     else numBuckets
 
-  private def bucketOf = pmod(hash(keyCols.map(col): _*), lit(buckets))
+  private def bucketOf = pmod(hash(effBucketCols.map(col): _*), lit(buckets))
 
   private def bucketDirs: Seq[org.apache.hadoop.fs.Path] = {
     if (!fs.exists(rootPath)) Seq.empty
@@ -219,7 +236,8 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     deleteOrThrow(stagedPath)
     merged.write.partitionBy("__b").mode("overwrite").parquet(stagedPath.toString)
     fs.mkdirs(rootPath)
-    if (!fs.exists(metaPath)) writeSmallFile(metaPath, nb.toString)
+    if (!fs.exists(metaPath))
+      writeSmallFile(metaPath, s"$nb\n${effBucketCols.mkString(",")}")
     // every staged bucket must exist BEFORE the manifest commits the
     // swap — a missing one here means the write job lied about success
     touched.foreach { b =>
@@ -235,6 +253,26 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
 
   def current(): Option[DataFrame] = {
     val dirs = bucketDirs
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+  }
+
+  /** The bucket ids the given bucket-column values hash into (same
+    * expression the writer uses). Bounded by the bucket count, so the
+    * collect is a ≤ N-element driver list.
+    */
+  def bucketIdsFor(values: DataFrame): Seq[Int] =
+    values.select(bucketOf.as("__b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Point-lookup read path: scan ONLY the buckets the given values
+    * hash into — ≤ |distinct values| directories instead of the whole
+    * table (parquet predicate pushdown then prunes inside them). This
+    * is what keeps index-serving cost proportional to the query, not
+    * the corpus. `values` must carry the bucket columns.
+    */
+  def lookup(values: DataFrame): Option[DataFrame] = {
+    val dirs = bucketIdsFor(values)
+      .map(b => new org.apache.hadoop.fs.Path(rootPath, s"b=$b")).filter(fs.exists)
     if (dirs.isEmpty) None
     else Some(spark.read.parquet(dirs.map(_.toString): _*))
   }

@@ -266,6 +266,33 @@ class FlowSourcesSpec extends AnyFunSuite {
     framed.collect().foreach(r => assert(r.getInt(1) == 1024, "4 frames must cover the 1 KiB payload"))
   }
 
+  test("Multimodal: real WAV decode recovers closed-form sine features") {
+    val feats = Multimodal.decodeAudio(Multimodal.wavCorpus(spark, 4))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 4)
+    feats.foreach { f =>
+      assert(f.sample_rate == 8000 && f.channels == 1)
+      assert(f.n_samples == 2000 && f.duration_ms == 250)
+      // sine at amplitude 0.5: RMS = 0.5/sqrt(2), peak ≈ 0.5
+      assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f.rms}")
+      assert(math.abs(f.peak - 0.5) < 0.01, s"peak ${f.peak}")
+      // zero-crossing rate of a tone ≈ 2f/sr; f = 200 + 50*id
+      val expected = 2.0 * (200.0 + 50.0 * f.media_id) / 8000.0
+      assert(math.abs(f.zero_cross_rate - expected) < 0.01,
+        s"zcr ${f.zero_cross_rate} vs $expected for id ${f.media_id}")
+    }
+    // decode is deterministic across runs
+    val again = Multimodal.decodeAudio(Multimodal.wavCorpus(spark, 4))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.rms).toSeq == again.map(_.rms).toSeq)
+    // garbage bytes fail loudly, not silently
+    import spark.implicits._
+    val junk = spark.range(1).as[Long]
+      .map(i => Multimodal.MediaRow(i, Multimodal.MediaMeta("audio", 0, 0, 0, 0L),
+        Array.fill[Byte](64)(7)))
+    intercept[org.apache.spark.SparkException](Multimodal.decodeAudio(junk).collect())
+  }
+
   test("Multimodal: meta projection prunes the byte column at the scan") {
     val tmp = Files.createTempDirectory("graft_media").toString + "/media"
     Multimodal.fakeCorpus(spark, 8, "audio").write.mode("overwrite").parquet(tmp)

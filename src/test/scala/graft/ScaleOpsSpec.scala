@@ -107,4 +107,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(exchanges == 0, s"bucketed join must not shuffle, found $exchanges exchanges:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("a planted giant LSH bucket fails LOUDLY instead of expanding quadratically") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 12 docs with IDENTICAL signatures land in one bucket per band
+    val sig = (0L until 12L).toDF("id")
+    val full = Dedup.perms.indices.foldLeft(sig)((d, i) => d.withColumn(s"m$i", lit(7L)))
+    // under the cap: the expansion still works and yields C(12,2) pairs
+    val ok = Dedup.lshCandidatePairs(full, "id", maxBucket = 100)
+    assert(ok.count() == 66)
+    // over the cap: loud in-plan failure with an actionable message
+    val e = intercept[Exception]( // SparkRuntimeException (USER_RAISED_EXCEPTION)
+      Dedup.lshCandidatePairs(full, "id", maxBucket = 5).count())
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+    assert(msg.contains("exceeds 5 members"), s"unexpected failure: $msg")
+  }
 }
