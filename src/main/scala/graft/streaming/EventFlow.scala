@@ -127,15 +127,24 @@ object EventFlow {
     */
   def fromEvents(spark: SparkSession, dir: String): EventFlow = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the driver's testdata ships events.parquet as a single FILE;
+    // Spark-written copies (scale smoke, production) are a DIRECTORY
+    // of part files. pathGlobFilter matches leaf file names only, so
+    // pick the read shape by what's actually on disk.
+    val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = evPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(evPath).isDirectory
     // schema from a footer read — the driver's events.parquet stores
     // nanos-as-long ts, derived copies store real timestamps
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
-    // file stream sources need a directory: scope to events.parquet
-    // via glob filter (at scale this is a date-partitioned directory)
-    val st = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val schema =
+      if (isDir) spark.read.parquet(evPath.toString).schema
+      else spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    // file stream sources need a directory: a dir-shaped table IS one;
+    // the single-file form scopes the parent dir by glob filter
+    val st =
+      if (isDir) spark.readStream.schema(schema).parquet(evPath.toString)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
     EventFlow(
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

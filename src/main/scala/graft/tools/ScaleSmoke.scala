@@ -12,7 +12,8 @@ import graft.{Sessions, SparkEntry, Tables}
   * makes every document an exact 10-way duplicate, which stresses the
   * LSH bucket → pair path far harder than the original corpus.
   *
-  *   sbt "runMain graft.tools.ScaleSmoke [factor] [srcSf] [outDir]"
+  *   sbt "runMain graft.tools.ScaleSmoke [factor] [srcSf] [outDir]
+  *        [skipwrite] [only=q54_dedup_clusters,q65_corpus_pipeline]"
   */
 object ScaleSmoke {
 
@@ -66,8 +67,14 @@ object ScaleSmoke {
       // curation pipeline — under ×N duplication every survivor doc
       // drags N-1 exact copies through exact-dedup and the LSH
       // cluster stage, the heaviest realistic load for both
-      "q59_heavy_hitters", "q65_corpus_pipeline")
-    val times = queries.map { name =>
+      "q59_heavy_hitters", "q65_corpus_pipeline",
+      // round 3: the nonlinear-risk set at higher factors — stream
+      // interval join state, shard-local packing windows
+      "q69_stream_join", "q72_seq_packing")
+    val only = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet)
+    val selected = only.fold(queries)(s => queries.filter(s.contains))
+    val times = selected.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
