@@ -50,4 +50,34 @@ object TextAnalysis {
   val stopEn: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
   val stopEs: Seq[String] = Seq("el", "la", "de", "y", "es", "un", "en")
   val stopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+
+  // ---- PII scrubbing -------------------------------------------------
+  // Regexes restricted to the syntax Java regex and RE2 (DuckDB)
+  // interpret identically, so the oracle is bit-exact.
+
+  /** Email addresses. */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (account/phone/ID-shaped; 6+ digits). Applied
+    * AFTER email scrubbing so an address's digits never double-count.
+    */
+  val longNumRe: String = "[0-9]{6,}"
+
+  /** Redact PII into typed placeholders — the pre-training scrub pass
+    * every production corpus runs. Pure codegen'd expressions (no
+    * UDF): Spark regexp_replace is global by default; the DuckDB
+    * rendering passes the 'g' flag explicitly.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+      lit(longNumRe), lit("<NUM>"))
+
+  def scrubPiiSql(ref: String): String =
+    s"regexp_replace(regexp_replace($ref, '$emailRe', '<EMAIL>', 'g'), '$longNumRe', '<NUM>', 'g')"
+
+  def countMatches(text: Column, re: String): Column =
+    regexp_count(text, lit(re)).cast("long")
+
+  def countMatchesSql(ref: String, re: String): String =
+    s"CAST(len(regexp_extract_all($ref, '$re')) AS BIGINT)"
 }

@@ -296,6 +296,73 @@ object TextQueries {
 
   val q73_index_search_sql: String = q36_text_search_sql
 
+  /** q74 — PII scrubbing (the redaction pass every production
+    * pre-training corpus runs; deva's extract/regex surface,
+    * pipe.py:1429, turned into a curation operator). The synthetic
+    * corpus carries no PII, so deterministic PII derived from doc_id
+    * is PLANTED first and the scrubber must then remove all of it —
+    * the injection is what makes the scrub falsifiable. Pure
+    * codegen'd regexp expressions; zero shuffles.
+    */
+  def q74_pii_scrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call "),
+        (col("doc_id") * 7919 + 1000000).cast("string")).as("text"))
+    planted.select(
+        col("doc_id"),
+        TA.countMatches(col("text"), TA.emailRe).as("n_emails"),
+        TA.scrubPii(col("text")).as("scrubbed"))
+      .withColumn("n_residual",
+        TA.countMatches(col("scrubbed"), TA.emailRe) +
+          TA.countMatches(col("scrubbed"), TA.longNumRe))
+      .orderBy(col("doc_id"))
+  }
+
+  val q74_pii_scrub_sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@example.com or call ' || CAST(doc_id * 7919 + 1000000 AS VARCHAR) AS text
+       |  FROM documents),
+       |scrubbed AS (
+       |  SELECT doc_id,
+       |    ${TA.countMatchesSql("text", TA.emailRe)} AS n_emails,
+       |    ${TA.scrubPiiSql("text")} AS scrubbed
+       |  FROM planted)
+       |SELECT doc_id, n_emails, scrubbed,
+       |  ${TA.countMatchesSql("scrubbed", TA.emailRe)} + ${TA.countMatchesSql("scrubbed", TA.longNumRe)} AS n_residual
+       |FROM scrubbed ORDER BY doc_id""".stripMargin
+
+  /** q75 — eval-set decontamination (the n-gram overlap check run
+    * before training so benchmark data never leaks into the corpus):
+    * flag every training doc sharing a 5-gram with the eval set
+    * (doc_id % 31 — stands in for a benchmark table). Eval sets are
+    * SMALL by nature, so the eval shingle set is broadcast and the
+    * corpus side is one map-only semi-join pass (no corpus shuffle
+    * until the per-doc count); at 100 TB hash the shingles
+    * (Determinism.hash60) to shrink the broadcast, or swap to a
+    * shuffle semi-join if the eval set ever outgrows broadcast.
+    */
+  def q75_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = tokenized(spark, dir)
+      .select(col("doc_id"), explode(TA.shingles(col("tk"), 5)).as("s"))
+    val evalShingles = sh.filter(col("doc_id") % 31 === 0)
+      .select(col("s")).distinct()
+    sh.filter(col("doc_id") % 31 =!= 0)
+      .join(broadcast(evalShingles), Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q75_decontaminate_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(${TA.shinglesSql("tk", 5)}) AS s FROM tkt),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0)
+       |SELECT sh.doc_id, CAST(COUNT(DISTINCT sh.s) AS BIGINT) AS n_shared
+       |FROM sh JOIN ev USING (s) WHERE sh.doc_id % 31 <> 0
+       |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+
   /** q37 — keyword extraction (deva IndexStream.get_tags): top-3
     * terms per doc by tf (desc) then rarity (df asc) — a tf-idf
     * ranking kept on integers so the ordering is engine-exact
@@ -683,6 +750,8 @@ object TextQueries {
     "q47_jaccard_pairs" -> (q47_jaccard_pairs _),
     "q36_text_search" -> (q36_text_search _),
     "q73_index_search" -> (q73_index_search _),
+    "q74_pii_scrub" -> (q74_pii_scrub _),
+    "q75_decontaminate" -> (q75_decontaminate _),
     "q37_keywords" -> (q37_keywords _),
     "q48_simhash_pairs" -> (q48_simhash_pairs _),
     "q49_stratified_sample" -> (q49_stratified_sample _),
@@ -705,6 +774,8 @@ object TextQueries {
     "q47_jaccard_pairs" -> q47_jaccard_pairs_sql,
     "q36_text_search" -> q36_text_search_sql,
     "q73_index_search" -> q73_index_search_sql,
+    "q74_pii_scrub" -> q74_pii_scrub_sql,
+    "q75_decontaminate" -> q75_decontaminate_sql,
     "q37_keywords" -> q37_keywords_sql,
     "q48_simhash_pairs" -> q48_simhash_pairs_sql,
     "q49_stratified_sample" -> q49_stratified_sample_sql,
