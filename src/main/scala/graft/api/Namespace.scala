@@ -35,7 +35,18 @@ final class Namespace(spark: SparkSession, rawRoot: String) {
     * `root.hashCode` tag could collide (silent cross-namespace
     * visibility), so the tag is the full md5 of the canonical root.
     */
-  private val root: String = new java.io.File(rawRoot).getCanonicalPath
+  private val root: String = {
+    val scheme = try new java.net.URI(rawRoot).getScheme catch {
+      case _: java.net.URISyntaxException => null
+    }
+    // local paths canonicalize through the filesystem (resolves `..`,
+    // trailing slash, relative-vs-absolute); URI roots (hdfs://,
+    // s3a://) must NOT go through java.io.File — it would collapse the
+    // scheme slashes and prepend the cwd — so they normalize through
+    // Hadoop's Path (redundant/trailing separators) instead
+    if (scheme == null) new java.io.File(rawRoot).getCanonicalPath
+    else new org.apache.hadoop.fs.Path(rawRoot).toString
+  }
 
   private val rootTag: String = java.security.MessageDigest
     .getInstance("MD5").digest(root.getBytes("UTF-8"))

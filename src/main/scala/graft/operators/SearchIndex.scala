@@ -76,8 +76,11 @@ object SearchIndex {
     * Reads only the term buckets; top-k via orderBy+limit
     * (TakeOrderedAndProject — no global partition-less window).
     */
-  def search(spark: SparkSession, store: KvStore, terms: Seq[String], k: Int): DataFrame = {
+  def search(spark: SparkSession, store: KvStore, rawTerms: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
+    // dedupe the query: a repeated term would make the AND filter
+    // (n_terms == |terms|) unsatisfiable and silently return nothing
+    val terms = rawTerms.distinct
     val empty = Seq.empty[(Long, Long, Long)].toDF("rank", "doc_id", "n_hits")
     store.lookup(terms.toDF("tok")) match {
       case None => empty

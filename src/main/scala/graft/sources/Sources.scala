@@ -178,9 +178,13 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
       // (older meta files carry only the count; no second line → skip)
       if (fs.exists(metaPath)) {
         val lines = readSmallFile(metaPath).split("\n").map(_.trim).filter(_.nonEmpty)
-        if (lines.length > 1 && lines(1) != effBucketCols.mkString(","))
+        // legacy single-line meta (count only) predates bucketCols and
+        // was always bucketed by the FULL key — opening it with a
+        // subset would silently mis-route every future key
+        val storedCols = if (lines.length > 1) lines(1) else keyCols.mkString(",")
+        if (storedCols != effBucketCols.mkString(","))
           throw new IllegalStateException(
-            s"KvStore at $path was bucketed by ${lines(1)} — got ${effBucketCols.mkString(",")}")
+            s"KvStore at $path was bucketed by $storedCols — got ${effBucketCols.mkString(",")}")
       }
     }
   }

@@ -45,17 +45,23 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(stage.toString)
-    try {
-      val parts = fs.listStatus(stage).filter { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      parts.foreach { st =>
-        // prefix with the stage id so two concurrent publishes cannot
-        // collide on part-file names
-        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dst, s"${stageName.drop(1)}_${st.getPath.getName}"))
-      }
-    } finally fs.delete(stage, true)
+    val parts = fs.listStatus(stage).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    parts.foreach { st =>
+      // prefix with the stage id so two concurrent publishes cannot
+      // collide on part-file names. rename reports failure via its
+      // return value — an unchecked false would silently drop rows,
+      // and the staging dir must survive a failed rename (the data
+      // lives there until every move lands), so deletion happens only
+      // after the loop completes.
+      val target = new org.apache.hadoop.fs.Path(dst, s"${stageName.drop(1)}_${st.getPath.getName}")
+      if (!fs.rename(st.getPath, target))
+        throw new java.io.IOException(
+          s"Topic.publish rename failed: ${st.getPath} -> $target (staged batch left at $stage)")
+    }
+    fs.delete(stage, true)
   }
 
   /** Continuous publisher (a stream >> topic): exactly-once via the

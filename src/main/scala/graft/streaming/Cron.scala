@@ -53,6 +53,10 @@ object CronExpr {
   def parse(s: String): CronExpr = {
     val f = s.trim.toLowerCase.split("\\s+")
     require(f.length == 5, s"cron needs 5 fields (min hour dom month dow), got '$s'")
+    // `normalize` runs AFTER range expansion (not on the bounds): the
+    // dow field accepts 7-as-Sunday, and folding it to 0 before
+    // building "5-7" would invert the range — 5..7 must expand first,
+    // then fold to {5,6,0}
     def field(spec: String, lo: Int, hi: Int, names: Map[String, Int],
         normalize: Int => Int = identity): Set[Int] = {
       def value(v: String): Int = {
@@ -60,9 +64,8 @@ object CronExpr {
           case _: NumberFormatException =>
             throw new IllegalArgumentException(s"bad cron field value '$v' in '$s'")
         })
-        val nn = normalize(n)
-        require(nn >= lo && nn <= hi, s"cron value $v out of [$lo,$hi] in '$s'")
-        nn
+        require(n >= lo && n <= hi, s"cron value $v out of [$lo,$hi] in '$s'")
+        n
       }
       spec.split(",").toIndexedSeq.flatMap { part =>
         val (range, step) = part.split("/") match {
@@ -79,7 +82,7 @@ object CronExpr {
           case r => val v = value(r); if (step == 1) (v, v) else (v, hi)
         }
         require(a <= b, s"cron range $a-$b inverted in '$s'")
-        a to b by step
+        (a to b by step).map(normalize)
       }.toSet
     }
     CronExpr(
@@ -87,7 +90,7 @@ object CronExpr {
       hours = field(f(1), 0, 23, Map.empty),
       dom = field(f(2), 1, 31, Map.empty),
       months = field(f(3), 1, 12, monthNames),
-      dow = field(f(4), 0, 6, dowNames, n => if (n == 7) 0 else n),
+      dow = field(f(4), 0, 7, dowNames, n => if (n == 7) 0 else n),
       domStar = f(2) == "*",
       dowStar = f(4) == "*")
   }
@@ -135,7 +138,7 @@ object Cron {
       zone: ZoneId = ZoneOffset.UTC)(action: Instant => Unit): Int = {
     val p = java.nio.file.Paths.get(stateFile)
     if (!java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.createDirectories(p.getParent)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       persist(p, now)
       return 0
     }

@@ -132,8 +132,12 @@ object EventFlow {
     // of part files. pathGlobFilter matches leaf file names only, so
     // pick the read shape by what's actually on disk.
     val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val isDir = evPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(evPath).isDirectory
+    val fs = evPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // three layouts: single file (driver testdata), directory of part
+    // files (Spark-written copies), or no literal child at all (e.g. a
+    // date-partitioned tree where events.parquet leaves sit deeper —
+    // the glob-filter branch handles that one, as before)
+    val isDir = fs.exists(evPath) && fs.getFileStatus(evPath).isDirectory
     // schema from a footer read — the driver's events.parquet stores
     // nanos-as-long ts, derived copies store real timestamps
     val schema =

@@ -73,6 +73,12 @@ object ScaleSmoke {
       "q69_stream_join", "q72_seq_packing")
     val only = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").toSet)
+    // a typo'd name must fail the smoke, not pass it vacuously
+    only.foreach { s =>
+      val unknown = s -- queries.toSet
+      require(unknown.isEmpty,
+        s"unknown smoke queries ${unknown.mkString(",")} — known: ${queries.mkString(",")}")
+    }
     val selected = only.fold(queries)(s => queries.filter(s.contains))
     val times = selected.map { name =>
       val t0 = System.nanoTime()

@@ -25,8 +25,13 @@ class CronTriggerSpec extends AnyFunSuite {
     assert(everyTwo.next(ldt("2026-08-10T01:05")) == ldt("2026-08-10T02:00"))
     assert(CronExpr.parse("0 0 * jan *").matches(ldt("2026-01-05T00:00")))
     assert(CronExpr.daily(9).matches(ldt("2026-08-10T09:00")))
-    // dow 7 is Sunday, like 0
+    // dow 7 is Sunday, like 0 — including as a RANGE BOUND ("5-7"
+    // must expand before folding 7→0, not become the inverted 5-0)
     assert(CronExpr.parse("0 0 * * 7").matches(ldt("2026-08-09T00:00")))
+    val weekend = CronExpr.parse("0 0 * * 5-7")
+    assert(weekend.matches(ldt("2026-08-07T00:00"))) // Friday
+    assert(weekend.matches(ldt("2026-08-09T00:00"))) // Sunday
+    assert(!weekend.matches(ldt("2026-08-10T00:00"))) // Monday
     intercept[IllegalArgumentException](CronExpr.parse("0 0 * *"))
     intercept[IllegalArgumentException](CronExpr.parse("61 0 * * *"))
   }

@@ -43,6 +43,11 @@ class SearchIndexSpec extends AnyFunSuite {
     val r2 = SearchIndex.search(spark, store, Seq("spark", "query"), 10).collect()
     assert(r2.map(_.getLong(1)).toSeq == Seq(4L, 2L, 1L))
 
+    // a duplicated query term must not make the AND filter
+    // unsatisfiable (terms dedupe before the n_terms comparison)
+    val dup = SearchIndex.search(spark, store, Seq("spark", "spark", "query"), 10).collect()
+    assert(dup.map(_.getLong(1)).toSeq == r2.map(_.getLong(1)).toSeq)
+
     // idle tick: nothing new → store unchanged (exactly-once contract)
     val before = store.get().count()
     SearchIndex.updateTick(spark, src, wave1.schema, ckpt, store, "doc_id", "text")
