@@ -98,14 +98,50 @@ object Examples {
     val imgFeats = Multimodal.decodeImages(Multimodal.pngCorpus(spark, 4, 32, 16))
     println("== multimodal real PNG decode ==")
     imgFeats.toDF().select("media_id", "width", "height", "mean_lum").orderBy("media_id").show(truncate = false)
-    val feats = Multimodal.decodeStub(Multimodal.fakeCorpus(spark, 4, "audio"))
-    println("== multimodal stub decode (audio/video) ==")
+    val wav = Multimodal.decodeAudio(Multimodal.wavCorpus(spark, 4))
+    println("== multimodal real WAV decode ==")
+    wav.toDF().select("media_id", "sample_rate", "duration_ms", "rms").orderBy("media_id").show(truncate = false)
+    val feats = Multimodal.decodeStub(Multimodal.fakeCorpus(spark, 4, "video"))
+    println("== multimodal stub decode (video — the one remaining stub) ==")
     feats.toDF().select("media_id", "kind", "n_bytes", "checksum").orderBy("media_id").show(truncate = false)
 
     // text source round-trip
     val tmp = Files.createTempDirectory("graft_demo_txt").toString
     Sources.toTextFile(Tables.nation(spark, dir).select(col("n_name")), tmp + "/nations")
     println(s"== to_textfile/from_textfile round-trip: ${Sources.textFile(spark, tmp + "/nations").count()} lines ==")
+
+    // deva:  IndexStream  — build the index once, update it with new
+    // docs, serve queries from it (no per-query corpus scan)
+    import graft.operators.SearchIndex
+    val idx = SearchIndex.open(spark, Files.createTempDirectory("graft_demo_idx").toString + "/postings")
+    SearchIndex.index(idx, Tables.documents(spark, dir), "doc_id", "text")
+    println("== SearchIndex.search('table','query') from the persisted index ==")
+    SearchIndex.search(spark, idx, Seq("table", "query"), 3).show(truncate = false)
+
+    // deva:  add_job(trigger='cron', hour=9)  — catch-up-exact ticks
+    val cronState = Files.createTempDirectory("graft_demo_cron").toString + "/job.last"
+    val hourly = graft.streaming.CronExpr.parse("0 * * * *")
+    graft.streaming.Cron.runDue(cronState, hourly, java.time.Instant.parse("2026-08-12T09:30:00Z"))(_ => ())
+    val n = graft.streaming.Cron.runDue(cronState, hourly,
+      java.time.Instant.parse("2026-08-12T12:45:00Z"))(t => println(s"   cron tick $t"))
+    println(s"== Cron: 3h15m unobserved → $n missed hourly ticks caught up exactly once ==")
+
+    // deva:  when(cond).then(callback)  — condition-triggered action
+    val trigSrc = Files.createTempDirectory("graft_demo_trig").toString
+    val trigCp = Files.createTempDirectory("graft_demo_trigcp").toString
+    val big = ev.select("event_id", "value")
+    big.limit(200).write.mode("append").parquet(trigSrc)
+    graft.streaming.Triggers.when(
+        graft.streaming.EventFlow.fromParquet(spark, trigSrc, big.schema), col("value") > 90)
+      .thenRun(trigCp) { (hits, id) =>
+        println(s"   trigger fired on batch $id: ${hits.count()} rows over threshold")
+      }.awaitTermination()
+
+    // PII scrub: redaction as a pure column expression
+    println("== scrubPii ==")
+    Seq(("mail bob.smith@example.org now, acct 12345678"))
+      .toDF("text").select(graft.operators.TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+      .show(truncate = false)
 
     spark.stop()
   }
