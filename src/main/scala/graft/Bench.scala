@@ -27,20 +27,37 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // failed queries (sentinel -1.0) must not contribute to the
-    // headline total — summing them would make breakage read as a
-    // speedup in a total-vs-total comparison
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failed = results.count(_._2 < 0)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces: a clean stdout line AND a known file, so the
-    // metric survives any log-wrapping by the build tool
-    println(line)
+    def mkLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      // failed queries (sentinel -1.0) must not contribute to the
+      // headline total — summing them would make breakage read as a
+      // speedup in a total-vs-total comparison
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val failed = results.count(_._2 < 0)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // full precision goes to the known file (and an early stdout line)
+    val full = mkLine(_.toString)
+    println(full)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
+    // The harness keeps only the LAST ~2000 chars of stdout and parses
+    // the last line as the metric JSON; full precision over 75 queries
+    // is ~2.6k chars, so the kept window starts mid-line and the parse
+    // fails. The FINAL line is therefore a 2-decimal compact form
+    // (~1.7k chars), degrading to totals-only if it ever outgrows the
+    // window.
+    def round2(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val compact = mkLine(round2)
+    println(
+      if (compact.length <= 1900) compact
+      else {
+        val total = results.collect { case (_, v) if v >= 0 => v }.sum
+        val failed = results.count(_._2 < 0)
+        s"""{"metric":"total","value":${round2(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}"""
+      })
     spark.stop()
   }
 }

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * extracts luminance statistics per image. AUDIO decode is REAL for
   * WAV/PCM: [[decodeAudio]] goes through `javax.sound.sampled`
   * (also JDK-only) and extracts duration/RMS/peak/zero-crossing
-  * features. VIDEO decode stays the one **STUB** ([[decodeStub]]:
-  * deterministic fake features — no video codec exists in the JDK or
-  * this container); its Spark-side contract (schema, per-partition
+  * features. VIDEO decode is REAL for Motion-JPEG AVI:
+  * [[decodeVideo]] parses the RIFF/AVI container directly (the format
+  * is a flat chunk list) and decodes each `00dc` frame through the
+  * JDK's JPEG codec — frame sampling, per-frame luminance and a
+  * pixel-difference motion score, no added dependencies. Inter-coded
+  * codecs (H.264/VP9/AV1) have no JDK decoder and remain behind
+  * [[decodeStub]], whose Spark-side contract (schema, per-partition
   * batching, partition sizing, null handling) is real and tested, so
   * a codec (JNI/FFI or `mapInArrow` from PySpark) can be swapped in
   * without touching any plan structure.
@@ -211,6 +215,189 @@ object Multimodal {
           (nSamples * 1000L) / fmt.getSampleRate.toInt,
           math.sqrt(sq / math.max(nSamples, 1)), peak,
           crossings.toDouble / math.max(nSamples, 1))
+      }
+    }
+  }
+
+  case class VideoFeatures(media_id: Long, width: Int, height: Int,
+      n_frames: Long, fps: Double, duration_ms: Long, n_sampled: Int,
+      frame_lum: Array[Double], motion: Double)
+
+  // ---- Motion-JPEG AVI: RIFF container writer/parser (JDK-only) ----
+
+  private def fourCC(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** RIFF chunk: fourcc + little-endian size + body + pad-to-even. */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fourCC(id) ++ le32(body.length) ++ body ++ pad
+  }
+
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourCC(listType) ++ body)
+
+  /** Assemble a spec-shaped Motion-JPEG AVI from pre-encoded JPEG
+    * frames: RIFF(AVI ) → LIST(hdrl){avih, LIST(strl){strh,strf}} →
+    * LIST(movi){00dc…}. Every size field is computed, not guessed, so
+    * any standards-following reader (including [[decodeVideo]]'s
+    * parser) can walk it.
+    */
+  def buildAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val usPerFrame = 1000000 / fps
+    val avih = riffChunk("avih",
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = riffChunk("strh",
+      fourCC("vids") ++ fourCC("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
+        le32(0) ++ le32(-1) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = riffChunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        fourCC("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi", frames.flatMap(f => riffChunk("00dc", f)).toArray)
+    val body = fourCC("AVI ") ++ hdrl ++ movi
+    fourCC("RIFF") ++ le32(body.length) ++ body
+  }
+
+  private def readLe32(d: Array[Byte], off: Int): Int =
+    (d(off) & 0xff) | ((d(off + 1) & 0xff) << 8) |
+      ((d(off + 2) & 0xff) << 16) | ((d(off + 3) & 0xff) << 24)
+
+  private def cc(d: Array[Byte], off: Int): String =
+    new String(d, off, 4, "US-ASCII")
+
+  /** Parsed AVI: (width, height, usPerFrame, declared frame count,
+    * video chunks in stream order). Walks the chunk list exactly as
+    * the spec lays it out; a malformed container fails loudly.
+    */
+  private[operators] def parseAvi(d: Array[Byte]): (Int, Int, Int, Int, Vector[Array[Byte]]) = {
+    require(d.length >= 12 && cc(d, 0) == "RIFF" && cc(d, 8) == "AVI ",
+      "payload is not a RIFF/AVI container")
+    var w = 0; var h = 0; var usPerFrame = 0; var declared = 0
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = cc(d, off)
+        val size = readLe32(d, off + 4)
+        require(size >= 0 && off + 8 + size <= end, s"chunk $id overruns container")
+        if (id == "LIST") {
+          // list type occupies the first 4 body bytes; contents follow
+          walk(off + 12, off + 8 + size)
+        } else if (id == "avih") {
+          usPerFrame = readLe32(d, off + 8)
+          declared = readLe32(d, off + 8 + 16)
+          w = readLe32(d, off + 8 + 32)
+          h = readLe32(d, off + 8 + 36)
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          frames += java.util.Arrays.copyOfRange(d, off + 8, off + 8 + size)
+        }
+        off += 8 + size + (size % 2) // chunks are word-aligned
+      }
+    }
+    walk(12, d.length)
+    (w, h, usPerFrame, declared, frames.result())
+  }
+
+  /** Deterministic REAL-AVI corpus: per id, `nFrames` JPEG frames of
+    * a gradient background with a white vertical bar that moves one
+    * step per frame — real container, real codec, closed-form motion
+    * for the spec to assert. `moving = false` freezes the bar (the
+    * zero-motion control case).
+    */
+  def aviCorpus(spark: SparkSession, n: Int, w: Int, h: Int,
+      nFrames: Int, fps: Int = 4, moving: Boolean = true): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val barX = (if (moving) f else 0) * math.max(w / math.max(nFrames, 1), 1) % w
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = (y * 255 / math.max(h - 1, 1)) & 0xff
+            val v = if (x == barX) 0xffffff else ((id.toInt & 0xff) << 16) | (g << 8) | g
+            img.setRGB(x, y, v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      MediaRow(id, MediaMeta("video", w, h, 0, nFrames * 1000L / fps),
+        buildAvi(w, h, fps, frames))
+    }
+  }
+
+  /** REAL video decode (Motion-JPEG AVI): parse the RIFF container,
+    * sample `sample` frames evenly across the stream, decode each
+    * through the JDK JPEG codec, and emit per-frame mean luminance
+    * plus a motion score (mean absolute pixel-luminance difference
+    * between consecutive sampled frames — the shot-boundary /
+    * static-clip signal a video curation pipeline filters on). Same
+    * per-partition kernel shape as [[decodeImages]]; undecodable
+    * payloads fail loudly.
+    */
+  def decodeVideo(ds: Dataset[MediaRow], sample: Int = 4): Dataset[VideoFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, usPerFrame, declared, frames) = parseAvi(r.data)
+        require(frames.nonEmpty, s"media ${r.media_id}: AVI has no video frames")
+        require(declared == 0 || declared == frames.length,
+          s"media ${r.media_id}: header declares $declared frames, found ${frames.length}")
+        val k = math.min(sample, frames.length)
+        val idx = if (k == 1) Seq(0)
+          else (0 until k).map(i => i * (frames.length - 1) / (k - 1))
+        var prev: Array[Double] = null
+        var motionSum = 0.0; var motionN = 0
+        val lums = idx.map { i =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(i)))
+          require(img != null, s"media ${r.media_id}: frame $i is not decodable JPEG")
+          require(img.getWidth == w && img.getHeight == h,
+            s"media ${r.media_id}: frame $i is ${img.getWidth}x${img.getHeight}, header says ${w}x$h")
+          val cur = new Array[Double](w * h)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 0.299 +
+                ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114) / 255.0
+              cur(y * w + x) = lum
+              sum += lum
+              x += 1
+            }
+            y += 1
+          }
+          if (prev != null) {
+            var j = 0; var acc = 0.0
+            while (j < cur.length) { acc += math.abs(cur(j) - prev(j)); j += 1 }
+            motionSum += acc / cur.length
+            motionN += 1
+          }
+          prev = cur
+          sum / (w * h)
+        }
+        VideoFeatures(r.media_id, w, h, frames.length.toLong,
+          1000000.0 / math.max(usPerFrame, 1),
+          frames.length.toLong * usPerFrame / 1000L, k, lums.toArray,
+          if (motionN == 0) 0.0 else motionSum / motionN)
       }
     }
   }

@@ -293,6 +293,44 @@ class FlowSourcesSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException](Multimodal.decodeAudio(junk).collect())
   }
 
+  test("Multimodal: real MJPEG-AVI decode — container, frames, motion") {
+    // moving bar: 8 real JPEG frames in a real AVI container
+    val feats = Multimodal.decodeVideo(
+      Multimodal.aviCorpus(spark, 3, 48, 32, nFrames = 8, fps = 4), sample = 4)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 3)
+    feats.foreach { f =>
+      assert(f.width == 48 && f.height == 32)
+      assert(f.n_frames == 8 && f.n_sampled == 4)
+      assert(math.abs(f.fps - 4.0) < 0.01, s"fps ${f.fps}")
+      assert(f.duration_ms == 2000)
+      assert(f.frame_lum.length == 4)
+      // gradient background → every sampled frame has mid-range luminance
+      f.frame_lum.foreach(l => assert(l > 0.05 && l < 0.95, s"lum $l"))
+      // the bar moves a full column per frame → real inter-frame diff
+      assert(f.motion > 0.005, s"moving bar must register motion, got ${f.motion}")
+    }
+    // control: identical frames → motion collapses to JPEG noise only
+    val still = Multimodal.decodeVideo(
+      Multimodal.aviCorpus(spark, 1, 48, 32, nFrames = 8, fps = 4, moving = false),
+      sample = 4).collect().head
+    assert(still.motion < 0.003, s"static clip must have ~zero motion, got ${still.motion}")
+    assert(still.motion < feats.head.motion / 3,
+      "motion score must separate moving from static clips")
+    // decode is deterministic across runs
+    val again = Multimodal.decodeVideo(
+      Multimodal.aviCorpus(spark, 3, 48, 32, nFrames = 8, fps = 4), sample = 4)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.motion).toSeq == again.map(_.motion).toSeq)
+    assert(feats.map(_.frame_lum.toSeq).toSeq == again.map(_.frame_lum.toSeq).toSeq)
+    // garbage bytes fail loudly, not silently
+    import spark.implicits._
+    val junk = spark.range(1).as[Long]
+      .map(i => Multimodal.MediaRow(i, Multimodal.MediaMeta("video", 0, 0, 0, 0L),
+        Array.fill[Byte](64)(7)))
+    intercept[org.apache.spark.SparkException](Multimodal.decodeVideo(junk).collect())
+  }
+
   test("Multimodal: meta projection prunes the byte column at the scan") {
     val tmp = Files.createTempDirectory("graft_media").toString + "/media"
     Multimodal.fakeCorpus(spark, 8, "audio").write.mode("overwrite").parquet(tmp)
