@@ -10,13 +10,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * throughput scales with partitions and the driver never sees a
   * prompt.
   *
-  * The transport is pluggable: a real deployment passes an HTTP
-  * endpoint call (the [[graft.sources.HttpIngest.postTo]] client
-  * pattern — one client per partition, status-checked); this
-  * container has zero egress, so specs use a deterministic local
-  * function. The Spark-side contract — batching, schema, ordering
-  * independence, per-partition client lifecycle — is the real,
-  * tested part.
+  * The transport is pluggable and [[httpTransport]] is a REAL one:
+  * it POSTs each batch as a JSON array of prompts to an HTTP endpoint
+  * and expects a JSON array of annotations back — one client per
+  * executor JVM, status-checked, response-count-checked. The spec
+  * drives it against a live localhost server (zero egress — the
+  * container has no external network, not no network stack). The
+  * Spark-side contract — batching, schema, ordering independence,
+  * per-JVM client lifecycle — is tested end-to-end over real HTTP.
   */
 object Inference {
 
@@ -42,5 +43,105 @@ object Inference {
         batch.map(_._1).zip(responses)
       }
     }.toDF(idCol, "response")
+  }
+
+  // ---- JSON string-array wire codec (JDK-only, both directions) ----
+
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Encode a prompt batch as a JSON array of strings. */
+  def encodeBatch(prompts: Seq[String]): String =
+    prompts.map(p => "\"" + jsonEscape(p) + "\"").mkString("[", ",", "]")
+
+  /** Decode a JSON array of strings — strict (malformed wire data
+    * fails loudly; a truncated response must never become a silently
+    * short batch, the count contract in [[annotate]] depends on it).
+    */
+  def decodeBatch(json: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    def skipWs(): Unit = while (i < json.length && json(i).isWhitespace) i += 1
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"malformed batch JSON at offset $i: $msg")
+    skipWs()
+    if (i >= json.length || json(i) != '[') fail("expected '['")
+    i += 1
+    skipWs()
+    if (i < json.length && json(i) == ']') return { i += 1; out.result() }
+    while (true) {
+      skipWs()
+      if (i >= json.length || json(i) != '"') fail("expected string")
+      i += 1
+      val b = new StringBuilder
+      while (i < json.length && json(i) != '"') {
+        if (json(i) == '\\') {
+          if (i + 1 >= json.length) fail("dangling escape")
+          json(i + 1) match {
+            case '"' => b.append('"'); i += 2
+            case '\\' => b.append('\\'); i += 2
+            case '/' => b.append('/'); i += 2
+            case 'n' => b.append('\n'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'b' => b.append('\b'); i += 2
+            case 'f' => b.append('\f'); i += 2
+            case 'u' =>
+              if (i + 6 > json.length) fail("truncated \\u escape")
+              b.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c => fail(s"unknown escape \\$c")
+          }
+        } else { b.append(json(i)); i += 1 }
+      }
+      if (i >= json.length) fail("unterminated string")
+      i += 1 // closing quote
+      out += b.toString
+      skipWs()
+      if (i >= json.length) fail("unterminated array")
+      json(i) match {
+        case ',' => i += 1
+        case ']' => i += 1; return out.result()
+        case c => fail(s"expected ',' or ']', got '$c'")
+      }
+    }
+    out.result()
+  }
+
+  /** One HTTP client per executor JVM (clients pool connections;
+    * per-batch construction would re-handshake every call).
+    */
+  @transient private lazy val jvmClient = java.net.http.HttpClient.newHttpClient()
+
+  /** REAL transport: POST the prompt batch as a JSON array to `url`,
+    * parse the JSON-array response. Non-2xx fails the task loudly
+    * (Spark's retry gives at-least-once, never a silent drop) — the
+    * executor-side shape of deva's `GPT.sync_query` against an
+    * OpenAI-style batch endpoint.
+    */
+  def httpTransport(url: String): Seq[String] => Seq[String] = {
+    val target = url // capture the string, not the enclosing object
+    prompts => {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(target))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(encodeBatch(prompts)))
+        .build()
+      val resp = jvmClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"annotation endpoint $target returned HTTP ${resp.statusCode()}")
+      decodeBatch(resp.body())
+    }
   }
 }

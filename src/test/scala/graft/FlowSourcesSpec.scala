@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.Flow
-import graft.operators.Multimodal
+import graft.operators.{Inference, Multimodal}
 import graft.sources.{KvStore, Sources}
 
 /** Specs for the deva-named batch DSL, file/command sources, the KV
@@ -253,6 +253,60 @@ class FlowSourcesSpec extends AnyFunSuite {
     // responses keyed by id → order-independent join back
     val joined = docs.join(out, "doc_id")
     assert(joined.filter(length(col("text")) =!= expr("CAST(substring(response, 5) AS INT)")).count() == 0)
+  }
+
+  test("Inference.httpTransport: real batched annotation over live HTTP") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val calls = new AtomicInteger()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/annotate", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        calls.incrementAndGet()
+        val prompts = Inference.decodeBatch(
+          new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        val resp = Inference.encodeBatch(prompts.map(p => s"len=${p.length}"))
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/annotate"
+      // texts include quotes/newlines/unicode — the wire codec must
+      // round-trip them exactly
+      val docs = spark.range(60).selectExpr("id AS doc_id",
+        """concat('doc "', id, '"', char(10), 'ünïcode ', repeat('x', CAST(id AS INT))) AS text""")
+      val out = Inference.annotate(spark, docs, "doc_id", "text", batchSize = 16)(
+        Inference.httpTransport(url))
+      val rows = out.collect()
+      assert(rows.length == 60, "one response per input row")
+      val joined = docs.join(out, "doc_id")
+      assert(joined.filter(length(col("text")) =!= expr("CAST(substring(response, 5) AS INT)")).count() == 0,
+        "every annotation must reflect its own prompt's length")
+      assert(calls.get() < 60, s"calls must be batched over HTTP, saw ${calls.get()}")
+      // a failing endpoint fails the job loudly, not a silent drop
+      server.removeContext("/annotate")
+      server.createContext("/annotate", (ex: com.sun.net.httpserver.HttpExchange) => {
+        try ex.sendResponseHeaders(500, -1) finally ex.close()
+      })
+      intercept[org.apache.spark.SparkException] {
+        Inference.annotate(spark, docs.limit(5), "doc_id", "text", batchSize = 4)(
+          Inference.httpTransport(url)).collect()
+      }
+    } finally server.stop(0)
+  }
+
+  test("Inference wire codec round-trips and rejects malformed JSON") {
+    val cases = Seq("", "plain", "with \"quotes\" and \\backslash\\",
+      "line1\nline2\r\ttab", "ünïcode ☃", "controlchar")
+    assert(Inference.decodeBatch(Inference.encodeBatch(cases)) == cases)
+    assert(Inference.decodeBatch("[]") == Seq.empty)
+    assert(Inference.decodeBatch("""[ "a" , "b" ]""") == Seq("a", "b"))
+    intercept[IllegalArgumentException](Inference.decodeBatch("""["a""""))
+    intercept[IllegalArgumentException](Inference.decodeBatch("""["a", 3]"""))
+    intercept[IllegalArgumentException](Inference.decodeBatch("""["truncated"""))
   }
 
   test("Multimodal: stub decode is deterministic, frame slices cover payload") {
