@@ -742,6 +742,112 @@ object TextQueries {
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
        |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
 
+  /** Passage grid shared by q76/q77: each doc split into
+    * non-overlapping `passageLen`-token blocks (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * window unit, sized for the synthetic docs), one md5 per block.
+    * Docs shorter than one block contribute zero passages and are
+    * restored by a left join in the consumers.
+    *
+    * Scale shape: explode is linear in corpus tokens; everything
+    * downstream groups on either the passage hash or doc_id — two
+    * hash shuffles, no self-joins, no windows without partition keys.
+    */
+  private val passageLen = 20
+
+  private def passageFrame(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+        // sequence(0, -1) would generate a DESCENDING [0, -1] — guard
+        // short docs to an empty grid instead
+        when(size(col("tk")) >= passageLen,
+          transform(sequence(lit(0), (size(col("tk")) / passageLen).cast("int") - 1),
+            i => concat_ws(" ", slice(col("tk"), i * passageLen + 1, lit(passageLen)))))
+          .otherwise(array().cast("array<string>")).as("ps"))
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), md5(col("p")).as("h"))
+
+  private val passageCte: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |grid AS (SELECT doc_id, tk, unnest(range(len(tk) // $passageLen)) AS pos FROM tkt),
+       |ph AS (SELECT doc_id, pos,
+       |    md5(array_to_string(list_slice(tk, pos*$passageLen + 1, pos*$passageLen + $passageLen), ' ')) AS h
+       |  FROM grid)""".stripMargin
+
+  /** q76 — passage-level duplicate detection across the corpus: for
+    * every doc, how many of its 20-token passages occur (anywhere,
+    * any doc, multiplicity counted) more than once. The corpus-level
+    * signal behind "remove verbatim boilerplate/duplicated spans"
+    * cleaning — doc-level dedup (q43/q45) misses partial overlap;
+    * this is the passage-granular complement.
+    */
+  def q76_passage_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val ph = passageFrame(spark, dir)
+    val counts = ph.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val perDoc = ph.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("np"), count(when(col("c") > 1, lit(1))).as("nd"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("np"), lit(0L)).as("n_passages"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_passages"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q76_passage_dedup_sql: String =
+    s"""$passageCte,
+       |cnt AS (SELECT h, COUNT(*) AS c FROM ph GROUP BY h),
+       |perdoc AS (
+       |  SELECT p.doc_id, COUNT(*) AS np,
+       |    CAST(COUNT(CASE WHEN c.c > 1 THEN 1 END) AS BIGINT) AS nd
+       |  FROM ph p JOIN cnt c USING (h) GROUP BY p.doc_id)
+       |SELECT d.doc_id AS doc_id,
+       |  CAST(COALESCE(np, 0) AS BIGINT) AS n_passages,
+       |  CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_passages
+       |FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** q77 — within-doc repetition trim: drop every repeat of a passage
+    * already seen earlier in the SAME doc (keep-first by position) —
+    * the C4/Gopher "remove repeated spans inside a document" step —
+    * and report the token count the cleaned doc would have
+    * (kept blocks + the untrimmed sub-block tail).
+    */
+  def q77_repetition_trim(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"), col("h")).orderBy(col("pos"))
+    val kept = passageFrame(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("np"), count(when(col("rn") === 1, lit(1))).as("nk"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("np"), lit(0L)).as("n_passages"),
+        coalesce(col("nk"), lit(0L)).as("n_kept"),
+        (coalesce(col("nk"), lit(0L)) * passageLen + col("n_tok") % passageLen)
+          .as("n_tokens_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q77_repetition_trim_sql: String =
+    s"""$passageCte,
+       |rn AS (SELECT doc_id, h,
+       |    row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) AS rn
+       |  FROM ph),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS np,
+       |    CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS nk
+       |  FROM rn GROUP BY doc_id),
+       |toks AS (SELECT doc_id, CAST(len(${TA.tokensSql}) AS BIGINT) AS n_tok FROM documents)
+       |SELECT t.doc_id AS doc_id,
+       |  CAST(COALESCE(np, 0) AS BIGINT) AS n_passages,
+       |  CAST(COALESCE(nk, 0) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(nk, 0) * $passageLen + n_tok % $passageLen AS BIGINT) AS n_tokens_clean
+       |FROM toks t LEFT JOIN perdoc pd ON t.doc_id = pd.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -763,7 +869,9 @@ object TextQueries {
     "q37_keywords" -> (q37_keywords _),
     "q48_simhash_pairs" -> (q48_simhash_pairs _),
     "q49_stratified_sample" -> (q49_stratified_sample _),
-    "q54_dedup_clusters" -> (q54_dedup_clusters _)
+    "q54_dedup_clusters" -> (q54_dedup_clusters _),
+    "q76_passage_dedup" -> (q76_passage_dedup _),
+    "q77_repetition_trim" -> (q77_repetition_trim _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -787,6 +895,8 @@ object TextQueries {
     "q37_keywords" -> q37_keywords_sql,
     "q48_simhash_pairs" -> q48_simhash_pairs_sql,
     "q49_stratified_sample" -> q49_stratified_sample_sql,
-    "q54_dedup_clusters" -> q54_dedup_clusters_sql
+    "q54_dedup_clusters" -> q54_dedup_clusters_sql,
+    "q76_passage_dedup" -> q76_passage_dedup_sql,
+    "q77_repetition_trim" -> q77_repetition_trim_sql
   )
 }
