@@ -848,6 +848,61 @@ object TextQueries {
        |FROM toks t LEFT JOIN perdoc pd ON t.doc_id = pd.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q79 — vocabulary coverage curve: per language, the smallest
+    * frequency-ranked vocabulary that covers ≥90/95/99% of token
+    * occurrences — the corpus statistic that sizes a tokenizer's
+    * vocab. All integer math (cum*100 ≥ thr*total avoids any
+    * float ratio), ranking tie-broken by token string so both
+    * engines order identically.
+    *
+    * Scale shape: explode → one (lang, tok) count shuffle → per-lang
+    * window over the DISTINCT-TOKEN frame (vocab-sized, not
+    * corpus-sized) → conditional agg. Per-lang window parallelism is
+    * lang-count-bounded, but its input is only the vocabulary.
+    */
+  def q79_vocab_coverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = tokenized(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), explode(col("tk")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))
+    val cum = freq
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    cum.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("vocab_total"),
+        min(when(col("cum") * 100 >= col("total") * 90, col("rank"))).as("vocab_p90"),
+        min(when(col("cum") * 100 >= col("total") * 95, col("rank"))).as("vocab_p95"),
+        min(when(col("cum") * 100 >= col("total") * 99, col("rank"))).as("vocab_p99"),
+        max(col("total")).as("total_tokens"))
+      .select(col("lang"), col("vocab_total"),
+        col("vocab_p90").cast("long").as("vocab_p90"),
+        col("vocab_p95").cast("long").as("vocab_p95"),
+        col("vocab_p99").cast("long").as("vocab_p99"),
+        col("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val q79_vocab_coverage_sql: String =
+    s"""WITH tkt AS (SELECT d.lang, ${TA.tokensSql.replace("text", "d.text")} AS tk FROM documents d),
+       |freq AS (SELECT lang, unnest(tk) AS tok FROM tkt),
+       |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM freq GROUP BY lang, tok),
+       |cum AS (
+       |  SELECT lang, c,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rank,
+       |    SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, tok
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER (PARTITION BY lang) AS total
+       |  FROM cnt)
+       |SELECT lang, COUNT(*) AS vocab_total,
+       |  CAST(MIN(CASE WHEN cum * 100 >= total * 90 THEN rank END) AS BIGINT) AS vocab_p90,
+       |  CAST(MIN(CASE WHEN cum * 100 >= total * 95 THEN rank END) AS BIGINT) AS vocab_p95,
+       |  CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN rank END) AS BIGINT) AS vocab_p99,
+       |  CAST(MAX(total) AS BIGINT) AS total_tokens
+       |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -871,7 +926,8 @@ object TextQueries {
     "q49_stratified_sample" -> (q49_stratified_sample _),
     "q54_dedup_clusters" -> (q54_dedup_clusters _),
     "q76_passage_dedup" -> (q76_passage_dedup _),
-    "q77_repetition_trim" -> (q77_repetition_trim _)
+    "q77_repetition_trim" -> (q77_repetition_trim _),
+    "q79_vocab_coverage" -> (q79_vocab_coverage _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -897,6 +953,7 @@ object TextQueries {
     "q49_stratified_sample" -> q49_stratified_sample_sql,
     "q54_dedup_clusters" -> q54_dedup_clusters_sql,
     "q76_passage_dedup" -> q76_passage_dedup_sql,
-    "q77_repetition_trim" -> q77_repetition_trim_sql
+    "q77_repetition_trim" -> q77_repetition_trim_sql,
+    "q79_vocab_coverage" -> q79_vocab_coverage_sql
   )
 }

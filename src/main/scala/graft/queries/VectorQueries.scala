@@ -242,7 +242,57 @@ object VectorQueries {
        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** q78 — one Lloyd (k-means) update step from the q51 seed
+    * centroids: assign every vector to its nearest seed by cosine,
+    * then recompute per-cell per-dimension sums — the TRAINING side
+    * of the IVF index q51 serves from (at scale: iterate this step,
+    * centroids stay broadcast-small, one shuffle per iteration on the
+    * cell key).
+    *
+    * Cross-engine check is over integer-quantized sums (round(v*1e6)
+    * per element, summed as BIGINT) — float addition is not
+    * associative, so a double sum's low bits depend on partition
+    * order; the integer checksum is engine- and order-exact (the q67
+    * pattern). Production keeps doubles; the gate asserts assignment
+    * + aggregation structure exactly.
+    */
+  def q78_kmeans_step(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
+    val cent = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cos_c", Similarity.dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_q"))
+      .select(col("cell"), col("pos").cast("long").as("pos"), col("n_members"), col("sum_q"))
+      .orderBy(col("cell"), col("pos"))
+  }
+
+  val q78_kmeans_step_sql: String = {
+    val dVC = Similarity.dotSql("embedding", "cemb", dim)
+    s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding", dim)} AS nrm FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT n.vec_id, cent.cent_id AS cell, n.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $dVC / (nrm * cnrm) DESC, cent_id) AS rn
+       |    FROM n, cent) t WHERE rn = 1),
+       |dims AS (SELECT cell, unnest(range(${dim})) AS pos, embedding FROM assigned)
+       |SELECT cell, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n_members,
+       |  CAST(SUM(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_q
+       |FROM dims GROUP BY cell, pos ORDER BY cell, pos""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_kmeans_step" -> (q78_kmeans_step _),
     "q50_ann_topk" -> (q50_ann_topk _),
     "q67_vec_quantize" -> (q67_vec_quantize _),
     "q68_quantized_rerank" -> (q68_quantized_rerank _),
@@ -252,6 +302,7 @@ object VectorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q78_kmeans_step" -> q78_kmeans_step_sql,
     "q50_ann_topk" -> q50_ann_topk_sql,
     "q67_vec_quantize" -> q67_vec_quantize_sql,
     "q68_quantized_rerank" -> q68_quantized_rerank_sql,
