@@ -48,16 +48,16 @@ object Bench {
     // fails. The FINAL line is therefore a 2-decimal compact form
     // (~1.7k chars), degrading to totals-only if it ever outgrows the
     // window.
-    def round2(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val compact = mkLine(round2)
+    def roundN(n: Int)(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${n}f", Double.box(v))
+    val totalsOnly = {
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val failed = results.count(_._2 < 0)
+      s"""{"metric":"total","value":${roundN(2)(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}"""
+    }
     println(
-      if (compact.length <= 1900) compact
-      else {
-        val total = results.collect { case (_, v) if v >= 0 => v }.sum
-        val failed = results.count(_._2 < 0)
-        s"""{"metric":"total","value":${round2(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}"""
-      })
+      Seq(mkLine(roundN(2)), mkLine(roundN(1)))
+        .find(_.length <= 1900).getOrElse(totalsOnly))
     spark.stop()
   }
 }

@@ -85,6 +85,31 @@ class ScheduleTopicSpec extends AnyFunSuite {
       "resume must append exactly the 20 new rows — no loss, no dup")
   }
 
+  test("Heartbeat: stale-worker detection over a topic beat log") {
+    import graft.streaming.Heartbeat
+    import graft.streaming.Heartbeat.Beat
+    val topic = Topic(spark, tmp("hb_root"), "beats")
+    // three fleet ticks: a beats every tick, b goes silent after t=0
+    Heartbeat.beat(topic, Seq(Beat("a", 0, 0L), Beat("b", 0, 0L)))
+    Heartbeat.beat(topic, Seq(Beat("a", 1, 1000L)))
+    Heartbeat.beat(topic, Seq(Beat("a", 2, 2000L)))
+    val live = Heartbeat.liveness(topic.replay(), asOfMs = 2500L, staleAfterMs = 1000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(live.keySet == Set("a", "b"))
+    val a = live("a"); val b = live("b")
+    assert(a.getLong(1) == 2000L && a.getLong(2) == 2 && a.getLong(3) == 3) // last beat/seq/count
+    assert(a.getLong(4) == 500L && !a.getBoolean(5), "a beat recently, must be live")
+    assert(b.getLong(1) == 0L && b.getLong(3) == 1)
+    assert(b.getLong(4) == 2500L && b.getBoolean(5), "b went silent, must be stale")
+    val stale = Heartbeat.staleWorkers(topic, asOfMs = 2500L, staleAfterMs = 1000L)
+      .select("worker").collect().map(_.getString(0)).toSeq
+    assert(stale == Seq("b"))
+    // a later beat from b revives it — staleness is a function of the
+    // log, not a sticky flag
+    Heartbeat.beat(topic, Seq(Beat("b", 1, 2600L)))
+    assert(Heartbeat.staleWorkers(topic, asOfMs = 3000L, staleAfterMs = 1000L).count() == 0)
+  }
+
   test("Multimodal.decodeImages decodes real PNGs via javax.imageio") {
     val feats = Multimodal.decodeImages(Multimodal.pngCorpus(spark, 6, 32, 16))
       .collect().sortBy(_.media_id)
