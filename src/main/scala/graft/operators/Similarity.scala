@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product, elements widened to double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product, elements widened to double — the
+    * codegen'd [[graft.plans.ArrayDot]] kernel (bit-identical to
+    * `aggregate(zip_with(a, b, *), 0.0, +)`, which runs on the
+    * interpreted HigherOrderFunction path and allocates the product
+    * array per evaluation; the ANN family evaluates this n×k times).
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.ArrayDot(a, b)
 
   /** DuckDB rendering of [[dot]] — identical fold order incl. the 0.0
     * seed (list_reduce alone would seed with element 1).

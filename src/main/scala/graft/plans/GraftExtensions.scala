@@ -29,5 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             cause = None)
         Hash60(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "graft_array_dot"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_array_dot`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            cause = None)
+        ArrayDot(children.head, children(1))
+      }))
   }
 }

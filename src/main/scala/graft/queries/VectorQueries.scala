@@ -60,13 +60,17 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
     val cent = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    // index: nearest centroid per vector
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    // index: nearest centroid per vector — max_by aggregation, not a
+    // per-vector window (map-side partials: the exchange carries n
+    // rows, not n×k; tie-break (cos desc, cent_id asc) matches the
+    // oracle's ROW_NUMBER ordering)
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("cos_c", Similarity.dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id").as("cell"), col("embedding"), col("nrm")),
+        struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.embedding").as("embedding"), col("best.nrm").as("nrm"))
     // probes: 2 nearest cells each
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"), col("nrm").as("pnrm"))
@@ -261,12 +265,17 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
     val cent = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    // nearest-centroid assignment via max_by, NOT a per-vector window:
+    // the window shape shuffles all n×k scored rows into a sort; the
+    // groupBy gets map-side partial max_by, so the exchange carries n
+    // rows. Tie-break (cos desc, cent_id asc) encoded as the ordering
+    // struct (cos, -cent_id) — identical to the oracle's ROW_NUMBER.
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("cos_c", Similarity.dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id").as("cell"), col("embedding")),
+        struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.embedding").as("embedding"))
     assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))

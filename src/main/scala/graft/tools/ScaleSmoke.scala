@@ -70,7 +70,13 @@ object ScaleSmoke {
       "q59_heavy_hitters", "q65_corpus_pipeline",
       // round 3: the nonlinear-risk set at higher factors — stream
       // interval join state, shard-local packing windows
-      "q69_stream_join", "q72_seq_packing")
+      "q69_stream_join", "q72_seq_packing",
+      // round 4: passage-grid dedup (×N duplication makes every
+      // passage an N-way duplicate — worst case for the global
+      // passage-hash shuffle), the assignment+explode k-means step,
+      // and the vocab window over distinct tokens
+      "q76_passage_dedup", "q77_repetition_trim", "q78_kmeans_step",
+      "q79_vocab_coverage")
     val only = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").toSet)
     // a typo'd name must fail the smoke, not pass it vacuously

@@ -53,4 +53,57 @@ class Hash60Spec extends AnyFunSuite {
       .agg(min("h"), max("h")).collect()(0)
     assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << 60))
   }
+
+  /** The composed HigherOrderFunction form ArrayDot replaces — kept
+    * here as the equality reference (it is also what the DuckDB
+    * oracle's list_reduce rendering mirrors).
+    */
+  private def dotComposed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  test("ArrayDot: bit-identical to the composed fold on real embeddings") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(e.limit(20).select(col("embedding").as("b")))
+    val bad = pairs.select(
+        graft.plans.ArrayDot(col("a"), col("b")).as("fast"),
+        dotComposed(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow")) // exact bit equality, no tolerance
+      .count()
+    assert(bad == 0)
+  }
+
+  test("ArrayDot: null/length semantics match zip_with padding; mixed element types work") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)), // 11.0
+      (Seq(1.0f), Seq(1.0f, 2.0f)) // length mismatch → null
+    ).toDF("a", "b")
+    val rows = df.select(graft.plans.ArrayDot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0), "length mismatch must be null like the composed form")
+    // null element → null (composed form: null product poisons the sum)
+    val withNull = spark.sql("SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) a, array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)) b")
+      .select(graft.plans.ArrayDot(col("a"), col("b")).as("d")).collect()
+    assert(withNull(0).isNullAt(0))
+    // float × long-literal plane (the lshBucket shape)
+    val mixed = Seq((Seq(2.0f, 3.0f))).toDF("a")
+      .select(graft.plans.ArrayDot(col("a"), array(lit(10L), lit(100L))).as("d")).collect()
+    assert(mixed(0).getDouble(0) == 320.0)
+  }
+
+  test("ArrayDot runs inside WholeStageCodegen") {
+    val plan = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(graft.plans.ArrayDot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"), s"no codegen span:\n$plan")
+  }
+
+  test("graft_array_dot is SQL-registered via GraftExtensions") {
+    val viaSql = spark.sql(
+      "SELECT graft_array_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(2.0D, 3.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(viaSql == 9.0)
+  }
 }
