@@ -101,8 +101,11 @@ object Examples {
     val wav = Multimodal.decodeAudio(Multimodal.wavCorpus(spark, 4))
     println("== multimodal real WAV decode ==")
     wav.toDF().select("media_id", "sample_rate", "duration_ms", "rms").orderBy("media_id").show(truncate = false)
+    val vid = Multimodal.decodeVideo(Multimodal.aviCorpus(spark, 2, 48, 32, nFrames = 8), sample = 4)
+    println("== multimodal real MJPEG-AVI decode (frame sampling + motion) ==")
+    vid.toDF().select("media_id", "n_frames", "fps", "motion").orderBy("media_id").show(truncate = false)
     val feats = Multimodal.decodeStub(Multimodal.fakeCorpus(spark, 4, "video"))
-    println("== multimodal stub decode (video — the one remaining stub) ==")
+    println("== multimodal stub decode (inter-coded video — the remaining stub) ==")
     feats.toDF().select("media_id", "kind", "n_bytes", "checksum").orderBy("media_id").show(truncate = false)
 
     // text source round-trip
@@ -142,6 +145,26 @@ object Examples {
     Seq(("mail bob.smith@example.org now, acct 12345678"))
       .toDF("text").select(graft.operators.TextAnalysis.scrubPii(col("text")).as("scrubbed"))
       .show(truncate = false)
+
+    // persisted IVF vector index: sampled Lloyd training, cell-bucketed
+    // store, probe-pruned serving
+    import graft.operators.VectorIndex
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = VectorIndex.train(spark, vecs, k = 4, iters = 2)
+    val vidx = VectorIndex.open(spark, Files.createTempDirectory("graft_demo_vidx").toString + "/cells")
+    VectorIndex.index(vidx, vecs, cents)
+    println("== VectorIndex.query (2 probes, nprobe=2, top-3 from cell buckets) ==")
+    VectorIndex.query(spark, vidx, cents,
+      vecs.limit(2).select(col("vec_id").as("probe_id"), col("embedding").as("pemb")),
+      nprobe = 2, k = 3).show(truncate = false)
+
+    // bus heartbeat: fleet beats on a topic, stale workers on a tick
+    import graft.streaming.Heartbeat
+    val hbTopic = Topic(spark, Files.createTempDirectory("graft_demo_hb").toString, "beats")
+    Heartbeat.beat(hbTopic, Seq(Heartbeat.Beat("worker-a", 0, 0L), Heartbeat.Beat("worker-b", 0, 0L)))
+    Heartbeat.beat(hbTopic, Seq(Heartbeat.Beat("worker-a", 1, 60000L)))
+    println("== Heartbeat.staleWorkers (b silent for 90s, threshold 45s) ==")
+    Heartbeat.staleWorkers(hbTopic, asOfMs = 90000L, staleAfterMs = 45000L).show(truncate = false)
 
     spark.stop()
   }
