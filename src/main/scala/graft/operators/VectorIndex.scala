@@ -42,12 +42,29 @@ object VectorIndex {
   private def cosine(e: Column, nrm: Column, c: Column, cn: Column): Column =
     Similarity.dot(e, c) / (nrm * cn)
 
-  /** Nearest-centroid assignment (the q78 shape: broadcast centroids,
-    * max_by with (cos desc, cell asc) tie-break, n-row exchange).
-    * `centroids` must have (cell, cemb); output (cell, vec_id,
-    * embedding) rows ready for the store.
+  /** Nearest-centroid assignment as a MAP-ONLY scan: centroids are
+    * k-bounded (driver-held by contract — train() returns them from
+    * collected state), so the argmax over cells runs inside a single
+    * codegen'd expression per vector ([[graft.plans.ArgmaxCosine]]) —
+    * no n×k scored rows, no sort, no exchange. Tie-break (cos desc,
+    * cell asc) and arithmetic are bit-identical to the join+max_by
+    * formulation (spec-asserted). `centroids` must have (cell, cemb)
+    * with cells 0..k-1; output (cell, vec_id, embedding).
     */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cl = centroids.select(col("cell"), col("cemb")).collect().sortBy(_.getLong(0))
+    require(cl.zipWithIndex.forall { case (r, i) => r.getLong(0) == i.toLong },
+      s"centroid cells must be dense 0..k-1, got ${cl.map(_.getLong(0)).mkString(",")}")
+    val mat = cl.map(_.getSeq[Double](1).toArray)
+    vecs.select(graft.plans.ArgmaxCosine(col("embedding"), mat).as("cell"),
+      col("vec_id"), col("embedding"))
+  }
+
+  /** The join-formulation reference shape of [[assign]] (broadcast
+    * crossJoin → max_by) — kept for the equality spec and for callers
+    * whose centroid frame is too large to hold driver-side.
+    */
+  def assignJoin(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val e = vecs.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
     val c = centroids.select(col("cell"), col("cemb"),

@@ -782,9 +782,13 @@ object TextQueries {
     * this is the passage-granular complement.
     */
   def q76_passage_dedup(spark: SparkSession, dir: String): DataFrame = {
-    val ph = passageFrame(spark, dir)
-    val counts = ph.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val perDoc = ph.join(counts, "h")
+    // global multiplicity as a whole-partition window over h, NOT a
+    // groupBy(h)-then-join-back: the join shape evaluates the passage
+    // frame (tokenize + md5 per passage) once per side; the window
+    // keeps the same two shuffles (by h, then by doc_id) with ONE
+    // evaluation
+    val perDoc = passageFrame(spark, dir)
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("np"), count(when(col("c") > 1, lit(1))).as("nd"))
     Tables.documents(spark, dir).select(col("doc_id"))

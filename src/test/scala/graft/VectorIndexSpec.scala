@@ -33,6 +33,24 @@ class VectorIndexSpec extends AnyFunSuite {
       "Lloyd iterations must move the centroids off the seeds")
   }
 
+  test("map-only ArgmaxCosine assignment is bit-identical to the join+max_by shape") {
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = VectorIndex.train(spark, vecs, k = 4, iters = 2)
+    val fast = VectorIndex.assign(vecs, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = VectorIndex.assignJoin(vecs, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.size == ref.size && fast == ref,
+      "every vector must land in the same cell under both shapes")
+    // the map-only shape must be exchange-free (no Exchange below the scan)
+    val plan = VectorIndex.assign(vecs, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must be map-only:\n$plan")
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"),
+      s"assignment must run in codegen:\n$plan")
+  }
+
   test("index-served query equals the recomputed within-probed-cells answer; tick adds new vectors") {
     val base = Files.createTempDirectory("graft_vidx").toString
     val src = s"$base/incoming"; val ckpt = s"$base/ckpt"
