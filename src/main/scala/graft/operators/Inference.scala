@@ -75,11 +75,18 @@ object Inference {
     def skipWs(): Unit = while (i < json.length && json(i).isWhitespace) i += 1
     def fail(msg: String) =
       throw new IllegalArgumentException(s"malformed batch JSON at offset $i: $msg")
+    // the array must be the WHOLE input: trailing bytes mean a
+    // corrupted/concatenated response and must fail, not be ignored
+    def finish(): Seq[String] = {
+      skipWs()
+      if (i < json.length) fail("trailing data after array")
+      out.result()
+    }
     skipWs()
     if (i >= json.length || json(i) != '[') fail("expected '['")
     i += 1
     skipWs()
-    if (i < json.length && json(i) == ']') return { i += 1; out.result() }
+    if (i < json.length && json(i) == ']') return { i += 1; finish() }
     while (true) {
       skipWs()
       if (i >= json.length || json(i) != '"') fail("expected string")
@@ -112,11 +119,11 @@ object Inference {
       if (i >= json.length) fail("unterminated array")
       json(i) match {
         case ',' => i += 1
-        case ']' => i += 1; return out.result()
+        case ']' => i += 1; return finish()
         case c => fail(s"expected ',' or ']', got '$c'")
       }
     }
-    out.result()
+    finish()
   }
 
   /** One HTTP client per executor JVM (clients pool connections;

@@ -147,11 +147,16 @@ object VectorIndex {
       Similarity.norm(col("pemb")).as("pnrm"))
     // nprobe nearest cells per probe: |probes| × k rows — probe-sized
     val wCell = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
+    // materialized ONCE: store.lookup's bucket-id probe collects over
+    // this frame and the result plan joins it again — without the
+    // checkpoint the probe-assignment crossJoin (and the caller's
+    // arbitrary `probes` pipeline above it) would execute twice
     val pcells = p.crossJoin(broadcast(c))
       .withColumn("pcos", cosine(col("pemb"), col("pnrm"), col("cemb"), col("cnrm")))
       .withColumn("prn", row_number().over(wCell))
       .filter(col("prn") <= nprobe)
       .select(col("probe_id"), col("pemb"), col("pnrm"), col("cell"))
+      .localCheckpoint(true)
     val empty = Seq.empty[(Long, Long, Long, Long, Double)]
       .toDF("probe_id", "rank", "vec_id", "cell", "cosine")
     store.lookup(pcells.select(col("cell"))) match {

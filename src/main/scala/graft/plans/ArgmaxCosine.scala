@@ -57,8 +57,13 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
       i += 1
     }
     val en = math.sqrt(nrm)
+    // the join formulation throws DIVIDE_BY_ZERO here under ANSI mode
+    // (Spark 4 default) — an unassignable vector must fail loudly in
+    // this shape too, not silently land in cell 0
+    if (en == 0.0) throw new IllegalArgumentException(
+      "graft_argmax_cosine: zero-norm embedding cannot be assigned")
     var best = -1
-    var bestCos = Double.NegativeInfinity
+    var bestCos = 0.0
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
@@ -70,8 +75,15 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
           dot += x * cent(j)
           j += 1
         }
-        val cos = dot / (en * cnorms(c))
-        if (cos > bestCos) { bestCos = cos; best = c }
+        var cos = dot / (en * cnorms(c))
+        // SQL double semantics (what the join+max_by shape applies):
+        // NaN compares GREATER than every double and EQUAL to NaN,
+        // -0.0 equals 0.0. Double.compare gets the NaN rules right but
+        // orders -0.0 < 0.0, so normalize zeros first.
+        if (cos == 0.0d) cos = 0.0d
+        if (best < 0 || java.lang.Double.compare(cos, bestCos) > 0) {
+          bestCos = cos; best = c
+        }
       }
       c += 1
     }
@@ -103,8 +115,10 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
          |}
          |if (!${ev.isNull}) {
          |  $nrm = java.lang.Math.sqrt($nrm);
+         |  if ($nrm == 0.0d) throw new IllegalArgumentException(
+         |    "graft_argmax_cosine: zero-norm embedding cannot be assigned");
          |  int $best = -1;
-         |  double $bestCos = Double.NEGATIVE_INFINITY;
+         |  double $bestCos = 0.0;
          |  for (int $c = 0; $c < $centsRef.length; $c++) {
          |    double[] $cent = $centsRef[$c];
          |    if ($cent.length == $d) {
@@ -113,7 +127,12 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
          |        $dot += ((double) $a.$get($j)) * $cent[$j];
          |      }
          |      double $cos = $dot / ($nrm * $normsRef[$c]);
-         |      if ($cos > $bestCos) { $bestCos = $cos; $best = $c; }
+         |      // SQL double semantics: NaN > everything, NaN == NaN,
+         |      // -0.0 == 0.0 (normalize zeros, then Double.compare)
+         |      if ($cos == 0.0d) $cos = 0.0d;
+         |      if ($best < 0 || java.lang.Double.compare($cos, $bestCos) > 0) {
+         |        $bestCos = $cos; $best = $c;
+         |      }
          |    }
          |  }
          |  if ($best < 0) ${ev.isNull} = true; else ${ev.value} = (long) $best;
@@ -139,6 +158,10 @@ object ArgmaxCosine {
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       math.sqrt(s)
     }
+    // a zero centroid would put NaN cosines in every comparison (and
+    // the join shape would throw under ANSI) — reject at build time
+    require(norms.forall(_ > 0.0),
+      s"zero-norm centroid(s) at cells ${norms.zipWithIndex.filter(_._1 == 0.0).map(_._2).mkString(",")}")
     GraftColumnBridge.column(
       ArgmaxCosine(GraftColumnBridge.expression(emb), cents, norms))
   }

@@ -55,22 +55,37 @@ object VectorQueries {
     * probes scan only their 2 nearest cells. At 100 TB the corpus is
     * bucketed/partitioned by cell so a probe touches ~2/k of data.
     */
-  def q51_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+  /** Norm-projected embeddings and the deterministic seed centroids
+    * shared by q51 (serving) and q78 (training). */
+  private def embWithCents(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
     val cent = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    // index: nearest centroid per vector — max_by aggregation, not a
-    // per-vector window (map-side partials: the exchange carries n
-    // rows, not n×k; tie-break (cos desc, cent_id asc) matches the
-    // oracle's ROW_NUMBER ordering)
-    val assigned = e.crossJoin(broadcast(cent))
+    (e, cent)
+  }
+
+  /** Nearest-centroid assignment shared by q51/q78: max_by, NOT a
+    * per-vector window — the window shape shuffles all n×k scored
+    * rows into a sort, the groupBy gets map-side partial max_by so
+    * the exchange carries n rows. Tie-break (cos desc, cent_id asc)
+    * encoded as the ordering struct (cos, -cent_id) — identical to
+    * the oracle's ROW_NUMBER ordering. (The index OPERATOR goes one
+    * further: VectorIndex.assign is a map-only codegen'd argmax with
+    * no n×k rows at all; the gate keeps the declarative shape.)
+    */
+  private def assignToCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
       .withColumn("cos_c", Similarity.dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cent_id").as("cell"), col("embedding"), col("nrm")),
         struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.embedding").as("embedding"), col("best.nrm").as("nrm"))
+
+  def q51_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cent) = embWithCents(spark, dir)
+    val assigned = assignToCells(e, cent)
     // probes: 2 nearest cells each
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"), col("nrm").as("pnrm"))
@@ -261,22 +276,8 @@ object VectorQueries {
     * + aggregation structure exactly.
     */
   def q78_kmeans_step(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
-    val cent = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    // nearest-centroid assignment via max_by, NOT a per-vector window:
-    // the window shape shuffles all n×k scored rows into a sort; the
-    // groupBy gets map-side partial max_by, so the exchange carries n
-    // rows. Tie-break (cos desc, cent_id asc) encoded as the ordering
-    // struct (cos, -cent_id) — identical to the oracle's ROW_NUMBER.
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("cos_c", Similarity.dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id").as("cell"), col("embedding")),
-        struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("best.embedding").as("embedding"))
-    assigned
+    val (e, cent) = embWithCents(spark, dir)
+    assignToCells(e, cent)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(count(lit(1)).as("n_members"),

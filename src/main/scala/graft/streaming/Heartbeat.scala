@@ -40,7 +40,12 @@ object Heartbeat {
     */
   def liveness(beats: DataFrame, asOfMs: Long, staleAfterMs: Long): DataFrame =
     beats.groupBy(col("worker"))
-      .agg(max(col("ts_ms")).as("last_beat_ms"), max(col("seq")).as("last_seq"),
+      // last_seq must be the seq OF the latest beat, not an
+      // independent max: a restarted worker resets its seq counter,
+      // and max(seq) would report a stale beat's counter against the
+      // new beat's timestamp. (ts ties → highest seq of that ts.)
+      .agg(max(col("ts_ms")).as("last_beat_ms"),
+        max_by(col("seq"), struct(col("ts_ms"), col("seq"))).as("last_seq"),
         count(lit(1)).as("n_beats"))
       .withColumn("age_ms", lit(asOfMs) - col("last_beat_ms"))
       .withColumn("stale", col("age_ms") > staleAfterMs)

@@ -307,6 +307,12 @@ class FlowSourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Inference.decodeBatch("""["a""""))
     intercept[IllegalArgumentException](Inference.decodeBatch("""["a", 3]"""))
     intercept[IllegalArgumentException](Inference.decodeBatch("""["truncated"""))
+    // trailing bytes = corrupted/concatenated response bodies — must
+    // fail loudly, never silently take the first array (regression)
+    intercept[IllegalArgumentException](Inference.decodeBatch("""["a"]["b"]"""))
+    intercept[IllegalArgumentException](Inference.decodeBatch("""[]junk"""))
+    intercept[IllegalArgumentException](Inference.decodeBatch("""["a"] x"""))
+    assert(Inference.decodeBatch("""["a"]  """) == Seq("a"), "trailing whitespace is fine")
   }
 
   test("Multimodal: stub decode is deterministic, frame slices cover payload") {

@@ -108,6 +108,13 @@ class ScheduleTopicSpec extends AnyFunSuite {
     // log, not a sticky flag
     Heartbeat.beat(topic, Seq(Beat("b", 1, 2600L)))
     assert(Heartbeat.staleWorkers(topic, asOfMs = 3000L, staleAfterMs = 1000L).count() == 0)
+    // a restarted worker resets its seq counter: last_seq must be the
+    // seq OF the latest beat, not max(seq) over history (regression)
+    Heartbeat.beat(topic, Seq(Beat("a", 0, 2900L)))
+    val a2 = Heartbeat.liveness(topic.replay(), asOfMs = 3000L, staleAfterMs = 1000L)
+      .filter(col("worker") === "a").collect().head
+    assert(a2.getLong(1) == 2900L && a2.getLong(2) == 0L,
+      s"restart: last_seq must come from the 2900ms beat, got ${a2.toSeq}")
   }
 
   test("Multimodal.decodeImages decodes real PNGs via javax.imageio") {

@@ -51,6 +51,34 @@ class VectorIndexSpec extends AnyFunSuite {
       s"assignment must run in codegen:\n$plan")
   }
 
+  test("zero-norm vectors fail loudly under BOTH shapes; zero centroids rejected at build") {
+    import spark.implicits._
+    // under ANSI mode (Spark 4 default) the join shape throws
+    // DIVIDE_BY_ZERO on cos = 0/0 — the map-only expression must
+    // fail loudly too, not silently assign cell 0 (regression:
+    // ArgmaxCosine once returned null here, indexing the vector into
+    // an unservable null cell)
+    val cents = Seq(
+      (0L, Seq(0.0, 1.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0))).toDF("cell", "cemb")
+    val good = Seq((1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val fast = VectorIndex.assign(good, cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == Map(1L -> 1L, 2L -> 0L))
+    val zeroVec = Seq((0L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // ConvertToLocalRelation may evaluate the tiny frame driver-side
+    // (raw IllegalArgumentException) or in a task (SparkException
+    // wrapper) — loud failure either way, never a silent cell
+    val ex = intercept[Exception](VectorIndex.assign(zeroVec, cents).collect())
+    assert(ex.getMessage.contains("zero-norm") ||
+      Option(ex.getCause).exists(_.getMessage.contains("zero-norm")), s"got $ex")
+    intercept[Throwable](VectorIndex.assignJoin(zeroVec, cents).collect())
+    // a zero centroid is rejected when the expression is built
+    val zeroCent = Seq((0L, Seq(0.0, 0.0, 0.0))).toDF("cell", "cemb")
+    intercept[IllegalArgumentException](VectorIndex.assign(good, zeroCent))
+  }
+
   test("index-served query equals the recomputed within-probed-cells answer; tick adds new vectors") {
     val base = Files.createTempDirectory("graft_vidx").toString
     val src = s"$base/incoming"; val ckpt = s"$base/ckpt"
