@@ -907,6 +907,79 @@ object TextQueries {
        |  CAST(MAX(total) AS BIGINT) AS total_tokens
        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q80 — token-rarity quality score (the rank-based proxy for
+    * CCNet-style LM-perplexity filtering, kept integer-exact for the
+    * oracle): every token gets its per-language frequency rank
+    * (1 = most common); a doc's rarity profile is the sum and max of
+    * its tokens' ranks. High mean rank = unusual text (gibberish or
+    * genuinely rare domain) — the tail both quality pipelines
+    * inspect.
+    *
+    * Scale shape: the rank table is VOCAB-sized (broadcastable at any
+    * corpus size); ranking windows are per-lang over distinct tokens
+    * only; the token stream joins ranks on (lang, tok) then one
+    * doc_id shuffle.
+    */
+  def q80_token_rarity(spark: SparkSession, dir: String): DataFrame = {
+    val toksOf = tokenized(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), explode(col("tk")).as("tok"))
+    val rnk = toksOf.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))))
+    toksOf.join(rnk.select(col("lang"), col("tok"), col("r")), Seq("lang", "tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("r")).as("sum_rank"),
+        max(col("r")).cast("long").as("rarest_rank"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sum_rank").cast("long").as("sum_rank"), col("rarest_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q80_token_rarity_sql: String =
+    s"""WITH tokd AS (
+       |  SELECT doc_id, lang, unnest(${TA.tokensSql}) AS tok FROM documents),
+       |rnk AS (
+       |  SELECT lang, tok,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tok) AS r
+       |  FROM tokd GROUP BY lang, tok)
+       |SELECT t.doc_id AS doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(r) AS BIGINT) AS sum_rank,
+       |  CAST(MAX(r) AS BIGINT) AS rarest_rank
+       |FROM tokd t JOIN rnk USING (lang, tok)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  /** q81 — temperature-based source mixing (α = 0.5): the data-mixing
+    * step that up-weights small sources relative to proportional
+    * sampling (multilingual-LM style, weight ∝ count^α). sqrt is
+    * IEEE-exactly-rounded so both engines agree bit-for-bit; weights
+    * are then quantized to integers (floor(√n · 1e6)) so the budget
+    * split is pure integer arithmetic — no float sums cross rows.
+    * Budget = 10000 planned docs.
+    */
+  def q81_mix_temperature(spark: SparkSession, dir: String): DataFrame = {
+    val w = floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_q", w)
+    // total weight via a 1-row aggregate joined back (broadcast) — a
+    // global window here would be a partition-less sort for no reason
+    counts.crossJoin(broadcast(counts.agg(sum(col("w_q")).as("sum_w"))))
+      .select(col("source"), col("n_docs"),
+        expr("10000 * w_q div sum_w").as("planned")) // pure integer split
+      .orderBy(col("source"))
+  }
+
+  val q81_mix_temperature_sql: String =
+    s"""WITH c AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+       |  FROM documents GROUP BY source)
+       |SELECT source, n_docs,
+       |  10000 * w_q // (SELECT SUM(w_q) FROM c) AS planned
+       |FROM c ORDER BY source""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -931,7 +1004,9 @@ object TextQueries {
     "q54_dedup_clusters" -> (q54_dedup_clusters _),
     "q76_passage_dedup" -> (q76_passage_dedup _),
     "q77_repetition_trim" -> (q77_repetition_trim _),
-    "q79_vocab_coverage" -> (q79_vocab_coverage _)
+    "q79_vocab_coverage" -> (q79_vocab_coverage _),
+    "q80_token_rarity" -> (q80_token_rarity _),
+    "q81_mix_temperature" -> (q81_mix_temperature _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -958,6 +1033,8 @@ object TextQueries {
     "q54_dedup_clusters" -> q54_dedup_clusters_sql,
     "q76_passage_dedup" -> q76_passage_dedup_sql,
     "q77_repetition_trim" -> q77_repetition_trim_sql,
-    "q79_vocab_coverage" -> q79_vocab_coverage_sql
+    "q79_vocab_coverage" -> q79_vocab_coverage_sql,
+    "q80_token_rarity" -> q80_token_rarity_sql,
+    "q81_mix_temperature" -> q81_mix_temperature_sql
   )
 }
