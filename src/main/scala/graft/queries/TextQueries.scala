@@ -921,6 +921,11 @@ object TextQueries {
     * doc_id shuffle.
     */
   def q80_token_rarity(spark: SparkSession, dir: String): DataFrame = {
+    // the token stream is scanned twice (rank build + rank join) —
+    // deliberate: a single-pass dense_rank window would sort the
+    // CORPUS-sized stream per lang, while here the only sort is over
+    // the vocab-sized distinct frame and everything else is hash
+    // shuffles; two linear scans beat one corpus-wide sort at scale
     val toksOf = tokenized(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), explode(col("tk")).as("tok"))
