@@ -17,7 +17,10 @@ object Bench {
     // single-run timings swing ±50% on this harness (measured across
     // rounds); SPARK_GRAFT_BENCH_REPS>1 reports the per-query MEDIAN
     // of R runs so a regression is distinguishable from noise
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // fail-soft on a malformed value: a typo'd env var must not crash
+    // the bench after warmup and leave the gate without a metric line
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.trim.toIntOption).getOrElse(1).max(1)
     // a failed query reports -1, never its time-to-throw (which would
     // make breakage look like a speedup)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -34,7 +37,10 @@ object Bench {
       }
       val median = {
         val s = times.sorted
-        s(s.length / 2)
+        // true median: even rep counts average the middle pair (the
+        // upper-middle alone would report max-of-2 for reps=2)
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
       }
       // any failed rep marks the query failed — a flaky query must not
       // hide behind its passing reps' median

@@ -147,16 +147,19 @@ object VectorIndex {
       Similarity.norm(col("pemb")).as("pnrm"))
     // nprobe nearest cells per probe: |probes| × k rows — probe-sized
     val wCell = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
-    // materialized ONCE: store.lookup's bucket-id probe collects over
+    // computed ONCE: store.lookup's bucket-id probe collects over
     // this frame and the result plan joins it again — without the
-    // checkpoint the probe-assignment crossJoin (and the caller's
-    // arbitrary `probes` pipeline above it) would execute twice
+    // persist the probe-assignment crossJoin (and the caller's
+    // arbitrary `probes` pipeline above it) would execute twice.
+    // persist, not localCheckpoint: the plan stays recomputable on
+    // executor loss (blocks are freed by the ContextCleaner once the
+    // served frame is dropped)
     val pcells = p.crossJoin(broadcast(c))
       .withColumn("pcos", cosine(col("pemb"), col("pnrm"), col("cemb"), col("cnrm")))
       .withColumn("prn", row_number().over(wCell))
       .filter(col("prn") <= nprobe)
       .select(col("probe_id"), col("pemb"), col("pnrm"), col("cell"))
-      .localCheckpoint(true)
+      .persist()
     val empty = Seq.empty[(Long, Long, Long, Long, Double)]
       .toDF("probe_id", "rank", "vec_id", "cell", "cosine")
     store.lookup(pcells.select(col("cell"))) match {

@@ -158,10 +158,13 @@ object ArgmaxCosine {
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       math.sqrt(s)
     }
-    // a zero centroid would put NaN cosines in every comparison (and
-    // the join shape would throw under ANSI) — reject at build time
-    require(norms.forall(_ > 0.0),
-      s"zero-norm centroid(s) at cells ${norms.zipWithIndex.filter(_._1 == 0.0).map(_._2).mkString(",")}")
+    // a zero (or NaN — e.g. averaged from NaN embeddings) centroid
+    // would poison every comparison with NaN cosines (and the join
+    // shape would throw under ANSI) — reject at build time, naming
+    // every offending cell
+    val bad = norms.zipWithIndex.filter { case (n, _) => !(n > 0.0) }
+    require(bad.isEmpty,
+      s"non-positive/NaN-norm centroid(s) at cells ${bad.map(_._2).mkString(",")}")
     GraftColumnBridge.column(
       ArgmaxCosine(GraftColumnBridge.expression(emb), cents, norms))
   }

@@ -961,7 +961,10 @@ object TextQueries {
     * IEEE-exactly-rounded so both engines agree bit-for-bit; weights
     * are then quantized to integers (floor(√n · 1e6)) so the budget
     * split is pure integer arithmetic — no float sums cross rows.
-    * Budget = 10000 planned docs.
+    * Budget = 10000; the floor split deliberately leaves the
+    * remainder unallocated (sum(planned) ≤ budget, short by < one doc
+    * per source) — largest-remainder redistribution is a downstream
+    * policy choice, not part of the weight computation.
     */
   def q81_mix_temperature(spark: SparkSession, dir: String): DataFrame = {
     val w = floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
