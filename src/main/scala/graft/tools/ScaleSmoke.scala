@@ -76,7 +76,9 @@ object ScaleSmoke {
       // passage-hash shuffle), the assignment+explode k-means step,
       // and the vocab window over distinct tokens
       "q76_passage_dedup", "q77_repetition_trim", "q78_kmeans_step",
-      "q79_vocab_coverage")
+      "q79_vocab_coverage",
+      // round 4b: the corpus-sized rank join and the tiny mixing agg
+      "q80_token_rarity", "q81_mix_temperature")
     val only = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").toSet)
     // a typo'd name must fail the smoke, not pass it vacuously
