@@ -74,8 +74,13 @@ object Bench {
       val failed = results.count(_._2 < 0)
       s"""{"metric":"total","value":${roundN(2)(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}"""
     }
+    // precision ladder: 2-dec → 1-dec → whole seconds → totals-only.
+    // The whole-seconds rung keeps PER-QUERY data alive even in the
+    // worst case (every value 3 digits); QueriesSpec pins that rung's
+    // worst-case width under the guard so a new query can never
+    // silently push the gate to totals-only.
     println(
-      Seq(mkLine(roundN(2)), mkLine(roundN(1)))
+      Seq(mkLine(roundN(2)), mkLine(roundN(1)), mkLine(roundN(0)))
         .find(_.length <= 1900).getOrElse(totalsOnly))
     spark.stop()
   }

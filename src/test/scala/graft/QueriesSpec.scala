@@ -29,6 +29,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("bench per-query line survives the harness tail window at the current query count") {
+    // the harness keeps the last ~2000 chars of stdout and parses the
+    // last line; Bench degrades 2-dec → 1-dec → whole seconds before
+    // dropping per-query data entirely. The LAST per-query rung
+    // (whole seconds, worst case 3-digit values) must fit the
+    // 1900-char guard — this fails AT THE COMMIT that adds the query
+    // that overflows, not two rounds later in a driver artifact.
+    val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"queries":"""
+    val tail = s""","sf":"/root/testdata/sf0.1"}"""
+    val worst = SparkEntry.queries.keys.map(k => s""""$k":999""").mkString("{", ",", "}")
+    val len = header.length + worst.length + tail.length
+    assert(len <= 1900,
+      s"whole-second bench line worst-case $len chars > 1900 — per-query data would drop to totals-only; trim query names")
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
