@@ -82,4 +82,29 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
 
   /** Batch view of the whole topic (deva Topic replay). */
   def replay(): DataFrame = spark.read.parquet(dir)
+
+  /** Retention trim — the reference's maxlen-bounded streams
+    * (deva/core/sources.py RedisStream trims with `maxlen`): delete
+    * the oldest topic files beyond `keepFiles`, returning how many
+    * were removed. Trimming is LOSSY BY DESIGN (exactly Redis
+    * maxlen semantics): the owner must only trim past every
+    * subscriber's checkpointed progress — a subscriber that still
+    * needs a deleted file surfaces Spark's missing-file error rather
+    * than silently skipping data. Order is (mtime, name); publish()
+    * prefixes part files with their monotonic stage id, so same-
+    * millisecond batches still trim in publish order.
+    */
+  def trim(keepFiles: Int): Int = {
+    require(keepFiles >= 0, s"keepFiles must be >= 0, got $keepFiles")
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst)) return 0
+    val files = fs.listStatus(dst).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(st => (st.getModificationTime, st.getPath.getName))
+    val doomed = files.dropRight(keepFiles)
+    doomed.foreach(st => fs.delete(st.getPath, false))
+    doomed.length
+  }
 }

@@ -85,6 +85,25 @@ class ScheduleTopicSpec extends AnyFunSuite {
       "resume must append exactly the 20 new rows — no loss, no dup")
   }
 
+  test("Topic.trim drops oldest batches (maxlen retention), newest survive") {
+    val sp = spark
+    import sp.implicits._
+    val topic = Topic(spark, tmp("trim_root"), "t")
+    // three single-file batches in publish order
+    topic.publish(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    topic.publish(Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    topic.publish(Seq((3L, "c")).toDF("k", "v").coalesce(1))
+    assert(topic.replay().count() == 3)
+    val removed = topic.trim(keepFiles = 2)
+    assert(removed == 1, s"one oldest file should go, removed $removed")
+    val left = topic.replay().select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(2L, 3L), s"oldest batch must be the one trimmed, got $left")
+    // idempotent when already within budget
+    assert(topic.trim(keepFiles = 2) == 0)
+    // trim-to-zero empties the topic
+    assert(topic.trim(keepFiles = 0) == 2)
+  }
+
   test("Heartbeat: stale-worker detection over a topic beat log") {
     import graft.streaming.Heartbeat
     import graft.streaming.Heartbeat.Beat
