@@ -127,21 +127,31 @@ object Inference {
   }
 
   /** One HTTP client per executor JVM (clients pool connections;
-    * per-batch construction would re-handshake every call).
+    * per-batch construction would re-handshake every call). A connect
+    * timeout is mandatory: a black-holed endpoint must surface as a
+    * failed task (which Spark retries — the at-least-once story),
+    * never as a hung one that no retry policy can see.
     */
-  @transient private lazy val jvmClient = java.net.http.HttpClient.newHttpClient()
+  @transient private lazy val jvmClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
 
   /** REAL transport: POST the prompt batch as a JSON array to `url`,
     * parse the JSON-array response. Non-2xx fails the task loudly
     * (Spark's retry gives at-least-once, never a silent drop) — the
     * executor-side shape of deva's `GPT.sync_query` against an
-    * OpenAI-style batch endpoint.
+    * OpenAI-style batch endpoint. `requestTimeout` bounds the whole
+    * exchange the same way: a stalled server throws
+    * HttpTimeoutException instead of blocking the task forever.
     */
-  def httpTransport(url: String): Seq[String] => Seq[String] = {
+  def httpTransport(url: String,
+      requestTimeout: java.time.Duration = java.time.Duration.ofMinutes(5)): Seq[String] => Seq[String] = {
     val target = url // capture the string, not the enclosing object
+    val limit = requestTimeout
     prompts => {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(target))
         .header("Content-Type", "application/json")
+        .timeout(limit)
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(encodeBatch(prompts)))
         .build()
       val resp = jvmClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())

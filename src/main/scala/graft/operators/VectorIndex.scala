@@ -56,7 +56,15 @@ object VectorIndex {
     require(cl.zipWithIndex.forall { case (r, i) => r.getLong(0) == i.toLong },
       s"centroid cells must be dense 0..k-1, got ${cl.map(_.getLong(0)).mkString(",")}")
     val mat = cl.map(_.getSeq[Double](1).toArray)
-    vecs.select(graft.plans.ArgmaxCosine(col("embedding"), mat).as("cell"),
+    // a NULL embedding (or null element) yields a NULL cell — refuse
+    // to emit it rather than persist a row query() can never serve
+    // (zero-norm and wrong-width vectors already throw inside the
+    // expression itself)
+    val cell = graft.plans.ArgmaxCosine(col("embedding"), mat)
+    vecs.select(
+      coalesce(cell, raise_error(concat(
+        lit("VectorIndex.assign: null embedding for vec_id="),
+        col("vec_id").cast("string"))).cast("long")).as("cell"),
       col("vec_id"), col("embedding"))
   }
 
@@ -137,9 +145,29 @@ object VectorIndex {
   /** Serve top-k cosine neighbors for each probe, scanning only each
     * probe's `nprobe` nearest cells' bucket dirs. Output:
     * (probe_id, rank, vec_id, cell, cosine).
+    *
+    * The served frame leans on a persisted probe→cell assignment;
+    * query() leaves the blocks for the ContextCleaner (fine for a
+    * one-shot). A long-lived server looping queries should use
+    * [[serve]], which unpersists eagerly once the result is consumed.
     */
   def query(spark: SparkSession, store: KvStore, centroids: DataFrame,
-      probes: DataFrame, nprobe: Int, k: Int): DataFrame = {
+      probes: DataFrame, nprobe: Int, k: Int): DataFrame =
+    queryWithRelease(spark, store, centroids, probes, nprobe, k)._1
+
+  /** Serve-and-release: run `use` over the served frame, then
+    * unpersist the probe-assignment cache in a finally — the shape
+    * for a session answering many queries, where waiting on the GC
+    * to collect dropped frames accumulates cached blocks.
+    */
+  def serve[A](spark: SparkSession, store: KvStore, centroids: DataFrame,
+      probes: DataFrame, nprobe: Int, k: Int)(use: DataFrame => A): A = {
+    val (df, release) = queryWithRelease(spark, store, centroids, probes, nprobe, k)
+    try use(df) finally release()
+  }
+
+  private def queryWithRelease(spark: SparkSession, store: KvStore, centroids: DataFrame,
+      probes: DataFrame, nprobe: Int, k: Int): (DataFrame, () => Unit) = {
     import spark.implicits._
     val c = centroids.select(col("cell"), col("cemb"),
       Similarity.norm(col("cemb")).as("cnrm"))
@@ -162,11 +190,12 @@ object VectorIndex {
       .persist()
     val empty = Seq.empty[(Long, Long, Long, Long, Double)]
       .toDF("probe_id", "rank", "vec_id", "cell", "cosine")
+    val release = () => { pcells.unpersist(); () }
     store.lookup(pcells.select(col("cell"))) match {
-      case None => empty
+      case None => (empty, release)
       case Some(cands) =>
         val wTop = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
-        pcells.join(cands, "cell")
+        val served = pcells.join(cands, "cell")
           .filter(col("vec_id") =!= col("probe_id"))
           .withColumn("cosine",
             cosine(col("embedding"), Similarity.norm(col("embedding")), col("pemb"), col("pnrm")))
@@ -175,6 +204,7 @@ object VectorIndex {
           .select(col("probe_id"), col("rank").cast("long").as("rank"),
             col("vec_id"), col("cell"), col("cosine"))
           .orderBy(col("probe_id"), col("rank"))
+        (served, release)
     }
   }
 }

@@ -32,6 +32,10 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
 
   require(cents.nonEmpty && cents.length == cnorms.length,
     s"need matching centroids (${cents.length}) and norms (${cnorms.length})")
+  require(cents.forall(_.length == cents(0).length),
+    s"centroids must share one dimensionality, got ${cents.map(_.length).distinct.mkString(",")}")
+
+  private val centDim = cents(0).length
 
   override def dataType: DataType = LongType
 
@@ -48,9 +52,17 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val d = a.numElements()
+    // a wrong-width vector cannot be scored against ANY centroid —
+    // the join formulation would quietly assign it via null-cosine
+    // struct ordering; this shape fails loudly (like zero-norm below)
+    if (d != centDim) throw new IllegalArgumentException(
+      s"graft_argmax_cosine: embedding has $d elements, centroids have $centDim")
     var nrm = 0.0
     var i = 0
     while (i < d) {
+      // a null ELEMENT makes the cosine undefined → NULL result (SQL
+      // null propagation, same as ArrayDot); VectorIndex.assign
+      // refuses to persist the resulting null cell
       if (a.isNullAt(i)) return null
       val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       nrm += x * x
@@ -67,27 +79,25 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
-      if (cent.length == d) {
-        var dot = 0.0
-        var j = 0
-        while (j < d) {
-          val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
-          dot += x * cent(j)
-          j += 1
-        }
-        var cos = dot / (en * cnorms(c))
-        // SQL double semantics (what the join+max_by shape applies):
-        // NaN compares GREATER than every double and EQUAL to NaN,
-        // -0.0 equals 0.0. Double.compare gets the NaN rules right but
-        // orders -0.0 < 0.0, so normalize zeros first.
-        if (cos == 0.0d) cos = 0.0d
-        if (best < 0 || java.lang.Double.compare(cos, bestCos) > 0) {
-          bestCos = cos; best = c
-        }
+      var dot = 0.0
+      var j = 0
+      while (j < d) {
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        dot += x * cent(j)
+        j += 1
+      }
+      var cos = dot / (en * cnorms(c))
+      // SQL double semantics (what the join+max_by shape applies):
+      // NaN compares GREATER than every double and EQUAL to NaN,
+      // -0.0 equals 0.0. Double.compare gets the NaN rules right but
+      // orders -0.0 < 0.0, so normalize zeros first.
+      if (cos == 0.0d) cos = 0.0d
+      if (best < 0 || java.lang.Double.compare(cos, bestCos) > 0) {
+        bestCos = cos; best = c
       }
       c += 1
     }
-    if (best < 0) null else best.toLong
+    best.toLong
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -99,6 +109,7 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
+      val x = ctx.freshName("x")
       val nrm = ctx.freshName("nrm")
       val dot = ctx.freshName("dot")
       val cos = ctx.freshName("cos")
@@ -107,11 +118,13 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
       val cent = ctx.freshName("cent")
       s"""
          |int $d = $a.numElements();
+         |if ($d != $centDim) throw new IllegalArgumentException(
+         |  "graft_argmax_cosine: embedding has " + $d + " elements, centroids have $centDim");
          |double $nrm = 0.0;
          |for (int $i = 0; $i < $d; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double x = (double) $a.$get($i);
-         |  $nrm += x * x;
+         |  double $x = (double) $a.$get($i);
+         |  $nrm += $x * $x;
          |}
          |if (!${ev.isNull}) {
          |  $nrm = java.lang.Math.sqrt($nrm);
@@ -121,21 +134,19 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]],
          |  double $bestCos = 0.0;
          |  for (int $c = 0; $c < $centsRef.length; $c++) {
          |    double[] $cent = $centsRef[$c];
-         |    if ($cent.length == $d) {
-         |      double $dot = 0.0;
-         |      for (int $j = 0; $j < $d; $j++) {
-         |        $dot += ((double) $a.$get($j)) * $cent[$j];
-         |      }
-         |      double $cos = $dot / ($nrm * $normsRef[$c]);
-         |      // SQL double semantics: NaN > everything, NaN == NaN,
-         |      // -0.0 == 0.0 (normalize zeros, then Double.compare)
-         |      if ($cos == 0.0d) $cos = 0.0d;
-         |      if ($best < 0 || java.lang.Double.compare($cos, $bestCos) > 0) {
-         |        $bestCos = $cos; $best = $c;
-         |      }
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $d; $j++) {
+         |      $dot += ((double) $a.$get($j)) * $cent[$j];
+         |    }
+         |    double $cos = $dot / ($nrm * $normsRef[$c]);
+         |    // SQL double semantics: NaN > everything, NaN == NaN,
+         |    // -0.0 == 0.0 (normalize zeros, then Double.compare)
+         |    if ($cos == 0.0d) $cos = 0.0d;
+         |    if ($best < 0 || java.lang.Double.compare($cos, $bestCos) > 0) {
+         |      $bestCos = $cos; $best = $c;
          |    }
          |  }
-         |  if ($best < 0) ${ev.isNull} = true; else ${ev.value} = (long) $best;
+         |  ${ev.value} = (long) $best;
          |}
        """.stripMargin
     })

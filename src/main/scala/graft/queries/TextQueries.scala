@@ -963,8 +963,8 @@ object TextQueries {
     * split is pure integer arithmetic — no float sums cross rows.
     * Budget = 10000; the floor split deliberately leaves the
     * remainder unallocated (sum(planned) ≤ budget, short by < one doc
-    * per source) — largest-remainder redistribution is a downstream
-    * policy choice, not part of the weight computation.
+    * per source) — q82 layers the largest-remainder redistribution on
+    * top, keeping the weight computation itself policy-free.
     */
   def q81_mix_temperature(spark: SparkSession, dir: String): DataFrame = {
     val w = floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
@@ -985,8 +985,67 @@ object TextQueries {
        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
        |  FROM documents GROUP BY source)
        |SELECT source, n_docs,
-       |  10000 * w_q // (SELECT SUM(w_q) FROM c) AS planned
+       |  CAST(10000 * w_q // (SELECT SUM(w_q) FROM c) AS BIGINT) AS planned
        |FROM c ORDER BY source""".stripMargin
+
+  /** q82 — largest-remainder completion of q81's floor split: the
+    * floor division under-allocates by < 1 doc per source; here the
+    * shortfall (budget − Σ base) is handed back one unit at a time to
+    * the sources with the LARGEST fractional parts — so Σ planned ==
+    * budget EXACTLY (QueriesSpec gates the invariant too). Everything
+    * stays integer arithmetic ((10000·w) mod Σw IS the fractional
+    * part, scaled) so both engines agree bit-for-bit.
+    *
+    * Rank-by-remainder is computed WITHOUT a partition-less window:
+    * n_ahead = |{peers with a strictly larger remainder}| via a k×k
+    * broadcast self-join on the source-count frame — k is the number
+    * of DISTINCT SOURCES (an aggregate output, corpus provenance
+    * labels), so the quadratic term is bounded and driver-free while
+    * the single real shuffle stays the groupBy(source) count.
+    */
+  def q82_mix_largest_remainder(spark: SparkSession, dir: String): DataFrame = {
+    val w = floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_q", w)
+    val based = counts
+      .crossJoin(broadcast(counts.agg(sum(col("w_q")).as("sum_w"))))
+      .withColumn("base", expr("10000 * w_q div sum_w"))
+      .withColumn("frac", expr("(10000 * w_q) % sum_w"))
+    val withShort = based.crossJoin(broadcast(
+      based.agg((lit(10000L) - sum(col("base"))).as("short"))))
+    val peers = based.select(col("source").as("peer"), col("frac").as("peer_frac"))
+    withShort
+      .join(broadcast(peers),
+        col("peer_frac") > col("frac") ||
+          (col("peer_frac") === col("frac") && col("peer") < col("source")),
+        "left")
+      .groupBy(col("source"), col("n_docs"), col("base"), col("short"))
+      .agg(count(col("peer")).as("n_ahead"))
+      .select(col("source"), col("n_docs"),
+        (col("base") + when(col("n_ahead") < col("short"), 1L).otherwise(0L)).as("planned"))
+      .orderBy(col("source"))
+  }
+
+  val q82_mix_largest_remainder_sql: String =
+    s"""WITH c AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(SUM(w_q) AS BIGINT) AS sum_w FROM c),
+       |b AS (
+       |  SELECT source, n_docs,
+       |    CAST(10000 * w_q // sum_w AS BIGINT) AS base,
+       |    CAST((10000 * w_q) % sum_w AS BIGINT) AS frac
+       |  FROM c, t),
+       |s AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS short FROM b),
+       |r AS (
+       |  SELECT source, n_docs, base, short,
+       |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) - 1 AS n_ahead
+       |  FROM b, s)
+       |SELECT source, n_docs,
+       |  CAST(base + CASE WHEN n_ahead < short THEN 1 ELSE 0 END AS BIGINT) AS planned
+       |FROM r ORDER BY source""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
@@ -1014,7 +1073,8 @@ object TextQueries {
     "q77_repetition_trim" -> (q77_repetition_trim _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
-    "q81_mix_temperature" -> (q81_mix_temperature _)
+    "q81_mix_temperature" -> (q81_mix_temperature _),
+    "q82_mix_largest_remainder" -> (q82_mix_largest_remainder _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1043,6 +1103,7 @@ object TextQueries {
     "q77_repetition_trim" -> q77_repetition_trim_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,
-    "q81_mix_temperature" -> q81_mix_temperature_sql
+    "q81_mix_temperature" -> q81_mix_temperature_sql,
+    "q82_mix_largest_remainder" -> q82_mix_largest_remainder_sql
   )
 }

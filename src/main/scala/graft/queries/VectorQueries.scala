@@ -65,14 +65,14 @@ object VectorQueries {
     (e, cent)
   }
 
-  /** Nearest-centroid assignment shared by q51/q78: max_by, NOT a
+  /** Nearest-centroid assignment for q51: max_by, NOT a
     * per-vector window — the window shape shuffles all n×k scored
     * rows into a sort, the groupBy gets map-side partial max_by so
     * the exchange carries n rows. Tie-break (cos desc, cent_id asc)
     * encoded as the ordering struct (cos, -cent_id) — identical to
-    * the oracle's ROW_NUMBER ordering. (The index OPERATOR goes one
-    * further: VectorIndex.assign is a map-only codegen'd argmax with
-    * no n×k rows at all; the gate keeps the declarative shape.)
+    * the oracle's ROW_NUMBER ordering. (q78 and the index OPERATOR go
+    * one further: VectorIndex.assign / ArgmaxCosine is a map-only
+    * codegen'd argmax with no n×k rows at all.)
     */
   private def assignToCells(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
@@ -276,8 +276,22 @@ object VectorQueries {
     * + aggregation structure exactly.
     */
   def q78_kmeans_step(spark: SparkSession, dir: String): DataFrame = {
-    val (e, cent) = embWithCents(spark, dir)
-    assignToCells(e, cent)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // Seed centroids (vec_id % 100 == 0) are 1% of the corpus — k-
+    // bounded by the gate's seeding rule — so they ride in the plan
+    // as a driver-held matrix and assignment is the map-only
+    // codegen'd argmax ([[graft.plans.ArgmaxCosine]]): zero exchanges
+    // before the cell aggregation, no n×k scored rows, no sort.
+    // Bit-identical to the join+max_by shape by VectorIndexSpec; that
+    // shape stays in VectorIndex.assignJoin (and q51) for centroid
+    // frames too large to hold driver-side.
+    val seeds = e.filter(col("vec_id") % 100 === 0).collect().sortBy(_.getLong(0))
+    val ids = seeds.map(_.getLong(0))
+    val mat = seeds.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // the argmax yields dense 0..k-1 in cent_id order — map back
+    val cell = element_at(array(ids.toIndexedSeq.map(lit): _*),
+      (graft.plans.ArgmaxCosine(col("embedding"), mat) + 1L).cast("int"))
+    e.select(cell.as("cell"), col("embedding"))
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(count(lit(1)).as("n_members"),

@@ -40,7 +40,9 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
     */
   def publish(df: DataFrame): Unit = {
     val spark = df.sparkSession
-    val stageName = s".stage_${System.nanoTime()}"
+    // zero-padded so the stage id sorts lexicographically == numerically
+    // (an unpadded nanoTime inverts order when its digit count grows)
+    val stageName = f".stage_${System.nanoTime()}%020d"
     val stage = new org.apache.hadoop.fs.Path(s"$dir/$stageName")
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -96,15 +98,84 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
     */
   def trim(keepFiles: Int): Int = {
     require(keepFiles >= 0, s"keepFiles must be >= 0, got $keepFiles")
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dst)) return 0
-    val files = fs.listStatus(dst).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.sortBy(st => (st.getModificationTime, st.getPath.getName))
-    val doomed = files.dropRight(keepFiles)
+    val doomed = oldestFirst().dropRight(keepFiles)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     doomed.foreach(st => fs.delete(st.getPath, false))
     doomed.length
+  }
+
+  /** Checkpoint-aware trim: like [[trim]], but refuses to delete any
+    * file some subscriber has not yet COMMITTED — the "only trim past
+    * every subscriber's progress" contract as a mechanical check
+    * instead of a comment. Pass every subscriber's checkpoint dir;
+    * the trimmable set is the oldest-first prefix of files that all
+    * of them have committed (prefix, not scatter, so retention stays
+    * log-shaped). A lagging subscriber simply caps the trim at its
+    * own frontier; it never sees a missing-file error.
+    */
+  def trimSafe(keepFiles: Int, subscriberCheckpoints: Seq[String]): Int = {
+    require(keepFiles >= 0, s"keepFiles must be >= 0, got $keepFiles")
+    require(subscriberCheckpoints.nonEmpty,
+      "trimSafe needs at least one subscriber checkpoint (use trim() for unmanaged topics)")
+    val committed = subscriberCheckpoints
+      .map(committedFileNames)
+      .reduce(_ intersect _)
+    val doomed = oldestFirst().dropRight(keepFiles)
+      .takeWhile(st => committed.contains(st.getPath.getName))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach(st => fs.delete(st.getPath, false))
+    doomed.length
+  }
+
+  /** Topic data files, oldest first: (mtime, stage id, name) — the
+    * numeric stage id (not its string form) breaks same-mtime ties so
+    * ordering is correct even across historical unpadded ids.
+    */
+  private def oldestFirst(): Array[org.apache.hadoop.fs.FileStatus] = {
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst)) return Array.empty
+    def stageSeq(n: String): Long =
+      if (n.startsWith("stage_")) {
+        val digits = n.drop("stage_".length).takeWhile(_.isDigit)
+        if (digits.isEmpty) Long.MaxValue else digits.toLong
+      } else Long.MaxValue // streamed part files order by name below
+    fs.listStatus(dst).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(st => (st.getModificationTime, stageSeq(st.getPath.getName), st.getPath.getName))
+  }
+
+  /** File names a file-stream subscriber has fully processed: the
+    * source log entries (under checkpoint/sources/0/, including
+    * compacts) for batches with a commit marker (commits/<b>). A
+    * file only SEEN (logged for an uncommitted batch) is not counted.
+    */
+  private def committedFileNames(checkpoint: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val commitsDir = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+    val cfs = commitsDir.getFileSystem(conf)
+    if (!cfs.exists(commitsDir)) return Set.empty
+    val committedMax = cfs.listStatus(commitsDir)
+      .flatMap(st => st.getPath.getName.toLongOption)
+      .foldLeft(-1L)(math.max)
+    if (committedMax < 0) return Set.empty
+    val srcDir = new org.apache.hadoop.fs.Path(s"$checkpoint/sources/0")
+    if (!cfs.exists(srcDir)) return Set.empty
+    val pathRe = """"path":"([^"]+)"""".r
+    cfs.listStatus(srcDir).filter(_.isFile).flatMap { st =>
+      val n = st.getPath.getName
+      val batch = n.stripSuffix(".compact").toLongOption
+      // a compact at id b carries all entries through batch b; either
+      // form is admissible only once its batch is committed
+      if (batch.exists(_ <= committedMax)) {
+        val in = cfs.open(st.getPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        pathRe.findAllMatchIn(body)
+          .map(m => m.group(1).split('/').last).toSeq
+      } else Seq.empty
+    }.toSet
   }
 }

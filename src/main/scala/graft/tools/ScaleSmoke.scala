@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Sessions, SparkEntry, Tables}
+import graft.operators.VectorIndex
+import graft.sources.Topic
+import graft.streaming.Heartbeat
 
 /** Scale smoke: replicate the sf0.1 tables N× with shifted keys into
   * a scratch dir and run representative operators — measuring how the
@@ -79,13 +82,16 @@ object ScaleSmoke {
       "q79_vocab_coverage",
       // round 4b: the corpus-sized rank join and the tiny mixing agg
       "q80_token_rarity", "q81_mix_temperature")
+    // round 5: the two persisted-serving paths — not SparkEntry
+    // queries (they need a built store), so they run as named extras
+    val extras = Seq("vidx", "heartbeat")
     val only = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").toSet)
     // a typo'd name must fail the smoke, not pass it vacuously
     only.foreach { s =>
-      val unknown = s -- queries.toSet
+      val unknown = s -- queries.toSet -- extras.toSet
       require(unknown.isEmpty,
-        s"unknown smoke queries ${unknown.mkString(",")} — known: ${queries.mkString(",")}")
+        s"unknown smoke queries ${unknown.mkString(",")} — known: ${(queries ++ extras).mkString(",")}")
     }
     val selected = only.fold(queries)(s => queries.filter(s.contains))
     val times = selected.map { name =>
@@ -95,9 +101,79 @@ object ScaleSmoke {
       spark.catalog.clearCache() // ×N-sized persisted frames must not accumulate
       println(f"[scale] $name%-24s $sec%8.2f s  ($n rows)")
       name -> sec
-    }
+    } ++
+      (if (only.forall(_.contains("vidx"))) smokeVectorIndex(spark, out, factor) else Nil) ++
+      (if (only.forall(_.contains("heartbeat"))) smokeHeartbeat(spark, factor) else Nil)
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke_total","value":${times.map(_._2).sum},"unit":"sec","factor":$factor,"queries":$qs}""")
     spark.stop()
+  }
+
+  private def timed[A](label: String)(body: => A): (A, (String, Double)) = {
+    val t0 = System.nanoTime()
+    val a = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] $label%-24s $sec%8.2f s")
+    (a, label -> sec)
+  }
+
+  /** Persisted-IVF serving at scale: k GROWS with the corpus (the
+    * production contract — per-cell size stays ~constant), so a probe
+    * reading its nprobe cells' buckets does ~flat work as the corpus
+    * multiplies. Build cost is reported separately from steady-state
+    * serve cost; the serve number is what should stay flat across
+    * factors.
+    */
+  def smokeVectorIndex(spark: SparkSession, out: String, factor: Int): Seq[(String, Double)] = {
+    val vecs = spark.read.parquet(s"$out/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = vecs.count()
+    val k = math.max(16, (n / 2000).toInt) // cells scale with corpus
+    val base = java.nio.file.Files.createTempDirectory("graft_scale_vidx").toString
+    val store = VectorIndex.open(spark, s"$base/cells", numBuckets = 32)
+    val (cents, tTrain) = timed("vidx_train")(
+      VectorIndex.train(spark, vecs, k, iters = 2, samplePermille = 100))
+    val (_, tIndex) = timed("vidx_index")(VectorIndex.index(store, vecs, cents))
+    val probeIds = vecs.select(col("vec_id")).orderBy(col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val probes = vecs.filter(col("vec_id").isin(probeIds.map(Long.box): _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    val (nServed, tServe) = timed("vidx_serve")(
+      VectorIndex.serve(spark, store, cents, probes, nprobe = 2, k = 5)(_.count()))
+    require(nServed == probeIds.length * 5L,
+      s"expected ${probeIds.length * 5} served rows, got $nServed")
+    println(s"[scale] vidx n=$n k=$k served=$nServed")
+    Seq(tTrain, tIndex, tServe)
+  }
+
+  /** Heartbeat liveness at scale: the beat LOG grows with factor
+    * (fleet × ticks) but liveness is one groupBy-max producing a
+    * worker-bounded frame — the scan parallelizes and the state never
+    * exceeds one row per worker.
+    */
+  def smokeHeartbeat(spark: SparkSession, factor: Int): Seq[(String, Double)] = {
+    val workers = 200
+    val ticksPerBatch = math.max(1, factor / 10)
+    val batches = 10
+    val topic = Topic(spark,
+      java.nio.file.Files.createTempDirectory("graft_scale_hb").toString, "beats")
+    val (_, tPub) = timed("heartbeat_publish") {
+      for (b <- 0 until batches) {
+        val beats = for {
+          t <- 0 until ticksPerBatch
+          w <- 0 until workers
+          tick = b * ticksPerBatch + t
+          // half the fleet dies halfway through the run
+          if w < workers / 2 || tick < batches * ticksPerBatch / 2
+        } yield Heartbeat.Beat(f"w$w%04d", tick.toLong, tick * 1000L)
+        Heartbeat.beat(topic, beats)
+      }
+    }
+    val horizon = batches * ticksPerBatch * 1000L
+    val (stale, tLive) = timed("heartbeat_liveness")(
+      Heartbeat.staleWorkers(topic, asOfMs = horizon, staleAfterMs = 2000L).count())
+    require(stale == workers / 2, s"expected ${workers / 2} stale workers, got $stale")
+    println(s"[scale] heartbeat beats=${topic.replay().count()} stale=$stale")
+    Seq(tPub, tLive)
   }
 }

@@ -80,6 +80,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sawWindow > 0, "audit traversal found no Window nodes at all — traversal is broken")
   }
 
+  test("q78 assigns cells with the map-only argmax — no n×k join, no sort-aggregate") {
+    val p = plan("q78_kmeans_step")
+    assert(p.contains("graft_argmax_cosine"),
+      s"q78 must assign with the codegen'd ArgmaxCosine expression:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q78 must not materialize n×k scored rows:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"q78's aggregation must stay hash-based (no struct-ordered max_by sort):\n$p")
+  }
+
   test("projection pruning: q02 reads only needed lineitem columns") {
     val p = plan("q02_map")
     val read = p.split("ReadSchema:").last.split("\n").head

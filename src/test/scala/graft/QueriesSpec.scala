@@ -44,6 +44,20 @@ class QueriesSpec extends AnyFunSuite {
       s"whole-second bench line worst-case $len chars > 1900 — per-query data would drop to totals-only; trim query names")
   }
 
+  test("q82 largest-remainder split allocates the budget EXACTLY") {
+    import org.apache.spark.sql.functions._
+    val planned = SparkEntry.queries("q82_mix_largest_remainder")(spark, dir)
+      .agg(sum(col("planned"))).collect()(0).getLong(0)
+    assert(planned == 10000L, s"sum(planned) must equal the 10000 budget, got $planned")
+    // and q81's floor split undershoots by at most one unit per
+    // source (zero when the division is exact, as at sf0.001)
+    val q81 = SparkEntry.queries("q81_mix_temperature")(spark, dir)
+    val floored = q81.agg(sum(col("planned"))).collect()(0).getLong(0)
+    val nSources = q81.count()
+    assert(floored <= 10000L && floored > 10000L - nSources,
+      s"floor split must undershoot by < 1/source ($nSources sources), got $floored")
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString

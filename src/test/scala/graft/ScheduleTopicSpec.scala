@@ -104,6 +104,35 @@ class ScheduleTopicSpec extends AnyFunSuite {
     assert(topic.trim(keepFiles = 0) == 2)
   }
 
+  test("Topic.trimSafe clamps retention at the laggiest subscriber's committed frontier") {
+    val sp = spark
+    import sp.implicits._
+    val topic = Topic(spark, tmp("trimsafe_root"), "t")
+    val ckA = tmp("trimsafe_ckA"); val outA = tmp("trimsafe_outA") + "/out"
+    val ckB = tmp("trimsafe_ckB"); val outB = tmp("trimsafe_outB") + "/out"
+
+    topic.publish(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    // both subscribers commit batch 1
+    topic.subscribe(topic.schema).toParquet(outA, ckA).awaitTermination()
+    topic.subscribe(topic.schema).toParquet(outB, ckB).awaitTermination()
+    // only A keeps up with batches 2 and 3
+    topic.publish(Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    topic.publish(Seq((3L, "c")).toDF("k", "v").coalesce(1))
+    topic.subscribe(topic.schema).toParquet(outA, ckA).awaitTermination()
+
+    // trim-to-zero WANTS to drop all three files, but B has only
+    // committed the first — the trim stops at B's frontier
+    val removed = topic.trimSafe(keepFiles = 0, Seq(ckA, ckB))
+    assert(removed == 1, s"must trim exactly A∩B's committed prefix, removed $removed")
+    assert(topic.replay().select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+
+    // B catches up over the surviving files — no missing-file error
+    topic.subscribe(topic.schema).toParquet(outB, ckB).awaitTermination()
+    assert(spark.read.parquet(outB).count() == 3)
+    // now everything is committed everywhere: full trim proceeds
+    assert(topic.trimSafe(keepFiles = 0, Seq(ckA, ckB)) == 2)
+  }
+
   test("Heartbeat: stale-worker detection over a topic beat log") {
     import graft.streaming.Heartbeat
     import graft.streaming.Heartbeat.Beat

@@ -9,8 +9,19 @@ For each query in oracle_sql.json: run the SQL in DuckDB against views
 over the sf parquet tables, load the Spark parquet result, sort columns
 by name and rows by value, compare cell-by-cell.
 """
-import sys, os, json, glob
+import sys, os, json, glob, re, tempfile
 import duckdb
+
+# Parquet round-trippable types only. Anything outside this list (most
+# notably HUGEINT, which DuckDB's SUM(BIGINT) returns and which the
+# parquet writer degrades to DOUBLE) silently changes representation
+# between the Python client and the driver's parquet/arrow hasher —
+# exactly the q81 round-4 desync. Flag it loudly instead.
+_TYPE_OK = re.compile(
+    r"^(BOOLEAN|TINYINT|SMALLINT|INTEGER|BIGINT|FLOAT|DOUBLE|VARCHAR"
+    r"|DATE|TIME|TIMESTAMP(?: WITH TIME ZONE)?"
+    r"|DECIMAL\(\d+,\d+\)"
+    r"|(?:BOOLEAN|TINYINT|SMALLINT|INTEGER|BIGINT|FLOAT|DOUBLE|VARCHAR)\[\])$")
 
 def sort_key_cell(x):
     # floats sort by a rounded representation so near-equal values
@@ -49,9 +60,26 @@ def main():
         if only and name not in only:
             continue
         try:
-            res = con.execute(sql)
-            dk_cols = [d[0] for d in res.description]
-            dk_rows = res.fetchall()
+            # type gate: the driver hashes what parquet can represent;
+            # refuse oracle SQL whose declared types leave that set
+            desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+            bad_types = [(c, t) for c, t, *_ in desc if not _TYPE_OK.match(t)]
+            if bad_types:
+                print(f"FAIL {name}: oracle type(s) not parquet-stable: "
+                      f"{bad_types} — CAST them (HUGEINT degrades to DOUBLE "
+                      f"in the driver's materialization)")
+                n_fail += 1
+                continue
+            # materialize through parquet — the SAME path the driver
+            # hashes — so client-side type sugar can't mask a mismatch
+            with tempfile.TemporaryDirectory() as td:
+                opq = os.path.join(td, "oracle.parquet")
+                con.execute(
+                    f"COPY ({sql}) TO '{opq}' (FORMAT PARQUET)")
+                res = con.execute(
+                    f"SELECT * FROM read_parquet('{opq}')")
+                dk_cols = [d[0] for d in res.description]
+                dk_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
