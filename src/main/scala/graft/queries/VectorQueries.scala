@@ -220,11 +220,17 @@ object VectorQueries {
     val probes = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"),
         col("scale").as("pscale"), col("codes").as("pcodes"), col("nrm").as("pnrm"))
-    val intDot = aggregate(
-      zip_with(col("codes"), col("pcodes"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+    // the coarse scan is the hot path (n×p int8 dots): the codegen'd
+    // ArrayDot kernel, not the interpreted zip_with∘aggregate HOF.
+    // Its double accumulation is EXACT here — int8 products summed
+    // over 64 dims stay far below 2^53 — so the value is bit-equal
+    // to the integer fold the oracle computes, engine- and
+    // order-exact (profiled in PLANS.md round 5: the HOF was q68's
+    // whole regression)
+    val intDot = graft.plans.ArrayDot(col("codes"), col("pcodes"))
     val coarse = base.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("approx", intDot.cast("double") * col("scale") * col("pscale"))
+      .withColumn("approx", intDot * col("scale") * col("pscale"))
     val wCoarse = Window.partitionBy(col("probe_id")).orderBy(col("approx").desc, col("vec_id"))
     val shortlist = coarse.withColumn("crn", row_number().over(wCoarse)).filter(col("crn") <= 20)
     val wExact = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
