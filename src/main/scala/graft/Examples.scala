@@ -166,6 +166,14 @@ object Examples {
     println("== Heartbeat.staleWorkers (b silent for 90s, threshold 45s) ==")
     Heartbeat.staleWorkers(hbTopic, asOfMs = 90000L, staleAfterMs = 45000L).show(truncate = false)
 
+    // distributed arrival index (deva zip/partition at scale): range-
+    // partitioned two-pass rank — no single-task window
+    println("== Sequence.globalRowNumber (first 5 events by arrival) ==")
+    graft.operators.Sequence.globalRowNumber(
+      Tables.events(spark, dir).select(col("ts"), col("event_id")),
+      Seq(col("ts"), col("event_id")), "idx")
+      .orderBy(col("idx")).limit(5).show(truncate = false)
+
     spark.stop()
   }
 }

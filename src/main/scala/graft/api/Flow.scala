@@ -92,14 +92,14 @@ final case class Flow(df: DataFrame) {
   def unique(keys: Seq[String]): Flow = Flow(df.dropDuplicates(keys))
 
   /** Pair rows of two flows by position under explicit total orders
-    * (deva zip). Inherently a global sequence — use keyed
-    * [[combineLatest]] at scale.
+    * (deva zip). The global index is the distributed two-pass rank
+    * ([[graft.operators.Sequence]]), not a single-task window; keyed
+    * [[combineLatest]] remains the alternative when position isn't
+    * semantic.
     */
   def zipByIndex(other: Flow, thisOrder: Seq[Column], otherOrder: Seq[Column]): Flow = {
-    val wa = Window.orderBy(thisOrder: _*)
-    val wb = Window.orderBy(otherOrder: _*)
-    val a = df.withColumn("__idx", row_number().over(wa))
-    val b = other.df.withColumn("__idx", row_number().over(wb))
+    val a = graft.operators.Sequence.globalRowNumber(df, thisOrder, "__idx")
+    val b = graft.operators.Sequence.globalRowNumber(other.df, otherOrder, "__idx")
     Flow(a.join(b, "__idx").drop("__idx"))
   }
 
@@ -132,11 +132,13 @@ final case class Flow(df: DataFrame) {
     Flow(df.withColumn(as, agg.over(w)))
   }
 
-  /** Chunk into size-n groups under a total order (deva partition). */
-  def partitioned(n: Int, order: Seq[Column]): Flow = {
-    val w = Window.orderBy(order: _*)
-    Flow(df.withColumn("__grp", floor((row_number().over(w) - 1) / n).cast("long")))
-  }
+  /** Chunk into size-n groups under a total order (deva partition) —
+    * distributed two-pass rank, no partition-less window.
+    */
+  def partitioned(n: Int, order: Seq[Column]): Flow =
+    Flow(graft.operators.Sequence.globalRowNumber(df, order, "__idx")
+      .withColumn("__grp", floor((col("__idx") - 1) / n).cast("long"))
+      .drop("__idx"))
 
   def head(n: Int, order: Seq[Column]): Flow = Flow(df.orderBy(order: _*).limit(n))
 

@@ -130,18 +130,21 @@ object EventQueries {
       |ORDER BY user_id""".stripMargin
 
   /** q19 — deva `zip` (ops.py:179): pair two flows by arrival index.
-    * Inherently a global sequence — documented as non-scalable by
-    * nature (deva's zip is single-threaded too); keyed as-of joins
-    * (q30) are the scale-safe pairing.
+    * The global sequence is computed with [[graft.operators.Sequence]]
+    * — range-partitioned parallel sort + map-side local counters +
+    * prefix-summed offsets — NOT a partition-less window, so the
+    * whole input never funnels through one task (the round-4 scale
+    * allowlist entry this replaces). Keyed as-of joins (q30) remain
+    * the semantic alternative when arrival order isn't required.
     */
   def q19_zip(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    def indexed(t: String, idCol: String, vCol: String): DataFrame = {
-      val w = Window.orderBy(col("ts"), col("event_id"))
-      ev.filter(col("event_type") === t)
-        .withColumn("idx", row_number().over(w))
+    def indexed(t: String, idCol: String, vCol: String): DataFrame =
+      graft.operators.Sequence.globalRowNumber(
+        ev.filter(col("event_type") === t)
+          .select(col("ts"), col("event_id"), col("value")),
+        Seq(col("ts"), col("event_id")), "idx")
         .select(col("idx"), col("event_id").as(idCol), col("value").as(vCol))
-    }
     indexed("click", "click_id", "click_value")
       .join(indexed("view", "view_id", "view_value"), "idx")
       .orderBy(col("idx"))
@@ -158,15 +161,17 @@ object EventQueries {
   /** q20 — deva `partition` (ops.py:875): chunk the flow into size-n
     * batches, aggregate each batch.
     */
-  def q20_partition(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("grp", floor((row_number().over(w) - 1) / 100).cast("long"))
+  def q20_partition(spark: SparkSession, dir: String): DataFrame =
+    // global arrival index via the distributed two-pass rank
+    // (operators/Sequence) — no partition-less window; see q19
+    graft.operators.Sequence.globalRowNumber(
+      Tables.events(spark, dir).select(col("ts"), col("event_id"), col("value")),
+      Seq(col("ts"), col("event_id")), "idx")
+      .withColumn("grp", floor((col("idx") - 1) / 100).cast("long"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"),
         min(col("event_id")).as("first_id"), max(col("event_id")).as("last_id"))
       .orderBy(col("grp"))
-  }
 
   val q20_partition_sql: String =
     """SELECT grp, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,

@@ -81,7 +81,11 @@ object ScaleSmoke {
       "q76_passage_dedup", "q77_repetition_trim", "q78_kmeans_step",
       "q79_vocab_coverage",
       // round 4b: the corpus-sized rank join and the tiny mixing agg
-      "q80_token_rarity", "q81_mix_temperature")
+      "q80_token_rarity", "q81_mix_temperature",
+      // round 5: the former scale-killers — global arrival index now
+      // two-pass range-partitioned (operators/Sequence), so they run
+      // here precisely BECAUSE they used to be allowlisted out
+      "q19_zip", "q20_partition")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

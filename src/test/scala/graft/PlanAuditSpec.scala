@@ -40,10 +40,12 @@ class PlanAuditSpec extends AnyFunSuite {
   test("no gate query funnels unbounded data through a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task total
     // order — a straggler at 100 TB — unless its input is already
-    // limit-bounded (top-k first, then number the survivors), or the
-    // operator is inherently sequential by the reference's own
-    // semantics (deva zip/partition preserve global arrival order).
-    val allowedSequential = Set("q19_zip", "q20_partition")
+    // limit-bounded (top-k first, then number the survivors). Since
+    // round 5 NOTHING is allowlisted: q19/q20's global arrival index
+    // runs on operators/Sequence (range-partitioned two-pass rank),
+    // so even the inherently-ordered ops have no partition-less
+    // window anywhere.
+    val allowedSequential = Set.empty[String]
     // AdaptiveSparkPlanExec is a LEAF node (children = Nil), so a
     // plain collect over the AQE-wrapped plan never descends into the
     // real tree and the audit would pass vacuously — unwrap it.
@@ -78,6 +80,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // nodes, so an inert traversal (the AQE-leaf trap) cannot recur
     // silently
     assert(sawWindow > 0, "audit traversal found no Window nodes at all — traversal is broken")
+  }
+
+  test("Sequence.globalRowNumber is bit-identical to the window row_number and range-partitions instead") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sequence
+    val ev = Tables.events(spark, dir).select(col("ts"), col("event_id"), col("value"))
+    val viaWindow = ev
+      .withColumn("idx", row_number().over(Window.orderBy(col("ts"), col("event_id"))).cast("long"))
+      .select(col("event_id"), col("idx")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seq = Sequence.globalRowNumber(ev, Seq(col("ts"), col("event_id")), "idx")
+    val viaSeq = seq.select(col("event_id"), col("idx")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSeq.size == viaWindow.size && viaSeq == viaWindow,
+      "two-pass distributed rank must equal the single-task window rank")
+    val p = seq.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), s"must range-partition on the order key:\n$p")
+    assert(!p.contains("Window"), s"must not plan any Window at all:\n$p")
   }
 
   test("q78 assigns cells with the map-only argmax — no n×k join, no sort-aggregate") {
