@@ -91,6 +91,11 @@ final case class Flow(df: DataFrame) {
 
   def unique(keys: Seq[String]): Flow = Flow(df.dropDuplicates(keys))
 
+  /** Graphviz DOT of this flow's operator topology (deva
+    * graph.py:358 visualization parity) — see [[graft.tools.PlanDot]].
+    */
+  def toDot(title: String = "flow"): String = graft.tools.PlanDot.dot(df, title)
+
   /** Pair rows of two flows by position under explicit total orders
     * (deva zip). The global index is the distributed two-pass rank
     * ([[graft.operators.Sequence]]), not a single-task window; keyed

@@ -32,6 +32,12 @@ final case class EventFlow(df: DataFrame) {
 
   def select(cols: Column*): EventFlow = EventFlow(df.select(cols: _*))
 
+  /** Graphviz DOT of the streaming topology (deva graph.py:358
+    * parity); callable before start() — the analyzed plan is the
+    * dataflow graph.
+    */
+  def toDot(title: String = "stream"): String = graft.tools.PlanDot.dot(df, title)
+
   def where(cond: Column): EventFlow = EventFlow(df.where(cond))
 
   /** Bound lateness/state: deva `delay` + state-expiry analogue. */

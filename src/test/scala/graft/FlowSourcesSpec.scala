@@ -89,6 +89,28 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(f() == f())
   }
 
+  test("Flow.toDot renders the operator topology as valid DOT") {
+    val ev = Tables.events(spark, dir)
+    val flow = Flow(ev.select(col("event_id"), col("user_id"), col("value")))
+      .filter(col("value") > 0)
+      .map(col("user_id"), (col("value") * 2).as("v2"))
+    val dot = flow.toDot("demo")
+    assert(dot.startsWith("digraph \"demo\" {") && dot.trim.endsWith("}"))
+    // one node per analyzed-plan operator, wired child → parent
+    val nodes = "n\\d+ \\[label=".r.findAllIn(dot).size
+    val edges = "n\\d+ -> n\\d+;".r.findAllIn(dot).size
+    assert(nodes >= 3, s"expected at least scan/filter/project nodes:\n$dot")
+    assert(edges == nodes - 1, s"a linear flow must be a chain:\n$dot")
+    assert(dot.contains("Filter") && dot.contains("Project") && dot.contains("Relation"),
+      s"labels must name the operators:\n$dot")
+    // labels with quotes/backslashes must stay DOT-parsable
+    val sp = spark
+    import sp.implicits._
+    val tricky = Flow(Seq(("a")).toDF("s")).filter(col("s") =!= "x\"\\y").toDot()
+    assert(!tricky.replace("\\\\", "").replace("\\\"", "").contains("\\"),
+      s"unescaped backslash/quote in:\n$tricky")
+  }
+
   test("Sources: text round-trip and filenames") {
     val tmp = Files.createTempDirectory("graft_txt").toString
     Sources.toTextFile(
