@@ -562,6 +562,98 @@ object RelationalQueries {
       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
 
+  /** q83 — skew-salted join as a GATE query (SURVEY §2.3 row 56e):
+    * the hot-key scatter/replicate join must be *result-identical* to
+    * the plain equi-join the oracle runs. Salting spreads each big-side
+    * row over one of 8 sub-keys and replicates the small side to all of
+    * them, so one hot supplier spreads over 8 tasks instead of one
+    * straggler — distribution changes, rows don't.
+    */
+  def q83_salt(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_quantity"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.Skew.saltedJoin(li, supp, Seq("suppkey"), salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).cast("long").as("key_sum"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q83_salt_sql: String =
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** q84 — runtime-bloom-pruned selective join as a GATE query (SURVEY
+    * §2.6 row 83h): Spark's InjectRuntimeFilter builds a bloom filter
+    * from the filtered dim side and applies might_contain on the fact
+    * scan before the shuffle — the engine-native bloom-join. At 100 TB
+    * the default thresholds (10 GB application side) fire on their own;
+    * here they are lowered ON A CLONED SESSION (isolated SQLConf, shared
+    * SparkContext) so the tiny test tables qualify without perturbing
+    * sibling queries' plans.
+    */
+  def q84_bloom(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join: pruning matters
+    val li = Tables.lineitem(s2, dir)
+    val part = Tables.part(s2, dir).filter(col("p_brand") === "Brand#19")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("p_type"))
+  }
+
+  val q84_bloom_sql: String =
+    """SELECT p_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#19'
+      |GROUP BY p_type ORDER BY p_type""".stripMargin
+
+  /** q85 — bucketed co-located join as a GATE query (SURVEY §2.3 row
+    * 56f): both sides written bucketed+sorted on the join key (external
+    * datasource tables under a pid-scoped scratch path, so concurrent
+    * JVMs don't collide), then sort-merge-joined with ZERO exchanges —
+    * the layout contract that makes repeated fact-fact joins shuffle-free
+    * at 100 TB. Result must equal the plain join the oracle runs.
+    */
+  def q85_bucket(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("q85_bucket")
+    val pid = ProcessHandle.current().pid()
+    val liT = s"graft_q85_li_$pid"
+    val ordT = s"graft_q85_ord_$pid"
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/li").saveAsTable(liT)
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/ord").saveAsTable(ordT)
+    spark.table(liT).hint("merge")
+      .join(spark.table(ordT), Seq("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q85_bucket_sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> (q01_agg _),
     "q02_map" -> (q02_map _),
@@ -586,7 +678,10 @@ object RelationalQueries {
     "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
     "q55_orc_roundtrip" -> (q55_orc_roundtrip _),
     "q56_json_roundtrip" -> (q56_json_roundtrip _),
-    "q57_traverse" -> (q57_traverse _)
+    "q57_traverse" -> (q57_traverse _),
+    "q83_salt" -> (q83_salt _),
+    "q84_bloom" -> (q84_bloom _),
+    "q85_bucket" -> (q85_bucket _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -613,6 +708,9 @@ object RelationalQueries {
     "q39_csv_roundtrip" -> q39_csv_roundtrip_sql,
     "q55_orc_roundtrip" -> q55_orc_roundtrip_sql,
     "q56_json_roundtrip" -> q56_json_roundtrip_sql,
-    "q57_traverse" -> q57_traverse_sql
+    "q57_traverse" -> q57_traverse_sql,
+    "q83_salt" -> q83_salt_sql,
+    "q84_bloom" -> q84_bloom_sql,
+    "q85_bucket" -> q85_bucket_sql
   )
 }

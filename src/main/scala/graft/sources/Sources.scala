@@ -63,7 +63,8 @@ object Sources {
   * so every future batch hashes keys identically.
   */
 class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
-    versionCol: String, numBuckets: Int = 16, bucketCols: Seq[String] = Nil) {
+    versionCol: String, numBuckets: Int = 16, bucketCols: Seq[String] = Nil,
+    lockLeaseMs: Long = 10 * 60 * 1000L) {
 
   // Bucketing may use a SUBSET of the key (e.g. a postings table keyed
   // (term, doc) but bucketed by term alone, so one term's rows share a
@@ -93,6 +94,44 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   private def deleteOrThrow(p: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(p) && !fs.delete(p, true))
       throw new java.io.IOException(s"KvStore delete failed: $p")
+
+  // Single-writer contract, MECHANIZED (it used to be a comment): the
+  // upsert takes an exclusive create-if-absent lock file next to the
+  // store, so a second live writer fails LOUDLY instead of corrupting
+  // the stage-then-swap protocol. A lock older than `lockLeaseMs` is
+  // presumed crashed — the torn upsert it may have left is exactly what
+  // open-time recovery repairs — and is broken. The break itself
+  // (delete, then re-create) is not atomic: two writers that BOTH see
+  // the same stale lock can race through it. That residual window is
+  // accepted and documented — this store is the single-writer test
+  // double of a lakehouse table; the lock converts ACCIDENTAL
+  // concurrency into an error, it is not a distributed lock service.
+  private val lockPath = new org.apache.hadoop.fs.Path(path + ".lock")
+
+  private def tryCreateLock(): Boolean =
+    try {
+      val out = fs.create(lockPath, false) // overwrite=false: atomic create-if-absent
+      try out.write(s"pid=${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def acquireLock(): Unit = {
+    if (tryCreateLock()) return
+    val ageMs =
+      try System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L } // released just now
+    if (ageMs >= 0 && ageMs < lockLeaseMs)
+      throw new IllegalStateException(
+        s"KvStore at $path is locked by another writer (lock age ${ageMs}ms < lease ${lockLeaseMs}ms) — " +
+          "KvStore is single-writer; serialize upserts or raise lockLeaseMs only for crashed writers")
+    if (ageMs >= lockLeaseMs) deleteOrThrow(lockPath) // stale: holder presumed dead
+    if (!tryCreateLock())
+      throw new IllegalStateException(
+        s"KvStore at $path: lost the race re-acquiring a stale/released lock — retry the upsert")
+  }
+
+  private def releaseLock(): Unit = deleteOrThrow(lockPath)
 
   private def writeSmallFile(p: org.apache.hadoop.fs.Path, s: String): Unit = {
     val out = fs.create(p, true)
@@ -128,7 +167,8 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   }
 
   // SINGLE-WRITER store (like the reference's sqlite-backed DB): the
-  // per-bucket stage-then-swap is not safe under concurrent writers.
+  // per-bucket stage-then-swap is not safe under concurrent writers —
+  // enforced by the writer lock above, not just stated here.
   // Upsert protocol: (1) stage every touched bucket under
   // `path+".staged"`, (2) write the `_graft_swap` manifest naming the
   // touched buckets — THE commit point, (3) swap each bucket,
@@ -209,6 +249,11 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     * containing incoming keys are read, merged, and swapped.
     */
   def upsert(batch: DataFrame): Unit = {
+    acquireLock()
+    try upsertLocked(batch) finally releaseLock()
+  }
+
+  private def upsertLocked(batch: DataFrame): Unit = {
     val nb = buckets
     // persisted: evaluated once for the touched-bucket probe and once
     // more by the staged write — without caching, a foreachBatch

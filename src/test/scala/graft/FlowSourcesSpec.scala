@@ -203,6 +203,29 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(tmp + ".staged").exists(), "uncommitted staging dropped")
   }
 
+  test("KvStore: a live second writer fails LOUDLY; a stale (crashed) lock is broken") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_kv_lock").toString + "/t"
+    val store = new KvStore(spark, tmp, Seq("k"), "v", numBuckets = 4)
+    store.upsert(Seq(("a", 1L, "x")).toDF("k", "v", "payload"))
+    // lock released after a successful upsert
+    assert(!new java.io.File(tmp + ".lock").exists(), "lock must not outlive the upsert")
+    // another live writer holds the lock → this writer must refuse
+    val lock = new java.io.File(tmp + ".lock")
+    java.nio.file.Files.write(lock.toPath, "pid=other\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      store.upsert(Seq(("b", 1L, "y")).toDF("k", "v", "payload")))
+    assert(e.getMessage.contains("locked by another writer"), e.getMessage)
+    assert(store.get().count() == 1, "refused upsert must not have written")
+    // the same lock gone STALE (holder crashed) is broken and the
+    // upsert proceeds — open-time recovery owns whatever the dead
+    // writer left behind
+    assert(lock.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+    store.upsert(Seq(("b", 1L, "y")).toDF("k", "v", "payload"))
+    assert(store.get().count() == 2)
+    assert(!lock.exists(), "lock released after the stale-break upsert")
+  }
+
   test("Namespace: same name resolves to the same flow/topic/table from independent call sites") {
     import graft.api.Namespace
     val ns = new Namespace(spark, Files.createTempDirectory("graft_ns").toString)

@@ -79,6 +79,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gate queries q84/q85 keep their scale shapes (bloom prune; bucket co-location)") {
+    // the oracle checks only VALUES; these pin the PLANS the rows claim:
+    // q84's fact scan carries the runtime bloom filter, and q85's
+    // sort-merge join reads both bucketed sides without an exchange
+    // (the only hashpartitioning exchange is the groupBy above the join)
+    val q84 = SparkEntry.queries("q84_bloom")(spark, dir)
+    val p84 = q84.queryExecution.executedPlan.toString
+    assert(p84.contains("might_contain"),
+      s"q84 must bloom-prune the fact scan:\n$p84")
+    val q85 = SparkEntry.queries("q85_bucket")(spark, dir)
+    val p85 = q85.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p85).size
+    assert(p85.contains("SortMergeJoin"), s"q85 must sort-merge-join:\n$p85")
+    assert(exchanges <= 1,
+      s"q85's bucketed join must not shuffle its inputs (>1 exchange found):\n$p85")
+  }
+
   test("bucketed tables sort-merge-join without shuffle exchanges") {
     // warehouse dir is a static conf — use the default ./spark-warehouse.
     // The in-memory catalog forgets tables between JVMs but the files
