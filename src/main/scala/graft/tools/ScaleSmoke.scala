@@ -85,7 +85,12 @@ object ScaleSmoke {
       // round 5: the former scale-killers — global arrival index now
       // two-pass range-partitioned (operators/Sequence), so they run
       // here precisely BECAUSE they used to be allowlisted out
-      "q19_zip", "q20_partition")
+      "q19_zip", "q20_partition",
+      // round 5b: the newly gated scale joins — salted scatter,
+      // runtime-bloom prune, bucketed co-location (the bucketed-table
+      // WRITE dominates its time at ×N; the join itself is
+      // exchange-free)
+      "q83_salt", "q84_bloom", "q85_bucket")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
