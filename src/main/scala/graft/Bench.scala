@@ -53,7 +53,11 @@ object Bench {
       // hide behind its passing reps' median
       name -> (if (times.exists(_ < 0)) -1.0 else median)
     }
-    def mkLine(fmt: Double => String): String = {
+    // compact lines carry only the dir BASENAME ("sf0.1") — the driver
+    // records the sf itself; the full path in every rung was 15 chars
+    // of the 1900-char width budget spent on redundancy
+    val sfTag = new java.io.File(sfDir).getName
+    def mkLine(fmt: Double => String, sf: String = sfDir): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // failed queries (sentinel -1.0) must not contribute to the
@@ -61,7 +65,7 @@ object Bench {
       // speedup in a total-vs-total comparison
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       val failed = results.count(_._2 < 0)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sf"}"""
     }
     // full precision goes to the known file (and an early stdout line)
     val full = mkLine(_.toString)
@@ -79,7 +83,7 @@ object Bench {
     val totalsOnly = {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       val failed = results.count(_._2 < 0)
-      s"""{"metric":"total","value":${roundN(2)(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${roundN(2)(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfTag"}"""
     }
     // precision ladder: 2-dec → 1-dec → whole seconds → totals-only.
     // The whole-seconds rung keeps PER-QUERY data alive even in the
@@ -87,7 +91,7 @@ object Bench {
     // worst-case width under the guard so a new query can never
     // silently push the gate to totals-only.
     println(
-      Seq(mkLine(roundN(2)), mkLine(roundN(1)), mkLine(roundN(0)))
+      Seq(mkLine(roundN(2), sfTag), mkLine(roundN(1), sfTag), mkLine(roundN(0), sfTag))
         .find(_.length <= 1900).getOrElse(totalsOnly))
     spark.stop()
   }

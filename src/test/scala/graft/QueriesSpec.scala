@@ -37,7 +37,8 @@ class QueriesSpec extends AnyFunSuite {
     // 1900-char guard — this fails AT THE COMMIT that adds the query
     // that overflows, not two rounds later in a driver artifact.
     val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"queries":"""
-    val tail = s""","sf":"/root/testdata/sf0.1"}"""
+    // compact rungs carry the dir basename only (Bench sfTag)
+    val tail = s""","sf":"sf0.1"}"""
     val worst = SparkEntry.queries.keys.map(k => s""""$k":999""").mkString("{", ",", "}")
     val len = header.length + worst.length + tail.length
     assert(len <= 1900,
