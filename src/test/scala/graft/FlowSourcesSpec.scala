@@ -340,6 +340,21 @@ class FlowSourcesSpec extends AnyFunSuite {
         Inference.annotate(spark, docs.limit(5), "doc_id", "text", batchSize = 4)(
           Inference.httpTransport(url)).collect()
       }
+      // a STALLED endpoint must fail the task within requestTimeout —
+      // HttpTimeoutException, never an indefinite hang Spark's retry
+      // can't see (ADVICE r4: the timeout is the at-least-once story)
+      server.removeContext("/annotate")
+      server.createContext("/annotate", (ex: com.sun.net.httpserver.HttpExchange) => {
+        Thread.sleep(8000) // far past the 500ms request timeout; bounded
+        ex.close()         // so a lingering handler can't delay JVM exit
+      })
+      val t0 = System.nanoTime()
+      intercept[java.net.http.HttpTimeoutException] {
+        Inference.httpTransport(url,
+          requestTimeout = java.time.Duration.ofMillis(500))(Seq("stall"))
+      }
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(waitedMs < 7000, f"timeout must fire at ~500ms, waited $waitedMs%.0f ms")
     } finally server.stop(0)
   }
 
