@@ -79,6 +79,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the adaptive plan)") {
+    // salting (Skew.saltedJoin) is the PLAN-level tool; AQE's
+    // OptimizeSkewedJoin is the RUNTIME tool the doctrine defers to
+    // for everything else — prove it actually fires, on a cloned
+    // session with the size thresholds lowered so a local-mode toy
+    // skew qualifies (at 100 TB the 256MB default fires on its own)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // one hot key carries ~80% of the rows; payload inflates its bytes
+    val big = s2.range(250000).select(
+      when(col("id") < 200000, lit(1L)).otherwise(col("id")).as("k"),
+      concat(lit("payload_"), col("id")).as("p"))
+    val small = s2.range(1000).select(col("id").as("k"), col("id").as("v"))
+    // keep the incompressible payload THROUGH the shuffle — projecting
+    // it away would let the constant hot key compress under the
+    // skew threshold and the test would pass or fail on lz4 behavior
+    val j = big.join(small, "k").select("k", "p")
+    j.collect() // the collect finalizes THIS dataset's adaptive QE
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE must mark the skewed join (skew=true):\n$plan")
+  }
+
   test("gate queries q84/q85 keep their scale shapes (bloom prune; bucket co-location)") {
     // the oracle checks only VALUES; these pin the PLANS the rows claim:
     // q84's fact scan carries the runtime bloom filter, and q85's
