@@ -248,12 +248,21 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     * (versionCol, then presence in the incoming batch). Only buckets
     * containing incoming keys are read, merged, and swapped.
     */
-  def upsert(batch: DataFrame): Unit = {
+  /** `evolveSchema = true` lets a batch ADD columns (old rows read as
+    * null) or omit non-key columns (the winning row then carries null —
+    * an upsert replaces the row wholesale, today's semantics). Strict
+    * mode (default) keeps schema drift a loud error. Key and version
+    * columns are required in every batch regardless — evolution must
+    * never null out the merge identity.
+    */
+  def upsert(batch: DataFrame, evolveSchema: Boolean = false): Unit = {
     acquireLock()
-    try upsertLocked(batch) finally releaseLock()
+    try upsertLocked(batch, evolveSchema) finally releaseLock()
   }
 
-  private def upsertLocked(batch: DataFrame): Unit = {
+  private def upsertLocked(batch: DataFrame, evolveSchema: Boolean): Unit = {
+    require((keyCols :+ versionCol).forall(batch.columns.contains),
+      s"batch must carry key columns $keyCols and version column $versionCol — got ${batch.columns.mkString(",")}")
     val nb = buckets
     // persisted: evaluated once for the touched-bucket probe and once
     // more by the staged write — without caching, a foreachBatch
@@ -270,12 +279,14 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     val merged = if (existingTouched.nonEmpty) {
       // bucket id re-derived from the keys (same deterministic hash)
       // rather than parsed from the directory name
-      val cur = spark.read.parquet(existingTouched.map(_.toString): _*)
+      // mergeSchema: touched buckets may straddle an earlier evolution
+      val cur = spark.read.option("mergeSchema", "true")
+        .parquet(existingTouched.map(_.toString): _*)
         .withColumn("__gen", lit(0)).withColumn("__b", bucketOf)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*)
         .orderBy(col(versionCol).desc, col("__gen").desc)
-      cur.unionByName(incoming)
+      cur.unionByName(incoming, allowMissingColumns = evolveSchema)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn", "__gen")
@@ -300,10 +311,14 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     incoming.unpersist()
   }
 
+  // mergeSchema: after an evolveSchema upsert, only the TOUCHED buckets
+  // carry the widened schema on disk — untouched buckets keep the old
+  // one. Merging the footers (bucket-bounded, not corpus-sized) makes
+  // every read see the union schema with nulls for pre-evolution rows.
   def current(): Option[DataFrame] = {
     val dirs = bucketDirs
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+    else Some(spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*))
   }
 
   /** The bucket ids the given bucket-column values hash into (same
@@ -323,7 +338,7 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     val dirs = bucketIdsFor(values)
       .map(b => new org.apache.hadoop.fs.Path(rootPath, s"b=$b")).filter(fs.exists)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+    else Some(spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*))
   }
 
   /** The stored table; fails loudly when nothing has been written yet

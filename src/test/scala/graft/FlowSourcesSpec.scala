@@ -203,6 +203,39 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(tmp + ".staged").exists(), "uncommitted staging dropped")
   }
 
+  test("KvStore: schema evolution is opt-in; widened reads merge across buckets") {
+    import spark.implicits._
+    // strict mode: one bucket so the union always sees both schemas
+    val tmp = Files.createTempDirectory("graft_kv_evo").toString + "/t"
+    val store = new KvStore(spark, tmp, Seq("k"), "v", numBuckets = 1)
+    store.upsert(Seq(("a", 1L, "x")).toDF("k", "v", "payload"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      store.upsert(Seq(("b", 1L, "y", "t1")).toDF("k", "v", "payload", "tag")))
+    // evolution: the new column lands, pre-evolution rows read as null
+    store.upsert(Seq(("b", 1L, "y", "t1")).toDF("k", "v", "payload", "tag"),
+      evolveSchema = true)
+    val got = store.get().orderBy("k").collect()
+    assert(store.get().columns.toSet == Set("k", "v", "payload", "tag"))
+    assert(got.map(_.getAs[String]("tag")).toSeq == Seq(null, "t1"))
+    // key/version columns are NEVER evolvable away
+    intercept[IllegalArgumentException](
+      store.upsert(Seq(("c", "z")).toDF("k", "payload"), evolveSchema = true))
+    // cross-bucket divergence: widen a key in one bucket, leave another
+    // bucket pre-evolution on disk — reads must merge the footers
+    val tmp2 = Files.createTempDirectory("graft_kv_evo2").toString + "/t"
+    val store2 = new KvStore(spark, tmp2, Seq("k"), "v", numBuckets = 8)
+    val ids = (0 until 32).map(i => s"k$i" -> store2.bucketIdsFor(Seq(s"k$i").toDF("k")).head)
+    val (kA, bA) = ids.head
+    val (kB, _) = ids.find(_._2 != bA).get // 32 keys over 8 buckets: exists
+    store2.upsert(Seq((kA, 1L, "old")).toDF("k", "v", "payload"))
+    store2.upsert(Seq((kB, 1L, "new", 42L)).toDF("k", "v", "payload", "score"),
+      evolveSchema = true)
+    val rows = store2.get().orderBy("k").collect()
+    assert(rows.length == 2 && store2.get().columns.contains("score"))
+    assert(rows.map(r => Option(r.getAs[Any]("score"))).toSeq == Seq(None, Some(42L))
+      || rows.map(r => Option(r.getAs[Any]("score"))).toSeq == Seq(Some(42L), None))
+  }
+
   test("KvStore: a live second writer fails LOUDLY; a stale (crashed) lock is broken") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_kv_lock").toString + "/t"
@@ -356,6 +389,20 @@ class FlowSourcesSpec extends AnyFunSuite {
       val waitedMs = (System.nanoTime() - t0) / 1e6
       assert(waitedMs < 7000, f"timeout must fire at ~500ms, waited $waitedMs%.0f ms")
     } finally server.stop(0)
+  }
+
+  test("Inference wire codec round-trips ARBITRARY strings (property)") {
+    // scalacheck generates adversarial strings (control chars, lone
+    // surrogates, json-meta chars); the codec is char-level so every
+    // String must round-trip exactly — 500 cases, any failure shrinks
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Arbitrary.arbitrary
+    val prop = Prop.forAll(Gen.listOf(arbitrary[String])) { ss =>
+      Inference.decodeBatch(Inference.encodeBatch(ss)) == ss
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, s"codec property failed: ${res.status}")
   }
 
   test("Inference wire codec round-trips and rejects malformed JSON") {
