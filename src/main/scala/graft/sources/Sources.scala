@@ -45,6 +45,50 @@ object Sources {
   /** deva to_textfile (core.py:1262): newline-terminated sink. */
   def toTextFile(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").text(path)
+
+  /** deva netwrite (pipe.py:663): fire-and-forget TCP send of each
+    * row's first column as a newline-terminated line. DISTRIBUTED —
+    * one socket per partition on the executors (the syslog-sink
+    * shape), so the driver never funnels the rows.
+    */
+  def netwrite(df: DataFrame, host: String, port: Int): Unit = {
+    val (h, p) = (host, port)
+    df.select(df.columns.head).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val sock = new java.net.Socket(h, p)
+        try {
+          val out = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+          rows.foreach { r => out.write(String.valueOf(r.get(0))); out.write("\n") }
+          out.flush()
+        } finally sock.close()
+      }
+    }
+  }
+
+  /** deva netcat (pipe.py:622): send lines over one TCP connection and
+    * collect the responses until the server closes. Request/response
+    * over a single ordered connection is driver-side BY NATURE (like
+    * [[fromCommand]]); the result parallelizes as a DataFrame. For
+    * distributed fire-and-forget use [[netwrite]].
+    */
+  def netcat(spark: SparkSession, lines: Seq[String], host: String, port: Int): DataFrame = {
+    val sock = new java.net.Socket(host, port)
+    val responses =
+      try {
+        val out = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+        lines.foreach { l => out.write(l); out.write("\n") }
+        out.flush()
+        sock.shutdownOutput() // EOF tells line-oriented servers we're done
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        Iterator.continually(in.readLine()).takeWhile(_ != null).toIndexedSeq
+      } finally sock.close()
+    import spark.implicits._
+    responses.toDF("response")
+  }
 }
 
 /** Keyed upsert store — the reference's `DBStream` (store.py:44)

@@ -46,6 +46,91 @@ class LiveSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Fetch.get crawls a live HTTP endpoint: bodies, retries, and surviving error rows") {
+    import java.util.concurrent.ConcurrentHashMap
+    import org.apache.spark.sql.functions.col
+    val attempts = new ConcurrentHashMap[String, Integer]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val path = ex.getRequestURI.getPath
+        val n = attempts.merge(path, 1, (a, b) => a + b)
+        path match {
+          case p if p.startsWith("/doc/") =>
+            val body = s"content-of-$p".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, body.length.toLong)
+            ex.getResponseBody.write(body)
+          case "/flaky" if n <= 2 => ex.sendResponseHeaders(503, -1) // transient: fails twice
+          case "/flaky" =>
+            val body = "finally".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, body.length.toLong)
+            ex.getResponseBody.write(body)
+          case _ => ex.sendResponseHeaders(404, -1)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      import org.apache.spark.sql.functions.lit
+      val sp = spark
+      import sp.implicits._
+      val urls = (1 to 20).map(i => (i.toLong, s"$base/doc/$i")) ++
+        Seq((21L, s"$base/flaky"), (22L, s"$base/missing"),
+          (23L, "http://127.0.0.1:1/closed-port")) // connection refused
+      val out = graft.operators.Fetch.get(spark, urls.toDF("id", "url"), "id", "url",
+        retries = 3).collect().map(r =>
+          r.getLong(0) -> (r.getInt(1), Option(r.getString(2)), Option(r.getString(3)))).toMap
+      (1 to 20).foreach { i =>
+        assert(out(i.toLong) == ((200, Some(s"content-of-/doc/$i"), None)), s"doc $i")
+      }
+      // transient 503s retried through to the 200 (server saw 3 attempts)
+      assert(out(21L) == ((200, Some("finally"), None)), s"flaky: ${out(21L)}")
+      assert(attempts.get("/flaky") == 3)
+      // permanent 404: ONE attempt (no wasted retries), row survives with error
+      assert(out(22L)._1 == 404 && out(22L)._3.exists(_.contains("404")))
+      assert(attempts.get("/missing") == 1, s"404 must not retry, saw ${attempts.get("/missing")}")
+      // connection-level failure: status 0, error populated, row survives
+      assert(out(23L)._1 == 0 && out(23L)._3.nonEmpty)
+    } finally server.stop(0)
+  }
+
+  test("netwrite sends rows over live TCP per partition; netcat round-trips request/response") {
+    import scala.jdk.CollectionConverters._
+    val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        new Thread(() => {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+          val out = new PrintWriter(s.getOutputStream, true)
+          Iterator.continually(in.readLine()).takeWhile(_ != null).foreach { l =>
+            received.add(l); out.println(l.toUpperCase) // echo, uppercased
+          }
+          s.close()
+        }).start()
+      } catch { case _: Throwable => () } // server closed
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    try {
+      val sp = spark
+      import sp.implicits._
+      val port = server.getLocalPort
+      graft.sources.Sources.netwrite(
+        (1 to 40).map(i => s"row$i").toDF("line").repartition(4), "127.0.0.1", port)
+      val deadline = System.currentTimeMillis() + 10000
+      while (received.size < 40 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(received.asScala.sorted == (1 to 40).map(i => s"row$i").sorted,
+        s"server must receive every row, got ${received.size}")
+      val resp = graft.sources.Sources.netcat(spark, Seq("ping", "pong"), "127.0.0.1", port)
+        .collect().map(_.getString(0)).toSeq
+      assert(resp == Seq("PING", "PONG"))
+    } finally server.close()
+  }
+
   test("checkpointed pipeline restarts without loss or duplication (exactly-once sink)") {
     val in = Files.createTempDirectory("graft_eo_in").toString
     val out = Files.createTempDirectory("graft_eo_out").toString + "/data"
