@@ -93,6 +93,14 @@ class LiveSourcesSpec extends AnyFunSuite {
       assert(attempts.get("/missing") == 1, s"404 must not retry, saw ${attempts.get("/missing")}")
       // connection-level failure: status 0, error populated, row survives
       assert(out(23L)._1 == 0 && out(23L)._3.nonEmpty)
+      // politeness: 5 fetches at ≥100ms spacing in ONE partition
+      // cannot complete in under ~400ms
+      val t0 = System.nanoTime()
+      graft.operators.Fetch.get(spark,
+        (1 to 5).map(i => (i.toLong, s"$base/doc/p$i")).toDF("id", "url").coalesce(1),
+        "id", "url", minIntervalMs = 100).count()
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(ms >= 400, f"politeness interval not honored: 5 fetches in $ms%.0f ms")
     } finally server.stop(0)
   }
 
