@@ -227,4 +227,61 @@ class ScheduleTopicSpec extends AnyFunSuite {
     assert(after == Seq(1L, 2L, 4L), s"replays must be idempotent, got $after")
     assert(store.get().count() == 3)
   }
+
+  test("IncrementalCrawl: ticks fetch each URL exactly once across ticks (live HTTP)") {
+    import spark.implicits._
+    import graft.sources.KvStore
+    import graft.streaming.IncrementalCrawl
+    import java.util.concurrent.ConcurrentHashMap
+    val attempts = new ConcurrentHashMap[String, Integer]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val p = ex.getRequestURI.getPath
+        attempts.merge(p, 1, (a, b) => a + b)
+        val body = s"body-of-$p".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val src = tmp("inccrawl_src")
+      val out = tmp("inccrawl_out") + "/responses"
+      val ckpt = tmp("inccrawl_ckpt")
+      val store = new KvStore(spark, tmp("inccrawl_store") + "/fetched", Seq("url"), "v")
+      def urls(rows: (Long, String)*) = rows.toSeq.toDF("id", "url")
+      val schema = urls().schema
+      def u(i: Int) = s"$base/u$i"
+
+      // tick 1: five fresh URLs → all fetched once
+      urls((1 to 5).map(i => (i.toLong, u(i))): _*).write.mode("append").parquet(src)
+      IncrementalCrawl.tick(spark, src, schema, ckpt, out, store, "id", "url")
+      assert(spark.read.parquet(out).count() == 5)
+      (1 to 5).foreach(i => assert(attempts.get(s"/u$i") == 1))
+
+      // tick 2: overlap (u3..u5 again, one of them twice in-tick) +
+      // three fresh → ONLY the fresh three hit the network
+      urls(Seq((13L, u(3)), (14L, u(4)), (15L, u(5)), (16L, u(6)),
+        (26L, u(6)), (17L, u(7)), (18L, u(8))): _*).write.mode("append").parquet(src)
+      IncrementalCrawl.tick(spark, src, schema, ckpt, out, store, "id", "url")
+      assert(spark.read.parquet(out).count() == 8)
+      (3 to 5).foreach(i => assert(attempts.get(s"/u$i") == 1, s"u$i must not refetch"))
+      (6 to 8).foreach(i => assert(attempts.get(s"/u$i") == 1))
+      assert(store.get().count() == 8, "fetched-URL index holds one row per URL")
+      // in-tick dup fetched once under the min id
+      assert(spark.read.parquet(out).filter(col("url") === u(6)).count() == 1)
+
+      // crash replay of batch 1: refetches ITS OWN urls (at-least-once
+      // against the network) but the corpus/store CONVERGE
+      val b1 = urls(Seq((13L, u(3)), (16L, u(6)), (26L, u(6)), (17L, u(7)), (18L, u(8))): _*)
+      IncrementalCrawl.processBatch(spark, b1, 1L, out, store, "id", "url", 3, 0L)
+      assert(spark.read.parquet(out).count() == 8, "replay must not duplicate responses")
+      assert(store.get().count() == 8)
+      assert(attempts.get("/u3") == 1, "a url fetched by batch 0 stays excluded on replay")
+      assert(attempts.get("/u6") == 2, "a replayed batch refetches its own urls")
+    } finally server.stop(0)
+  }
 }
