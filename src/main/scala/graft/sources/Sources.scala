@@ -73,8 +73,13 @@ object Sources {
     * [[fromCommand]]); the result parallelizes as a DataFrame. For
     * distributed fire-and-forget use [[netwrite]].
     */
-  def netcat(spark: SparkSession, lines: Seq[String], host: String, port: Int): DataFrame = {
+  def netcat(spark: SparkSession, lines: Seq[String], host: String, port: Int,
+      readTimeoutMs: Int = 30000): DataFrame = {
     val sock = new java.net.Socket(host, port)
+    // a server that never closes must surface as a loud
+    // SocketTimeoutException, not a hung caller (same contract as the
+    // HTTP transports' request timeouts)
+    sock.setSoTimeout(readTimeoutMs)
     val responses =
       try {
         val out = new java.io.BufferedWriter(
