@@ -109,6 +109,12 @@ class FlowSourcesSpec extends AnyFunSuite {
     val tricky = Flow(Seq(("a")).toDF("s")).filter(col("s") =!= "x\"\\y").toDot()
     assert(!tricky.replace("\\\\", "").replace("\\\"", "").contains("\\"),
       s"unescaped backslash/quote in:\n$tricky")
+    // the STREAMING side renders before start() — the analyzed plan
+    // is the topology whether or not a query is running
+    val sdot = graft.streaming.EventFlow.fromEvents(spark, dir)
+      .where(col("value") > 0).toDot("stream_demo")
+    assert(sdot.startsWith("digraph \"stream_demo\" {") && sdot.contains("Filter"),
+      s"streaming toDot must render the pre-start topology:\n$sdot")
   }
 
   test("Sources: text round-trip and filenames") {
