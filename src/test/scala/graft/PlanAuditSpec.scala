@@ -100,6 +100,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"must not plan any Window at all:\n$p")
   }
 
+  test("Sequence.globalRowNumber equals window row_number across sizes/dups/partition counts (property)") {
+    // the documented monotonically_increasing_id layout + prefix-sum
+    // offsets must hold for EVERY shape, not the one gate case: empty
+    // input, fewer rows than partitions, heavy duplicate order keys
+    // (total tie-break column), and sizes straddling partition counts
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sequence
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      (0, 4), (1, 4), (3, 8), (17, 4), (100, 7), (500, 3), (101, 32))
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try cases.foreach { case (n, parts) =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // v cycles over 5 values → heavy ties; id is the total tie-break
+      val df = (0 until n).map(i => ((i * 31) % 5, i.toLong)).toDF("v", "id")
+      val expect = df.withColumn("idx",
+          row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "idx").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Sequence.globalRowNumber(df, Seq(col("v"), col("id")), "idx")
+        .select("id", "idx").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"mismatch at n=$n parts=$parts")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
   test("q78 assigns cells with the map-only argmax — no n×k join, no sort-aggregate") {
     val p = plan("q78_kmeans_step")
     assert(p.contains("graft_argmax_cosine"),
