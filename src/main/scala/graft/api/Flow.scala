@@ -101,6 +101,9 @@ final case class Flow(df: DataFrame) {
     * ([[graft.operators.Sequence]]), not a single-task window; keyed
     * [[combineLatest]] remains the alternative when position isn't
     * semantic.
+    *
+    * EAGER: runs the two-pass rank's count job (one per side) at call
+    * time — this is not a lazy transformation.
     */
   def zipByIndex(other: Flow, thisOrder: Seq[Column], otherOrder: Seq[Column]): Flow = {
     val a = graft.operators.Sequence.globalRowNumber(df, thisOrder, "__idx")
@@ -138,7 +141,8 @@ final case class Flow(df: DataFrame) {
   }
 
   /** Chunk into size-n groups under a total order (deva partition) —
-    * distributed two-pass rank, no partition-less window.
+    * distributed two-pass rank, no partition-less window. EAGER: runs
+    * the rank's count job at call time (see [[graft.operators.Sequence]]).
     */
   def partitioned(n: Int, order: Seq[Column]): Flow =
     Flow(graft.operators.Sequence.globalRowNumber(df, order, "__idx")

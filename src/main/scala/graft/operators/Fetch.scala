@@ -21,6 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (token-interval, not burst), so cluster-wide request rate is
   * bounded by partitions × 1000/minIntervalMs — the deva
   * `rate_limit(0.1).crawler(workers=20)` composition in one place.
+  * Retries are spaced by the SAME interval (and by Retry-After when
+  * the host sends one), so the bound holds against failing hosts too.
   */
 object Fetch {
 
@@ -57,7 +59,7 @@ object Fetch {
           if (wait > 0) Thread.sleep(wait)
           lastStart = System.currentTimeMillis()
         }
-        fetchOne(url, maxTries, timeout) match {
+        fetchOne(url, maxTries, timeout, interval) match {
           case Right((status, body)) => (id, status, body, null: String)
           case Left((status, err)) => (id, status, null: String, err)
         }
@@ -68,26 +70,47 @@ object Fetch {
   /** Right((status, body)) on 2xx; Left((lastStatus, error)) after the
     * retry budget. Non-2xx responses retry (5xx are usually transient)
     * but report the final code; connection-level failures report 0.
+    * 408 (request timeout) and 429 (rate limited) are transient BY
+    * DEFINITION and retry like 5xx — a politeness-enforcing host must
+    * see a back-off, not a permanent error row; every other 4xx is
+    * permanent (retrying a 404 is wasted politeness budget).
+    *
+    * Retry pacing: each retry sleeps max(minIntervalMs, 50ms·attempt,
+    * Retry-After) — retries count against the same politeness clock as
+    * first attempts, so a host returning 5xx/429 is never hit FASTER
+    * than a healthy one (the old 50ms-only backoff inverted that).
     */
   private def fetchOne(url: String, maxTries: Int,
-      timeout: java.time.Duration): Either[(Int, String), (Int, String)] = {
+      timeout: java.time.Duration, minIntervalMs: Long): Either[(Int, String), (Int, String)] = {
     var attempt = 0
     var last: Either[(Int, String), (Int, String)] = Left((0, "no attempt made"))
+    var retryAfterMs = 0L
     while (attempt < maxTries) {
       attempt += 1
+      retryAfterMs = 0L
       last =
         try {
           val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
             .timeout(timeout).GET().build()
           val resp = jvmClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-          if (resp.statusCode() / 100 == 2) return Right((resp.statusCode(), resp.body()))
-          else if (resp.statusCode() / 100 == 4) // permanent: retrying a 404 is wasted politeness budget
-            return Left((resp.statusCode(), s"HTTP ${resp.statusCode()}"))
-          else Left((resp.statusCode(), s"HTTP ${resp.statusCode()}"))
+          val code = resp.statusCode()
+          if (code / 100 == 2) return Right((code, resp.body()))
+          else if (code / 100 == 4 && code != 408 && code != 429)
+            return Left((code, s"HTTP $code"))
+          else {
+            // honor Retry-After seconds when the host states one,
+            // capped at the request timeout so a hostile header can't
+            // park the task arbitrarily long
+            val ra = resp.headers().firstValue("Retry-After")
+            retryAfterMs = (if (ra.isPresent) ra.get.trim.toLongOption.map(_ * 1000L).getOrElse(0L)
+              else 0L).min(timeout.toMillis).max(0L)
+            Left((code, s"HTTP $code"))
+          }
         } catch {
           case e: Exception => Left((0, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
         }
-      if (attempt < maxTries) Thread.sleep(50L * attempt) // linear backoff
+      if (attempt < maxTries)
+        Thread.sleep(math.max(math.max(minIntervalMs, 50L * attempt), retryAfterMs))
     }
     last
   }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-proof exact per-group top-k — the per-group analogue of
+  * Spark's own global TakeOrderedAndProject (each partition keeps its
+  * local top-k, a final pass ranks the survivors).
+  *
+  * The naive formulation — `row_number() OVER (PARTITION BY key ORDER
+  * BY ord) <= k` — shuffles EVERY row of a group into one task and
+  * sorts it there; at 100 TB one planetary-sized group (a dominant
+  * domain, a hot key) becomes the stage's straggler. Here no task ever
+  * sorts more than its own partition's share:
+  *
+  *  1. local pass: rank within (key, input partition id) — the window
+  *     partitions by (key, pid), so the heaviest group is spread over
+  *     however many partitions it arrived in — and keep k per cell;
+  *  2. global pass: rank the ≤ k × #partitions survivors per key.
+  *
+  * Both passes are plain hash shuffles + bounded sorts; the survivor
+  * frame of pass 2 is k-bounded per (key, partition), so its window
+  * sort is tiny regardless of group skew. Result is EXACTLY the naive
+  * window's (spec-asserted): every global top-k row is necessarily in
+  * its partition's local top-k (the rank function is monotone under
+  * row removal), so pass 1 never discards a winner.
+  *
+  * `order` must totally order rows within a key (add a unique
+  * tie-break column, as for any deterministic rank).
+  */
+object GroupTopK {
+
+  def rank(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+      rankName: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keyCols = keys.map(col)
+    val local = Window.partitionBy(keyCols :+ col("__gtk_pid"): _*).orderBy(order: _*)
+    val global = Window.partitionBy(keyCols: _*).orderBy(order: _*)
+    df.withColumn("__gtk_pid", spark_partition_id())
+      .withColumn("__gtk_lr", row_number().over(local))
+      .filter(col("__gtk_lr") <= k)
+      .drop("__gtk_pid", "__gtk_lr")
+      .withColumn(rankName, row_number().over(global).cast("long"))
+      .filter(col(rankName) <= k)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed global sequencing — the scale-safe form of deva's
   * arrival-order operators (`zip` ops.py:179, `partition` ops.py:875),
@@ -9,33 +9,39 @@ import org.apache.spark.sql.functions._
   * and whose naive Spark translation (row_number over a partition-less
   * Window) funnels the whole input through ONE task.
   *
-  * This is the classic two-pass scalable rank instead:
+  * This is the classic two-pass scalable rank (RDD zipWithIndex's
+  * shape, with an explicit total order):
   *
   *  1. range-repartition on the order key (a PARALLEL total sort:
   *     disjoint ordered ranges, one per partition) and sort within
   *     partitions;
-  *  2. per-partition local sequence, map-side: after the sort,
-  *     monotonically_increasing_id()'s documented layout (upper bits
-  *     = partition id, lower 33 = the per-partition row counter in
-  *     iteration order) IS the local index — no window, no exchange;
-  *  3. per-partition row counts (one partition-count-bounded collect)
-  *     prefix-summed into offsets and joined back as a map literal.
+  *  2. per-partition row counts (one partition-count-bounded collect);
+  *  3. prefix-summed offsets + the per-partition running counter,
+  *     map-side — no window, no second exchange.
   *
-  * idx = offset(partition) + local + 1 — bit-identical to
-  * `row_number() OVER (ORDER BY order)` for a TOTAL order key (ties
-  * land in the same range partition, so a total tie-break makes the
-  * result deterministic; pass one, as SQL row_number also requires
-  * for determinism).
+  * idx = offset(partition) + local — bit-identical to `row_number()
+  * OVER (ORDER BY order)` for a TOTAL order key (ties land in the same
+  * range partition, so a total tie-break makes the result
+  * deterministic, as SQL row_number also requires).
+  *
+  * Both passes run over ONE RDD instance, so the count job and the
+  * index pass share the SAME shuffle materialization — Spark skips the
+  * exchange stage on the second job and re-reads its files. That is
+  * what makes the two passes see identical partition layouts WITHOUT
+  * caching: range-boundary sampling is seeded by the RDD id, so two
+  * separate query executions (the previous shape, which persisted the
+  * frame to pin the layout — and leaked the cache) can land rows in
+  * different partitions. No persist, no cached blocks to leak in
+  * long-lived sessions; shuffle files are owned and GC'd by the
+  * shuffle manager like any join's.
   *
   * Cost at 100 TB: one range exchange (parallel) + one map pass +
-  * a #partitions-sized driver collect. The frame is persisted across
-  * the two passes so the count job and the downstream consumer see
-  * the same materialization (blocks freed by the ContextCleaner once
-  * the result is consumed; callers in loops can unpersist eagerly).
+  * a #partitions-sized driver collect.
+  *
+  * EAGER: calling this runs a Spark job (the per-partition counts)
+  * at plan-construction time, unlike ordinary transformations.
   */
 object Sequence {
-
-  private val LocalMask = (1L << 33) - 1
 
   def globalRowNumber(df: DataFrame, order: Seq[Column], idxName: String): DataFrame = {
     val spark = df.sparkSession
@@ -43,17 +49,19 @@ object Sequence {
     val sorted = df
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      // nondeterministic expression: Catalyst will not reorder it
-      // below the sort, so the counter follows sorted order
-      .withColumn("__seq", monotonically_increasing_id().bitwiseAND(lit(LocalMask)))
-      .persist()
-    val counts = sorted.groupBy(col("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, n) => val o = acc; acc += n; pid -> o }.toMap
-    sorted
-      .withColumn(idxName, element_at(typedLit(offsets), col("__pid")) + col("__seq") + lit(1L))
-      .drop("__pid", "__seq")
+    // ONE RDD instance — the counts job below materializes its shuffle;
+    // the index pass reuses those exact files (layout pinned by the
+    // shuffle itself, not by a cache)
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
+    val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var next = offsets(i)
+      it.map { r => next += 1; Row.fromSeq(r.toSeq :+ next) }
+    }
+    spark.createDataFrame(indexed,
+      StructType(sorted.schema.fields :+ StructField(idxName, LongType, nullable = false)))
   }
 }

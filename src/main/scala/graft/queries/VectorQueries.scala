@@ -321,8 +321,62 @@ object VectorQueries {
        |FROM dims GROUP BY cell, pos ORDER BY cell, pos""".stripMargin
   }
 
+  /** q86 — semantic dedup (the SemDeDup shape: embedding-cluster
+    * near-dup removal): every vector is assigned to its nearest seed
+    * centroid with the map-only codegen'd argmax (zero exchanges, as
+    * q78), pairs are compared ONLY within a cell, and the higher
+    * vec_id of any pair at cosine ≥ τ is dropped. Pair space is
+    * (n/k)² per cell and k scales with the corpus (VectorIndex trains
+    * n/2000 cells), so the per-cell pair term stays bounded — no
+    * all-pairs path exists. τ = 0.40 sits in this synthetic corpus's
+    * top-0.1% tail; a real corpus's planted-dup regime uses 0.95+ —
+    * the knob, not the shape. At production scale the assignment is
+    * read from the persisted VectorIndex, not recomputed per run.
+    */
+  def q86_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seeds = base.filter(col("vec_id") % 100 === 0).collect().sortBy(_.getLong(0))
+    val ids = seeds.map(_.getLong(0))
+    val mat = seeds.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cell = element_at(array(ids.toIndexedSeq.map(lit): _*),
+      (graft.plans.ArgmaxCosine(col("embedding"), mat) + 1L).cast("int"))
+    val assigned = base.withColumn("cell", cell)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_e"), col("nrm").as("a_n"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_e"), col("nrm").as("b_n"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(Similarity.dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")) >= 0.40)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q86_semdedup_sql: String = {
+    val dVC = Similarity.dotSql("embedding", "cemb", dim)
+    val dAB = Similarity.dotSql("a.embedding", "b.embedding", dim)
+    s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding", dim)} AS nrm FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, cell, embedding, nrm FROM (
+       |    SELECT n.vec_id, cent.cent_id AS cell, n.embedding, n.nrm,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $dVC / (nrm * cnrm) DESC, cent_id) AS rn
+       |    FROM n, cent) t WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE $dAB / (a.nrm * b.nrm) >= 0.40)
+       |SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+       |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_kmeans_step" -> (q78_kmeans_step _),
+    "q86_semdedup" -> (q86_semdedup _),
     "q50_ann_topk" -> (q50_ann_topk _),
     "q67_vec_quantize" -> (q67_vec_quantize _),
     "q68_quantized_rerank" -> (q68_quantized_rerank _),
@@ -333,6 +387,7 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "q78_kmeans_step" -> q78_kmeans_step_sql,
+    "q86_semdedup" -> q86_semdedup_sql,
     "q50_ann_topk" -> q50_ann_topk_sql,
     "q67_vec_quantize" -> q67_vec_quantize_sql,
     "q68_quantized_rerank" -> q68_quantized_rerank_sql,

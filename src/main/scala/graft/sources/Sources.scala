@@ -149,23 +149,33 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   // store, so a second live writer fails LOUDLY instead of corrupting
   // the stage-then-swap protocol. A lock older than `lockLeaseMs` is
   // presumed crashed — the torn upsert it may have left is exactly what
-  // open-time recovery repairs — and is broken. The break itself
-  // (delete, then re-create) is not atomic: two writers that BOTH see
-  // the same stale lock can race through it. That residual window is
-  // accepted and documented — this store is the single-writer test
-  // double of a lakehouse table; the lock converts ACCIDENTAL
-  // concurrency into an error, it is not a distributed lock service.
+  // open-time recovery repairs — and is broken. The lock file carries a
+  // unique OWNERSHIP TOKEN (pid + nonce): release and stale-break both
+  // verify the token before deleting, so a writer that outlived its
+  // lease can never delete the lock of the writer that broke it (the
+  // chain-of-three-writers hazard), and [[refreshLock]] bumps the lock
+  // mtime between upsert stages so a legitimately long merge keeps its
+  // lease while alive. Check-then-act windows remain non-atomic: this
+  // store is the single-writer test double of a lakehouse table; the
+  // lock converts ACCIDENTAL concurrency into an error, it is not a
+  // distributed lock service.
   private val lockPath = new org.apache.hadoop.fs.Path(path + ".lock")
+  private val lockToken =
+    s"pid=${ProcessHandle.current().pid()} nonce=${java.util.UUID.randomUUID()}"
+
+  private def readLockToken(): Option[String] =
+    try Some(readSmallFile(lockPath).trim)
+    catch { case _: java.io.IOException => None } // missing / racing delete
 
   private def tryCreateLock(): Boolean =
     try {
       val out = fs.create(lockPath, false) // overwrite=false: atomic create-if-absent
-      try out.write(s"pid=${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
+      try out.write(s"$lockToken\n".getBytes("UTF-8"))
       finally out.close()
       true
     } catch { case _: java.io.IOException => false }
 
-  private def acquireLock(): Unit = {
+  private[graft] def acquireLock(): Unit = {
     if (tryCreateLock()) return
     val ageMs =
       try System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime
@@ -174,13 +184,48 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
       throw new IllegalStateException(
         s"KvStore at $path is locked by another writer (lock age ${ageMs}ms < lease ${lockLeaseMs}ms) — " +
           "KvStore is single-writer; serialize upserts or raise lockLeaseMs only for crashed writers")
-    if (ageMs >= lockLeaseMs) deleteOrThrow(lockPath) // stale: holder presumed dead
+    if (ageMs >= lockLeaseMs) {
+      // stale: holder presumed dead. Re-check IMMEDIATELY before the
+      // delete: a now-fresh mtime means another writer already broke
+      // this lock and re-acquired — deleting blindly would destroy the
+      // live breaker's lock and admit a third writer.
+      val nowAgeMs =
+        try System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L } // vanished: fall through to create
+      if (nowAgeMs >= 0 && nowAgeMs < lockLeaseMs)
+        throw new IllegalStateException(
+          s"KvStore at $path: stale lock was re-acquired by another writer while breaking it — retry the upsert")
+      if (nowAgeMs >= lockLeaseMs) deleteOrThrow(lockPath)
+    }
     if (!tryCreateLock())
       throw new IllegalStateException(
         s"KvStore at $path: lost the race re-acquiring a stale/released lock — retry the upsert")
   }
 
-  private def releaseLock(): Unit = deleteOrThrow(lockPath)
+  private[graft] def releaseLock(): Unit = readLockToken() match {
+    case Some(tok) if tok == lockToken => deleteOrThrow(lockPath)
+    case other =>
+      throw new IllegalStateException(
+        s"KvStore at $path: writer lock is no longer ours on release " +
+          s"(found ${other.getOrElse("no lock file")}) — this writer outlived its lease and another " +
+          "writer broke the lock; the two upserts may have interleaved — re-upsert the batch")
+  }
+
+  /** Re-assert ownership and extend the lease between upsert stages
+    * (mtime bump, content untouched) — an upsert that legitimately
+    * runs longer than the lease stays live as long as each SINGLE
+    * stage fits inside it. Fails LOUDLY before the commit point when
+    * the lock is no longer ours, so a lease-overrun upsert aborts
+    * instead of committing over the breaking writer's work.
+    */
+  private[graft] def refreshLock(): Unit = {
+    if (!readLockToken().contains(lockToken))
+      throw new IllegalStateException(
+        s"KvStore at $path: writer lock lost mid-upsert (lease ${lockLeaseMs}ms exceeded and broken " +
+          "by another writer) — aborting before commit; raise lockLeaseMs for batches this large")
+    val now = System.currentTimeMillis()
+    fs.setTimes(lockPath, now, now)
+  }
 
   private def writeSmallFile(p: org.apache.hadoop.fs.Path, s: String): Unit = {
     val out = fs.create(p, true)
@@ -306,7 +351,16 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     */
   def upsert(batch: DataFrame, evolveSchema: Boolean = false): Unit = {
     acquireLock()
-    try upsertLocked(batch, evolveSchema) finally releaseLock()
+    try {
+      upsertLocked(batch, evolveSchema)
+      releaseLock() // loud when the lock is no longer ours (lease overrun)
+    } catch {
+      case e: Throwable =>
+        // best-effort release on the failure path: a lost-lock release
+        // failure must not MASK the upsert's own exception
+        try releaseLock() catch { case e2: Throwable if e2 ne e => e.addSuppressed(e2) }
+        throw e
+    }
   }
 
   private def upsertLocked(batch: DataFrame, evolveSchema: Boolean): Unit = {
@@ -322,6 +376,7 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     // ≤ nb-element driver list, not a data-sized one
     val touched = incoming.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted
+    refreshLock() // the probe job may have consumed a chunk of the lease
     if (touched.isEmpty) { incoming.unpersist(); return }
     val existingTouched = touched.map(b => new org.apache.hadoop.fs.Path(rootPath, s"b=$b"))
       .filter(fs.exists)
@@ -344,6 +399,9 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     // the commit point (see the recovery protocol above)
     deleteOrThrow(stagedPath)
     merged.write.partitionBy("__b").mode("overwrite").parquet(stagedPath.toString)
+    // the merge write is the long stage: re-assert ownership BEFORE the
+    // commit point — a lease-overrun upsert must abort here, not swap
+    refreshLock()
     fs.mkdirs(rootPath)
     if (!fs.exists(metaPath))
       writeSmallFile(metaPath, s"$nb\n${effBucketCols.mkString(",")}")

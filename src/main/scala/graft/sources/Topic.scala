@@ -149,11 +149,19 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
   }
 
   /** File names a file-stream subscriber has fully processed: the
-    * source log entries (under checkpoint/sources/0/, including
-    * compacts) for batches with a commit marker (commits/<b>). A
-    * file only SEEN (logged for an uncommitted batch) is not counted.
+    * source log entries (under checkpoint/sources/N/ for EVERY source
+    * index — a multi-source query puts the topic at an arbitrary N —
+    * including compacts) for batches with a commit marker
+    * (commits/<b>). A file only SEEN (logged for an uncommitted batch)
+    * is not counted. Entries are parsed as JSON (the v1 log is one
+    * JSON object per line after the version header) so JSON-escaped
+    * characters in paths can't silently shrink the committed set; a
+    * committed log file whose entries yield zero paths fails LOUDLY —
+    * that is format drift, and silent under-parsing here would stall
+    * retention forever. Only entries under THIS topic's directory
+    * count (other sources' files are not ours to trim by).
     */
-  private def committedFileNames(checkpoint: String): Set[String] = {
+  private[graft] def committedFileNames(checkpoint: String): Set[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val commitsDir = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
     val cfs = commitsDir.getFileSystem(conf)
@@ -162,20 +170,44 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
       .flatMap(st => st.getPath.getName.toLongOption)
       .foldLeft(-1L)(math.max)
     if (committedMax < 0) return Set.empty
-    val srcDir = new org.apache.hadoop.fs.Path(s"$checkpoint/sources/0")
-    if (!cfs.exists(srcDir)) return Set.empty
-    val pathRe = """"path":"([^"]+)"""".r
-    cfs.listStatus(srcDir).filter(_.isFile).flatMap { st =>
-      val n = st.getPath.getName
-      val batch = n.stripSuffix(".compact").toLongOption
-      // a compact at id b carries all entries through batch b; either
-      // form is admissible only once its batch is committed
-      if (batch.exists(_ <= committedMax)) {
-        val in = cfs.open(st.getPath)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        pathRe.findAllMatchIn(body)
-          .map(m => m.group(1).split('/').last).toSeq
-      } else Seq.empty
+    val sourcesRoot = new org.apache.hadoop.fs.Path(s"$checkpoint/sources")
+    if (!cfs.exists(sourcesRoot)) return Set.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val topicDirName = new org.apache.hadoop.fs.Path(dir).getName
+    cfs.listStatus(sourcesRoot).filter(_.isDirectory).flatMap { srcDir =>
+      cfs.listStatus(srcDir.getPath).filter(_.isFile).flatMap { st =>
+        val n = st.getPath.getName
+        val batch = n.stripSuffix(".compact").toLongOption
+        // a compact at id b carries all entries through batch b; either
+        // form is admissible only once its batch is committed
+        if (batch.exists(_ <= committedMax)) {
+          val in = cfs.open(st.getPath)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          val entryLines = body.split("\n").map(_.trim)
+            .filter(l => l.nonEmpty && l.startsWith("{"))
+          val paths = entryLines.flatMap { l =>
+            val node = try mapper.readTree(l) catch {
+              case e: Exception => throw new IllegalStateException(
+                s"Topic.trimSafe: unparseable source-log entry in ${st.getPath}: " +
+                  s"${e.getMessage} — refusing to trim on a log format this code does not understand", e)
+            }
+            Option(node.get("path")).map(_.asText)
+          }
+          if (entryLines.nonEmpty && paths.isEmpty)
+            throw new IllegalStateException(
+              s"Topic.trimSafe: source log ${st.getPath} has ${entryLines.length} entries but none " +
+                "carried a \"path\" field — the checkpoint log format has drifted; refusing to trim " +
+                "(silent under-parsing would stall retention forever)")
+          paths.toSeq.map { p =>
+            // the log stores the file's URI string; decode it so names
+            // compare equal to listStatus's decoded names (fall back to
+            // the raw string for non-URI-parseable paths)
+            try new org.apache.hadoop.fs.Path(new java.net.URI(p).getPath)
+            catch { case _: Exception => new org.apache.hadoop.fs.Path(p) }
+          }.filter(_.getParent.getName == topicDirName)
+            .map(_.getName)
+        } else Seq.empty
+      }
     }.toSet
   }
 }

@@ -265,6 +265,36 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(!lock.exists(), "lock released after the stale-break upsert")
   }
 
+  test("KvStore lock: refresh keeps a live holder's lease; release/refresh verify OWNERSHIP after a break") {
+    val tmp = Files.createTempDirectory("graft_kv_lock2").toString + "/t"
+    val store = new KvStore(spark, tmp, Seq("k"), "v", numBuckets = 4)
+    val store2 = new KvStore(spark, tmp, Seq("k"), "v", numBuckets = 4)
+    val lock = new java.io.File(tmp + ".lock")
+    // (a) a long-running holder refreshes between stages: even with the
+    // mtime aged past the lease, refreshLock() makes the lock read
+    // FRESH again, so a second writer refuses instead of breaking it
+    store.acquireLock()
+    assert(lock.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+    store.refreshLock()
+    val eLive = intercept[IllegalStateException](store2.acquireLock())
+    assert(eLive.getMessage.contains("locked by another writer"), eLive.getMessage)
+    store.releaseLock()
+    assert(!lock.exists())
+    // (b) a writer that DID outlive its lease (no refresh) and was
+    // broken: its refresh fails BEFORE the commit point, its release
+    // must not delete the breaker's lock, and the breaker releases fine
+    store.acquireLock()
+    assert(lock.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+    store2.acquireLock() // breaks the stale lock; store2 owns the path now
+    val eRef = intercept[IllegalStateException](store.refreshLock())
+    assert(eRef.getMessage.contains("lock lost mid-upsert"), eRef.getMessage)
+    val eRel = intercept[IllegalStateException](store.releaseLock())
+    assert(eRel.getMessage.contains("no longer ours"), eRel.getMessage)
+    assert(lock.exists(), "the breaker's lock must survive the overrun writer's release")
+    store2.releaseLock()
+    assert(!lock.exists())
+  }
+
   test("Namespace: same name resolves to the same flow/topic/table from independent call sites") {
     import graft.api.Namespace
     val ns = new Namespace(spark, Files.createTempDirectory("graft_ns").toString)

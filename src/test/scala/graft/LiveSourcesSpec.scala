@@ -104,6 +104,65 @@ class LiveSourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("Fetch.get: 408/429 retry (Retry-After honored); retries respect the politeness interval") {
+    import java.util.concurrent.ConcurrentHashMap
+    val attempts = new ConcurrentHashMap[String, Integer]()
+    val stamps = new ConcurrentHashMap[String, java.util.List[java.lang.Long]]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val path = ex.getRequestURI.getPath
+        val n = attempts.merge(path, 1, (a, b) => a + b)
+        stamps.computeIfAbsent(path, _ =>
+          java.util.Collections.synchronizedList(new java.util.ArrayList[java.lang.Long]()))
+          .add(System.currentTimeMillis())
+        def ok(): Unit = {
+          val body = "ok".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          ex.getResponseBody.write(body)
+        }
+        path match {
+          case "/limited" if n == 1 =>
+            ex.getResponseHeaders.set("Retry-After", "1")
+            ex.sendResponseHeaders(429, -1)
+          case "/timeout408" if n == 1 => ex.sendResponseHeaders(408, -1)
+          case "/failing" if n <= 2 => ex.sendResponseHeaders(503, -1)
+          case _ => ok()
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val sp = spark
+      import sp.implicits._
+      def one(path: String, minIntervalMs: Long = 0L) =
+        graft.operators.Fetch.get(spark, Seq((1L, s"$base$path")).toDF("id", "url"),
+          "id", "url", retries = 3, minIntervalMs = minIntervalMs)
+          .collect().map(r => (r.getInt(1), Option(r.getString(2)))).head
+      // 429 is transient BY DEFINITION: retried through to the 200,
+      // and the host's stated Retry-After (1 s) is respected
+      val t0 = System.currentTimeMillis()
+      assert(one("/limited") == ((200, Some("ok"))))
+      assert(attempts.get("/limited") == 2, "429 must be retried")
+      assert(System.currentTimeMillis() - t0 >= 1000,
+        "Retry-After: 1 must delay the retry by at least a second")
+      // 408 likewise
+      assert(one("/timeout408") == ((200, Some("ok"))))
+      assert(attempts.get("/timeout408") == 2, "408 must be retried")
+      // retries count against the politeness clock: two 503s at
+      // minIntervalMs=300 → attempt gaps must be >= ~300ms, not the
+      // bare 50ms-per-attempt backoff (the host under the most stress
+      // must never see the FASTEST request stream)
+      assert(one("/failing", minIntervalMs = 300) == ((200, Some("ok"))))
+      val ts = stamps.get("/failing")
+      assert(ts.size() == 3)
+      val gaps = (1 until ts.size()).map(i => ts.get(i) - ts.get(i - 1))
+      assert(gaps.forall(_ >= 295), s"retry gaps $gaps must honor minIntervalMs=300")
+    } finally server.stop(0)
+  }
+
   test("netwrite sends rows over live TCP per partition; netcat round-trips request/response") {
     import scala.jdk.CollectionConverters._
     val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())

@@ -96,8 +96,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(viaSeq.size == viaWindow.size && viaSeq == viaWindow,
       "two-pass distributed rank must equal the single-task window rank")
     val p = seq.queryExecution.executedPlan.toString
-    assert(p.contains("rangepartitioning"), s"must range-partition on the order key:\n$p")
     assert(!p.contains("Window"), s"must not plan any Window at all:\n$p")
+    // the work is spread over the session's shuffle partitions — the
+    // single-task funnel this operator exists to avoid would show one
+    assert(seq.rdd.getNumPartitions ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      "global rank must stay range-partition-parallel")
   }
 
   test("Sequence.globalRowNumber equals window row_number across sizes/dups/partition counts (property)") {
@@ -123,6 +127,18 @@ class PlanAuditSpec extends AnyFunSuite {
         .select("id", "idx").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expect, s"mismatch at n=$n parts=$parts")
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  test("Sequence.globalRowNumber leaks no cached blocks (long-lived-session contract)") {
+    import graft.operators.Sequence
+    val sp = spark
+    import sp.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = (0 until 1000).map(i => ((i * 31) % 5, i.toLong)).toDF("v", "id")
+    val out = Sequence.globalRowNumber(df, Seq(col("v"), col("id")), "idx")
+    assert(out.count() == 1000) // consume downstream (recomputes from the shuffle)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "the count-pass persist must be released by the time globalRowNumber returns")
   }
 
   test("q78 assigns cells with the map-only argmax — no n×k join, no sort-aggregate") {

@@ -133,6 +133,33 @@ class ScheduleTopicSpec extends AnyFunSuite {
     assert(topic.trimSafe(keepFiles = 0, Seq(ckA, ckB)) == 2)
   }
 
+  test("Topic.committedFileNames: JSON parsing (escaped chars, every source index) + loud format drift") {
+    val root = Files.createTempDirectory("graft_topic_json").toString
+    val t = Topic(spark, root, "tp")
+    val cp = root + "/cp"
+    def write(rel: String, body: String): Unit = {
+      val f = new java.io.File(cp + "/" + rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+    }
+    write("commits/0", "v1\n{}")
+    // an entry whose path contains a JSON-escaped quote — the regex
+    // parser this replaced truncated the name at the backslash
+    write("sources/0/0", "v1\n" +
+      """{"path":"file:///x/tp/a\"b.parquet","timestamp":1,"batchId":0}""" + "\n")
+    // a multi-source query puts the topic at an arbitrary source index;
+    // files under a DIFFERENT directory must not count toward tp's set
+    write("sources/1/0", "v1\n" +
+      """{"path":"file:///x/other/c.parquet","timestamp":1,"batchId":0}""" + "\n" +
+      """{"path":"file:///x/tp/d.parquet","timestamp":1,"batchId":0}""" + "\n")
+    assert(t.committedFileNames(cp) == Set("a\"b.parquet", "d.parquet"))
+    // a committed log file WITH entries but no "path" fields is format
+    // drift: silent under-parsing would stall retention forever → loud
+    write("sources/0/0", "v1\n" + """{"p":"x","batchId":0}""" + "\n")
+    val e = intercept[IllegalStateException](t.committedFileNames(cp))
+    assert(e.getMessage.contains("format has drifted"), e.getMessage)
+  }
+
   test("Heartbeat: stale-worker detection over a topic beat log") {
     import graft.streaming.Heartbeat
     import graft.streaming.Heartbeat.Beat
