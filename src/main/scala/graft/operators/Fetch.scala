@@ -98,11 +98,12 @@ object Fetch {
           else if (code / 100 == 4 && code != 408 && code != 429)
             return Left((code, s"HTTP $code"))
           else {
-            // honor Retry-After seconds when the host states one,
+            // honor Retry-After when the host states one — either
+            // valid form (RFC 9110: delta-seconds OR an HTTP-date) —
             // capped at the request timeout so a hostile header can't
             // park the task arbitrarily long
             val ra = resp.headers().firstValue("Retry-After")
-            retryAfterMs = (if (ra.isPresent) ra.get.trim.toLongOption.map(_ * 1000L).getOrElse(0L)
+            retryAfterMs = (if (ra.isPresent) parseRetryAfterMs(ra.get.trim)
               else 0L).min(timeout.toMillis).max(0L)
             Left((code, s"HTTP $code"))
           }
@@ -114,4 +115,17 @@ object Fetch {
     }
     last
   }
+
+  /** Both RFC 9110 Retry-After forms: delta-seconds, or an HTTP-date
+    * (RFC 1123) converted to a wait relative to now. An unparseable or
+    * past date yields 0 (generic backoff applies).
+    */
+  private[operators] def parseRetryAfterMs(v: String): Long =
+    v.toLongOption.map(_ * 1000L).getOrElse {
+      try {
+        val at = java.time.ZonedDateTime
+          .parse(v, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME).toInstant
+        java.time.Duration.between(java.time.Instant.now(), at).toMillis.max(0L)
+      } catch { case _: Exception => 0L }
+    }
 }

@@ -635,21 +635,34 @@ object RelationalQueries {
   private val q85Built = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def q85_bucket(spark: SparkSession, dir: String): DataFrame = {
     val pid = ProcessHandle.current().pid()
-    val tag = (math.abs(dir.hashCode.toLong) % 100000).toString
+    // collision-free tag: the full sanitized dir — a hash-mod tag can
+    // collide across dirs, silently overwriting another dir's layout
+    // while the cache keeps serving both
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val liT = s"graft_q85_li_${pid}_$tag"
     val ordT = s"graft_q85_ord_${pid}_$tag"
-    q85Built.computeIfAbsent(dir, _ => {
-      val tmp = scratch(s"q85_bucket_$tag")
-      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$tmp/li").saveAsTable(liT)
-      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
-        .withColumnRenamed("o_orderkey", "l_orderkey")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$tmp/ord").saveAsTable(ordT)
-      tmp
+    // the layout cache is process-wide but the tables live in a
+    // per-SparkContext catalog, so the cache key carries the context
+    // identity (applicationId is unique per context instance) AND
+    // every hit re-verifies the tables still exist — a fresh context
+    // in the same JVM (or a dropped table) must rebuild, not serve a
+    // dangling name
+    val key = s"${spark.sparkContext.applicationId}|$dir"
+    q85Built.compute(key, (_, prev) => {
+      if (prev != null && spark.catalog.tableExists(liT) && spark.catalog.tableExists(ordT)) prev
+      else {
+        val tmp = scratch(s"q85_bucket_$tag")
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmp/li").saveAsTable(liT)
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumnRenamed("o_orderkey", "l_orderkey")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmp/ord").saveAsTable(ordT)
+        tmp
+      }
     })
     spark.table(liT).hint("merge")
       .join(spark.table(ordT), Seq("l_orderkey"))

@@ -50,17 +50,37 @@ object VectorQueries {
        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
-  /** q51 — IVF top-k: 5 deterministic centroids (vec_id % 100 = 0);
-    * every vector is assigned to its nearest centroid (the "index");
-    * probes scan only their 2 nearest cells. At 100 TB the corpus is
-    * bucketed/partitioned by cell so a probe touches ~2/k of data.
+  /** Corpus-INDEPENDENT seed selection shared by q51/q78/q86: the
+    * modulus is derived from a count, so the seed/centroid set is
+    * pinned to ≈ seedK vectors no matter the corpus size. The round-6
+    * rule (`vec_id % 100`) was corpus-PROPORTIONAL — 1% of a 100 TB
+    * corpus collected to the driver and embedded as plan literals.
+    * Counting first costs one cheap scan; every collect below is then
+    * k-bounded forever. (Production goes one further: assignment is
+    * read from the persisted [[graft.operators.VectorIndex]], whose
+    * training sample and centroid count are k-bounded by contract —
+    * spec'd in VectorIndexSpec.)
+    */
+  private val seedK = 16L
+  private def seedModulus(spark: SparkSession, dir: String): Long = {
+    val n = Tables.embeddings(spark, dir).count()
+    math.max(1L, n / seedK)
+  }
+  private val seedModSql: String =
+    s"(SELECT GREATEST(1, COUNT(*) // $seedK) FROM embeddings)"
+
+  /** q51 — IVF top-k: ≈ seedK deterministic centroids (count-derived
+    * modulus, k-bounded); every vector is assigned to its nearest
+    * centroid (the "index"); probes scan only their 2 nearest cells.
+    * At 100 TB the corpus is bucketed/partitioned by cell so a probe
+    * touches ~2/k of data.
     */
   /** Norm-projected embeddings and the deterministic seed centroids
     * shared by q51 (serving) and q78 (training). */
   private def embWithCents(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
-    val cent = e.filter(col("vec_id") % 100 === 0)
+    val cent = e.filter(col("vec_id") % seedModulus(spark, dir) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
     (e, cent)
   }
@@ -111,7 +131,7 @@ object VectorQueries {
     val dPC = Similarity.dotSql("pemb", "cemb", dim)
     val dCP = Similarity.dotSql("embedding", "pemb", dim)
     s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding", dim)} AS nrm FROM embeddings),
-       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % 100 = 0),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % $seedModSql = 0),
        |assigned AS (
        |  SELECT vec_id, cent_id AS cell, embedding, nrm FROM (
        |    SELECT n.vec_id, cent.cent_id, n.embedding, n.nrm,
@@ -283,15 +303,16 @@ object VectorQueries {
     */
   def q78_kmeans_step(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // Seed centroids (vec_id % 100 == 0) are 1% of the corpus — k-
-    // bounded by the gate's seeding rule — so they ride in the plan
-    // as a driver-held matrix and assignment is the map-only
+    // Seed centroids are k-BOUNDED (count-derived modulus pins the
+    // seed set to ≈ seedK regardless of corpus size), so they ride in
+    // the plan as a driver-held matrix and assignment is the map-only
     // codegen'd argmax ([[graft.plans.ArgmaxCosine]]): zero exchanges
     // before the cell aggregation, no n×k scored rows, no sort.
     // Bit-identical to the join+max_by shape by VectorIndexSpec; that
     // shape stays in VectorIndex.assignJoin (and q51) for centroid
     // frames too large to hold driver-side.
-    val seeds = e.filter(col("vec_id") % 100 === 0).collect().sortBy(_.getLong(0))
+    val seeds = e.filter(col("vec_id") % seedModulus(spark, dir) === 0)
+      .collect().sortBy(_.getLong(0))
     val ids = seeds.map(_.getLong(0))
     val mat = seeds.map(_.getSeq[Float](1).map(_.toDouble).toArray)
     // the argmax yields dense 0..k-1 in cent_id order — map back
@@ -309,7 +330,7 @@ object VectorQueries {
   val q78_kmeans_step_sql: String = {
     val dVC = Similarity.dotSql("embedding", "cemb", dim)
     s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding", dim)} AS nrm FROM embeddings),
-       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % 100 = 0),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % $seedModSql = 0),
        |assigned AS (
        |  SELECT vec_id, cell, embedding FROM (
        |    SELECT n.vec_id, cent.cent_id AS cell, n.embedding,
@@ -325,17 +346,23 @@ object VectorQueries {
     * near-dup removal): every vector is assigned to its nearest seed
     * centroid with the map-only codegen'd argmax (zero exchanges, as
     * q78), pairs are compared ONLY within a cell, and the higher
-    * vec_id of any pair at cosine ≥ τ is dropped. Pair space is
-    * (n/k)² per cell and k scales with the corpus (VectorIndex trains
-    * n/2000 cells), so the per-cell pair term stays bounded — no
-    * all-pairs path exists. τ = 0.40 sits in this synthetic corpus's
+    * vec_id of any pair at cosine ≥ τ is dropped. Pairs are compared
+    * only within a cell, so the pair term is Σ(cell size)² — at
+    * production scale k grows with the corpus (VectorIndex trains
+    * n/2000 cells from a k-bounded sample) and the assignment is READ
+    * from the persisted VectorIndex (spec'd in VectorIndexSpec), so
+    * per-cell pair cost stays bounded and no all-pairs path exists;
+    * the gate formulation pins k ≈ seedK so its driver state is
+    * corpus-independent. τ = 0.40 sits in this synthetic corpus's
     * top-0.1% tail; a real corpus's planted-dup regime uses 0.95+ —
-    * the knob, not the shape. At production scale the assignment is
-    * read from the persisted VectorIndex, not recomputed per run.
+    * the knob, not the shape.
     */
   def q86_semdedup(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val seeds = base.filter(col("vec_id") % 100 === 0).collect().sortBy(_.getLong(0))
+    // k-bounded seed collect (count-derived modulus) — NOT a fraction
+    // of the corpus; see seedModulus
+    val seeds = base.filter(col("vec_id") % seedModulus(spark, dir) === 0)
+      .collect().sortBy(_.getLong(0))
     val ids = seeds.map(_.getLong(0))
     val mat = seeds.map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val cell = element_at(array(ids.toIndexedSeq.map(lit): _*),
@@ -359,7 +386,7 @@ object VectorQueries {
     val dVC = Similarity.dotSql("embedding", "cemb", dim)
     val dAB = Similarity.dotSql("a.embedding", "b.embedding", dim)
     s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding", dim)} AS nrm FROM embeddings),
-       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % 100 = 0),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % $seedModSql = 0),
        |assigned AS (
        |  SELECT vec_id, cell, embedding, nrm FROM (
        |    SELECT n.vec_id, cent.cent_id AS cell, n.embedding, n.nrm,

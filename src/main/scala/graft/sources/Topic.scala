@@ -155,11 +155,14 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
     * (commits/<b>). A file only SEEN (logged for an uncommitted batch)
     * is not counted. Entries are parsed as JSON (the v1 log is one
     * JSON object per line after the version header) so JSON-escaped
-    * characters in paths can't silently shrink the committed set; a
-    * committed log file whose entries yield zero paths fails LOUDLY —
-    * that is format drift, and silent under-parsing here would stall
-    * retention forever. Only entries under THIS topic's directory
-    * count (other sources' files are not ours to trim by).
+    * characters in paths can't silently shrink the committed set; in a
+    * FILE-source dir, a committed log whose entries yield zero paths
+    * fails LOUDLY — that is format drift, and silent under-parsing
+    * there would stall retention forever. A source dir whose logs
+    * carry no "path" field at all is a different source TYPE in a
+    * multi-source checkpoint and is skipped, not flagged. Only entries
+    * whose full parent path equals THIS topic's directory count
+    * (other sources' files are not ours to trim by).
     */
   private[graft] def committedFileNames(checkpoint: String): Set[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -173,40 +176,63 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
     val sourcesRoot = new org.apache.hadoop.fs.Path(s"$checkpoint/sources")
     if (!cfs.exists(sourcesRoot)) return Set.empty
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val topicDirName = new org.apache.hadoop.fs.Path(dir).getName
+    // the committed-set filter compares the decoded entry's FULL parent
+    // path against this topic's qualified dir — name-only matching lets
+    // two topics that share a directory NAME under different roots
+    // cross-contaminate the set in a multi-source checkpoint
+    val topicParent = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toUri.getPath
+    }
     cfs.listStatus(sourcesRoot).filter(_.isDirectory).flatMap { srcDir =>
-      cfs.listStatus(srcDir.getPath).filter(_.isFile).flatMap { st =>
-        val n = st.getPath.getName
-        val batch = n.stripSuffix(".compact").toLongOption
-        // a compact at id b carries all entries through batch b; either
-        // form is admissible only once its batch is committed
-        if (batch.exists(_ <= committedMax)) {
-          val in = cfs.open(st.getPath)
-          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-          val entryLines = body.split("\n").map(_.trim)
-            .filter(l => l.nonEmpty && l.startsWith("{"))
-          val paths = entryLines.flatMap { l =>
-            val node = try mapper.readTree(l) catch {
-              case e: Exception => throw new IllegalStateException(
-                s"Topic.trimSafe: unparseable source-log entry in ${st.getPath}: " +
-                  s"${e.getMessage} — refusing to trim on a log format this code does not understand", e)
+      // Parse every committed log in this source dir LENIENTLY first: a
+      // source whose entries carry no "path" field at all is a
+      // different source TYPE (an offset-based source sharing the
+      // multi-source checkpoint), not format drift — it is simply not
+      // ours to trim by, so the whole dir is skipped. Strict drift
+      // checks (unparseable entry / entries-without-path) apply only
+      // once the dir has identified itself as a file source by
+      // yielding at least one path — THERE silent under-parsing would
+      // stall retention forever.
+      val logs: Seq[(org.apache.hadoop.fs.Path, Int, Seq[String], Option[Exception])] =
+        cfs.listStatus(srcDir.getPath).filter(_.isFile).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          val batch = n.stripSuffix(".compact").toLongOption
+          // a compact at id b carries all entries through batch b; either
+          // form is admissible only once its batch is committed
+          if (batch.exists(_ <= committedMax)) {
+            val in = cfs.open(st.getPath)
+            val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+            val entryLines = body.split("\n").map(_.trim)
+              .filter(l => l.nonEmpty && l.startsWith("{"))
+            var firstErr: Option[Exception] = None
+            val paths = entryLines.toSeq.flatMap { l =>
+              try Option(mapper.readTree(l).get("path")).map(_.asText)
+              catch { case e: Exception => if (firstErr.isEmpty) firstErr = Some(e); None }
             }
-            Option(node.get("path")).map(_.asText)
-          }
-          if (entryLines.nonEmpty && paths.isEmpty)
+            Some((st.getPath, entryLines.length, paths, firstErr))
+          } else None
+        }
+      if (!logs.exists(_._3.nonEmpty)) Seq.empty // not a file source
+      else {
+        logs.foreach { case (logPath, nEntries, paths, err) =>
+          err.foreach(e => throw new IllegalStateException(
+            s"Topic.trimSafe: unparseable source-log entry in $logPath: " +
+              s"${e.getMessage} — refusing to trim on a log format this code does not understand", e))
+          if (nEntries > 0 && paths.isEmpty)
             throw new IllegalStateException(
-              s"Topic.trimSafe: source log ${st.getPath} has ${entryLines.length} entries but none " +
+              s"Topic.trimSafe: source log $logPath has $nEntries entries but none " +
                 "carried a \"path\" field — the checkpoint log format has drifted; refusing to trim " +
                 "(silent under-parsing would stall retention forever)")
-          paths.toSeq.map { p =>
-            // the log stores the file's URI string; decode it so names
-            // compare equal to listStatus's decoded names (fall back to
-            // the raw string for non-URI-parseable paths)
-            try new org.apache.hadoop.fs.Path(new java.net.URI(p).getPath)
-            catch { case _: Exception => new org.apache.hadoop.fs.Path(p) }
-          }.filter(_.getParent.getName == topicDirName)
-            .map(_.getName)
-        } else Seq.empty
+        }
+        logs.flatMap(_._3).map { p =>
+          // the log stores the file's URI string; decode it so names
+          // compare equal to listStatus's decoded names (fall back to
+          // the raw string for non-URI-parseable paths)
+          try new org.apache.hadoop.fs.Path(new java.net.URI(p).getPath)
+          catch { case _: Exception => new org.apache.hadoop.fs.Path(p) }
+        }.filter(e => Option(e.getParent).exists(_.toString == topicParent))
+          .map(_.getName)
       }
     }.toSet
   }
