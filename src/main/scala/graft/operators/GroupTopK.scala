@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * Both passes are plain hash shuffles + bounded sorts; the survivor
   * frame of pass 2 is k-bounded per (key, partition), so its window
   * sort is tiny regardless of group skew. Result is EXACTLY the naive
-  * window's (spec-asserted): every global top-k row is necessarily in
-  * its partition's local top-k (the rank function is monotone under
-  * row removal), so pass 1 never discards a winner.
+  * window's (spec-asserted in PlanAuditSpec, which sweeps sizes, skew,
+  * k, and partition counts; q09_rank_slice runs through this operator
+  * against its unchanged SQL oracle): every global top-k row is
+  * necessarily in its partition's local top-k (the rank function is
+  * monotone under row removal), so pass 1 never discards a winner.
   *
   * `order` must totally order rows within a key (add a unique
   * tie-break column, as for any deterministic rank).

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.graftshim.InternalRows
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed global sequencing — the scale-safe form of deva's
@@ -29,11 +31,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * exchange stage on the second job and re-reads its files. That is
   * what makes the two passes see identical partition layouts WITHOUT
   * caching: range-boundary sampling is seeded by the RDD id, so two
-  * separate query executions (the previous shape, which persisted the
+  * separate query executions (the pre-r6 shape, which persisted the
   * frame to pin the layout — and leaked the cache) can land rows in
   * different partitions. No persist, no cached blocks to leak in
   * long-lived sessions; shuffle files are owned and GC'd by the
   * shuffle manager like any join's.
+  *
+  * The kernel runs on the engine's own InternalRow plane
+  * (`queryExecution.toRdd` in, [[InternalRows.createDataFrame]] out):
+  * rows stay in Tungsten binary format with NO external-Row round
+  * trip, the appended index rides a 1-field [[JoinedRow]], and the
+  * resulting scan feeds whole-stage codegen downstream like any leaf
+  * (spec-asserted in PlanAuditSpec). The RDD hop is invisible to row
+  * format and codegen; what it still costs — as any eager two-pass
+  * must — is the optimizer barrier at this boundary (pushdown/pruning
+  * don't cross it), which is inherent to computing offsets before the
+  * plan continues.
   *
   * Cost at 100 TB: one range exchange (parallel) + one map pass +
   * a #partitions-sized driver collect.
@@ -49,19 +62,29 @@ object Sequence {
     val sorted = df
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-    // ONE RDD instance — the counts job below materializes its shuffle;
-    // the index pass reuses those exact files (layout pinned by the
-    // shuffle itself, not by a cache)
-    val rdd = sorted.rdd
+    // ONE InternalRow RDD instance — the counts job below materializes
+    // its shuffle; the index pass reuses those exact files (layout
+    // pinned by the shuffle itself, not by a cache)
+    val rdd = sorted.queryExecution.toRdd
     val counts = rdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
     val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      // per-row: bump the counter, splice the index onto the UNCOPIED
+      // input row via JoinedRow — the downstream scan's unsafe
+      // projection materializes each row before the next is produced,
+      // so the one-at-a-time reuse contract holds (standard operator
+      // convention)
       var next = offsets(i)
-      it.map { r => next += 1; Row.fromSeq(r.toSeq :+ next) }
+      val idxCell = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { r =>
+        next += 1; idxCell.update(0, next)
+        joined(r, idxCell): org.apache.spark.sql.catalyst.InternalRow
+      }
     }
-    spark.createDataFrame(indexed,
+    InternalRows.createDataFrame(spark, indexed,
       StructType(sorted.schema.fields :+ StructField(idxName, LongType, nullable = false)))
   }
 }

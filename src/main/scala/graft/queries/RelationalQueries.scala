@@ -164,17 +164,20 @@ object RelationalQueries {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** q09 — deva `slice`/ranked-within-group (ops.py:827): top-3 parts
-    * per brand via window rank — one shuffle on the partition key.
+    * per brand via [[graft.operators.GroupTopK]] — the skew-proof
+    * two-pass rank. The naive single window (`row_number() OVER
+    * (PARTITION BY p_brand ...)`) funnels every row of a group into
+    * one task; GroupTopK's local pass keeps ≤ k per (group, input
+    * partition) so no task ever sorts more than its partition's share,
+    * and the global pass ranks a k-bounded survivor frame. Result is
+    * exactly the naive window's (equality + plan-shape spec'd in
+    * PlanAuditSpec); the oracle is unchanged.
     */
-  def q09_rank_slice(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("p_brand"))
-      .orderBy(col("p_retailprice").desc, col("p_partkey"))
-    Tables.part(spark, dir)
-      .withColumn("rank_in_brand", row_number().over(w))
-      .filter(col("rank_in_brand") <= 3)
+  def q09_rank_slice(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupTopK.rank(Tables.part(spark, dir), Seq("p_brand"),
+        Seq(col("p_retailprice").desc, col("p_partkey")), 3, "rank_in_brand")
       .select(col("p_brand"), col("rank_in_brand"), col("p_partkey"), col("p_retailprice"))
       .orderBy(col("p_brand"), col("rank_in_brand"))
-  }
 
   val q09_rank_slice_sql: String =
     """SELECT p_brand, rank_in_brand, p_partkey, p_retailprice FROM (

@@ -129,6 +129,27 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
+  test("Sequence output feeds whole-stage codegen downstream (InternalRow plane, no external-Row hop)") {
+    import graft.operators.Sequence
+    val ev = Tables.events(spark, dir).select(col("ts"), col("event_id"), col("value"))
+    val seq = Sequence.globalRowNumber(ev, Seq(col("ts"), col("event_id")), "idx")
+    // a consumer shaped like q19/q20's downstream: filter + project
+    val downstream = seq.filter(col("idx") % 2 === 1).select(col("event_id"), col("idx"))
+    val exec = downstream.queryExecution.executedPlan
+    // the filter must sit INSIDE a WholeStageCodegen stage (the `*(n)`
+    // prefix in the string form), not run interpreted above the scan
+    val codegenned = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.collect { case f: org.apache.spark.sql.execution.FilterExec => f }.nonEmpty)
+    assert(codegenned,
+      s"filter/project above the sequence scan must run codegen'd:\n$exec")
+    // no object-plane round trip anywhere in the frame
+    val p = exec.toString
+    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+      s"sequence output must stay on InternalRow:\n$p")
+    assert(downstream.count() > 0)
+  }
+
   test("Sequence.globalRowNumber leaks no cached blocks (long-lived-session contract)") {
     import graft.operators.Sequence
     val sp = spark
@@ -139,6 +160,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(out.count() == 1000) // consume downstream (recomputes from the shuffle)
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       "the count-pass persist must be released by the time globalRowNumber returns")
+  }
+
+  test("GroupTopK.rank equals the naive window rank across sizes/skew/k/partition counts (property)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GroupTopK
+    val sp = spark
+    import sp.implicits._
+    // (n, #groups, k): empty input, one group taking most rows (skew),
+    // k larger than some groups, sizes straddling partition counts
+    val cases = Seq((0, 3, 2), (1, 1, 3), (50, 2, 3), (200, 5, 1), (500, 3, 7), (101, 7, 3))
+    cases.foreach { case (n, g, k) =>
+      // group 0 is hot: ~half of all rows land in it
+      val df = (0 until n).map { i =>
+        val grp = if (i % 2 == 0) 0 else 1 + (i % g)
+        (grp, (i * 37) % 19, i.toLong) // ord has heavy ties; id is the total tie-break
+      }.toDF("grp", "ord", "id")
+      val w = Window.partitionBy(col("grp")).orderBy(col("ord").desc, col("id"))
+      val expect = df.withColumn("r", row_number().over(w).cast("long"))
+        .filter(col("r") <= k)
+        .select("grp", "id", "r").collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      val got = GroupTopK.rank(df, Seq("grp"), Seq(col("ord").desc, col("id")), k, "r")
+        .select("grp", "id", "r").collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == expect, s"mismatch at n=$n g=$g k=$k")
+    }
+  }
+
+  test("q09 runs through GroupTopK: both windows partitioned, survivors k-bounded before the global pass") {
+    val exec = SparkEntry.queries("q09_rank_slice")(spark, dir).queryExecution
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(s.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+    val windows = flatten(exec.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.length == 2, s"q09 must plan the two-pass rank (local + global), got ${windows.length}")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "neither GroupTopK pass may be a partition-less (single-task) window")
+    // the local pass's k-filter is what bounds the global pass's input:
+    // without it the second window would sort whole groups again
+    assert(exec.executedPlan.toString.contains("__gtk_lr"),
+      "local-rank filter (__gtk_lr <= k) missing — global pass input is not k-bounded")
   }
 
   test("q78 assigns cells with the map-only argmax — no n×k join, no sort-aggregate") {
