@@ -231,7 +231,7 @@ final case class Topic(spark: SparkSession, root: String, name: String) {
           // the raw string for non-URI-parseable paths)
           try new org.apache.hadoop.fs.Path(new java.net.URI(p).getPath)
           catch { case _: Exception => new org.apache.hadoop.fs.Path(p) }
-        }.filter(e => Option(e.getParent).exists(_.toString == topicParent))
+        }.filter(e => Option(e.getParent).exists(_.toUri.getPath == topicParent))
           .map(_.getName)
       }
     }.toSet

@@ -146,16 +146,26 @@ class ScheduleTopicSpec extends AnyFunSuite {
     // an entry whose path contains a JSON-escaped quote — the regex
     // parser this replaced truncated the name at the backslash
     write("sources/0/0", "v1\n" +
-      """{"path":"file:///x/tp/a\"b.parquet","timestamp":1,"batchId":0}""" + "\n")
+      s"""{"path":"file://$root/tp/a\\"b.parquet","timestamp":1,"batchId":0}""" + "\n")
     // a multi-source query puts the topic at an arbitrary source index;
     // files under a DIFFERENT directory must not count toward tp's set
+    // — including a directory with the SAME leaf name under another
+    // root (full-path matching, not name matching)
     write("sources/1/0", "v1\n" +
       """{"path":"file:///x/other/c.parquet","timestamp":1,"batchId":0}""" + "\n" +
-      """{"path":"file:///x/tp/d.parquet","timestamp":1,"batchId":0}""" + "\n")
+      """{"path":"file:///elsewhere/tp/z.parquet","timestamp":1,"batchId":0}""" + "\n" +
+      s"""{"path":"file://$root/tp/d.parquet","timestamp":1,"batchId":0}""" + "\n")
+    // a source dir whose committed logs carry no "path" AT ALL is a
+    // different source TYPE (an offset-based source sharing the
+    // multi-source checkpoint) — skipped, NOT format drift; it must
+    // not break trimming for the file sources next to it
+    write("sources/2/0", "v1\n" + """{"logOffset":5}""" + "\n")
     assert(t.committedFileNames(cp) == Set("a\"b.parquet", "d.parquet"))
-    // a committed log file WITH entries but no "path" fields is format
-    // drift: silent under-parsing would stall retention forever → loud
-    write("sources/0/0", "v1\n" + """{"p":"x","batchId":0}""" + "\n")
+    // but INSIDE a dir that has identified itself as a file source, a
+    // committed log whose entries yield zero paths is format drift:
+    // silent under-parsing would stall retention forever → loud
+    write("commits/1", "v1\n{}")
+    write("sources/0/1", "v1\n" + """{"p":"x","batchId":1}""" + "\n")
     val e = intercept[IllegalStateException](t.committedFileNames(cp))
     assert(e.getMessage.contains("format has drifted"), e.getMessage)
   }

@@ -140,4 +140,44 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(after.head.getLong(2) == 100007L, s"new twin must serve at rank 1, got ${after.toSeq}")
     assert(after.head.getDouble(4) > 0.9999)
   }
+
+  test("semantic dedup composed over the persisted index equals the in-query assignment (bucket pruning intact)") {
+    // q86_semdedup's production path (its own docstring contract):
+    // assignments READ from the persisted VectorIndex instead of
+    // recomputed per run — same dropped set, and the store's
+    // bucket-pruned read path stays intact underneath the composition
+    import org.apache.spark.sql.DataFrame
+    val sp = spark
+    import sp.implicits._
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = VectorIndex.train(spark, vecs, k = 4, iters = 2)
+    val base = Files.createTempDirectory("graft_semdedup_idx").toString
+    val store = VectorIndex.open(spark, s"$base/cells", numBuckets = 4)
+    VectorIndex.index(store, vecs, cents)
+
+    // q86's pair stage, parameterized by where assignments come FROM
+    def dropped(assigned: DataFrame, tau: Double): Set[Long] = {
+      val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_e"))
+      val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_e"))
+      a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+        .filter(Similarity.dot(col("a_e"), col("b_e")) /
+          (Similarity.norm(col("a_e")) * Similarity.norm(col("b_e"))) >= tau)
+        .select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
+    }
+    val fromStore = store.get().select(col("cell"), col("vec_id"), col("embedding"))
+    Seq(0.0, 0.40).foreach { tau =>
+      val viaStore = dropped(fromStore, tau)
+      val inQuery = dropped(VectorIndex.assign(vecs, cents), tau)
+      assert(viaStore == inQuery,
+        s"tau=$tau: persisted-index semdedup must equal the in-query assignment")
+    }
+    assert(dropped(fromStore, 0.0).nonEmpty, "tau=0 must drop at least one vector (sanity)")
+    // serve-side bucket pruning intact: a single-cell read touches
+    // only that cell's bucket dir(s)
+    val oneCell = Seq(0L).toDF("cell")
+    val files = store.lookup(oneCell).get.inputFiles
+    val allowed = store.bucketIdsFor(oneCell).toSet
+    assert(files.nonEmpty && files.forall(f => allowed.exists(b => f.contains(s"/b=$b/"))),
+      s"single-cell read must touch only buckets $allowed:\n${files.mkString("\n")}")
+  }
 }
