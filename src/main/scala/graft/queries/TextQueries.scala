@@ -852,6 +852,74 @@ object TextQueries {
        |FROM toks t LEFT JOIN perdoc pd ON t.doc_id = pd.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q87 — exact-substring dedup at 50-token granularity (the Lee et
+    * al. "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring signal): every 50-token SLIDING window (stride
+    * 1) of every doc is hashed; a window hash appearing in ≥ 2
+    * DISTINCT docs is cross-doc verbatim overlap. q76's disjoint
+    * passage grid only catches duplication aligned to the grid; the
+    * stride-1 window catches a shared 50-token run at ANY offset —
+    * the suffix-array property, re-expressed as a hash aggregation.
+    *
+    * Scale shape: window generation is LINEAR in corpus tokens (one
+    * row per position — no all-pairs path anywhere), the shuffle
+    * carries only (hash, doc_id), and multiplicity resolves with two
+    * hash aggregations ((h, doc) → h-window → doc). Memory bound: the
+    * exploded frame costs ~40 B/token on the wire (16 B md5 + id +
+    * overhead); the 50-token join string exists only transiently
+    * inside the codegen'd projection and is never shuffled or stored.
+    * The W× hashing amplification is the known cost of the hash
+    * formulation — a one-pass polynomial rolling hash (O(tokens), not
+    * O(tokens·W)) is the drop-in production kernel, with the same
+    * frame shape downstream; Lee et al.'s suffix array trades this
+    * map-side compute for a structure Spark can't shard as freely.
+    */
+  private val winLen = 50
+  def q87_substring_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val wins = tokenized(spark, dir)
+      .select(col("doc_id"),
+        when(size(col("tk")) >= winLen,
+          transform(sequence(lit(0), size(col("tk")) - winLen),
+            i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(winLen))))))
+          .otherwise(array().cast("array<string>")).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val perPair = wins.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("m"))
+    // distinct-doc multiplicity as a window over the (h, doc) frame —
+    // one row per distinct doc per hash, so COUNT(*) == COUNT(DISTINCT
+    // doc) without a second dedup shuffle
+    val shared = perPair
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val perDoc = shared.groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("nw"),
+        sum(when(col("ndocs") >= 2, col("m")).otherwise(lit(0L))).as("ns"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nw"), lit(0L)).as("n_windows"),
+        coalesce(col("ns"), lit(0L)).as("n_shared_windows"),
+        (coalesce(col("ns"), lit(0L)) > 0).as("has_crossdoc_substring"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q87_substring_dedup_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |grid AS (SELECT doc_id, tk, unnest(range(len(tk) - $winLen + 1)) AS pos FROM tkt),
+       |wh AS (SELECT doc_id,
+       |    md5(array_to_string(list_slice(tk, pos + 1, pos + $winLen), ' ')) AS h
+       |  FROM grid),
+       |pp AS (SELECT h, doc_id, COUNT(*) AS m FROM wh GROUP BY h, doc_id),
+       |hd AS (SELECT h, COUNT(*) AS ndocs FROM pp GROUP BY h),
+       |perdoc AS (
+       |  SELECT pp.doc_id, SUM(m) AS nw,
+       |    SUM(CASE WHEN ndocs >= 2 THEN m ELSE 0 END) AS ns
+       |  FROM pp JOIN hd USING (h) GROUP BY pp.doc_id)
+       |SELECT d.doc_id AS doc_id,
+       |  CAST(COALESCE(nw, 0) AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(ns, 0) AS BIGINT) AS n_shared_windows,
+       |  (COALESCE(ns, 0) > 0) AS has_crossdoc_substring
+       |FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** q79 — vocabulary coverage curve: per language, the smallest
     * frequency-ranked vocabulary that covers ≥90/95/99% of token
     * occurrences — the corpus statistic that sizes a tokenizer's
@@ -1071,6 +1139,7 @@ object TextQueries {
     "q54_dedup_clusters" -> (q54_dedup_clusters _),
     "q76_passage_dedup" -> (q76_passage_dedup _),
     "q77_repetition_trim" -> (q77_repetition_trim _),
+    "q87_substring_dedup" -> (q87_substring_dedup _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
     "q81_mix_temperature" -> (q81_mix_temperature _),
@@ -1101,6 +1170,7 @@ object TextQueries {
     "q54_dedup_clusters" -> q54_dedup_clusters_sql,
     "q76_passage_dedup" -> q76_passage_dedup_sql,
     "q77_repetition_trim" -> q77_repetition_trim_sql,
+    "q87_substring_dedup" -> q87_substring_dedup_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,
     "q81_mix_temperature" -> q81_mix_temperature_sql,
