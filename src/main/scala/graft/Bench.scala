@@ -90,13 +90,26 @@ object Bench {
       val failed = results.count(_._2 < 0)
       s"""{"metric":"total","value":${roundN(2)(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfTag"}"""
     }
-    // precision ladder: 2-dec → 1-dec → whole seconds → totals-only.
-    // The whole-seconds rung keeps PER-QUERY data alive even in the
-    // worst case (every value 3 digits); QueriesSpec pins that rung's
-    // worst-case width under the guard so a new query can never
-    // silently push the gate to totals-only.
+    // precision ladder: full-name 2-dec → 1-dec → whole seconds →
+    // SHORT-KEY 1-dec → short-key whole seconds → totals-only. The
+    // short-key rungs keep per-query data alive past the query count
+    // where even whole-second full names overflow the window (~86
+    // queries): keys collapse to the numeric prefix ("q87"), which is
+    // unique by construction (QueriesSpec asserts it) and maps back to
+    // the full name trivially; full names + full precision are always
+    // in bench_out.json and the early stdout line. QueriesSpec pins
+    // the short rung's worst case (3-digit values) under the guard so
+    // a new query can never silently push the gate to totals-only.
+    def mkShort(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val failed = results.count(_._2 < 0)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfTag"}"""
+    }
     println(
-      Seq(mkLine(roundN(2), sfTag), mkLine(roundN(1), sfTag), mkLine(roundN(0), sfTag))
+      Seq(mkLine(roundN(2), sfTag), mkLine(roundN(1), sfTag), mkLine(roundN(0), sfTag),
+          mkShort(roundN(1)), mkShort(roundN(0)))
         .find(_.length <= 1900).getOrElse(totalsOnly))
     spark.stop()
   }

@@ -31,18 +31,24 @@ class QueriesSpec extends AnyFunSuite {
 
   test("bench per-query line survives the harness tail window at the current query count") {
     // the harness keeps the last ~2000 chars of stdout and parses the
-    // last line; Bench degrades 2-dec → 1-dec → whole seconds before
-    // dropping per-query data entirely. The LAST per-query rung
-    // (whole seconds, worst case 3-digit values) must fit the
+    // last line; Bench degrades full-name 2-dec → 1-dec → whole
+    // seconds → SHORT-KEY ("q87") 1-dec → short-key whole seconds
+    // before dropping per-query data entirely. The LAST per-query
+    // rung (short keys, worst case 3-digit values) must fit the
     // 1900-char guard — this fails AT THE COMMIT that adds the query
     // that overflows, not two rounds later in a driver artifact.
     val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"queries":"""
     // compact rungs carry the dir basename only (Bench sfTag)
     val tail = s""","sf":"sf0.1"}"""
-    val worst = SparkEntry.queries.keys.map(k => s""""$k":999""").mkString("{", ",", "}")
+    val short = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
+    // short keys must map 1:1 back to full names or the rung would
+    // silently merge two queries' timings
+    assert(short.distinct.length == short.length,
+      s"duplicate short bench keys: ${short.diff(short.distinct).mkString(",")}")
+    val worst = short.map(k => s""""$k":999""").mkString("{", ",", "}")
     val len = header.length + worst.length + tail.length
     assert(len <= 1900,
-      s"whole-second bench line worst-case $len chars > 1900 — per-query data would drop to totals-only; trim query names")
+      s"short-key bench line worst-case $len chars > 1900 — per-query data would drop to totals-only")
   }
 
   test("q82 largest-remainder split allocates the budget EXACTLY") {
