@@ -44,5 +44,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             cause = None)
         ArrayDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingWindowHash].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_rolling_hash`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            cause = None)
+        val w = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_hash window length must be an integer literal, got $other")
+        }
+        RollingWindowHash(children.head, w)
+      }))
   }
 }

@@ -868,11 +868,15 @@ object TextQueries {
     * exploded frame costs ~40 B/token on the wire (16 B md5 + id +
     * overhead); the 50-token join string exists only transiently
     * inside the codegen'd projection and is never shuffled or stored.
-    * The W× hashing amplification is the known cost of the hash
-    * formulation — a one-pass polynomial rolling hash (O(tokens), not
-    * O(tokens·W)) is the drop-in production kernel, with the same
-    * frame shape downstream; Lee et al.'s suffix array trades this
-    * map-side compute for a structure Spark can't shard as freely.
+    * The W× hashing amplification is the known cost of the md5
+    * formulation (kept here because the oracle can replicate it
+    * verbatim) — the one-pass polynomial rolling hash (O(tokens), not
+    * O(tokens·W)) is IMPLEMENTED as the codegen'd
+    * [[graft.plans.RollingWindowHash]] expression, with the same
+    * frame shape downstream; Hash60Spec asserts its shared-window
+    * structure equals this formulation's on the real corpus. Lee et
+    * al.'s suffix array trades this map-side compute for a structure
+    * Spark can't shard as freely.
     */
   private val winLen = 50
   def q87_substring_dedup(spark: SparkSession, dir: String): DataFrame = {

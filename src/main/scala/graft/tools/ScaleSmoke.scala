@@ -90,7 +90,13 @@ object ScaleSmoke {
       // runtime-bloom prune, bucketed co-location (the bucketed-table
       // WRITE dominates its time at ×N; the join itself is
       // exchange-free)
-      "q83_salt", "q84_bloom", "q85_bucket")
+      "q83_salt", "q84_bloom", "q85_bucket",
+      // round 7: semantic dedup (k-bounded seeds; ×N duplication makes
+      // every vector an N-way in-cell near-dup — worst case for the
+      // per-cell pair term), sliding-window substring dedup (every
+      // window an N-way cross-doc duplicate — worst case for the
+      // window-hash shuffle), and the GroupTopK two-pass rank
+      "q86_semdedup", "q87_substring_dedup", "q09_rank_slice")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

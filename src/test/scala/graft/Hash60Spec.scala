@@ -106,4 +106,90 @@ class Hash60Spec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(viaSql == 9.0)
   }
+
+  private def rwh(w: Int) = graft.plans.RollingWindowHash(
+    org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)), w)
+
+  private def rwhKernel(tks: Seq[String], w: Int): Seq[Long] = {
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      tks.map(t => org.apache.spark.unsafe.types.UTF8String.fromString(t)).toArray[Any])
+    rwh(w).kernel(arr).toLongArray().toSeq
+  }
+
+  test("RollingWindowHash: rolled windows equal freshly-computed windows (property, seeded)") {
+    // the rolling update (drop t·B^(w-1), shift, add) must equal a
+    // fresh polynomial per window — an exactly-w-length array never
+    // rolls, so the no-roll path is the independent reference. Sweeps
+    // empty input, n < w, n == w, heavy duplicate tokens, unicode.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "ab", "你好", "x" * 100, "tok1", "tok2", "", "a")
+    val cases = ((0 until 300).map { _ =>
+      val n = rnd.nextInt(40)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+    } :+ Seq.empty[String]) :+ Seq.fill(20)("dup")
+    for (w <- Seq(1, 2, 3, 7, 50)) {
+      cases.foreach { tks =>
+        val rolled = rwhKernel(tks, w)
+        assert(rolled.length == math.max(0, tks.length - w + 1), s"w=$w n=${tks.length}")
+        rolled.zipWithIndex.foreach { case (h, i) =>
+          val fresh = rwhKernel(tks.slice(i, i + w), w)
+          assert(fresh == Seq(h), s"rolled($i) != fresh at w=$w n=${tks.length}")
+        }
+      }
+    }
+    // identical windows hash identically; the all-dup case proves it
+    assert(rwhKernel(Seq.fill(20)("dup"), 7).distinct.length == 1)
+  }
+
+  test("RollingWindowHash: codegen equals the interpreted kernel on real corpus tokens") {
+    val tk = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("tk"))
+    val viaPlan = tk.select(col("doc_id"),
+        graft.plans.RollingWindowHash(col("tk"), 5).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaKernel = tk.collect()
+      .map(r => r.getLong(0) -> rwhKernel(r.getSeq[String](1), 5).toVector).toMap
+    assert(viaPlan == viaKernel)
+    val plan = tk.select(graft.plans.RollingWindowHash(col("tk"), 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"), s"no codegen span:\n$plan")
+  }
+
+  test("RollingWindowHash: shared-window structure matches q87's md5 formulation on the real corpus") {
+    // the production kernel must flag exactly the same per-doc window
+    // counts and cross-doc shared windows as the gate's
+    // md5-of-joined-window formulation — same structure, O(tokens)
+    // instead of O(tokens·w) bytes hashed
+    import org.apache.spark.sql.expressions.Window
+    val w = 50
+    val tk = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("tk"))
+    def perDoc(hs: org.apache.spark.sql.Column): Map[Long, (Long, Long)] = {
+      val pp = tk.select(col("doc_id"), explode(hs).as("h"))
+        .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("m"))
+      pp.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("nw"),
+          sum(when(col("nd") >= 2, col("m")).otherwise(lit(0L))).as("ns"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val viaRoll = perDoc(graft.plans.RollingWindowHash(col("tk"), w))
+    val viaMd5 = perDoc(
+      when(size(col("tk")) >= w,
+        transform(sequence(lit(0), size(col("tk")) - w),
+          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(w))))))
+        .otherwise(array().cast("array<string>")))
+    assert(viaRoll == viaMd5,
+      "rolling-hash window structure must equal the md5 formulation's")
+    assert(viaRoll.values.exists(_._2 > 0), "nonvacuous: the corpus has shared windows")
+  }
+
+  test("graft_rolling_hash is SQL-registered via GraftExtensions") {
+    val r = spark.sql("SELECT graft_rolling_hash(array('a','b','c'), 2) AS hs")
+      .collect()(0).getSeq[Long](0)
+    assert(r.length == 2 && r.distinct.length == 2)
+    // same windows → same hashes, cross-checked against the kernel
+    assert(r == rwhKernel(Seq("a", "b", "c"), 2))
+  }
 }
