@@ -924,6 +924,283 @@ object TextQueries {
        |FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q88 — the PRODUCTION form of q87: candidate generation via the
+    * one-pass codegen'd [[graft.plans.RollingWindowHash]] (O(tokens),
+    * not q87's O(tokens·W) md5-per-window), then EXACT-TEXT
+    * verification of candidate positions only — the same
+    * candidates-then-verify contract as MinHash banding (q45→q47).
+    *
+    * Hash-independence of the gate: the rolling hash has no false
+    * NEGATIVES (identical windows hash identically), so every truly
+    * cross-doc window is a candidate; false POSITIVES are killed by
+    * the exact-text regroup (a window text shared by only one doc has
+    * ndocs = 1 no matter why its hash collided). The emitted columns
+    * are therefore pure functions of the corpus, and DuckDB's oracle
+    * computes them directly from window TEXT without modeling the
+    * hash at all — which is exactly what makes the formulation safe
+    * to swap kernels under.
+    *
+    * Scale shape: pass 1 shuffles only (h, doc_id, pos) longs —
+    * ~24 B/token, no strings; the verify join re-materializes the
+    * 50-token text ONLY for candidate positions (rare by
+    * construction), and the per-doc rollup is two hash aggregations.
+    * The W× byte-hashing amplification q87 documents is gone.
+    */
+  def q88_rollhash_substring(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(spark, dir)
+    val wins = tok.select(col("doc_id"),
+        posexplode(graft.plans.RollingWindowHash(col("tk"), winLen)).as(Seq("pos", "h")))
+    val perPair = wins.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("m"))
+    val candH = perPair
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("ndocs") >= 2)
+      .select(col("h")).distinct()
+    val candPos = wins.join(candH, Seq("h"), "left_semi")
+    val verified = candPos.join(tok, Seq("doc_id"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(winLen))).as("wtext"))
+      .groupBy(col("wtext"), col("doc_id")).agg(count(lit(1)).as("m"))
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("wtext"))))
+    val perDoc = verified.groupBy(col("doc_id"))
+      .agg(sum(when(col("ndocs") >= 2, col("m")).otherwise(lit(0L))).as("nv"),
+        countDistinct(when(col("ndocs") >= 2, col("wtext"))).as("nd"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nv"), lit(0L)).as("n_verified_shared"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct_shared"),
+        (coalesce(col("nv"), lit(0L)) > 0).as("has_verified_crossdoc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q88_rollhash_substring_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |grid AS (SELECT doc_id, tk, unnest(range(len(tk) - $winLen + 1)) AS pos FROM tkt),
+       |wt AS (SELECT doc_id,
+       |    array_to_string(list_slice(tk, pos + 1, pos + $winLen), ' ') AS wtext
+       |  FROM grid),
+       |pp AS (SELECT wtext, doc_id, COUNT(*) AS m FROM wt GROUP BY wtext, doc_id),
+       |hd AS (SELECT wtext, COUNT(*) AS ndocs FROM pp GROUP BY wtext),
+       |perdoc AS (
+       |  SELECT pp.doc_id,
+       |    SUM(CASE WHEN ndocs >= 2 THEN m ELSE 0 END) AS nv,
+       |    COUNT(DISTINCT CASE WHEN ndocs >= 2 THEN pp.wtext END) AS nd
+       |  FROM pp JOIN hd USING (wtext) GROUP BY pp.doc_id)
+       |SELECT d.doc_id AS doc_id,
+       |  CAST(COALESCE(nv, 0) AS BIGINT) AS n_verified_shared,
+       |  CAST(COALESCE(nd, 0) AS BIGINT) AS n_distinct_shared,
+       |  (COALESCE(nv, 0) > 0) AS has_verified_crossdoc
+       |FROM documents d LEFT JOIN perdoc pd ON d.doc_id = pd.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** q89 — BM25 ranking (Robertson/Spärck Jones; the scoring function
+    * behind Lucene/Elasticsearch defaults) over the full-text family:
+    * per-term idf × tf-saturation with doc-length normalization,
+    * k1 = 1.2, b = 0.75, top-20 docs for a fixed 3-term query.
+    *
+    * Engine-portable floats: every double input (tf, df, N, dl,
+    * total token count) is an integer both engines agree on, the
+    * per-term score expression is written OP-FOR-OP identically in
+    * the Spark plan and the oracle SQL (same literals, same
+    * parenthesization, so IEEE evaluation matches bit-for-bit up to
+    * the ~1-ulp libm `ln` difference), and the per-term score is
+    * quantized to DECIMAL(18,6) BEFORE the order-sensitive sum —
+    * the decimal sum is exact and order-free (Determinism.dsum's
+    * rule), so ranking and output are deterministic across engines
+    * and partitionings.
+    *
+    * Scale shape: the term frame is filtered to the 3 query terms at
+    * the explode (corpus-linear scan, tiny survivor set), df/N/avgdl
+    * are 1-row or term-count-bounded aggregates (broadcast), and the
+    * only corpus-keyed shuffle is the per-doc tf groupBy. Top-20 via
+    * rank-window over the SCORED frame only (docs matching ≥1 term).
+    */
+  private val bm25Terms = Seq("window", "join", "dup")
+  def q89_bm25(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(spark, dir)
+    val dl = tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = tok.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") /
+              (col("tot_dl").cast("double") / col("n_docs"))))))
+          ).cast("decimal(18,6)").as("s"))
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("score_dec"))
+    // top-k FIRST (TakeOrderedAndProject — parallel partial top-k, no
+    // total sort), then number the 20 survivors; the partition-less
+    // window runs over a limit-bounded frame (PlanAuditSpec's rule)
+    scored
+      .orderBy(col("score_dec").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_dec").desc, col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("score_dec").cast("double").as("score"))
+      .orderBy(col("rank"))
+  }
+
+  val q89_bm25_sql: String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tkt),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tkt)
+       |  WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |scored AS (
+       |  SELECT doc_id, SUM(CAST(
+       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |      ((tf * 2.2) /
+       |        (tf + 1.2 * (0.25 + 0.75 * (dl /
+       |          (CAST(tot_dl AS DOUBLE) / n_docs)))))
+       |    AS DECIMAL(18,6))) AS score_dec
+       |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), stats
+       |  GROUP BY doc_id),
+       |ranked AS (SELECT doc_id, score_dec,
+       |    row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(score_dec AS DOUBLE) AS score
+       |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
+  /** q90 — typo-level near-dup: edit-distance verification over the
+    * SimHash pigeonhole candidates (q48's blocking — 5× 12-bit blocks
+    * of the 60-bit fingerprint; hamming ≤ 4 pairs are GUARANTEED to
+    * collide in ≥1 untouched block). Candidates then verified with
+    * exact `levenshtein` — char-level edit distance ≤ 10 is the
+    * typo/near-verbatim band the curation pipelines quarantine
+    * (vs q47's Jaccard, which is bag-of-shingles and misses pure
+    * character noise).
+    *
+    * The oracle replicates the SAME blocking (shared simhashSql
+    * constants), so both engines verify the identical candidate set —
+    * the gate checks the algorithm, not a lucky sample. Scale shape:
+    * identical to q48 (block-bucket candidate join, capped buckets,
+    * no all-pairs path); levenshtein runs per CANDIDATE pair only —
+    * its O(len²) cost is bounded by the capped candidate count, not
+    * the corpus.
+    */
+  private val maxLev = 10
+  def q90_edit_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val tokensDf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val fp = Dedup.simhash(tokensDf, "doc_id")
+    val blocks = fp.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(4))).as("j"))
+      .withColumn("bval", expr("(simhash >> (12 * j)) & 4095"))
+    val cand = blocks
+      .groupBy(col("j"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "SimHash block"))
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("doc_id").as("a_id"), y.getField("doc_id").as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+    val txt = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    cand
+      .join(txt.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
+      .join(txt.select(col("doc_id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text")).cast("long").as("lev"),
+        greatest(length(col("a_text")), length(col("b_text"))).cast("long").as("max_len"))
+      .filter(col("lev") <= maxLev)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q90_edit_pairs_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |tokt AS (SELECT doc_id, unnest(tk) AS tok FROM tkt),
+       |fp AS (${Dedup.simhashSql("tokt", "doc_id")}),
+       |blocks AS (
+       |  SELECT doc_id, simhash, j, (simhash >> (12 * j)) & 4095 AS bval
+       |  FROM fp, range(0, 5) t(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM blocks a JOIN blocks b
+       |    ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       |  CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+       |FROM cand
+       |JOIN documents da ON da.doc_id = a_id
+       |JOIN documents db ON db.doc_id = b_id
+       |WHERE levenshtein(da.text, db.text) <= $maxLev
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q91 — unigram-LM surprisal filter (the CCNet/Wenzek-et-al
+    * perplexity gate, with the corpus itself as the LM): every token
+    * scores −ln(c_lang(t)/total_lang) nats against its language's
+    * unigram distribution; a doc's mean surprisal is the
+    * perplexity-per-token proxy, and docs in the top tail are the
+    * gibberish/outlier candidates CCNet buckets by LM score. q80's
+    * rank-sum is the integer-exact proxy for this; q91 is the real
+    * log-probability form.
+    *
+    * Float portability, same contract as q89: −ln(c/total) has
+    * integer-only inputs and an op-for-op identical rendering in
+    * both engines; each token's surprisal is quantized to
+    * DECIMAL(18,6) before the order-free exact decimal sum. The
+    * keep-flag threshold compares a double that is bit-identical on
+    * both sides (exact decimal sum cast to double / exact long), so
+    * the flag can't flip between engines.
+    *
+    * Scale shape: the (lang, tok) frequency table is vocab-sized
+    * (broadcastable); totals are lang-count-bounded; the token
+    * stream joins its score then one doc_id shuffle — two linear
+    * scans, no corpus-wide sort (q80's scaladoc argument).
+    */
+  private val surprisalKeepMax = 8.0
+  def q91_surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toksOf = tokenized(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), explode(col("tk")).as("tok"))
+    val freq = toksOf.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = toksOf.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+    toksOf
+      .join(broadcast(freq), Seq("lang", "tok"))
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("doc_id"),
+        (-log(col("c") / col("total"))).cast("decimal(18,6)").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("sum_dec"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sum_dec").cast("double").as("sum_surprisal"),
+        (col("sum_dec").cast("double") / col("n_tokens")).as("mean_surprisal"),
+        ((col("sum_dec").cast("double") / col("n_tokens")) <= lit(surprisalKeepMax))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q91_surprisal_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |tokt AS (SELECT t.doc_id, d.lang, unnest(t.tk) AS tok
+       |  FROM tkt t JOIN documents d ON t.doc_id = d.doc_id),
+       |freq AS (SELECT lang, tok, COUNT(*) AS c FROM tokt GROUP BY lang, tok),
+       |tot AS (SELECT lang, COUNT(*) AS total FROM tokt GROUP BY lang),
+       |scored AS (
+       |  SELECT doc_id, CAST(-ln(c / total) AS DECIMAL(18,6)) AS s
+       |  FROM tokt JOIN freq USING (lang, tok) JOIN tot USING (lang)),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(s) AS sum_dec
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(sum_dec AS DOUBLE) AS sum_surprisal,
+       |  CAST(sum_dec AS DOUBLE) / n_tokens AS mean_surprisal,
+       |  (CAST(sum_dec AS DOUBLE) / n_tokens <= $surprisalKeepMax) AS keep
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
   /** q79 — vocabulary coverage curve: per language, the smallest
     * frequency-ranked vocabulary that covers ≥90/95/99% of token
     * occurrences — the corpus statistic that sizes a tokenizer's
@@ -1144,6 +1421,10 @@ object TextQueries {
     "q76_passage_dedup" -> (q76_passage_dedup _),
     "q77_repetition_trim" -> (q77_repetition_trim _),
     "q87_substring_dedup" -> (q87_substring_dedup _),
+    "q88_rollhash_substring" -> (q88_rollhash_substring _),
+    "q89_bm25" -> (q89_bm25 _),
+    "q90_edit_pairs" -> (q90_edit_pairs _),
+    "q91_surprisal" -> (q91_surprisal _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
     "q81_mix_temperature" -> (q81_mix_temperature _),
@@ -1175,6 +1456,10 @@ object TextQueries {
     "q76_passage_dedup" -> q76_passage_dedup_sql,
     "q77_repetition_trim" -> q77_repetition_trim_sql,
     "q87_substring_dedup" -> q87_substring_dedup_sql,
+    "q88_rollhash_substring" -> q88_rollhash_substring_sql,
+    "q89_bm25" -> q89_bm25_sql,
+    "q90_edit_pairs" -> q90_edit_pairs_sql,
+    "q91_surprisal" -> q91_surprisal_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,
     "q81_mix_temperature" -> q81_mix_temperature_sql,

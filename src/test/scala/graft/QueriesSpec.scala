@@ -65,6 +65,39 @@ class QueriesSpec extends AnyFunSuite {
       s"floor split must undershoot by < 1/source ($nSources sources), got $floored")
   }
 
+  test("q88's rolling-hash candidates+verify equals q87's md5 formulation where they overlap") {
+    import org.apache.spark.sql.functions._
+    // hash-independence contract: the verified shared-window count is
+    // a pure function of the corpus, so the rolling-hash candidate
+    // path (q88) must agree with the hash-everything md5 path (q87)
+    // doc by doc — a false NEGATIVE in the rolling kernel would show
+    // up here as q88 < q87.
+    val q87 = SparkEntry.queries("q87_substring_dedup")(spark, dir)
+      .select(col("doc_id"), col("n_shared_windows"))
+    val q88 = SparkEntry.queries("q88_rollhash_substring")(spark, dir)
+      .select(col("doc_id"), col("n_verified_shared"))
+    val diff = q87.join(q88, "doc_id")
+      .filter(col("n_shared_windows") =!= col("n_verified_shared"))
+    assert(diff.isEmpty, s"q87/q88 disagree:\n${diff.limit(5).collect().mkString("\n")}")
+  }
+
+  test("q89 BM25 ranks are 1..20 with non-increasing scores") {
+    val rows = SparkEntry.queries("q89_bm25")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq,
+      "ranks must be dense from 1")
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse, "scores must be non-increasing in rank")
+  }
+
+  test("q90 verified pairs are symmetric-free and within the levenshtein band") {
+    val rows = SparkEntry.queries("q90_edit_pairs")(spark, dir).collect()
+    assert(rows.nonEmpty, "the synthetic corpus plants near-dup pairs; none found")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be a_id < b_id (no mirrored rows)")
+      assert(r.getLong(2) <= 10, s"lev ${r.getLong(2)} above the gate band")
+    }
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
