@@ -65,5 +65,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         RollingWindowHash(children.head, w)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_deflate_size`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            cause = None)
+        DeflateSize(children.head)
+      }))
   }
 }

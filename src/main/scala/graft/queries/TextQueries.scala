@@ -1009,18 +1009,30 @@ object TextQueries {
     * rule), so ranking and output are deterministic across engines
     * and partitionings.
     *
-    * Scale shape: the term frame is filtered to the 3 query terms at
-    * the explode (corpus-linear scan, tiny survivor set), df/N/avgdl
-    * are 1-row or term-count-bounded aggregates (broadcast), and the
-    * only corpus-keyed shuffle is the per-doc tf groupBy. Top-20 via
-    * rank-window over the SCORED frame only (docs matching ≥1 term).
+    * Scale shape: TWO SLIM SCANS, zero corpus-wide shuffles of text —
+    * deliberately NOT the shared tokenized() frame, whose
+    * repartition-by-doc_id barrier (needed by the shingle queries'
+    * projection-collapse hazard) would shuffle every token array just
+    * to read lengths and 3 terms out of them (the ×10 smoke showed
+    * that shuffle dominating the query). Scan 1 reads lengths only;
+    * scan 2 filters to the query terms AT the explode (corpus-linear
+    * compute, tiny survivor set, map-side partial counts). df/N/avgdl
+    * are term-count- or 1-row-bounded (broadcast); the only
+    * corpus-keyed shuffle carries slim (doc_id, long) rows. Top-20
+    * via TakeOrderedAndProject over the scored frame only.
     */
   private val bm25Terms = Seq("window", "join", "dup")
   def q89_bm25(spark: SparkSession, dir: String): DataFrame = {
-    val tok = tokenized(spark, dir)
-    val dl = tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    val tf = tok.select(col("doc_id"), explode(col("tk")).as("tok"))
+    // explode THEN filter, deliberately: filtering inside the array
+    // lambda looks cheaper (no discarded rows) but functions.filter
+    // is a HigherOrderFunction — interpreted per ELEMENT, outside
+    // whole-stage codegen (the r5 lesson) — and measured SLOWER at
+    // the ×10 smoke (3.7 s vs 2.8 s) than generating corpus-of-token
+    // rows inside a codegen'd generate+filter span
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
       .filter(col("tok").isin(bm25Terms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -1082,61 +1094,106 @@ object TextQueries {
     * (vs q47's Jaccard, which is bag-of-shingles and misses pure
     * character noise).
     *
-    * The oracle replicates the SAME blocking (shared simhashSql
-    * constants), so both engines verify the identical candidate set —
-    * the gate checks the algorithm, not a lucky sample. Scale shape:
-    * identical to q48 (block-bucket candidate join, capped buckets,
-    * no all-pairs path); levenshtein runs per CANDIDATE pair only —
-    * its O(len²) cost is bounded by the capped candidate count, not
-    * the corpus.
+    * Scale design (the ×10 smoke's lesson — naive doc-level pairing
+    * hit 146M candidate rows under 10-way replication, 98 s):
+    * EXACT-DUP CLASSES COLLAPSE FIRST. Docs group by md5(text); the
+    * blocking + DP pair machinery runs on one REPRESENTATIVE per
+    * class (simhash and levenshtein are functions of the text, so a
+    * class pair's verdict is every member pair's verdict), and
+    * verified class pairs expand back to member pairs at the end —
+    * within-class pairs are lev = 0 by definition and join nothing.
+    * The per-bucket quadratic term is now in DISTINCT TEXTS, immune
+    * to duplication-heavy corpora. Verify-side cost control on the
+    * reps: length-diff prune BEFORE any DP (|lenA−lenB| > t ⇒
+    * lev > t, zero cost), then BANDED levenshtein via the threshold
+    * overload — O(len·t) per pair instead of O(len²), returning the
+    * exact distance inside the band and −1 past it, so kept rows are
+    * bit-identical to the unbounded form.
+    *
+    * The oracle replicates the SAME class collapse and blocking
+    * (shared simhashSql constants), so both engines verify the
+    * identical candidate set — the gate checks the algorithm, not a
+    * lucky sample.
     */
   private val maxLev = 10
   def q90_edit_pairs(spark: SparkSession, dir: String): DataFrame = {
-    val tokensDf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-    val fp = Dedup.simhash(tokensDf, "doc_id")
-    val blocks = fp.select(col("doc_id"), col("simhash"),
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val classes = docs.withColumn("cls", md5(col("text")))
+    val members = classes.select(col("cls"), col("doc_id"))
+    val reps = classes.groupBy(col("cls"))
+      .agg(min(col("doc_id")).as("rep_id"), min(col("text")).as("text"))
+    val repToks = reps.select(col("rep_id"), explode(TA.tokens(col("text"))).as("tok"))
+    val fp = Dedup.simhash(repToks, "rep_id")
+    val blocks = fp.select(col("rep_id"), col("simhash"),
       explode(sequence(lit(0), lit(4))).as("j"))
       .withColumn("bval", expr("(simhash >> (12 * j)) & 4095"))
-    val cand = blocks
+    val candReps = blocks
       .groupBy(col("j"), col("bval"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .agg(sort_array(collect_list(struct(col("rep_id"), col("simhash")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "SimHash block"))
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("doc_id").as("a_id"), y.getField("doc_id").as("b_id")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+          y => struct(x.getField("rep_id").as("ra"), y.getField("rep_id").as("rb")))))).as("p"))
+      .select(col("p.ra"), col("p.rb"))
       .distinct()
-    val txt = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    cand
-      .join(txt.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
-      .join(txt.select(col("doc_id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_text"), col("b_text")).cast("long").as("lev"),
+    val rtxt = reps.select(col("rep_id"), col("cls"), col("text"))
+    val verifiedReps = candReps
+      .join(rtxt.select(col("rep_id").as("ra"), col("cls").as("cls_a"), col("text").as("a_text")), Seq("ra"))
+      .join(rtxt.select(col("rep_id").as("rb"), col("cls").as("cls_b"), col("text").as("b_text")), Seq("rb"))
+      .filter(abs(length(col("a_text")) - length(col("b_text"))) <= maxLev)
+      .select(col("cls_a"), col("cls_b"),
+        levenshtein(col("a_text"), col("b_text"), maxLev).cast("long").as("lev"),
         greatest(length(col("a_text")), length(col("b_text"))).cast("long").as("max_len"))
-      .filter(col("lev") <= maxLev)
+      .filter(col("lev") >= 0)
+    val crossPairs = verifiedReps
+      .join(members.select(col("cls").as("cls_a"), col("doc_id").as("da")), Seq("cls_a"))
+      .join(members.select(col("cls").as("cls_b"), col("doc_id").as("db")), Seq("cls_b"))
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("lev"), col("max_len"))
+    val withinPairs = classes
+      .select(col("cls"), col("doc_id"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("cls"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), min(col("len")).as("len"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"), col("len"))
+      .select(col("p.a_id"), col("p.b_id"), lit(0L).as("lev"), col("len").as("max_len"))
+    crossPairs.unionByName(withinPairs)
       .orderBy(col("a_id"), col("b_id"))
   }
 
   val q90_edit_pairs_sql: String =
-    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
-       |tokt AS (SELECT doc_id, unnest(tk) AS tok FROM tkt),
-       |fp AS (${Dedup.simhashSql("tokt", "doc_id")}),
+    s"""WITH cls AS (SELECT doc_id, text, md5(text) AS cls FROM documents),
+       |reps AS (SELECT cls, MIN(doc_id) AS rep_id, MIN(text) AS text
+       |  FROM cls GROUP BY cls),
+       |rtok AS (SELECT rep_id, unnest(${TA.tokensSql}) AS tok FROM reps),
+       |fp AS (${Dedup.simhashSql("rtok", "rep_id")}),
        |blocks AS (
-       |  SELECT doc_id, simhash, j, (simhash >> (12 * j)) & 4095 AS bval
+       |  SELECT rep_id, simhash, j, (simhash >> (12 * j)) & 4095 AS bval
        |  FROM fp, range(0, 5) t(j)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |candr AS (
+       |  SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb
        |  FROM blocks a JOIN blocks b
-       |    ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id,
-       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
-       |  CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
-       |FROM cand
-       |JOIN documents da ON da.doc_id = a_id
-       |JOIN documents db ON db.doc_id = b_id
-       |WHERE levenshtein(da.text, db.text) <= $maxLev
+       |    ON a.j = b.j AND a.bval = b.bval AND a.rep_id < b.rep_id),
+       |vreps AS (
+       |  SELECT pa.cls AS cls_a, pb.cls AS cls_b,
+       |    CAST(levenshtein(pa.text, pb.text) AS BIGINT) AS lev,
+       |    CAST(greatest(length(pa.text), length(pb.text)) AS BIGINT) AS max_len
+       |  FROM candr JOIN reps pa ON pa.rep_id = ra JOIN reps pb ON pb.rep_id = rb
+       |  WHERE abs(length(pa.text) - length(pb.text)) <= $maxLev
+       |    AND levenshtein(pa.text, pb.text) <= $maxLev),
+       |cross_pairs AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS a_id,
+       |    greatest(ma.doc_id, mb.doc_id) AS b_id, lev, max_len
+       |  FROM vreps JOIN cls ma ON ma.cls = cls_a JOIN cls mb ON mb.cls = cls_b),
+       |within AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS lev,
+       |    CAST(length(a.text) AS BIGINT) AS max_len
+       |  FROM cls a JOIN cls b ON a.cls = b.cls AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, lev, max_len FROM cross_pairs
+       |UNION ALL SELECT a_id, b_id, lev, max_len FROM within
        |ORDER BY a_id, b_id""".stripMargin
 
   /** q91 — unigram-LM surprisal filter (the CCNet/Wenzek-et-al
@@ -1156,18 +1213,22 @@ object TextQueries {
     * both sides (exact decimal sum cast to double / exact long), so
     * the flag can't flip between engines.
     *
-    * Scale shape: the (lang, tok) frequency table is vocab-sized
-    * (broadcastable); totals are lang-count-bounded; the token
-    * stream joins its score then one doc_id shuffle — two linear
-    * scans, no corpus-wide sort (q80's scaladoc argument).
+    * Scale shape: two SLIM SCANS of documents (lang rides the scan —
+    * no tokenized() repartition barrier, which would shuffle every
+    * token array corpus-wide for no reuse benefit here). Scan 1
+    * builds the vocab-sized (lang, tok) frequency table with map-side
+    * partial counts; per-lang totals derive from THAT table (sum of
+    * vocab counts == token count — no third corpus pass). Scan 2
+    * joins each token its broadcast score inputs, then one doc_id
+    * shuffle of (doc_id, decimal) rows. No corpus-wide sort (q80's
+    * scaladoc argument).
     */
   private val surprisalKeepMax = 8.0
   def q91_surprisal(spark: SparkSession, dir: String): DataFrame = {
-    val toksOf = tokenized(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"), explode(col("tk")).as("tok"))
+    val toksOf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
     val freq = toksOf.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
-    val tot = toksOf.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+    val tot = freq.groupBy(col("lang")).agg(sum(col("c")).as("total"))
     toksOf
       .join(broadcast(freq), Seq("lang", "tok"))
       .join(broadcast(tot), Seq("lang"))
@@ -1188,7 +1249,7 @@ object TextQueries {
        |tokt AS (SELECT t.doc_id, d.lang, unnest(t.tk) AS tok
        |  FROM tkt t JOIN documents d ON t.doc_id = d.doc_id),
        |freq AS (SELECT lang, tok, COUNT(*) AS c FROM tokt GROUP BY lang, tok),
-       |tot AS (SELECT lang, COUNT(*) AS total FROM tokt GROUP BY lang),
+       |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total FROM freq GROUP BY lang),
        |scored AS (
        |  SELECT doc_id, CAST(-ln(c / total) AS DECIMAL(18,6)) AS s
        |  FROM tokt JOIN freq USING (lang, tok) JOIN tot USING (lang)),

@@ -96,7 +96,15 @@ object ScaleSmoke {
       // per-cell pair term), sliding-window substring dedup (every
       // window an N-way cross-doc duplicate — worst case for the
       // window-hash shuffle), and the GroupTopK two-pass rank
-      "q86_semdedup", "q87_substring_dedup", "q09_rank_slice")
+      "q86_semdedup", "q87_substring_dedup", "q09_rank_slice",
+      // round 7c: the production-kernel substring gate (rolling-hash
+      // candidates — ×N duplication makes EVERY position a candidate,
+      // the verify join's worst case), BM25 (df/N grow ×N together —
+      // scores shift but the plan must stay broadcast+top-k), the
+      // levenshtein verify over ×N-exploded pigeonhole buckets, and
+      // the surprisal join (freq table stays vocab-sized under ×N)
+      "q88_rollhash_substring", "q89_bm25", "q90_edit_pairs",
+      "q91_surprisal")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
