@@ -174,6 +174,17 @@ object Examples {
       Seq(col("ts"), col("event_id")), "idx")
       .orderBy(col("idx")).limit(5).show(truncate = false)
 
+    // one-pass sliding-window hashes (substring-dedup kernel) + the
+    // compression-ratio repetition signal, both codegen'd expressions
+    println("== rolling-hash windows + deflate ratio (first 3 docs) ==")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.plans.RollingWindowHash(
+          split(col("text"), " "), 50)).as("n_windows"),
+        (graft.plans.DeflateSize(col("text")).cast("double") /
+          octet_length(col("text"))).as("deflate_ratio"))
+      .orderBy(col("doc_id")).limit(3).show(truncate = false)
+
     spark.stop()
   }
 }
