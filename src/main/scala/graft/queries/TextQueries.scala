@@ -1457,6 +1457,166 @@ object TextQueries {
        |  CAST(base + CASE WHEN n_ahead < short THEN 1 ELSE 0 END AS BIGINT) AS planned
        |FROM r ORDER BY source""".stripMargin
 
+  /** q92 — BPE merge step (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units"): the pair-count
+    * kernel of byte-pair-encoding tokenizer training. Count adjacent
+    * symbol pairs across the corpus — weighted by word frequency, so
+    * the corpus is scanned ONCE into a vocab-sized word-frequency
+    * table and pair generation runs over the (tiny) vocab, exactly
+    * how production BPE trainers fold the corpus. Shown here for the
+    * first merge iteration (symbols = characters); subsequent
+    * iterations re-run the same kernel over re-segmented words, so
+    * this IS the per-iteration cost at 100 TB. Like q78's Lloyd step:
+    * one iteration of an iterative trainer, expressed as the
+    * distributable kernel. (deva has no tokenizer training; this is
+    * part of the §2.6 training-data mandate.)
+    *
+    * Scale shape: the only corpus-wide work is the token explode with
+    * map-side partial counts (shuffle carries (word, count), vocab-
+    * bounded); pair explode + aggregation run over vocab-sized input.
+    * Top-k via TakeOrderedAndProject; the rank window numbers only
+    * the k survivors (the limit-bounded window rule, as q89).
+    */
+  private val bpeTopK = 30
+  def q92_bpe_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // sequence(1, len-1) must be guarded: Spark's sequence(1, 0) is
+    // the DESCENDING [1, 0], not empty (DuckDB's range(1, 1) is)
+    val pc = wf
+      .select(col("freq"),
+        explode(when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n_occurrences"))
+    pc.orderBy(col("n_occurrences").desc, col("pair")).limit(bpeTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair"))))
+      .select(col("rank").cast("long").as("rank"), col("pair"),
+        col("n_occurrences"))
+      .orderBy(col("rank"))
+  }
+
+  val q92_bpe_pairs_sql: String =
+    s"""WITH tkt AS (SELECT ${TA.tokensSql} AS tk FROM documents),
+       |wf AS (SELECT t AS w, COUNT(*) AS freq
+       |  FROM (SELECT unnest(tk) AS t FROM tkt) GROUP BY t),
+       |pr AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+       |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wf)),
+       |pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+       |  FROM pr GROUP BY pair),
+       |r AS (SELECT pair, n_occurrences,
+       |    row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+       |  FROM pc)
+       |SELECT CAST(rank AS BIGINT) AS rank, pair, n_occurrences
+       |FROM r WHERE rank <= $bpeTopK ORDER BY rank""".stripMargin
+
+  /** q93 — deterministic global shuffle + shard assignment: the
+    * training-data EXPORT step. Every doc gets a pseudo-random but
+    * reproducible position: shard = salted-hash mod nShards, position
+    * within the shard = rank of the salted hash. Re-running the
+    * pipeline on the same corpus yields byte-identical shard files —
+    * the property distributed training jobs rely on for resumable
+    * data order. (deva's `sample`/`sort` compose this per-process;
+    * here it must hold across 1000 executors.)
+    *
+    * Scale shape: NO Window anywhere. The within-shard position comes
+    * from [[graft.operators.Sequence.globalRowNumber]] (range
+    * exchange + map pass — a PARALLEL total sort over (shard, h)),
+    * then pos = global index − the shard's base index + 1, with the
+    * nShards-row base frame broadcast. The naive
+    * `row_number() OVER (PARTITION BY shard)` would funnel a 100 TB
+    * corpus through nShards tasks; this shape keeps every stage
+    * corpus-partitioned. In a real export the positions materialize
+    * as `repartition(shard).sortWithinPartitions(h).write` file
+    * order; the gate emits them as a column so the oracle can check
+    * the exact permutation.
+    */
+  private val nShards = 32
+  def q93_shuffle_shard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sequence
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Determinism.hash60(
+          concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+    val idxed = Sequence.globalRowNumber(
+      keyed, Seq(col("shard"), col("h"), col("doc_id")), "gidx")
+    val bases = idxed.groupBy(col("shard")).agg(min(col("gidx")).as("base"))
+    idxed.join(broadcast(bases), Seq("shard"))
+      .select(col("doc_id"), col("shard"),
+        (col("gidx") - col("base") + lit(1L)).as("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val q93_shuffle_shard_sql: String = {
+    val h = graft.functions.Determinism.hash60Sql("'shuf:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH k AS (SELECT doc_id, $h AS h FROM documents),
+       |s AS (SELECT doc_id, h, h % $nShards AS shard FROM k)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM s ORDER BY shard, pos""".stripMargin
+  }
+
+  /** q94 — cross-doc boilerplate masking (the REMOVAL step of C4 /
+    * RefinedWeb curation): a 5-gram appearing in ≥ 2 DISTINCT docs is
+    * boilerplate (nav chrome, license headers, templated spans); every
+    * token position covered by any such gram is masked, and the doc
+    * keeps the rest. Where q87/q88 DETECT cross-doc duplication
+    * (counting shared windows), this computes the per-doc cleaned
+    * size after positional mask UNION — overlapping shared grams must
+    * not double-count a position, which is what makes removal a
+    * different computation from detection.
+    *
+    * Scale shape: linear in corpus tokens end-to-end. Grid rows carry
+    * (doc_id, start, md5); the distinct-doc gram table comes from one
+    * two-phase countDistinct; the gram join keys on the hash (no
+    * text shuffled); mask union is explode(×5) + per-doc
+    * countDistinct. No pair expansion exists — a gram shared by 10⁶
+    * docs costs 10⁶ rows, not 10¹² (the q45/q48 bucket-blowup
+    * hazard doesn't arise for flag-and-mask).
+    */
+  private val bpWin = 5
+  def q94_boilerplate_mask(spark: SparkSession, dir: String): DataFrame = {
+    val base = tokenized(spark, dir)
+    val wins = base.filter(size(col("tk")) >= bpWin)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - bpWin)).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(concat_ws(" ", slice(col("tk"), col("s") + 1, lit(bpWin)))).as("g"))
+    val hd = wins.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("ndocs"))
+    val masked = wins.join(hd.filter(col("ndocs") >= 2), Seq("g"))
+      .select(col("doc_id"), explode(sequence(col("s"), col("s") + lit(bpWin - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("n_masked"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(masked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        (col("n_tokens") - coalesce(col("n_masked"), lit(0L))).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q94_boilerplate_mask_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |grid AS (SELECT doc_id, tk, unnest(range(len(tk) - $bpWin + 1)) AS s FROM tkt),
+       |wins AS (SELECT doc_id, s,
+       |    md5(array_to_string(list_slice(tk, s + 1, s + $bpWin), ' ')) AS g
+       |  FROM grid),
+       |hd AS (SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM wins GROUP BY g),
+       |mk AS (SELECT doc_id, COUNT(DISTINCT p) AS n_masked
+       |  FROM (SELECT doc_id, unnest(range(s, s + $bpWin)) AS p
+       |        FROM wins JOIN hd USING (g) WHERE ndocs >= 2)
+       |  GROUP BY doc_id),
+       |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkt)
+       |SELECT nt.doc_id AS doc_id, n_tokens,
+       |  CAST(COALESCE(n_masked, 0) AS BIGINT) AS n_masked,
+       |  CAST(n_tokens - COALESCE(n_masked, 0) AS BIGINT) AS n_kept
+       |FROM nt LEFT JOIN mk ON nt.doc_id = mk.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -1486,6 +1646,9 @@ object TextQueries {
     "q89_bm25" -> (q89_bm25 _),
     "q90_edit_pairs" -> (q90_edit_pairs _),
     "q91_surprisal" -> (q91_surprisal _),
+    "q92_bpe_pairs" -> (q92_bpe_pairs _),
+    "q93_shuffle_shard" -> (q93_shuffle_shard _),
+    "q94_boilerplate_mask" -> (q94_boilerplate_mask _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
     "q81_mix_temperature" -> (q81_mix_temperature _),
@@ -1521,6 +1684,9 @@ object TextQueries {
     "q89_bm25" -> q89_bm25_sql,
     "q90_edit_pairs" -> q90_edit_pairs_sql,
     "q91_surprisal" -> q91_surprisal_sql,
+    "q92_bpe_pairs" -> q92_bpe_pairs_sql,
+    "q93_shuffle_shard" -> q93_shuffle_shard_sql,
+    "q94_boilerplate_mask" -> q94_boilerplate_mask_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,
     "q81_mix_temperature" -> q81_mix_temperature_sql,

@@ -104,7 +104,14 @@ object ScaleSmoke {
       // levenshtein verify over ×N-exploded pigeonhole buckets, and
       // the surprisal join (freq table stays vocab-sized under ×N)
       "q88_rollhash_substring", "q89_bm25", "q90_edit_pairs",
-      "q91_surprisal")
+      "q91_surprisal",
+      // round 7d: the BPE pair kernel (corpus fold must stay
+      // vocab-bounded under ×N), the window-free shuffle-shard export
+      // (range exchange + map pass — the two-pass rank's grouped
+      // client), and boilerplate masking (×N duplication makes every
+      // 5-gram shared — the worst case for the mask-union explode:
+      // EVERY position masked, frame stays linear in tokens)
+      "q92_bpe_pairs", "q93_shuffle_shard", "q94_boilerplate_mask")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -98,6 +98,73 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q92 BPE pair counts equal a brute-force recount of the corpus") {
+    // the gate checks vs DuckDB's replica of the SAME aggregation
+    // shape; this asserts vs an INDEPENDENT formulation (per-doc
+    // tokenization + in-memory pair fold), so a shared
+    // misunderstanding of the kernel can't pass both
+    val texts = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().map(_.getString(0))
+    val expect = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      t.split(" ").filter(_.nonEmpty).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          expect(p) = expect.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val top = expect.toSeq.sortBy { case (p, n) => (-n, p) }.take(30)
+    val got = SparkEntry.queries("q92_bpe_pairs")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == top, s"BPE pair counts diverge from brute force:\n got=$got\n exp=$top")
+  }
+
+  test("q93 emits a shard-contiguous permutation with a Window-free plan") {
+    val q = SparkEntry.queries("q93_shuffle_shard")(spark, dir)
+    // the scale contract: within-shard positions WITHOUT the
+    // per-shard window funnel — no Window node may exist at all
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q93 must stay window-free:\n$plan")
+    val rows = q.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    val n = rows.length
+    assert(rows.map(r => (r._1, r._2)).distinct.length == n, "(shard,pos) must be unique")
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $shard positions not contiguous from 1")
+    }
+    // deterministic: a second independent run yields the identical permutation
+    val again = SparkEntry.queries("q93_shuffle_shard")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq, "re-run must reproduce the permutation")
+  }
+
+  test("q94 masked counts equal a brute-force positional mask union") {
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, tk) =>
+      tk.sliding(5).filter(_.length == 5).foreach { g =>
+        val k = g.mkString(" ")
+        gramDocs(k) = gramDocs.getOrElse(k, Set.empty) + id
+      }
+    }
+    val shared = gramDocs.filter(_._2.size >= 2).keySet
+    val expect = docs.map { case (id, tk) =>
+      val masked = tk.sliding(5).zipWithIndex
+        .filter { case (g, _) => g.length == 5 && shared(g.mkString(" ")) }
+        .flatMap { case (_, s) => s until s + 5 }.toSet
+      (id, tk.length.toLong, masked.size.toLong)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q94_boilerplate_mask")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, "q94 masked counts diverge from brute force")
+    assert(expect.exists(_._3 > 0), "the synthetic corpus plants cross-doc spans; none masked")
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
