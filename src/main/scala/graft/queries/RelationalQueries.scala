@@ -565,6 +565,39 @@ object RelationalQueries {
       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
 
+  /** q96 — CUBE over a joined dimension (completing the multi-level
+    * aggregation family next to q33's ROLLUP): all four grouping
+    * combinations of (customer segment × order priority) in one
+    * pass. Spark expands the cube into a single hash aggregation
+    * over the grouping-set-expanded stream — one shuffle for all 2ⁿ
+    * subtotal levels, vs the naive 4-query union's 4 scans. The join
+    * side is the TPC-H pattern: orders joined to its customer dim
+    * (broadcast at gate SF; shuffle-hash at 100 TB where customer is
+    * itself huge — either way the cube adds no extra exchange).
+    * grouping_id disambiguates real NULLs from subtotal NULLs —
+    * emitted so the oracle's GROUPING() arithmetic must agree too.
+    */
+  def q96_cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("gid"),
+        col("c_mktsegment").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q96_cube_sql: String =
+    """SELECT c_mktsegment, o_orderpriority,
+      |  CAST(2 * GROUPING(c_mktsegment) + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+      |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** q83 — skew-salted join as a GATE query (SURVEY §2.3 row 56e):
     * the hot-key scatter/replicate join must be *result-identical* to
     * the plain equi-join the oracle runs. Salting spreads each big-side
@@ -702,6 +735,7 @@ object RelationalQueries {
     "q31_sample" -> (q31_sample _),
     "q32_quantiles" -> (q32_quantiles _),
     "q33_rollup" -> (q33_rollup _),
+    "q96_cube" -> (q96_cube _),
     "q39_csv_roundtrip" -> (q39_csv_roundtrip _),
     "q55_orc_roundtrip" -> (q55_orc_roundtrip _),
     "q56_json_roundtrip" -> (q56_json_roundtrip _),
@@ -732,6 +766,7 @@ object RelationalQueries {
     "q31_sample" -> q31_sample_sql,
     "q32_quantiles" -> q32_quantiles_sql,
     "q33_rollup" -> q33_rollup_sql,
+    "q96_cube" -> q96_cube_sql,
     "q39_csv_roundtrip" -> q39_csv_roundtrip_sql,
     "q55_orc_roundtrip" -> q55_orc_roundtrip_sql,
     "q56_json_roundtrip" -> q56_json_roundtrip_sql,

@@ -1617,6 +1617,62 @@ object TextQueries {
        |FROM nt LEFT JOIN mk ON nt.doc_id = mk.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q95 — cross-source contamination matrix: which PAIRS of corpus
+    * sources share verbatim 50-token windows, and how many distinct
+    * shared spans. The per-source rollup of q87's per-doc signal —
+    * the diagnostic that drives source-level curation decisions
+    * (drop a mirror site, decontaminate one source against another,
+    * adjust q81/q82's mixing weights for double-counted text).
+    *
+    * Scale shape: ONE corpus-keyed aggregation. The window grid joins
+    * its slim (doc_id, source) label and folds straight into
+    * `collect_set(source)` per window hash — the set is bounded by
+    * #sources (a provenance label count, dozens), dedup happens
+    * INSIDE the partial aggregation (no separate distinct shuffle),
+    * and hashes living in one source — the overwhelming majority —
+    * are dropped before any pairing. Pairs then explode from the
+    * per-hash source set (≤ sources²/2 rows per SHARED hash only) —
+    * the q45 in-bucket expansion idiom, with a label-bounded bucket.
+    * A self-join formulation instead costs the whole window pipeline
+    * twice plus two more corpus-wide string-key shuffles — measured
+    * 22.5 s vs 5.6 s at the ×10 smoke (where ×N replication makes
+    * EVERY window within-source-shared, the collapse's worst case).
+    */
+  def q95_source_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val wins = tokenized(spark, dir)
+      .select(col("doc_id"),
+        when(size(col("tk")) >= winLen,
+          transform(sequence(lit(0), size(col("tk")) - winLen),
+            i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(winLen))))))
+          .otherwise(array().cast("array<string>")).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val srcSets = wins.join(docs, Seq("doc_id"))
+      .groupBy(col("h")).agg(collect_set(col("source")).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(array_sort(col("ss")).as("ss"))
+    srcSets
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q95_source_overlap_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |grid AS (SELECT doc_id, tk, unnest(range(len(tk) - $winLen + 1)) AS pos FROM tkt),
+       |wh AS (SELECT doc_id,
+       |    md5(array_to_string(list_slice(tk, pos + 1, pos + $winLen), ' ')) AS h
+       |  FROM grid),
+       |gs AS (SELECT DISTINCT h, source FROM wh JOIN documents USING (doc_id))
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared_windows
+       |FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY src_a, src_b""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -1649,6 +1705,7 @@ object TextQueries {
     "q92_bpe_pairs" -> (q92_bpe_pairs _),
     "q93_shuffle_shard" -> (q93_shuffle_shard _),
     "q94_boilerplate_mask" -> (q94_boilerplate_mask _),
+    "q95_source_overlap" -> (q95_source_overlap _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
     "q81_mix_temperature" -> (q81_mix_temperature _),
@@ -1687,6 +1744,7 @@ object TextQueries {
     "q92_bpe_pairs" -> q92_bpe_pairs_sql,
     "q93_shuffle_shard" -> q93_shuffle_shard_sql,
     "q94_boilerplate_mask" -> q94_boilerplate_mask_sql,
+    "q95_source_overlap" -> q95_source_overlap_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,
     "q81_mix_temperature" -> q81_mix_temperature_sql,

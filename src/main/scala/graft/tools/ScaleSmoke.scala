@@ -111,7 +111,12 @@ object ScaleSmoke {
       // client), and boilerplate masking (×N duplication makes every
       // 5-gram shared — the worst case for the mask-union explode:
       // EVERY position masked, frame stays linear in tokens)
-      "q92_bpe_pairs", "q93_shuffle_shard", "q94_boilerplate_mask")
+      "q92_bpe_pairs", "q93_shuffle_shard", "q94_boilerplate_mask",
+      // round 7e: source-overlap matrix (×N replication makes every
+      // window shared WITHIN each source — the distinct (h, source)
+      // collapse is what keeps the pairing frame bounded) and the
+      // 4-level cube over the joined stream
+      "q95_source_overlap", "q96_cube")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

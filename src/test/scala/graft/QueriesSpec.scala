@@ -165,6 +165,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(expect.exists(_._3 > 0), "the synthetic corpus plants cross-doc spans; none masked")
   }
 
+  test("q95 overlap matrix equals a brute-force window-set intersection") {
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    val bySource = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap { case (_, tk) =>
+        tk.sliding(50).filter(_.length == 50).map(_.mkString(" "))
+      }.toSet
+    }
+    val expect = (for {
+      (a, wa) <- bySource; (b, wb) <- bySource if a < b
+      n = (wa intersect wb).size if n > 0
+    } yield ((a, b), n.toLong)).toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q95_source_overlap")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    assert(got == expect, s"overlap matrix diverges:\n got=$got\n exp=$expect")
+    assert(expect.nonEmpty, "the synthetic corpus plants cross-source spans; none found")
+  }
+
+  test("q96 cube levels are each a complete partition of the joined rows") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q96_cube")(spark, dir).collect()
+    // gid 0=(seg,prio) 1=(seg) 2=(prio) 3=grand total: every level's
+    // counts must sum to the same joined-row total — subtotal rows
+    // that double-count or drop rows fail here even if each row's own
+    // aggregate is right
+    val byGid = rows.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L), s"cube must emit all 4 levels, got ${byGid.keySet}")
+    assert(byGid.values.toSet.size == 1,
+      s"every cube level must partition the same total, got $byGid")
+    val total = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey")).count()
+    assert(byGid(3L) == total, s"grand total ${byGid(3L)} != joined rows $total")
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
