@@ -1457,6 +1457,212 @@ object TextQueries {
        |  CAST(base + CASE WHEN n_ahead < short THEN 1 ELSE 0 END AS BIGINT) AS planned
        |FROM r ORDER BY source""".stripMargin
 
+  /** q98 — mixture APPLICATION: turn q82's per-source integer quotas
+    * into an actual row-level keep set via deterministic
+    * hash-threshold sampling — the missing last step between "planned
+    * = 312 docs from source X" and a training corpus. Each row keeps
+    * itself iff hash60("mix:"+doc_id) mod 1e6 < 1e6·planned/n_docs
+    * (clamped — a sqrt-temperature quota can oversubscribe a tiny
+    * source).
+    *
+    * Scale shape: ZERO-coordination sampling — every row decides from
+    * its own hash in a map-only pass against the broadcast
+    * label-sized quota table; no sort, no shuffle until the per-source
+    * summary count. The exact-quota alternative (rank rows per source
+    * by hash, keep rank ≤ planned) needs a per-source top-k pass
+    * (GroupTopK with per-group k); the trade is a binomial
+    * O(√planned) deviation from target, which this query REPORTS
+    * per source (achieved − planned) so the curation run can see its
+    * own sampling error. Determinism: the keep rule is a pure
+    * function of doc_id in both engines (portable md5-60 hash), so
+    * the gate hashes the whole summary.
+    */
+  def q98_mixture_apply(spark: SparkSession, dir: String): DataFrame = {
+    val planned = q82_mix_largest_remainder(spark, dir)
+      .withColumn("thr",
+        least(lit(1000000L), expr("1000000 * planned div n_docs")))
+    val keep = pmod(
+      graft.functions.Determinism.hash60(
+        concat(lit("mix:"), col("doc_id").cast("string"))),
+      lit(1000000L)) < col("thr")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(planned), Seq("source"))
+      .groupBy(col("source"), col("n_docs"), col("planned"), col("thr"))
+      .agg(sum(when(keep, 1L).otherwise(0L)).as("achieved"))
+      .select(col("source"), col("n_docs"), col("planned"), col("thr"),
+        col("achieved").cast("long").as("achieved"),
+        (col("achieved") - col("planned")).cast("long").as("deviation"))
+      .orderBy(col("source"))
+  }
+
+  val q98_mixture_apply_sql: String = {
+    val h = graft.functions.Determinism.hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH planned AS ($q82_mix_largest_remainder_sql),
+       |thr AS (
+       |  SELECT source, n_docs, planned,
+       |    least(1000000, 1000000 * planned // n_docs) AS thr
+       |  FROM planned),
+       |agg AS (
+       |  SELECT d.source, t.n_docs, t.planned, t.thr,
+       |    SUM(CASE WHEN $h % 1000000 < t.thr THEN 1 ELSE 0 END) AS achieved
+       |  FROM documents d JOIN thr t ON d.source = t.source
+       |  GROUP BY d.source, t.n_docs, t.planned, t.thr)
+       |SELECT source, n_docs, planned, CAST(thr AS BIGINT) AS thr,
+       |  CAST(achieved AS BIGINT) AS achieved,
+       |  CAST(achieved - planned AS BIGINT) AS deviation
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
+  /** q99 — curation funnel with FIRST-DROP attribution: every doc is
+    * attributed to the first pipeline stage that rejects it
+    * (eval-holdout → language → length → stopword-quality →
+    * exact-dup → contamination → kept), rolled up to (source, stage)
+    * counts — the Dolma/RefinedWeb-style yield report that tells a
+    * curation run WHERE its data went, per provenance label. Unlike
+    * q65 (which emits the surviving corpus), this emits the loss
+    * accounting; the stage ORDER is the semantics (a non-English
+    * short doc counts as non_en, not too_short — double-counting is
+    * what makes naive per-filter counts un-reconcilable).
+    *
+    * Scale shape: all flags are either map-side expressions (lang,
+    * length, stop ratio), one sig-keyed aggregation + join for the
+    * dup representative (min doc_id per md5 class — no window), or
+    * the q75 broadcast semi-join for contamination; one final
+    * (source, stage) aggregation. Linear end-to-end, no pair paths.
+    * The dup representative is the GLOBAL class minimum (not
+    * "minimum among survivors of earlier stages") — deterministic,
+    * order-free, and what a one-pass pipeline can know.
+    */
+  def q99_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val stopRatio = TA.stopCount(toks, TA.stopEn).cast("double") /
+      greatest(nTok, lit(1L)).cast("double")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        nTok.as("n_tokens"), stopRatio.as("stop_ratio"),
+        md5(col("text")).as("sig"))
+    val rep = base.groupBy(col("sig")).agg(min(col("doc_id")).as("rep_id"))
+    val sh = tokenized(spark, dir)
+      .select(col("doc_id"), explode(TA.shingles(col("tk"), 5)).as("s"))
+    val evalSh = sh.filter(col("doc_id") % 31 === 0).select(col("s")).distinct()
+    val contam = sh.filter(col("doc_id") % 31 =!= 0)
+      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    base.join(rep, Seq("sig"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("doc_id") % 31 === 0, "1_eval_holdout")
+          .when(col("lang") =!= "en", "2_non_en")
+          .when(col("n_tokens") < 30, "3_too_short")
+          .when(col("stop_ratio") < 0.10, "4_low_stopword")
+          .when(col("doc_id") =!= col("rep_id"), "5_exact_dup")
+          .when(coalesce(col("contaminated"), lit(false)), "6_contaminated")
+          .otherwise("7_kept"))
+      .groupBy(col("source"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("stage"))
+  }
+
+  val q99_funnel_sql: String = {
+    val stop = TA.stopCountSql("tk", TA.stopEn)
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(${TA.shinglesSql("tk", 5)}) AS s FROM tkt),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0),
+       |contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+       |  WHERE sh.doc_id % 31 <> 0),
+       |rep AS (SELECT md5(text) AS sig, MIN(doc_id) AS rep_id
+       |  FROM documents GROUP BY md5(text)),
+       |base AS (
+       |  SELECT d.doc_id, d.source, d.lang,
+       |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |    CAST($stop AS DOUBLE) /
+       |      CAST(greatest(len(t.tk), 1) AS DOUBLE) AS stop_ratio,
+       |    md5(d.text) AS sig
+       |  FROM documents d JOIN tkt t USING (doc_id)),
+       |staged AS (
+       |  SELECT b.source,
+       |    CASE
+       |      WHEN b.doc_id % 31 = 0 THEN '1_eval_holdout'
+       |      WHEN b.lang <> 'en' THEN '2_non_en'
+       |      WHEN b.n_tokens < 30 THEN '3_too_short'
+       |      WHEN b.stop_ratio < CAST(0.10 AS DOUBLE) THEN '4_low_stopword'
+       |      WHEN b.doc_id <> r.rep_id THEN '5_exact_dup'
+       |      WHEN c.doc_id IS NOT NULL THEN '6_contaminated'
+       |      ELSE '7_kept' END AS stage
+       |  FROM base b JOIN rep r USING (sig)
+       |  LEFT JOIN contam c ON b.doc_id = c.doc_id)
+       |SELECT source, stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM staged GROUP BY source, stage ORDER BY source, stage""".stripMargin
+  }
+
+  /** q100 — Zipf-slope corpus-health diagnostic: least-squares slope
+    * of ln(freq) against ln(rank) over each language's full
+    * frequency-ranked vocabulary. Natural text sits near slope −1
+    * (Zipf's law); corpora poisoned by boilerplate/templating bend
+    * flat at the head, and machine-generated spam bends steep — so
+    * the slope (plus intercept) is a one-number drift alarm per
+    * language slice, next to q66's repetition signals and q91's
+    * surprisal gate.
+    *
+    * Scale shape: the regression runs over the DISTINCT-TOKEN frame
+    * (vocab-sized, q79's precedent — the rank window partitions by
+    * lang but its input is the vocabulary, not the corpus); the five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) are one mergeable
+    * aggregation. Determinism: x and y are ln() doubles quantized to
+    * DECIMAL(18,6) (q91's rule — the quantization grain absorbs
+    * libm's last-bit disagreement), products/sums stay exact decimal,
+    * and slope/intercept are a fixed double expression over the five
+    * exactly-agreed statistics.
+    */
+  def q100_zipf_slope(spark: SparkSession, dir: String): DataFrame = {
+    val freq = tokenized(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), explode(col("tk")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))
+    val xy = freq
+      .withColumn("rank", row_number().over(w))
+      .select(col("lang"),
+        log(col("rank").cast("double")).cast("decimal(18,6)").as("x"),
+        log(col("c").cast("double")).cast("decimal(18,6)").as("y"))
+    xy.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .filter(col("n") >= 2)
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("lang"), col("n").cast("long").as("n_vocab"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+      .orderBy(col("lang"))
+  }
+
+  val q100_zipf_slope_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |tox AS (SELECT d.lang, unnest(t.tk) AS tok
+       |  FROM tkt t JOIN documents d ON t.doc_id = d.doc_id),
+       |freq AS (SELECT lang, tok, COUNT(*) AS c FROM tox GROUP BY lang, tok),
+       |xy AS (SELECT lang,
+       |    CAST(ln(CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY lang ORDER BY c DESC, tok) AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+       |    CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) AS y
+       |  FROM freq),
+       |s AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+       |  FROM xy GROUP BY lang HAVING COUNT(*) >= 2),
+       |sl AS (SELECT lang, n, sx, sy,
+       |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope
+       |  FROM s)
+       |SELECT lang, CAST(n AS BIGINT) AS n_vocab, slope,
+       |  (sy - slope*sx) / n AS intercept
+       |FROM sl ORDER BY lang""".stripMargin
+
   /** q92 — BPE merge step (Sennrich et al., "Neural Machine
     * Translation of Rare Words with Subword Units"): the pair-count
     * kernel of byte-pair-encoding tokenizer training. Count adjacent
@@ -1706,6 +1912,9 @@ object TextQueries {
     "q93_shuffle_shard" -> (q93_shuffle_shard _),
     "q94_boilerplate_mask" -> (q94_boilerplate_mask _),
     "q95_source_overlap" -> (q95_source_overlap _),
+    "q98_mixture_apply" -> (q98_mixture_apply _),
+    "q99_funnel" -> (q99_funnel _),
+    "q100_zipf_slope" -> (q100_zipf_slope _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
     "q81_mix_temperature" -> (q81_mix_temperature _),
@@ -1745,6 +1954,9 @@ object TextQueries {
     "q93_shuffle_shard" -> q93_shuffle_shard_sql,
     "q94_boilerplate_mask" -> q94_boilerplate_mask_sql,
     "q95_source_overlap" -> q95_source_overlap_sql,
+    "q98_mixture_apply" -> q98_mixture_apply_sql,
+    "q99_funnel" -> q99_funnel_sql,
+    "q100_zipf_slope" -> q100_zipf_slope_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,
     "q81_mix_temperature" -> q81_mix_temperature_sql,

@@ -116,7 +116,15 @@ object ScaleSmoke {
       // window shared WITHIN each source — the distinct (h, source)
       // collapse is what keeps the pairing frame bounded) and the
       // 4-level cube over the joined stream
-      "q95_source_overlap", "q96_cube")
+      "q95_source_overlap", "q96_cube",
+      // round 7h: the pagerank step (×N on TPC-H keys densifies the
+      // bipartite graph — edge distinct + node-keyed aggs must stay
+      // linear in edges), hash-threshold mixture application (map-only
+      // regardless of ×N), the funnel (every flag path at once; ×N
+      // makes EVERY doc an exact dup — the sig-agg worst case), and
+      // the zipf regression (vocab-sized frame under ×N growth)
+      "q97_pagerank_step", "q98_mixture_apply", "q99_funnel",
+      "q100_zipf_slope")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -202,6 +202,133 @@ class QueriesSpec extends AnyFunSuite {
     assert(byGid(3L) == total, s"grand total ${byGid(3L)} != joined rows $total")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  test("q97 pagerank step equals brute force and conserves rank mass") {
+    import org.apache.spark.sql.functions._
+    val edges = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => ("c" + r.get(0).toString, "s" + r.get(1).toString))
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (u, es) => u -> es.length }
+    val n = deg.size
+    val inc = sym.groupBy(_._2).map { case (v, es) =>
+      v -> es.map { case (u, _) =>
+        java.math.BigDecimal.valueOf(1.0 / (n.toLong * deg(u)).toDouble)
+          .setScale(18, java.math.RoundingMode.HALF_UP)
+      }.reduce(_.add(_))
+    }
+    val got = SparkEntry.queries("q97_pagerank_step")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == n, s"${got.length} nodes vs $n")
+    got.foreach { case (v, d, pr) =>
+      assert(d == deg(v), s"$v degree $d vs ${deg(v)}")
+      val expect = 0.15 / n + 0.85 * inc(v).doubleValue
+      assert(math.abs(pr - expect) < 1e-12, s"$v: $pr vs $expect")
+    }
+    val mass = got.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"rank mass $mass drifted from 1")
+  }
+
+  test("q98 achieved counts equal the hash-rule brute force; clamp takes all docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = SparkEntry.queries("q98_mixture_apply")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, nDocs, planned, thr, achieved, dev) =>
+      assert(thr == math.min(1000000L, 1000000L * planned / nDocs),
+        s"$src threshold rule broken")
+      val brute = docs.count { case (id, s) =>
+        s == src && h60("mix:" + id) % 1000000L < thr }
+      assert(achieved == brute, s"$src achieved $achieved vs brute $brute")
+      assert(dev == achieved - planned)
+      if (thr == 1000000L) assert(achieved == nDocs,
+        s"$src clamped threshold must keep every doc")
+    }
+  }
+
+  test("q99 funnel attribution matches per-doc brute force and partitions each source") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{TextAnalysis => TA}
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val toks = docs.map { case (id, _, _, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val sigs = docs.map { case (id, _, _, t) => id -> md5hex(t) }.toMap
+    val rep = sigs.toSeq.groupBy(_._2).map { case (sig, ids) =>
+      sig -> ids.map(_._1).min }
+    val evalGrams = docs.map(_._1).filter(_ % 31 == 0).toSet[Long]
+      .flatMap(id => toks(id).sliding(5).filter(_.length == 5).map(_.mkString(" ")))
+    val stopSet = TA.stopEn.toSet
+    def stageOf(id: Long, lang: String): String = {
+      val tk = toks(id)
+      val stopRatio = tk.count(stopSet).toDouble / math.max(tk.length, 1).toDouble
+      if (id % 31 == 0) "1_eval_holdout"
+      else if (lang != "en") "2_non_en"
+      else if (tk.length < 30) "3_too_short"
+      else if (stopRatio < 0.10) "4_low_stopword"
+      else if (id != rep(sigs(id))) "5_exact_dup"
+      else if (tk.sliding(5).exists(g => g.length == 5 && evalGrams(g.mkString(" "))))
+        "6_contaminated"
+      else "7_kept"
+    }
+    val expect = docs.groupBy { case (id, src, lang, _) => (src, stageOf(id, lang)) }
+      .map { case ((src, st), ds) => (src, st, ds.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q99_funnel")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect, s"funnel diverges:\n got=$got\n exp=$expect")
+    val perSource = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gotSource = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(gotSource == perSource, "stage counts must partition every source")
+    assert(got.map(_._2).distinct.size >= 4, "synthetic corpus should hit several stages")
+  }
+
+  test("q100 zipf slope matches brute-force least squares and is negative") {
+    import org.apache.spark.sql.functions._
+    def q6(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val freq = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (t, o) => (t, o.length) }
+      val ranked = freq.toSeq.sortBy { case (t, c) => (-c, t) }
+      val pts = ranked.zipWithIndex.map { case ((_, c), i) =>
+        (q6(math.log((i + 1).toDouble)), q6(math.log(c.toDouble))) }
+      val n = pts.length.toDouble
+      def s(f: ((java.math.BigDecimal, java.math.BigDecimal)) => java.math.BigDecimal) =
+        pts.map(f).reduce(_.add(_)).doubleValue
+      val (sx, sy) = (s(_._1), s(_._2))
+      val sxy = s(p => p._1.multiply(p._2)); val sxx = s(p => p._1.multiply(p._1))
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      lang -> (pts.length.toLong, slope, (sy - slope * sx) / n)
+    }
+    val got = SparkEntry.queries("q100_zipf_slope")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (lang, nv, slope, icpt) =>
+      val (en, es, ei) = expect(lang)
+      assert(nv == en, s"$lang vocab $nv vs $en")
+      assert(math.abs(slope - es) < 1e-12, s"$lang slope $slope vs $es")
+      assert(math.abs(icpt - ei) < 1e-12, s"$lang intercept $icpt vs $ei")
+      // synthetic sf0.001 text is flatter than natural Zipf (−1); the
+      // diagnostic's sign is the portable invariant
+      assert(slope < 0, s"$lang slope $slope is not Zipf-negative")
+    }
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
