@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PageRank
+
+/** The power-iteration operator must land on the true stationary
+  * vector (verified against a driver-side brute-force iteration),
+  * conserve rank mass, and respect the structural ordering a star
+  * graph forces (hub outranks leaves, leaves tie).
+  */
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 4, shufflePartitions = 4)
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  /** Driver-side reference: same symmetrization, same update rule. */
+  private def brute(pairs: Seq[(Long, Long)], damping: Double,
+      iters: Int): Map[Long, Double] = {
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = sym.groupBy(_._1).map { case (u, es) => u -> es.length }
+    val n = deg.size
+    var pr = deg.keys.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val mass = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = mass.map { case (v, m) => v -> ((1 - damping) / n + damping * m) }
+    }
+    pr
+  }
+
+  val diamond: Seq[(Long, Long)] =
+    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L), (2L, 3L))
+
+  test("converges to the brute-force stationary vector and conserves mass") {
+    val got = PageRank.run(edgesDf(diamond), "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expect = brute(diamond, 0.85, 200)
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (v, d, pr) =>
+      assert(math.abs(pr - expect(v)) < 1e-7, s"node $v: $pr vs ${expect(v)}")
+    }
+    val mass = got.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"rank mass $mass")
+    // degrees come back with the vector
+    assert(got.find(_._1 == 4L).get._2 == 3L)
+    spark.catalog.clearCache()
+  }
+
+  test("star graph: hub outranks leaves, leaves tie exactly") {
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L))
+    val got = PageRank.run(edgesDf(star), "a", "b").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val leaves = (1L to 5L).map(got)
+    assert(leaves.distinct.size == 1, s"leaves must tie: $leaves")
+    assert(got(10L) > leaves.head * 2, s"hub ${got(10L)} vs leaf ${leaves.head}")
+    spark.catalog.clearCache()
+  }
+
+  test("an unconvergeable budget fails loudly, not silently") {
+    intercept[IllegalStateException] {
+      PageRank.run(edgesDf(diamond), "a", "b", maxIter = 1)
+    }
+    spark.catalog.clearCache()
+  }
+}

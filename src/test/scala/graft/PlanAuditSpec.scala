@@ -37,6 +37,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q04_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q97 pagerank step is window-free pure aggregation") {
+    val p = plan("q97_pagerank_step")
+    assert(!p.contains("Window"),
+      "graph update must be joins+aggs, never a window funnel")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row node count must ride a broadcast")
+  }
+
+  test("q98 mixture apply keeps the corpus side map-only up to the summary agg") {
+    val p = plan("q98_mixture_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      "the label-sized quota table must broadcast onto the corpus scan")
+    assert(!p.contains("SortMergeJoin"),
+      "no join may shuffle the corpus side")
+    assert(!p.contains("Window"), "the keep rule is per-row, no window")
+  }
+
   test("no gate query funnels unbounded data through a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task total
     // order — a straggler at 100 TB — unless its input is already
