@@ -185,6 +185,25 @@ object Examples {
           octet_length(col("text"))).as("deflate_ratio"))
       .orderBy(col("doc_id")).limit(3).show(truncate = false)
 
+    // domain quality prior: full PageRank over a derived graph (q97
+    // is the one-step kernel; here the operator iterates to the
+    // stationary vector)
+    println("== PageRank.run (customer-supplier graph, top 5 by rank) ==")
+    val prEdges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    graft.operators.PageRank.run(prEdges, "a", "b", tol = 1e-6)
+      .orderBy(col("pr").desc).limit(5).show(truncate = false)
+    spark.catalog.clearCache()
+
+    // curation yield report: where did each source's documents go?
+    println("== curation funnel (first-drop attribution, one source) ==")
+    SparkEntry.queries("q99_funnel")(spark, dir)
+      .limit(8).show(truncate = false)
+
     spark.stop()
   }
 }

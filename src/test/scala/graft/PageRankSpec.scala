@@ -62,6 +62,29 @@ class PageRankSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("composition: ranks contamination hubs on the q95 source-overlap graph") {
+    import org.apache.spark.sql.functions._
+    // q95's matrix IS an edge list over the (label-sized) source
+    // domain — the mirror-site/contamination-hub diagnostic is one
+    // PageRank over it. Sources are a provenance label (dozens), so
+    // collecting the id mapping is bounded by construction.
+    val m = SparkEntry.queries("q95_source_overlap")(spark, "/root/testdata/sf0.001")
+      .select(col("src_a"), col("src_b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(m.nonEmpty, "synthetic corpus plants cross-source overlap")
+    val names = m.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val id = names.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+    val pairs = m.map { case (a, b) => (id(a), id(b)) }.toSeq
+    val got = PageRank.run(edgesDf(pairs), "a", "b").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val expect = brute(pairs, 0.85, 200)
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (v, pr) =>
+      assert(math.abs(pr - expect(v)) < 1e-7, s"node $v: $pr vs ${expect(v)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("an unconvergeable budget fails loudly, not silently") {
     intercept[IllegalStateException] {
       PageRank.run(edgesDf(diamond), "a", "b", maxIter = 1)
