@@ -1514,6 +1514,92 @@ object TextQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  /** q101 — pairwise Jensen–Shannon divergence between source
+    * unigram distributions: the drift/mixing diagnostic that says how
+    * DIFFERENT two corpus slices' language is (0 = identical, ln 2 =
+    * disjoint) — the statistical counterpart of q95's verbatim
+    * overlap matrix, read together when tuning q81/q82's mixture.
+    *
+    * Scale/shape: JS needs the UNION support of each pair, but the
+    * union decomposes — JS = ½·(Σ_inter [p·ln(2p/(p+q)) +
+    * q·ln(2q/(p+q))] + (1−Σ_inter p)·ln2 + (1−Σ_inter q)·ln2) —
+    * so ONLY the intersection join exists in the plan: per-source
+    * freq (one (source,tok) shuffle, label-sized totals broadcast),
+    * tok-keyed self-join emitting ≤ sources²/2 rows per token, one
+    * pair-keyed aggregation. No outer joins, no union-support frame.
+    *
+    * Determinism (the JS-specific trap): per-term ln() runs through
+    * libm, whose last bit differs across engines, and JS terms are
+    * ~1e-4 — quantizing the TERM would put the grain inside libm's
+    * noise. Instead the ln factor alone is quantized at 1e-6 (its
+    * magnitude is ~1, so the grain is 10 orders above libm noise —
+    * q91's rule), p/q are exact single-division doubles cast to
+    * DECIMAL(18,12), and the term product D(18,12)×D(18,6) has
+    * precision 37 — inside BOTH engines' 38 cap, so no silent
+    * precision clamp. ln 2 enters as a shared double LITERAL, never
+    * as ln(2). Final combine is a fixed double expression over the
+    * exactly-agreed sums.
+    */
+  private val ln2Lit = "0.6931471805599453"
+  def q101_js_divergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+    val freq = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = freq.groupBy(col("source")).agg(sum(col("c")).as("total"))
+    val p = freq.join(broadcast(tot), "source")
+      .select(col("source"), col("tok"),
+        (col("c").cast("double") / col("total").cast("double")).as("p"))
+    val a = p.select(col("source").as("src_a"), col("tok"), col("p").as("pa"))
+    val b = p.select(col("source").as("src_b"), col("tok"), col("p").as("pb"))
+    val ln2 = lit(ln2Lit.toDouble)
+    a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("pa").cast("decimal(18,12)").as("pad"),
+        col("pb").cast("decimal(18,12)").as("pbd"),
+        log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          .cast("decimal(18,6)").as("la"),
+        log(lit(2.0) * col("pb") / (col("pa") + col("pb")))
+          .cast("decimal(18,6)").as("lb"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_vocab"),
+        sum(col("pad") * col("la")).as("sa"),
+        sum(col("pbd") * col("lb")).as("sb"),
+        sum(col("pad")).as("spa"),
+        sum(col("pbd")).as("spb"))
+      .select(col("src_a"), col("src_b"), col("n_shared_vocab"),
+        (lit(0.5) * (col("sa").cast("double") + col("sb").cast("double") +
+          (lit(1.0) - col("spa").cast("double")) * ln2 +
+          (lit(1.0) - col("spb").cast("double")) * ln2)).as("js"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q101_js_divergence_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |tox AS (SELECT d.source, unnest(t.tk) AS tok
+       |  FROM tkt t JOIN documents d ON t.doc_id = d.doc_id),
+       |freq AS (SELECT source, tok, COUNT(*) AS c FROM tox GROUP BY source, tok),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS total FROM freq GROUP BY source),
+       |p AS (SELECT source, tok,
+       |    CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS p
+       |  FROM freq JOIN tot USING (source)),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(a.p AS DECIMAL(18,12)) AS pad,
+       |    CAST(b.p AS DECIMAL(18,12)) AS pbd,
+       |    CAST(ln(2.0 * a.p / (a.p + b.p)) AS DECIMAL(18,6)) AS la,
+       |    CAST(ln(2.0 * b.p / (a.p + b.p)) AS DECIMAL(18,6)) AS lb
+       |  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source),
+       |agg AS (
+       |  SELECT src_a, src_b, COUNT(*) AS n_shared_vocab,
+       |    SUM(pad * la) AS sa, SUM(pbd * lb) AS sb,
+       |    SUM(pad) AS spa, SUM(pbd) AS spb
+       |  FROM pairs GROUP BY src_a, src_b)
+       |SELECT src_a, src_b, CAST(n_shared_vocab AS BIGINT) AS n_shared_vocab,
+       |  0.5 * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE) +
+       |    (1.0 - CAST(spa AS DOUBLE)) * $ln2Lit +
+       |    (1.0 - CAST(spb AS DOUBLE)) * $ln2Lit) AS js
+       |FROM agg ORDER BY src_a, src_b""".stripMargin
+
   /** q99 — curation funnel with FIRST-DROP attribution: every doc is
     * attributed to the first pipeline stage that rejects it
     * (eval-holdout → language → length → stopword-quality →
@@ -1914,6 +2000,7 @@ object TextQueries {
     "q95_source_overlap" -> (q95_source_overlap _),
     "q98_mixture_apply" -> (q98_mixture_apply _),
     "q99_funnel" -> (q99_funnel _),
+    "q101_js_divergence" -> (q101_js_divergence _),
     "q100_zipf_slope" -> (q100_zipf_slope _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
@@ -1956,6 +2043,7 @@ object TextQueries {
     "q95_source_overlap" -> q95_source_overlap_sql,
     "q98_mixture_apply" -> q98_mixture_apply_sql,
     "q99_funnel" -> q99_funnel_sql,
+    "q101_js_divergence" -> q101_js_divergence_sql,
     "q100_zipf_slope" -> q100_zipf_slope_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,

@@ -124,7 +124,11 @@ object ScaleSmoke {
       // makes EVERY doc an exact dup — the sig-agg worst case), and
       // the zipf regression (vocab-sized frame under ×N growth)
       "q97_pagerank_step", "q98_mixture_apply", "q99_funnel",
-      "q100_zipf_slope")
+      "q100_zipf_slope",
+      // round 7i: JS divergence — the pair frame is vocab×labels²
+      // bounded; ×N replication grows counts, not support, so the
+      // intersection decomposition's cost must stay vocab-shaped
+      "q101_js_divergence")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -295,6 +295,49 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.size >= 4, "synthetic corpus should hit several stages")
   }
 
+  test("q101 JS divergence matches brute force over union support and sits in [0, ln2]") {
+    import org.apache.spark.sql.functions._
+    def q(d: Double, s: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(s, java.math.RoundingMode.HALF_UP)
+    val docs = Tables.documents(spark, dir).select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val dist = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val n = toks.length.toDouble
+      src -> toks.groupBy(identity).map { case (t, o) => t -> o.length / n }
+    }
+    val ln2 = 0.6931471805599453
+    // brute force computed over the FULL UNION support (the textbook
+    // formula) with the query's quantization — proving the
+    // intersection decomposition didn't lose the disjoint mass
+    def js(pa: Map[String, Double], pb: Map[String, Double]): Double = {
+      val inter = pa.keySet intersect pb.keySet
+      val sa = inter.toSeq.map { t =>
+        q(pa(t), 12).multiply(q(math.log(2 * pa(t) / (pa(t) + pb(t))), 6)) }
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      val sb = inter.toSeq.map { t =>
+        q(pb(t), 12).multiply(q(math.log(2 * pb(t) / (pa(t) + pb(t))), 6)) }
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      val spa = inter.toSeq.map(t => q(pa(t), 12))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      val spb = inter.toSeq.map(t => q(pb(t), 12))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      0.5 * (sa.doubleValue + sb.doubleValue +
+        (1.0 - spa.doubleValue) * ln2 + (1.0 - spb.doubleValue) * ln2)
+    }
+    val got = SparkEntry.queries("q101_js_divergence")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    val srcs = dist.keys.toSeq.sorted
+    val expectPairs = for (a <- srcs; b <- srcs if a < b
+      && (dist(a).keySet intersect dist(b).keySet).nonEmpty) yield (a, b)
+    assert(got.keySet == expectPairs.toSet)
+    got.foreach { case ((a, b), v) =>
+      val e = js(dist(a), dist(b))
+      assert(math.abs(v - e) < 1e-12, s"($a,$b): $v vs $e")
+      assert(v >= -1e-9 && v <= ln2 + 1e-9, s"($a,$b) out of range: $v")
+    }
+  }
+
   test("q100 zipf slope matches brute-force least squares and is negative") {
     import org.apache.spark.sql.functions._
     def q6(d: Double): java.math.BigDecimal =
