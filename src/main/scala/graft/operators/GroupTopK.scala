@@ -36,14 +36,30 @@ object GroupTopK {
   def rank(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
       rankName: String): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    rank(df, keys, order, lit(k), rankName)
+  }
+
+  /** Per-group k from a COLUMN (constant within each group — e.g. a
+    * joined quota): same two-pass shape, each group bounded by its
+    * own k. The monotone argument is unchanged because k never
+    * varies inside a group; a row whose global rank ≤ k(group) has
+    * local rank ≤ k(group) in its partition a fortiori. With large
+    * k this degrades gracefully toward the naive window (the local
+    * pass keeps everything) — the skew protection pays off exactly
+    * when k ≪ group size, which is the top-k regime.
+    */
+  def rank(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Column,
+      rankName: String): DataFrame = {
     val keyCols = keys.map(col)
     val local = Window.partitionBy(keyCols :+ col("__gtk_pid"): _*).orderBy(order: _*)
     val global = Window.partitionBy(keyCols: _*).orderBy(order: _*)
-    df.withColumn("__gtk_pid", spark_partition_id())
+    df.withColumn("__gtk_k", k)
+      .withColumn("__gtk_pid", spark_partition_id())
       .withColumn("__gtk_lr", row_number().over(local))
-      .filter(col("__gtk_lr") <= k)
+      .filter(col("__gtk_lr") <= col("__gtk_k"))
       .drop("__gtk_pid", "__gtk_lr")
       .withColumn(rankName, row_number().over(global).cast("long"))
-      .filter(col(rankName) <= k)
+      .filter(col(rankName) <= col("__gtk_k"))
+      .drop("__gtk_k")
   }
 }

@@ -1514,6 +1514,56 @@ object TextQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  /** q102 — EXACT-quota mixture selection: the deterministic
+    * alternative q98's docstring trades away, now in-gate. Each
+    * source keeps exactly min(planned, n_docs) docs — the first
+    * `planned` in hash-of-doc_id order — via [[GroupTopK]]'s
+    * per-group-k two-pass rank (k = the joined quota column), never
+    * a naive `row_number() OVER (PARTITION BY source)` funnel: the
+    * local pass bounds every task's sort to its own partition slice,
+    * so one giant source cannot straggle the stage. The ORACLE runs
+    * the naive window — the gate thereby proves the two-pass rank
+    * equals it row-for-row under per-group k, on top of
+    * PlanAuditSpec's property sweep.
+    *
+    * Trade vs q98 stated precisely: exact quotas cost two node-keyed
+    * window shuffles over the corpus; the hash-threshold pass costs
+    * zero coordination but binomial deviation. Both now exist, and
+    * a curation run picks by whether "exactly N" is a contract or a
+    * target.
+    */
+  def q102_mixture_exact(spark: SparkSession, dir: String): DataFrame = {
+    // quota = planned/100 (min 1): the gate corpus is small relative
+    // to q82's 10000-doc budget, and an always-oversubscribed quota
+    // would never exercise the drop path — this keeps ~1% and the
+    // oracle must agree on exactly WHICH rows survive
+    val planned = q82_mix_largest_remainder(spark, dir)
+      .select(col("source"),
+        greatest(lit(1L), expr("planned div 100")).as("quota"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(planned), Seq("source"))
+    graft.operators.GroupTopK.rank(docs, Seq("source"),
+      Seq(graft.functions.Determinism.hash60(
+        concat(lit("mix:"), col("doc_id").cast("string"))), col("doc_id")),
+      col("quota"), "pos")
+      .select(col("source"), col("doc_id"), col("pos"))
+      .orderBy(col("source"), col("pos"))
+  }
+
+  val q102_mixture_exact_sql: String = {
+    val h = graft.functions.Determinism.hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH planned AS ($q82_mix_largest_remainder_sql),
+       |quota AS (SELECT source, greatest(1, planned // 100) AS quota FROM planned),
+       |r AS (
+       |  SELECT d.source, d.doc_id, q.quota,
+       |    ROW_NUMBER() OVER (PARTITION BY d.source
+       |      ORDER BY $h, d.doc_id) AS pos
+       |  FROM documents d JOIN quota q ON d.source = q.source)
+       |SELECT source, doc_id, CAST(pos AS BIGINT) AS pos
+       |FROM r WHERE pos <= quota ORDER BY source, pos""".stripMargin
+  }
+
   /** q101 — pairwise Jensen–Shannon divergence between source
     * unigram distributions: the drift/mixing diagnostic that says how
     * DIFFERENT two corpus slices' language is (0 = identical, ln 2 =
@@ -2001,6 +2051,7 @@ object TextQueries {
     "q98_mixture_apply" -> (q98_mixture_apply _),
     "q99_funnel" -> (q99_funnel _),
     "q101_js_divergence" -> (q101_js_divergence _),
+    "q102_mixture_exact" -> (q102_mixture_exact _),
     "q100_zipf_slope" -> (q100_zipf_slope _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
@@ -2044,6 +2095,7 @@ object TextQueries {
     "q98_mixture_apply" -> q98_mixture_apply_sql,
     "q99_funnel" -> q99_funnel_sql,
     "q101_js_divergence" -> q101_js_divergence_sql,
+    "q102_mixture_exact" -> q102_mixture_exact_sql,
     "q100_zipf_slope" -> q100_zipf_slope_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,

@@ -128,7 +128,10 @@ object ScaleSmoke {
       // round 7i: JS divergence — the pair frame is vocab×labels²
       // bounded; ×N replication grows counts, not support, so the
       // intersection decomposition's cost must stay vocab-shaped
-      "q101_js_divergence")
+      "q101_js_divergence",
+      // exact-quota selection: per-group-k two-pass rank; ×N grows
+      // every source, local pass must keep each task's sort bounded
+      "q102_mixture_exact")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -205,6 +205,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("GroupTopK.rank with per-group k column equals the naive window (property)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GroupTopK
+    val sp = spark
+    import sp.implicits._
+    // per-group k = grp+1 (group 0 keeps 1, hot groups keep more;
+    // some k exceed the group size so the no-drop path runs too)
+    val cases = Seq(60, 200, 501)
+    cases.foreach { n =>
+      val df = (0 until n).map { i =>
+        val grp = if (i % 2 == 0) 0 else 1 + (i % 5)
+        (grp, (i * 37) % 19, i.toLong)
+      }.toDF("grp", "ord", "id")
+        .withColumn("k", col("grp") + 1)
+      val w = Window.partitionBy(col("grp")).orderBy(col("ord").desc, col("id"))
+      val expect = df.withColumn("r", row_number().over(w).cast("long"))
+        .filter(col("r") <= col("k"))
+        .select("grp", "id", "r").collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      val got = GroupTopK.rank(df, Seq("grp"),
+        Seq(col("ord").desc, col("id")), col("k"), "r")
+        .select("grp", "id", "r").collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == expect, s"per-group-k mismatch at n=$n")
+    }
+  }
+
   test("q09 runs through GroupTopK: both windows partitioned, survivors k-bounded before the global pass") {
     val exec = SparkEntry.queries("q09_rank_slice")(spark, dir).queryExecution
     def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
