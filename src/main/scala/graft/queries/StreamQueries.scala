@@ -221,8 +221,103 @@ object StreamQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** q103 — STREAMING drift monitor: per-hour Jensen–Shannon
+    * divergence of the event-type distribution against the whole
+    * stream's distribution — the alarm that says "this hour's traffic
+    * mix looks wrong", the streaming counterpart of q101's
+    * source-pair divergence. The STREAM computes the per-window
+    * histogram (the stateful part, complete-mode tumbling agg — q60's
+    * proven machinery); the divergence is a batch projection over the
+    * label-sized result (#types × #windows rows), so the state stores
+    * hold counts, never distributions.
+    *
+    * Determinism follows q101's rule exactly: exact-division doubles
+    * for p/q, the ~1-magnitude ln factor quantized at 1e-6, term
+    * product D(18,12)×D(18,6) at precision 37, ln 2 as the shared
+    * literal. The event-type domain is label-sized, and window types
+    * are a subset of global types by construction, so the
+    * intersection decomposition's only residual is global-only mass.
+    */
+  def q103_stream_drift(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q103_mem_${runId.incrementAndGet()}"
+    val hist = withStreamShuffle(spark) {
+      EventFlow.fromEvents(spark, dir)
+        .timedWindow("ts", "1 hour", Seq(col("event_type")),
+          Seq(count(lit(1)).as("n")))
+        .toMemory(spark, name, "complete")
+    }
+    // three derivations of the one histogram meet in a join; the
+    // memory-sink VIEW trips analyzer reference-dedup when self-joined
+    // through DataFrame lineage ("conflicting references in Join"), so
+    // the divergence runs as Spark SQL over a temp view — each view
+    // reference resolves to fresh attributes, and the text mirrors the
+    // DuckDB oracle clause-for-clause
+    hist.select(col("window.start").as("bucket"), col("event_type"), col("n"))
+      .createOrReplaceTempView(s"${name}_h")
+    spark.sql(
+      s"""WITH wt AS (SELECT bucket, SUM(n) AS wt FROM ${name}_h GROUP BY bucket),
+         |g AS (SELECT event_type, SUM(n) AS gn FROM ${name}_h GROUP BY event_type),
+         |gt AS (SELECT SUM(gn) AS gt FROM g),
+         |pq AS (
+         |  SELECT h.bucket, wt.wt,
+         |    CAST(h.n AS DOUBLE) / CAST(wt.wt AS DOUBLE) AS p,
+         |    CAST(g.gn AS DOUBLE) / CAST(gt.gt AS DOUBLE) AS q
+         |  FROM ${name}_h h JOIN wt USING (bucket) JOIN g USING (event_type)
+         |  CROSS JOIN gt),
+         |terms AS (
+         |  SELECT bucket, wt,
+         |    CAST(p AS DECIMAL(18,12)) AS pad,
+         |    CAST(q AS DECIMAL(18,12)) AS qad,
+         |    CAST(ln(2.0D * p / (p + q)) AS DECIMAL(18,6)) AS la,
+         |    CAST(ln(2.0D * q / (p + q)) AS DECIMAL(18,6)) AS lb
+         |  FROM pq),
+         |agg AS (
+         |  SELECT bucket, wt, COUNT(*) AS n_types,
+         |    SUM(pad * la) AS sa, SUM(qad * lb) AS sb,
+         |    SUM(pad) AS spa, SUM(qad) AS spb
+         |  FROM terms GROUP BY bucket, wt)
+         |SELECT bucket, CAST(wt AS BIGINT) AS n_events,
+         |  CAST(n_types AS BIGINT) AS n_types,
+         |  0.5D * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE) +
+         |    (1.0D - CAST(spa AS DOUBLE)) * 0.6931471805599453D +
+         |    (1.0D - CAST(spb AS DOUBLE)) * 0.6931471805599453D) AS js
+         |FROM agg ORDER BY bucket""".stripMargin)
+  }
+
+  val q103_stream_drift_sql: String =
+    """WITH w AS (
+      |  SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |wt AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS wt FROM w GROUP BY bucket),
+      |g AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS gn FROM w GROUP BY event_type),
+      |gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS gt FROM g),
+      |pq AS (
+      |  SELECT w.bucket, wt.wt,
+      |    CAST(w.n AS DOUBLE) / CAST(wt.wt AS DOUBLE) AS p,
+      |    CAST(g.gn AS DOUBLE) / CAST(gt.gt AS DOUBLE) AS q
+      |  FROM w JOIN wt USING (bucket) JOIN g USING (event_type), gt),
+      |terms AS (
+      |  SELECT bucket, wt,
+      |    CAST(p AS DECIMAL(18,12)) AS pad,
+      |    CAST(q AS DECIMAL(18,12)) AS qad,
+      |    CAST(ln(2.0 * p / (p + q)) AS DECIMAL(18,6)) AS la,
+      |    CAST(ln(2.0 * q / (p + q)) AS DECIMAL(18,6)) AS lb
+      |  FROM pq),
+      |agg AS (
+      |  SELECT bucket, wt, COUNT(*) AS n_types,
+      |    SUM(pad * la) AS sa, SUM(qad * lb) AS sb,
+      |    SUM(pad) AS spa, SUM(qad) AS spb
+      |  FROM terms GROUP BY bucket, wt)
+      |SELECT bucket, CAST(wt AS BIGINT) AS n_events,
+      |  CAST(n_types AS BIGINT) AS n_types,
+      |  0.5 * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE) +
+      |    (1.0 - CAST(spa AS DOUBLE)) * 0.6931471805599453 +
+      |    (1.0 - CAST(spb AS DOUBLE)) * 0.6931471805599453) AS js
+      |FROM agg ORDER BY bucket""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
+    "q103_stream_drift" -> (q103_stream_drift _),
     "q69_stream_join" -> (q69_stream_join _),
     "q61_stream_unique" -> (q61_stream_unique _),
     "q62_stream_accumulate" -> (q62_stream_accumulate _),
@@ -232,6 +327,7 @@ object StreamQueries {
 
   def oracles: Map[String, String] = Map(
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
+    "q103_stream_drift" -> q103_stream_drift_sql,
     "q69_stream_join" -> q69_stream_join_sql,
     "q61_stream_unique" -> q61_stream_unique_sql,
     "q62_stream_accumulate" -> q62_stream_accumulate_sql,

@@ -131,7 +131,10 @@ object ScaleSmoke {
       "q101_js_divergence",
       // exact-quota selection: per-group-k two-pass rank; ×N grows
       // every source, local pass must keep each task's sort bounded
-      "q102_mixture_exact")
+      "q102_mixture_exact",
+      // streaming drift monitor: state holds per-window COUNTS (label-
+      // sized), the divergence is a batch projection over them
+      "q103_stream_drift")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

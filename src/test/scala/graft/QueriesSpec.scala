@@ -338,6 +338,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q103 stream drift: windows partition the stream, JS within [0, ln2]") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q103_stream_drift")(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, dir).count()
+    assert(rows.map(_._2).sum == total,
+      "per-window event counts must partition the stream exactly")
+    val ln2 = 0.6931471805599453
+    rows.foreach { case (b, n, nt, js) =>
+      assert(n > 0 && nt > 0, s"$b empty window emitted")
+      assert(js >= -1e-9 && js <= ln2 + 1e-9, s"$b JS out of range: $js")
+    }
+    // drift must actually vary across windows or the monitor is inert
+    assert(rows.map(_._4).distinct.length > 1, "constant JS across all windows")
+  }
+
   test("q100 zipf slope matches brute-force least squares and is negative") {
     import org.apache.spark.sql.functions._
     def q6(d: Double): java.math.BigDecimal =
