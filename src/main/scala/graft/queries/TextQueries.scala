@@ -2015,6 +2015,87 @@ object TextQueries {
        |GROUP BY a.source, b.source
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** q104 — PMI collocation extraction: the top bigrams whose joint
+    * frequency most exceeds independence — PMI(x,y) =
+    * ln(p(x,y) / (p(x)·p(y))) over adjacent-token pairs. The
+    * vocab-curation diagnostic that surfaces multi-word units
+    * ("San Francisco", "machine learning") a tokenizer should keep
+    * whole; sits beside q92 (BPE learns merges by raw pair count —
+    * PMI normalizes away token popularity, so frequent-but-
+    * independent pairs like "of the" rank low) and q100/q79 (vocab
+    * statistics).
+    *
+    * Scale/shape: two slim corpus scans, no tokenized() repartition
+    * barrier (q91's rule — the token arrays are consumed once per
+    * scan, a corpus-wide repartition would buy nothing): scan 1 →
+    * (tok) unigram counts, scan 2 → adjacent-pair explode →
+    * (x, y) bigram counts; both aggregations get map-side partials.
+    * Corpus totals derive from the two COUNT frames (no third pass);
+    * the unigram table is vocab-bounded and joins the bigram frame
+    * twice as a broadcast (at cluster scale: a tok-keyed shuffle
+    * join, still vocab-bounded). The min-count filter runs BEFORE
+    * the joins so rare pairs never reach them, and the final top-k
+    * is a TakeOrderedAndProject (k-bounded, no global sort).
+    *
+    * Determinism: all ln() inputs are exact — the ratio
+    * (c_xy·N_uni·N_uni)/(c_x·c_y·N_bi) is IEEE double arithmetic in
+    * the SAME association order in both engines (counts are exact
+    * longs; products stay < 2^1023 trivially), so the ln argument is
+    * bit-identical; the single libm ln() is quantized to
+    * DECIMAL(18,6) (q91's rule — PMI magnitude is ~ln N, the 1e-6
+    * grain is 10+ orders above libm last-bit noise). Rank ties at
+    * the k boundary break by (tok_x, tok_y) — a total order, so both
+    * engines keep the same 100 rows.
+    */
+  private val pmiMinCount = 5
+  private val pmiTopK = 100
+  def q104_pmi_collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val bi = docs
+      .select(explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("x"),
+              element_at(toks, i + 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val nBi = bi.agg(sum(col("c_xy")).as("n_bi"))
+    bi.filter(col("c_xy") >= pmiMinCount)
+      .join(broadcast(uni.select(col("tok").as("x"), col("c").as("cx"))), "x")
+      .join(broadcast(uni.select(col("tok").as("y"), col("c").as("cy"))), "y")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("x").as("tok_x"), col("y").as("tok_y"), col("c_xy"),
+        log((col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("cx").cast("double") * col("cy") * col("n_bi")))
+          .cast("decimal(18,6)").as("pmi_d"))
+      .orderBy(col("pmi_d").desc, col("tok_x"), col("tok_y"))
+      .limit(pmiTopK)
+      .select(col("tok_x"), col("tok_y"), col("c_xy"),
+        col("pmi_d").cast("double").as("pmi"))
+  }
+
+  val q104_pmi_collocations_sql: String =
+    s"""WITH tkt AS (SELECT ${TA.tokensSql} AS tk FROM documents),
+       |uf AS (SELECT unnest(tk) AS tok FROM tkt),
+       |ufreq AS (SELECT tok, COUNT(*) AS c FROM uf GROUP BY tok),
+       |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM ufreq),
+       |grid AS (SELECT tk, unnest(range(len(tk) - 1)) AS pos FROM tkt),
+       |bf AS (SELECT tk[pos + 1] AS x, tk[pos + 2] AS y, COUNT(*) AS c_xy
+       |  FROM grid GROUP BY 1, 2),
+       |nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bf),
+       |scored AS (
+       |  SELECT x, y, c_xy,
+       |    CAST(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni) /
+       |            (CAST(fx.c AS DOUBLE) * fy.c * n_bi)) AS DECIMAL(18,6)) AS pmi_d
+       |  FROM bf JOIN ufreq fx ON bf.x = fx.tok JOIN ufreq fy ON bf.y = fy.tok, nu, nb
+       |  WHERE c_xy >= $pmiMinCount)
+       |SELECT x AS tok_x, y AS tok_y, CAST(c_xy AS BIGINT) AS c_xy,
+       |  CAST(pmi_d AS DOUBLE) AS pmi
+       |FROM scored ORDER BY pmi_d DESC, tok_x, tok_y LIMIT $pmiTopK""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -2052,6 +2133,7 @@ object TextQueries {
     "q99_funnel" -> (q99_funnel _),
     "q101_js_divergence" -> (q101_js_divergence _),
     "q102_mixture_exact" -> (q102_mixture_exact _),
+    "q104_pmi_collocations" -> (q104_pmi_collocations _),
     "q100_zipf_slope" -> (q100_zipf_slope _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
@@ -2096,6 +2178,7 @@ object TextQueries {
     "q99_funnel" -> q99_funnel_sql,
     "q101_js_divergence" -> q101_js_divergence_sql,
     "q102_mixture_exact" -> q102_mixture_exact_sql,
+    "q104_pmi_collocations" -> q104_pmi_collocations_sql,
     "q100_zipf_slope" -> q100_zipf_slope_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,

@@ -134,7 +134,11 @@ object ScaleSmoke {
       "q102_mixture_exact",
       // streaming drift monitor: state holds per-window COUNTS (label-
       // sized), the divergence is a batch projection over them
-      "q103_stream_drift")
+      "q103_stream_drift",
+      // PMI collocations: ×N replication grows counts, not vocab —
+      // both count frames and the double joins must stay vocab-shaped,
+      // and the final top-k stays a TakeOrderedAndProject
+      "q104_pmi_collocations")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

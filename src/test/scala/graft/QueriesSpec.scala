@@ -389,6 +389,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q104 PMI top collocations equal a brute-force recount") {
+    import org.apache.spark.sql.functions._
+    def q6(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+    val toks = Tables.documents(spark, dir).select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
+    val nUni = uni.values.sum
+    val bi = toks.flatMap(tk => tk.zip(tk.drop(1)))
+      .groupBy(identity).map { case (p, o) => (p, o.length.toLong) }
+    val nBi = bi.values.sum
+    val expect = bi.toSeq.collect { case ((x, y), cxy) if cxy >= 5 =>
+      val pmi = q6(math.log((cxy.toDouble * nUni * nUni) /
+        (uni(x).toDouble * uni(y) * nBi)))
+      (x, y, cxy, pmi)
+    }.map { case (x, y, c, pmi) => (x, y, c, pmi.doubleValue) }
+      // decimal(18,6) → double is injective at this magnitude, so the
+      // double sort equals the decimal sort the query uses
+      .sortBy { case (x, y, _, pmi) => (-pmi, x, y) }.take(100)
+    val got = SparkEntry.queries("q104_pmi_collocations")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty, "q104 returned no collocations at sf0.001")
+    assert(got == expect,
+      s"PMI top-k diverges from brute force:\n got=${got.take(5)}…\n exp=${expect.take(5)}…")
+    assert(got.map(_._4).max > 0, "no positive-PMI collocation found")
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
