@@ -2096,6 +2096,89 @@ object TextQueries {
        |  CAST(pmi_d AS DOUBLE) AS pmi
        |FROM scored ORDER BY pmi_d DESC, tok_x, tok_y LIMIT $pmiTopK""".stripMargin
 
+  /** q105 — tf-idf cosine similarity pairs via an inverted-index
+    * join: the SPARSE-lexical member of the near-dup family (MinHash
+    * q45/q47 ≈ set overlap, SimHash q46/q48 ≈ hamming, embeddings
+    * q53 ≈ dense cosine — this is weighted-term cosine, the AllPairs/
+    * prefix-filtering shape). Finds doc pairs whose tf-idf vectors
+    * agree at cosine ≥ τ without ever materializing vectors: the
+    * token-keyed self-join IS the sparse dot product.
+    *
+    * Scale/shape: the df-cap prune is load-bearing — a token in d
+    * docs yields d² candidate rows, so stop-words would quadratically
+    * dominate; capping df at least(n/5, 1000) bounds EVERY token's
+    * pair fan-out (the hard in-plan guard, same role as q45's bucket
+    * cap) and is part of the SIMILARITY SEMANTICS (both engines score
+    * over the pruned vocabulary; rare df=1 terms still count toward
+    * norms — they can never pair anyway). One (doc,tok) shuffle, one
+    * vocab-bounded df agg, the capped self-join, one pair-keyed agg,
+    * two doc-keyed norm joins.
+    *
+    * Determinism: idf = ln(n/df) is the single libm call — quantized
+    * DECIMAL(18,6) (q91's rule); weights tf·idf_q are EXACT decimals
+    * (scale stays 6, no rounding step at all), so numerator and
+    * norms² are exact order-free decimal sums; cosine is then fixed
+    * double arithmetic — IEEE sqrt is correctly rounded (unlike ln),
+    * so the final value and the τ comparison are bit-identical in
+    * both engines.
+    */
+  private val tfidfTau = 0.5
+  def q105_tfidf_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nd = docs.agg(count(lit(1)).as("n"))
+    val tokc = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfr = tokc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = tokc.join(dfr, "tok").crossJoin(broadcast(nd))
+      .filter(col("df") <= least(greatest(lit(2L), expr("n div 5")), lit(1000L)))
+      .select(col("doc_id"), col("tok"), col("df"),
+        (col("tf") * log(col("n").cast("double") / col("df"))
+          .cast("decimal(18,6)")).cast("decimal(18,6)").as("wq"))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("n2"))
+    val vt = w.filter(col("df") >= 2).select(col("doc_id"), col("tok"), col("wq"))
+    vt.select(col("doc_id").as("doc_a"), col("tok"), col("wq").as("wa"))
+      .join(vt.select(col("doc_id").as("doc_b"), col("tok"), col("wq").as("wb")),
+        Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_terms"), sum(col("wa") * col("wb")).as("num"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_terms"),
+        (col("num").cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double"))).as("cosine"))
+      .filter(col("cosine") >= lit(tfidfTau))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q105_tfidf_pairs_sql: String =
+    s"""WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |tokc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tkt) GROUP BY doc_id, tok),
+       |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tokc GROUP BY tok),
+       |w AS (SELECT doc_id, tok, df,
+       |    CAST(tf * CAST(ln(CAST(n AS DOUBLE) / df) AS DECIMAL(18,6))
+       |      AS DECIMAL(18,6)) AS wq
+       |  FROM tokc JOIN dfr USING (tok), nd
+       |  WHERE df <= least(greatest(2, n // 5), 1000)),
+       |norms AS (SELECT doc_id, SUM(wq * wq) AS n2 FROM w GROUP BY doc_id),
+       |vt AS (SELECT doc_id, tok, wq FROM w WHERE df >= 2),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+       |    SUM(a.wq * b.wq) AS num
+       |  FROM vt a JOIN vt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b, n_shared_terms,
+       |    CAST(num AS DOUBLE) /
+       |      sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+       |  FROM pairs JOIN norms na ON pairs.doc_a = na.doc_id
+       |    JOIN norms nb ON pairs.doc_b = nb.doc_id)
+       |SELECT doc_a, doc_b, n_shared_terms, cosine
+       |FROM scored WHERE cosine >= $tfidfTau ORDER BY doc_a, doc_b""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -2134,6 +2217,7 @@ object TextQueries {
     "q101_js_divergence" -> (q101_js_divergence _),
     "q102_mixture_exact" -> (q102_mixture_exact _),
     "q104_pmi_collocations" -> (q104_pmi_collocations _),
+    "q105_tfidf_pairs" -> (q105_tfidf_pairs _),
     "q100_zipf_slope" -> (q100_zipf_slope _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
@@ -2179,6 +2263,7 @@ object TextQueries {
     "q101_js_divergence" -> q101_js_divergence_sql,
     "q102_mixture_exact" -> q102_mixture_exact_sql,
     "q104_pmi_collocations" -> q104_pmi_collocations_sql,
+    "q105_tfidf_pairs" -> q105_tfidf_pairs_sql,
     "q100_zipf_slope" -> q100_zipf_slope_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,

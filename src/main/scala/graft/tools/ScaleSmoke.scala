@@ -138,7 +138,15 @@ object ScaleSmoke {
       // PMI collocations: ×N replication grows counts, not vocab —
       // both count frames and the double joins must stay vocab-shaped,
       // and the final top-k stays a TakeOrderedAndProject
-      "q104_pmi_collocations")
+      "q104_pmi_collocations",
+      // tf-idf cosine pairs: ×N multiplies every df by N, pushing
+      // MORE tokens over the absolute df cap — on THIS corpus (31
+      // synthetic tokens, all head, no Zipf tail) ×10 prunes the
+      // entire vocab and the smoke's expected result is 0 rows in
+      // linear time: the cap doing its job on a corpus that is all
+      // stop-words. The join fan-out itself is exercised at gate SF
+      // (300 verified pairs from the tokens under the cap).
+      "q105_tfidf_pairs")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -416,6 +416,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(_._4).max > 0, "no positive-PMI collocation found")
   }
 
+  test("q105 tfidf cosine pairs equal a brute-force sparse dot product") {
+    import org.apache.spark.sql.functions._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q6(d: Double): JBD = JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val n = docs.length.toLong
+    val cap = math.min(math.max(2L, n / 5), 1000L)
+    val tf = docs.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (t, o) => ((id, t), o.length.toLong) } }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (t, ks) => (t, ks.size.toLong) }
+    val wq = tf.collect { case ((id, t), c) if dfm(t) <= cap =>
+      ((id, t), q6(math.log(n.toDouble / dfm(t))).multiply(JBD.valueOf(c))) }
+    val norms = wq.groupBy(_._1._1).map { case (id, ws) =>
+      (id, ws.map { case (_, w) => w.multiply(w) }.reduce(_.add(_))) }
+    val byTok = wq.collect { case ((id, t), w) if dfm(t) >= 2 => (t, id, w) }
+      .groupBy(_._1)
+    val expect = byTok.values.flatMap { ws =>
+      for { a <- ws; b <- ws; if a._2 < b._2 }
+        yield ((a._2, b._2), a._3.multiply(b._3))
+    }.groupBy(_._1).map { case ((ia, ib), ps) =>
+      val num = ps.map(_._2).reduce(_.add(_))
+      val cos = num.doubleValue / math.sqrt(norms(ia).doubleValue * norms(ib).doubleValue)
+      (ia, ib, ps.size.toLong, cos)
+    }.filter(_._4 >= 0.5).toSeq.sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("q105_tfidf_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty, "q105 found no similar pairs at sf0.001")
+    assert(got.map(p => (p._1, p._2, p._3)) == expect.map(p => (p._1, p._2, p._3)),
+      s"pair set diverges: got ${got.size} expect ${expect.size}")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-12, s"cosine ${g._4} vs ${e._4} for ${(g._1, g._2)}")
+    }
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
