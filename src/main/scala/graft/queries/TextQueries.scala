@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.operators.{Dedup, GroupTopK, TextAnalysis => TA}
 
 /** LLM-training-data text operators over `documents` (SURVEY §2.6):
   * token counting, quality scoring, language ID, exact/fuzzy dedup
@@ -2179,6 +2179,80 @@ object TextQueries {
        |SELECT doc_a, doc_b, n_shared_terms, cosine
        |FROM scored WHERE cosine >= $tfidfTau ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q106 — near-dup removal with QUALITY-based survivor selection:
+    * the decision step the detection family feeds (q45 candidates →
+    * q54 clusters → THIS keeps one doc per cluster). q54's min-id
+    * representative is arbitrary; production dedup keeps the BEST
+    * member — here q41's quality score, ties broken by doc_id — and
+    * that choice is exactly why dedup pipelines score before they
+    * drop (the duplicate you keep is the one that trains).
+    *
+    * Scale/shape: clusters from the banded-LSH pair frame (q54's
+    * machinery — no all-pairs path); singletons never enter the CC
+    * loop and rejoin as their own cluster via the left join; the
+    * per-cluster argmax runs through GroupTopK (skew-proof two-pass —
+    * a viral near-dup cluster with millions of members never funnels
+    * into one task's sort, unlike the naive PARTITION BY window which
+    * the ORACLE runs — so the gate again proves two-pass ≡ naive);
+    * the kept flag joins the cluster-bounded survivor frame back,
+    * doc-keyed.
+    *
+    * Determinism: quality is q41's bit-identical double (hash-green
+    * at the gate since round 2); equal-text duplicates tie at equal
+    * quality and break by doc_id — a total order.
+    */
+  def q106_dedup_keep_best(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(sigFrame(spark, dir), "doc_id"), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("label").as("cid"))
+    val nTok = size(toks).cast("long")
+    val stopRatio = TA.stopCount(toks, TA.stopEn).cast("double") /
+      greatest(nTok, lit(1L)).cast("double")
+    val withC = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (least(lit(1.0), nTok.cast("double") / 100.0) * (lit(1.0) - stopRatio))
+          .as("quality"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+        col("quality"))
+    val best = GroupTopK.rank(withC, Seq("cluster_id"),
+        Seq(col("quality").desc, col("doc_id")), 1, "pos")
+      .select(col("cluster_id"), col("doc_id").as("best_id"))
+    withC.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("doc_id") === col("best_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q106_dedup_keep_best_sql: String = {
+    val nTok = s"CAST(len(${TA.tokensSql}) AS BIGINT)"
+    val stopRatio = s"CAST(${TA.stopCountSql(TA.tokensSql, TA.stopEn)} AS DOUBLE) / " +
+      s"CAST(greatest($nTok, 1) AS DOUBLE)"
+    s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$bandedCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cid FROM reach GROUP BY src),
+       |qual AS (SELECT doc_id,
+       |    least(1.0, CAST($nTok AS DOUBLE) / 100.0) * (1.0 - $stopRatio) AS quality
+       |  FROM documents),
+       |withc AS (SELECT q.doc_id, COALESCE(c.cid, q.doc_id) AS cluster_id, q.quality
+       |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+       |best AS (SELECT cluster_id, doc_id AS best_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+       |  FROM withc)
+       |SELECT w.doc_id, w.cluster_id, w.quality, (w.doc_id = b.best_id) AS kept
+       |FROM withc w JOIN best b ON w.cluster_id = b.cluster_id AND b.rn = 1
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -2218,6 +2292,7 @@ object TextQueries {
     "q102_mixture_exact" -> (q102_mixture_exact _),
     "q104_pmi_collocations" -> (q104_pmi_collocations _),
     "q105_tfidf_pairs" -> (q105_tfidf_pairs _),
+    "q106_dedup_keep_best" -> (q106_dedup_keep_best _),
     "q100_zipf_slope" -> (q100_zipf_slope _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
@@ -2264,6 +2339,7 @@ object TextQueries {
     "q102_mixture_exact" -> q102_mixture_exact_sql,
     "q104_pmi_collocations" -> q104_pmi_collocations_sql,
     "q105_tfidf_pairs" -> q105_tfidf_pairs_sql,
+    "q106_dedup_keep_best" -> q106_dedup_keep_best_sql,
     "q100_zipf_slope" -> q100_zipf_slope_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,

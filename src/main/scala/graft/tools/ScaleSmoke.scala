@@ -146,7 +146,11 @@ object ScaleSmoke {
       // linear time: the cap doing its job on a corpus that is all
       // stop-words. The join fan-out itself is exercised at gate SF
       // (300 verified pairs from the tokens under the cap).
-      "q105_tfidf_pairs")
+      "q105_tfidf_pairs",
+      // quality-based survivor selection: ×N replication makes every
+      // cluster N× larger — the per-cluster argmax must stay on the
+      // skew-proof two-pass, and the CC loop linear in pair count
+      "q106_dedup_keep_best")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

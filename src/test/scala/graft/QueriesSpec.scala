@@ -451,6 +451,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q106 keeps exactly one best-quality doc per cluster and covers every doc") {
+    val rows = SparkEntry.queries("q106_dedup_keep_best")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.length == nDocs, s"q106 rows ${rows.length} != docs $nDocs")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate doc_id")
+    rows.groupBy(_._2).foreach { case (cid, ms) =>
+      val kept = ms.filter(_._4)
+      assert(kept.length == 1, s"cluster $cid kept ${kept.length} docs")
+      // the survivor is the quality argmax, ties by lowest doc_id
+      val best = ms.minBy { case (id, _, q, _) => (-q, id) }
+      assert(kept.head._1 == best._1,
+        s"cluster $cid kept ${kept.head._1}, argmax is ${best._1}")
+    }
+    // near-dups exist at sf0.001, so somebody must have been dropped
+    assert(rows.exists(!_._4), "no doc was dropped — cluster detection broke")
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
