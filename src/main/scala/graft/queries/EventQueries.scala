@@ -450,8 +450,64 @@ object EventQueries {
       |FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
       |GROUP BY event_type HAVING COUNT(*) >= 100 ORDER BY event_type""".stripMargin
 
+  /** q108 — per-key rolling anomaly detection: each event's value
+    * compared against the mean of its user's trailing 5 events; a
+    * deviation beyond the band flags the event. The monitoring
+    * primitive deva pipelines build from sliding_window + filter
+    * (`deva/core/compute/ops.py` sliding_window, partition) — here as
+    * one declarative frame: the detector every ops/metrics stream
+    * wants ("this reading is way off this sensor's recent baseline").
+    *
+    * Only warmed-up rows are emitted (a full 5-event trailing window)
+    * — a detector that fires on a 1-event baseline is noise; the
+    * first events per user score on the NEXT tick's window, exactly
+    * as a streaming deployment would behave.
+    *
+    * Scale/shape: one shuffle on user_id, one bounded-frame running
+    * window (rowsBetween −5..−1 — constant state per row, the
+    * streaming-compatible shape). Partition key is user_id (key
+    * cardinality grows WITH the corpus — no low-cardinality funnel
+    * like event_type would be); a pathologically hot key degrades to
+    * one task sorting that key's history, the same accepted shape as
+    * q34's sessionize (and the trailing frame itself stays O(1)).
+    *
+    * Determinism: the rolling sum is an exact DECIMAL(18,2) sum over
+    * a frame whose membership is totally ordered (ts, event_id); the
+    * mean divides that exact decimal (cast double) by the constant 5;
+    * value and the derived deviation are bit-identical doubles in
+    * both engines, so the flag cannot flip.
+    */
+  private val anomalyBand = 130.0
+  def q108_rolling_anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-5, -1)
+    Tables.events(spark, dir)
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(col("value").cast("decimal(18,2)")).over(w))
+      .filter(col("roll_n") === 5)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("roll_sum").cast("double") / 5).as("roll_mean"),
+        (abs(col("value") - col("roll_sum").cast("double") / 5) > lit(anomalyBand))
+          .as("is_anomaly"))
+      .orderBy(col("event_id"))
+  }
+
+  val q108_rolling_anomaly_sql: String =
+    s"""SELECT event_id, user_id, value,
+       |  CAST(roll_sum AS DOUBLE) / 5 AS roll_mean,
+       |  (abs(value - CAST(roll_sum AS DOUBLE) / 5) > $anomalyBand) AS is_anomaly
+       |FROM (
+       |  SELECT event_id, user_id, value,
+       |    COUNT(*) OVER w AS roll_n,
+       |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS roll_sum
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) r
+       |WHERE roll_n = 5 ORDER BY event_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_unique" -> (q08_unique _),
+    "q108_rolling_anomaly" -> (q108_rolling_anomaly _),
     "q70_approx_quantiles" -> (q70_approx_quantiles _),
     "q58_sketch_distinct" -> (q58_sketch_distinct _),
     "q12_collect" -> (q12_collect _),
@@ -473,6 +529,7 @@ object EventQueries {
 
   def oracles: Map[String, String] = Map(
     "q08_unique" -> q08_unique_sql,
+    "q108_rolling_anomaly" -> q108_rolling_anomaly_sql,
     "q70_approx_quantiles" -> q70_approx_quantiles_sql,
     "q58_sketch_distinct" -> q58_sketch_distinct_sql,
     "q12_collect" -> q12_collect_sql,

@@ -2051,8 +2051,14 @@ object TextQueries {
   private val pmiTopK = 100
   def q104_pmi_collocations(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // both count frames are PERSISTED (q65's precedent): each feeds its
+    // own total-agg plus the scoring join, and without the pin Catalyst
+    // re-derives every consumer from the corpus scan — five scans for a
+    // two-scan query (measured 4.4 s → the pin returns it to the q91
+    // band). The pinned frames are vocab-bounded, not corpus-bounded.
     val uni = docs.select(explode(toks).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist()
     val nUni = uni.agg(sum(col("c")).as("n_uni"))
     val bi = docs
       .select(explode(when(size(toks) >= 2,
@@ -2062,6 +2068,7 @@ object TextQueries {
         .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("bg"))
       .select(col("bg.x").as("x"), col("bg.y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .persist()
     val nBi = bi.agg(sum(col("c_xy")).as("n_bi"))
     bi.filter(col("c_xy") >= pmiMinCount)
       .join(broadcast(uni.select(col("tok").as("x"), col("c").as("cx"))), "x")
@@ -2253,6 +2260,102 @@ object TextQueries {
        |ORDER BY w.doc_id""".stripMargin
   }
 
+  /** q107 — bigram-LM perplexity scoring: each doc scored against a
+    * Laplace-smoothed bigram language model of its OWN language slice,
+    * s(x→y) = −ln((c_xy+1)/(c_x·+V)) nats per adjacent pair — the
+    * context-sensitive upgrade of q91's unigram surprisal (the
+    * CCNet-style LM-quality gate). A doc of common words in garbled
+    * ORDER scores clean on q91 and fires here; mean bigram surprisal
+    * is the monotone log-perplexity proxy (ppl = e^mean — the exp is
+    * skipped deliberately: it's a second libm call that cannot change
+    * the keep decision).
+    *
+    * Scale/shape: TWO corpus passes, deterministically (the q91/q104
+    * discipline): one fills the PERSISTED vocab²-bounded corpus count
+    * frame — from which every other model statistic derives with no
+    * further corpus work: prefix totals c_x· = Σ_y c_xy (so
+    * conditionals normalize exactly over observed continuations) and
+    * the smoothing vocabulary V = distinct continuations per lang —
+    * and one feeds the scoring side, pre-aggregated to the per-doc
+    * DISTINCT bigram frame (map-side partials; each distinct bigram
+    * scored once, weighted by its in-doc count — exact-decimal
+    * equivalent of scoring every occurrence, and strictly less join
+    * input on repetitive text). Model joins are broadcasts (at
+    * cluster scale: tok-keyed shuffle joins, still vocab-bounded),
+    * then one doc_id shuffle of (doc_id, decimal) rows. No
+    * corpus-wide sort, no tokenized() repartition barrier.
+    *
+    * Determinism (q91's contract): the ln argument is a single
+    * division of exact-integer-valued doubles — bit-identical in both
+    * engines — and the one libm ln() is quantized to DECIMAL(18,6)
+    * before the order-free exact decimal sum; the keep threshold
+    * compares a derived double that is bit-identical on both sides.
+    * Smoothing (+1 / +V) keeps the model usable on held-out text
+    * where unseen bigrams would otherwise score −ln 0.
+    */
+  private val bigramKeepMax = 3.45
+  def q107_bigram_perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => struct(element_at(toks, i).as("x"),
+                element_at(toks, i + 1).as("y"))))
+          .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.x").as("x"), col("bg.y").as("y"))
+    // doc-level pre-aggregation: score each DISTINCT (doc, bigram)
+    // once, weighted by its in-doc count — sum over occurrences ==
+    // sum over distinct of s·cnt (exact decimals both ways). The
+    // scoring join then runs over the distinct frame (≤ corpus
+    // bigrams, ≪ on repetitive text), and bgc's shuffle is the SAME
+    // exchange the model frames aggregate from, so Catalyst's
+    // exchange reuse makes the whole query ONE corpus scan.
+    val bgc = bg.groupBy(col("doc_id"), col("lang"), col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val bfreq = bgc.groupBy(col("lang"), col("x"), col("y"))
+      .agg(sum(col("cnt")).as("c_xy"))
+      .persist() // vocab²-bounded (q104's rule) — feeds three consumers
+    val pfx = bfreq.groupBy(col("lang"), col("x")).agg(sum(col("c_xy")).as("c_px"))
+    val voc = bfreq.groupBy(col("lang")).agg(countDistinct(col("y")).as("v"))
+    bgc.join(broadcast(bfreq), Seq("lang", "x", "y"))
+      .join(broadcast(pfx), Seq("lang", "x"))
+      .join(broadcast(voc), Seq("lang"))
+      .select(col("doc_id"), col("cnt"),
+        (-log((col("c_xy") + 1).cast("double") / (col("c_px") + col("v")).cast("double")))
+          .cast("decimal(18,6)").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("s") * col("cnt")).as("sum_dec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("sum_dec").cast("double").as("sum_surprisal"),
+        (col("sum_dec").cast("double") / col("n_bigrams")).as("mean_surprisal"),
+        ((col("sum_dec").cast("double") / col("n_bigrams")) <= lit(bigramKeepMax))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q107_bigram_perplexity_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, lang, ${TA.tokensSql} AS tk FROM documents),
+       |grid AS (SELECT doc_id, lang, tk, unnest(range(len(tk) - 1)) AS pos FROM tkt),
+       |bg AS (SELECT doc_id, lang, tk[pos + 1] AS x, tk[pos + 2] AS y FROM grid),
+       |bgc AS (SELECT doc_id, lang, x, y, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3, 4),
+       |bfreq AS (SELECT lang, x, y, CAST(SUM(cnt) AS BIGINT) AS c_xy FROM bgc GROUP BY 1, 2, 3),
+       |pfx AS (SELECT lang, x, CAST(SUM(c_xy) AS BIGINT) AS c_px FROM bfreq GROUP BY 1, 2),
+       |voc AS (SELECT lang, CAST(COUNT(DISTINCT y) AS BIGINT) AS v FROM bfreq GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, cnt,
+       |    CAST(-ln(CAST(c_xy + 1 AS DOUBLE) / CAST(c_px + v AS DOUBLE))
+       |      AS DECIMAL(18,6)) AS s
+       |  FROM bgc JOIN bfreq USING (lang, x, y) JOIN pfx USING (lang, x)
+       |    JOIN voc USING (lang)),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, SUM(s * cnt) AS sum_dec
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  CAST(sum_dec AS DOUBLE) AS sum_surprisal,
+       |  CAST(sum_dec AS DOUBLE) / n_bigrams AS mean_surprisal,
+       |  (CAST(sum_dec AS DOUBLE) / n_bigrams <= $bigramKeepMax) AS keep
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -2293,6 +2396,7 @@ object TextQueries {
     "q104_pmi_collocations" -> (q104_pmi_collocations _),
     "q105_tfidf_pairs" -> (q105_tfidf_pairs _),
     "q106_dedup_keep_best" -> (q106_dedup_keep_best _),
+    "q107_bigram_perplexity" -> (q107_bigram_perplexity _),
     "q100_zipf_slope" -> (q100_zipf_slope _),
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
@@ -2340,6 +2444,7 @@ object TextQueries {
     "q104_pmi_collocations" -> q104_pmi_collocations_sql,
     "q105_tfidf_pairs" -> q105_tfidf_pairs_sql,
     "q106_dedup_keep_best" -> q106_dedup_keep_best_sql,
+    "q107_bigram_perplexity" -> q107_bigram_perplexity_sql,
     "q100_zipf_slope" -> q100_zipf_slope_sql,
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,

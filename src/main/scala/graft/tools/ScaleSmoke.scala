@@ -150,7 +150,15 @@ object ScaleSmoke {
       // quality-based survivor selection: ×N replication makes every
       // cluster N× larger — the per-cluster argmax must stay on the
       // skew-proof two-pass, and the CC loop linear in pair count
-      "q106_dedup_keep_best")
+      "q106_dedup_keep_best",
+      // bigram-LM perplexity: like q104, ×N grows counts not vocab² —
+      // the persisted model frames and their broadcast joins must stay
+      // vocab-shaped while the two corpus scans scale linearly
+      "q107_bigram_perplexity",
+      // rolling anomaly: the trailing frame is O(1) state per row; ×N
+      // grows each user's history 10× — the per-user sort must stay
+      // the only superlinear term (and user count itself scales too)
+      "q108_rolling_anomaly")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -469,6 +469,75 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.exists(!_._4), "no doc was dropped — cluster detection broke")
   }
 
+  test("q107 bigram surprisal equals a brute-force per-doc recount") {
+    import org.apache.spark.sql.functions._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q6(d: Double): JBD = JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    val bigrams = docs.map { case (id, lang, tk) => (id, lang, tk.zip(tk.drop(1))) }
+    val bfreq = bigrams.flatMap { case (_, lang, bs) => bs.map((lang, _)) }
+      .groupBy(identity).map { case (k, o) => (k, o.length.toLong) }
+    val pfx = bfreq.groupBy { case ((lang, (x, _)), _) => (lang, x) }
+      .map { case (k, m) => (k, m.values.sum) }
+    val voc = bfreq.keys.groupBy(_._1)
+      .map { case (lang, ks) => (lang, ks.map(_._2._2).toSet.size.toLong) }
+    val expect = bigrams.collect { case (id, lang, bs) if bs.nonEmpty =>
+      val ss = bs.map { case (x, y) =>
+        q6(-math.log((bfreq((lang, (x, y))) + 1).toDouble /
+          (pfx((lang, x)) + voc(lang)).toDouble))
+      }
+      val sum = ss.reduce(_.add(_)).doubleValue
+      val mean = sum / bs.length
+      (id, bs.length.toLong, sum, mean, mean <= 3.45)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q107_bigram_perplexity")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got.nonEmpty, "q107 returned no rows at sf0.001")
+    assert(got.map(g => (g._1, g._2)) == expect.map(e => (e._1, e._2)),
+      s"doc/bigram-count frame diverges: got ${got.size} expect ${expect.size}")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9, s"doc ${g._1} sum ${g._3} vs ${e._3}")
+      assert(math.abs(g._4 - e._4) < 1e-9, s"doc ${g._1} mean ${g._4} vs ${e._4}")
+      assert(g._5 == e._5, s"doc ${g._1} keep ${g._5} vs ${e._5}")
+    }
+    // the gate is only interesting if it splits the corpus
+    assert(got.exists(_._5) && got.exists(!_._5),
+      s"threshold does not split: ${got.count(_._5)}/${got.size} kept")
+  }
+
+  test("q108 rolling anomaly equals a brute-force trailing-window recount") {
+    import org.apache.spark.sql.functions._
+    import java.math.{BigDecimal => JBD}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._2).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._3, r._1))
+      seq.indices.collect { case i if i >= 5 =>
+        val window = seq.slice(i - 5, i)
+        val mean = window.map(r => new JBD(r._4.toString).setScale(2, java.math.RoundingMode.HALF_UP))
+          .reduce(_.add(_)).doubleValue / 5
+        (seq(i)._1, seq(i)._2, seq(i)._4, mean, math.abs(seq(i)._4 - mean) > 130.0)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q108_rolling_anomaly")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got.nonEmpty, "q108 returned no rows at sf0.001")
+    assert(got.map(_._1) == expect.map(_._1),
+      s"warmed-up event set diverges: got ${got.size} expect ${expect.size}")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9, s"event ${g._1} mean ${g._4} vs ${e._4}")
+      assert(g._5 == e._5, s"event ${g._1} flag ${g._5} vs ${e._5}")
+    }
+    assert(got.exists(_._5) && got.exists(!_._5),
+      s"band does not split: ${got.count(_._5)}/${got.size} flagged")
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
