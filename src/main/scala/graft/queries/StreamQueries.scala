@@ -6,6 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.streaming.{EventFlow, Stateful}
 import graft.functions.Determinism._
 
@@ -315,8 +316,48 @@ object StreamQueries {
       |    (1.0 - CAST(spb AS DOUBLE)) * 0.6931471805599453) AS js
       |FROM agg ORDER BY bucket""".stripMargin
 
+  /** q109 — stream-STATIC enrichment join: the live event stream
+    * joined against a batch dimension (customer → nation) and
+    * aggregated per enriched key — the canonical streaming-pipeline
+    * shape (deva streams enrich from a store/reference table the same
+    * way: `deva/core/sources.py` DBStream lookups; here it is ONE
+    * declarative plan). Spark plans the static side as a broadcast
+    * probed by every micro-batch: the stream side never shuffles
+    * until the aggregation, and the dimension is read once, not per
+    * batch — at cluster scale this is exactly the map-side hash join
+    * you want under a 100 TB/day stream (a growing dim would instead
+    * arrive via a slowly-changing KvStore snapshot, same plan shape).
+    *
+    * Complete-mode agg over the enriched keys (nation × event_type —
+    * label-sized state, like q60); determinism via the exact
+    * DECIMAL(18,2) value sums (dsum).
+    */
+  def q109_stream_enrich(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q109_mem_${runId.incrementAndGet()}"
+    val dim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val res = withStreamShuffle(spark) {
+      val enriched = EventFlow.fromEvents(spark, dir).df
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("n_name"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      EventFlow(enriched).toMemory(spark, name, "complete")
+    }
+    res.select(col("n_name").as("nation"), col("event_type"), col("n"), col("v"))
+      .orderBy(col("nation"), col("event_type"))
+  }
+
+  val q109_stream_enrich_sql: String =
+    """SELECT n.n_name AS nation, e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
+    "q109_stream_enrich" -> (q109_stream_enrich _),
     "q103_stream_drift" -> (q103_stream_drift _),
     "q69_stream_join" -> (q69_stream_join _),
     "q61_stream_unique" -> (q61_stream_unique _),
@@ -327,6 +368,7 @@ object StreamQueries {
 
   def oracles: Map[String, String] = Map(
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
+    "q109_stream_enrich" -> q109_stream_enrich_sql,
     "q103_stream_drift" -> q103_stream_drift_sql,
     "q69_stream_join" -> q69_stream_join_sql,
     "q61_stream_unique" -> q61_stream_unique_sql,

@@ -35,6 +35,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(t => (t._2, t._3, t._4)) == Set(("a", 2L, 3.0), ("b", 1L, 3.0), ("a", 1L, 4.0)))
   }
 
+  test("stream-static enrichment join broadcasts the static dimension") {
+    val dir = "/root/testdata/sf0.001"
+    val dim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val enriched = EventFlow.fromEvents(spark, dir).df
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_plan_spec")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the executed micro-batch plan must probe the dim as a broadcast:
+    // the stream side shuffles only for the aggregation, never for the join
+    val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"static dim not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"stream side shuffled for the join:\n$plan")
+    // and the enrichment itself is correct vs a batch join
+    val got = spark.table("enrich_plan_spec").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val expect = Tables.events(spark, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expect, s"stream enrichment diverges from batch: $got vs $expect")
+  }
+
   test("sliding window emits overlapping windows") {
     val sp = spark
     import sp.implicits._
