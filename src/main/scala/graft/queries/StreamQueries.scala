@@ -355,9 +355,86 @@ object StreamQueries {
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q110 — STREAMING per-key rolling anomaly: q108's detector as a
+    * live stateful stream — the state store carries each user's
+    * trailing 5-event window (as exact cents, q62's trick) across
+    * micro-batches, and every arriving event is flagged against the
+    * mean of the window BEFORE it. The monitoring deployment q108's
+    * scaladoc promises ("the first events per user score on the next
+    * tick's window") — here that behavior is real, and the gate pins
+    * it to the SAME oracle as the batch detector.
+    *
+    * Order contract: within a micro-batch each group sorts by
+    * (ts, event_id) — the same total order the batch window uses;
+    * across batches a file stream delivers time-ordered batches, so
+    * the carried deque state composes in order (the standard
+    * event-time-ordered-source contract of any stateful detector).
+    *
+    * Determinism: the trailing window holds exact cent longs; the
+    * mean sumCents→double/100/5 is bit-identical to the batch form's
+    * DECIMAL(18,2)-sum→double/5 (both are the correctly-rounded
+    * double of the same exact rational, then one IEEE division), so
+    * stream and batch flags CANNOT diverge — spec-asserted against
+    * q108 row-for-row, oracle-asserted at the gate.
+    *
+    * Scale/shape: state per key is O(1) (five longs); one stream
+    * shuffle on user_id into the state operator; append mode — only
+    * warmed-up events emit, exactly once each.
+    */
+  def q110_stream_anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q110_mem_${runId.incrementAndGet()}"
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val flagged = ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState[List[Long], (Long, Long, Double, Double, Boolean)](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (k: Long, it: Iterator[EvRow], state: org.apache.spark.sql.streaming.GroupState[List[Long]]) =>
+            var window = state.getOption.getOrElse(List.empty[Long])
+            val outs = it.toVector
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+              .flatMap { e =>
+                val res = if (window.length == 5) {
+                  val mean = window.sum.toDouble / 100.0 / 5.0
+                  Some((e.event_id, k, e.value, mean,
+                    math.abs(e.value - mean) > 130.0))
+                } else None
+                window = (window :+ math.floor(e.value * 100 + 0.5).toLong).takeRight(5)
+                res
+              }
+            state.update(window)
+            outs.iterator
+        }
+      val q = flagged.toDF("event_id", "user_id", "value", "roll_mean", "is_anomaly")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy(col("event_id"))
+  }
+
+  /** Same oracle as the batch detector — the point of the query. */
+  val q110_stream_anomaly_sql: String =
+    """SELECT event_id, user_id, value,
+      |  CAST(roll_sum AS DOUBLE) / 5 AS roll_mean,
+      |  (abs(value - CAST(roll_sum AS DOUBLE) / 5) > 130.0) AS is_anomaly
+      |FROM (
+      |  SELECT event_id, user_id, value,
+      |    COUNT(*) OVER w AS roll_n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS roll_sum
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) r
+      |WHERE roll_n = 5 ORDER BY event_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
     "q109_stream_enrich" -> (q109_stream_enrich _),
+    "q110_stream_anomaly" -> (q110_stream_anomaly _),
     "q103_stream_drift" -> (q103_stream_drift _),
     "q69_stream_join" -> (q69_stream_join _),
     "q61_stream_unique" -> (q61_stream_unique _),
@@ -369,6 +446,7 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
     "q109_stream_enrich" -> q109_stream_enrich_sql,
+    "q110_stream_anomaly" -> q110_stream_anomaly_sql,
     "q103_stream_drift" -> q103_stream_drift_sql,
     "q69_stream_join" -> q69_stream_join_sql,
     "q61_stream_unique" -> q61_stream_unique_sql,

@@ -538,6 +538,19 @@ class QueriesSpec extends AnyFunSuite {
       s"band does not split: ${got.count(_._5)}/${got.size} flagged")
   }
 
+  test("q110 streaming anomaly equals the batch detector bit-for-bit") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getBoolean(4))).toSeq
+    val batch = rows("q108_rolling_anomaly")
+    val stream = rows("q110_stream_anomaly")
+    assert(stream.nonEmpty, "q110 emitted no rows")
+    assert(stream == batch,
+      s"stream detector diverges from batch: ${stream.size} vs ${batch.size} rows; " +
+        s"first diff ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
