@@ -505,9 +505,138 @@ object EventQueries {
        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) r
        |WHERE roll_n = 5 ORDER BY event_id""".stripMargin
 
+  /** q111 — sequential funnel analysis: per user, the first `view`,
+    * the first `click` AT OR AFTER that view, and the first
+    * `purchase` at or after that click — the strict-order conversion
+    * funnel of product analytics (a click BEFORE any view does not
+    * count; deva pipelines express this as partition→accumulate
+    * per-key state machines, `deva/core/compute/ops.py`).
+    *
+    * Scale/shape: three aggregations and two joins, ALL keyed on
+    * user_id — one exchange layout reused end-to-end, no window, no
+    * sort; each stage's conditional min is a map-side-partial agg.
+    * Stage timestamps chain through NULL naturally (no view → every
+    * later stage NULL) identically in both engines.
+    */
+  def q111_funnel_steps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val pv = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"))
+    val pc = ev.join(pv, "user_id")
+      .groupBy(col("user_id"))
+      .agg(min(col("first_view")).as("first_view"),
+        min(when(col("event_type") === "click" && col("ts") >= col("first_view"),
+          col("ts"))).as("first_click"))
+    ev.join(pc, "user_id")
+      .groupBy(col("user_id"))
+      .agg(min(col("first_view")).as("first_view"),
+        min(col("first_click")).as("first_click"),
+        min(when(col("event_type") === "purchase" && col("ts") >= col("first_click"),
+          col("ts"))).as("first_purchase"))
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"),
+        when(col("first_purchase").isNotNull, lit(3L))
+          .when(col("first_click").isNotNull, lit(2L))
+          .when(col("first_view").isNotNull, lit(1L))
+          .otherwise(lit(0L)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val q111_funnel_steps_sql: String =
+    """WITH pv AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      |  FROM events GROUP BY user_id),
+      |pc AS (
+      |  SELECT e.user_id, MIN(p.first_view) AS first_view,
+      |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= p.first_view
+      |      THEN e.ts END) AS first_click
+      |  FROM events e JOIN pv p USING (user_id) GROUP BY e.user_id),
+      |pp AS (
+      |  SELECT e.user_id, MIN(c.first_view) AS first_view,
+      |    MIN(c.first_click) AS first_click,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.first_click
+      |      THEN e.ts END) AS first_purchase
+      |  FROM events e JOIN pc c USING (user_id) GROUP BY e.user_id)
+      |SELECT user_id, first_view, first_click, first_purchase,
+      |  CAST(CASE WHEN first_purchase IS NOT NULL THEN 3
+      |    WHEN first_click IS NOT NULL THEN 2
+      |    WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      |FROM pp ORDER BY user_id""".stripMargin
+
+  /** q112 — cohort retention: users bucketed by first-activity day,
+    * counted distinct per (cohort, day-offset) — the retention
+    * triangle every growth dashboard draws. All integer/date math.
+    *
+    * Scale/shape: the corpus collapses to the DISTINCT (user, day)
+    * activity frame first (map-side partials — bounded by users ×
+    * days, ≪ events); cohorts derive from that frame (no second
+    * corpus pass); one user_id-keyed join, one label-sized agg.
+    */
+  def q112_cohort_retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("cohort"), col("offset_days").cast("long").as("offset_days"),
+        col("n_users"))
+      .orderBy(col("cohort"), col("offset_days"))
+  }
+
+  val q112_cohort_retention_sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohort AS (SELECT user_id, MIN(day) AS cohort FROM days GROUP BY user_id)
+      |SELECT c.cohort, CAST(date_diff('day', c.cohort, d.day) AS BIGINT) AS offset_days,
+      |  COUNT(DISTINCT d.user_id) AS n_users
+      |FROM days d JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q113 — event-type transition matrix: per-user adjacent event
+    * pairs → Markov transition counts and conditional probabilities
+    * P(next | current) — the behavioral fingerprint (and the event
+    * analogue of q107's token bigram model; `lead` is the one window
+    * primitive the gate had not yet exercised).
+    *
+    * Scale/shape: one user_id-partitioned lead window (key
+    * cardinality grows with the corpus — q108's argument), then
+    * label²-bounded count frames; totals derive from the transition
+    * frame (no second pass). Determinism: p is a single division of
+    * exact longs — bit-identical in both engines.
+    */
+  def q113_transition_matrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type")).agg(count(lit(1)).as("c"))
+    val tot = tr.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    tr.join(tot, "event_type")
+      .select(col("event_type"), col("next_type"), col("c"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val q113_transition_matrix_sql: String =
+    """WITH tr AS (
+      |  SELECT event_type, next_type, COUNT(*) AS c FROM (
+      |    SELECT event_type, lead(event_type, 1) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |    FROM events) t
+      |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM tr GROUP BY 1)
+      |SELECT tr.event_type, tr.next_type, tr.c,
+      |  CAST(tr.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+      |FROM tr JOIN tot t USING (event_type)
+      |ORDER BY tr.event_type, tr.next_type""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_unique" -> (q08_unique _),
     "q108_rolling_anomaly" -> (q108_rolling_anomaly _),
+    "q111_funnel_steps" -> (q111_funnel_steps _),
+    "q112_cohort_retention" -> (q112_cohort_retention _),
+    "q113_transition_matrix" -> (q113_transition_matrix _),
     "q70_approx_quantiles" -> (q70_approx_quantiles _),
     "q58_sketch_distinct" -> (q58_sketch_distinct _),
     "q12_collect" -> (q12_collect _),
@@ -530,6 +659,9 @@ object EventQueries {
   def oracles: Map[String, String] = Map(
     "q08_unique" -> q08_unique_sql,
     "q108_rolling_anomaly" -> q108_rolling_anomaly_sql,
+    "q111_funnel_steps" -> q111_funnel_steps_sql,
+    "q112_cohort_retention" -> q112_cohort_retention_sql,
+    "q113_transition_matrix" -> q113_transition_matrix_sql,
     "q70_approx_quantiles" -> q70_approx_quantiles_sql,
     "q58_sketch_distinct" -> q58_sketch_distinct_sql,
     "q12_collect" -> q12_collect_sql,

@@ -158,7 +158,16 @@ object ScaleSmoke {
       // rolling anomaly: the trailing frame is O(1) state per row; ×N
       // grows each user's history 10× — the per-user sort must stay
       // the only superlinear term (and user count itself scales too)
-      "q108_rolling_anomaly")
+      "q108_rolling_anomaly",
+      // funnel: three aggs + two joins all on user_id — the reused
+      // exchange layout must hold as both users and history grow
+      "q111_funnel_steps",
+      // retention: the corpus must collapse to the distinct
+      // (user, day) frame BEFORE any join — users×days-bounded
+      "q112_cohort_retention",
+      // transitions: the lead window's per-user sort is the only
+      // superlinear term; count frames stay label²-bounded
+      "q113_transition_matrix")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -551,6 +551,60 @@ class QueriesSpec extends AnyFunSuite {
         s"first diff ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q111 funnel stages equal a brute-force per-user replay") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val v = rows.filter(_._3 == "view").map(_._2).minOption
+      val c = v.flatMap(fv => rows.filter(r => r._3 == "click" && r._2 >= fv)
+        .map(_._2).minOption)
+      val p = c.flatMap(fc => rows.filter(r => r._3 == "purchase" && r._2 >= fc)
+        .map(_._2).minOption)
+      val stage = if (p.isDefined) 3L else if (c.isDefined) 2L else if (v.isDefined) 1L else 0L
+      (u, v, c, p, stage)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q111_funnel_steps")(spark, dir).collect().map { r =>
+      def ts(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getTimestamp(i).getTime * 1000 +
+          r.getTimestamp(i).getNanos / 1000 % 1000)
+      (r.getLong(0), ts(1), ts(2), ts(3), r.getLong(4))
+    }.toSeq
+    assert(got == expect, s"funnel diverges; first diff ${got.zip(expect).find(p => p._1 != p._2)}")
+    assert(got.exists(_._5 == 3L), "nobody completed the funnel — data assumption broke")
+  }
+
+  test("q112 retention triangle invariants hold") {
+    val rows = SparkEntry.queries("q112_cohort_retention")(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val nUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    // offset-0 cells partition the user base: every user is in exactly
+    // one cohort and active on their first day by definition
+    val day0 = rows.filter(_._2 == 0L)
+    assert(day0.map(_._1).distinct.length == day0.length, "duplicate cohort at offset 0")
+    assert(day0.map(_._3).sum == nUsers, s"offset-0 sum ${day0.map(_._3).sum} != $nUsers users")
+    // no cell can exceed its cohort's size, offsets are non-negative
+    val size = day0.map(t => (t._1, t._3)).toMap
+    rows.foreach { case (c, off, n) =>
+      assert(off >= 0, s"negative offset $off")
+      assert(n <= size(c), s"cohort $c offset $off: $n > cohort size ${size(c)}")
+    }
+  }
+
+  test("q113 transition rows count every adjacent pair and normalize per type") {
+    val rows = SparkEntry.queries("q113_transition_matrix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val nEvents = Tables.events(spark, dir).count()
+    val nUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers,
+      s"pair count ${rows.map(_._3).sum} != events-users ${nEvents - nUsers}")
+    rows.groupBy(_._1).foreach { case (t, ms) =>
+      val psum = ms.map(_._4).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"P(next|$t) sums to $psum")
+    }
+  }
+
   test("q01 plan pushes the shipdate filter to the parquet scan") {
     val plan = SparkEntry.queries("q01_agg")(spark, dir)
       .queryExecution.executedPlan.toString
