@@ -431,10 +431,47 @@ object StreamQueries {
       |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) r
       |WHERE roll_n = 5 ORDER BY event_id""".stripMargin
 
+  /** q114 — streaming trending entities: per tumbling day window, the
+    * top-5 most active users — the "what's hot right now" view every
+    * event pipeline serves. The STREAM computes the (window, user)
+    * count histogram (q60's complete-mode machinery — state is
+    * windows × active-users, the per-window support, never raw
+    * events); the rank over the label-sized result is a batch
+    * projection through GroupTopK's skew-proof two-pass, so a viral
+    * window with millions of active users never funnels into one
+    * task's sort. Ties at the k boundary break by user_id — a total
+    * order shared with the oracle's naive ROW_NUMBER window.
+    */
+  def q114_stream_trending(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q114_mem_${runId.incrementAndGet()}"
+    val hist = withStreamShuffle(spark) {
+      EventFlow.fromEvents(spark, dir)
+        .timedWindow("ts", "1 day", Seq(col("user_id")),
+          Seq(count(lit(1)).as("n")))
+        .toMemory(spark, name, "complete")
+    }
+    val counts = hist.select(col("window.start").as("bucket"), col("user_id"), col("n"))
+    graft.operators.GroupTopK.rank(counts, Seq("bucket"),
+        Seq(col("n").desc, col("user_id")), 5, "pos")
+      .orderBy(col("bucket"), col("pos"))
+  }
+
+  val q114_stream_trending_sql: String =
+    """SELECT bucket, user_id, n, pos FROM (
+      |  SELECT bucket, user_id, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, user_id)
+      |      AS BIGINT) AS pos
+      |  FROM (
+      |    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+      |      user_id, COUNT(*) AS n
+      |    FROM events GROUP BY 1, 2) c) r
+      |WHERE pos <= 5 ORDER BY bucket, pos""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
     "q109_stream_enrich" -> (q109_stream_enrich _),
     "q110_stream_anomaly" -> (q110_stream_anomaly _),
+    "q114_stream_trending" -> (q114_stream_trending _),
     "q103_stream_drift" -> (q103_stream_drift _),
     "q69_stream_join" -> (q69_stream_join _),
     "q61_stream_unique" -> (q61_stream_unique _),
@@ -447,6 +484,7 @@ object StreamQueries {
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
     "q109_stream_enrich" -> q109_stream_enrich_sql,
     "q110_stream_anomaly" -> q110_stream_anomaly_sql,
+    "q114_stream_trending" -> q114_stream_trending_sql,
     "q103_stream_drift" -> q103_stream_drift_sql,
     "q69_stream_join" -> q69_stream_join_sql,
     "q61_stream_unique" -> q61_stream_unique_sql,
