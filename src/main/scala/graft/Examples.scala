@@ -204,6 +204,19 @@ object Examples {
     SparkEntry.queries("q99_funnel")(spark, dir)
       .limit(8).show(truncate = false)
 
+    // the event-analytics views a monitoring pipeline serves: strict
+    // conversion funnel, cohort retention, behavioral transitions
+    println("== funnel stages (first 5 users) ==")
+    SparkEntry.queries("q111_funnel_steps")(spark, dir).limit(5).show(truncate = false)
+    println("== transition matrix P(next | current) ==")
+    SparkEntry.queries("q113_transition_matrix")(spark, dir).limit(8).show(truncate = false)
+
+    // rolling detector: batch window and stateful stream produce
+    // bit-identical flags (q108 ≡ q110, spec-asserted)
+    println("== rolling anomaly (first flagged events) ==")
+    SparkEntry.queries("q108_rolling_anomaly")(spark, dir)
+      .filter(col("is_anomaly")).limit(5).show(truncate = false)
+
     spark.stop()
   }
 }
