@@ -17,18 +17,27 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to microseconds
-    * (exactly what DuckDB's microsecond timestamps do on read).
+  /** events.ts has shipped in three physical forms across driver
+    * generations: TIMESTAMP(NANOS) (read nanos-as-long and truncate to
+    * microseconds — exactly what DuckDB's microsecond timestamps do on
+    * read), plain timestamp[us] without timezone (Spark reads it as
+    * TIMESTAMP_NTZ; cast to TIMESTAMP — value-preserving under the
+    * session's pinned UTC, and it matches DuckDB's naive read of the
+    * same file), and Spark-written LTZ copies (no conversion). All
+    * three normalize to TimestampType here so every downstream query
+    * sees one ts type.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    // only nanos-long ts needs conversion — derived copies of the
-    // table (e.g. tools/ScaleSmoke replicas) already store timestamps
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")

@@ -631,8 +631,78 @@ object EventQueries {
       |FROM tr JOIN tot t USING (event_type)
       |ORDER BY tr.event_type, tr.next_type""".stripMargin
 
+  /** q115 — trailing-7-day distinct users per activity day: the
+    * rolling-reach metric (deva's sliding_window × unique composed
+    * over event time). Exact — not a sketch — so it doubles as the
+    * ground truth the HLL path (q58) approximates.
+    *
+    * Scale/shape: the corpus collapses to the DISTINCT (user, day)
+    * frame first (users×days-bounded — q112's move); each activity
+    * day then fans out to the ≤7 window-ends it serves (a constant
+    * ×7, NOT a range join — the explode keeps the shuffle key an
+    * equality), and a semi-join against the actual-day frame (tiny,
+    * broadcast) drops window-ends with no anchor day. countDistinct
+    * is the standard two-phase exchange on (end, user).
+    */
+  def q115_sliding_distinct(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val ends = days.select(col("day").as("window_end")).distinct()
+    days
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("window_end"))
+      .join(broadcast(ends), Seq("window_end"), "left_semi")
+      .groupBy(col("window_end"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_end"))
+  }
+
+  val q115_sliding_distinct_sql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |ends AS (SELECT DISTINCT day AS window_end FROM days)
+      |SELECT e.window_end, COUNT(DISTINCT d.user_id) AS n_users
+      |FROM ends e JOIN days d ON d.day >= e.window_end - 6 AND d.day <= e.window_end
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q116 — inter-arrival histogram: per event type, the distribution
+    * of per-user gaps between consecutive events, in log2 buckets
+    * (bucket = bit length of the gap in microseconds). The latency/
+    * cadence fingerprint a monitoring stack draws; log-bucketing keeps
+    * the output label-sized however long the tail.
+    *
+    * Determinism: the bucket is INTEGER math end-to-end — bit length
+    * via the binary string of an exact long gap (`bin` in both
+    * engines), never floor(log2(double)) whose rounding at exact
+    * powers of two could differ.
+    *
+    * Scale/shape: one user_id-partitioned lag window (key cardinality
+    * grows with the corpus), then a label×64-bounded count agg.
+    */
+  def q116_interarrival_hist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("bucket",
+        length(bin(unix_micros(col("ts")) - col("prev_us"))).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val q116_interarrival_hist_sql: String =
+    """WITH g AS (
+      |  SELECT event_type, epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT event_type, CAST(length(bin(gap)) AS BIGINT) AS bucket, COUNT(*) AS n
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_unique" -> (q08_unique _),
+    "q115_sliding_distinct" -> (q115_sliding_distinct _),
+    "q116_interarrival_hist" -> (q116_interarrival_hist _),
     "q108_rolling_anomaly" -> (q108_rolling_anomaly _),
     "q111_funnel_steps" -> (q111_funnel_steps _),
     "q112_cohort_retention" -> (q112_cohort_retention _),
@@ -658,6 +728,8 @@ object EventQueries {
 
   def oracles: Map[String, String] = Map(
     "q08_unique" -> q08_unique_sql,
+    "q115_sliding_distinct" -> q115_sliding_distinct_sql,
+    "q116_interarrival_hist" -> q116_interarrival_hist_sql,
     "q108_rolling_anomaly" -> q108_rolling_anomaly_sql,
     "q111_funnel_steps" -> q111_funnel_steps_sql,
     "q112_cohort_retention" -> q112_cohort_retention_sql,

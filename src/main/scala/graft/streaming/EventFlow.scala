@@ -155,10 +155,15 @@ object EventFlow {
       if (isDir) spark.readStream.schema(schema).parquet(evPath.toString)
       else spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-    EventFlow(
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    EventFlow(schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else st)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] without tz — cast to TIMESTAMP, value-preserving
+        // under the session's pinned UTC (same rule as Tables.events)
+        st.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => st
+    })
   }
 
   /** Text-file tail source (deva from_textfile, sources.py:199). */
