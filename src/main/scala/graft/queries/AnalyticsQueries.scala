@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Determinism._
+
+/** Round-8 analytics additions: the exact-quantile / graph-motif /
+  * data-profiling / wide-pivot / changelog-compaction family — the
+  * warehouse-side primitives a curation stack reports with, each in
+  * its scale-safe shape with a DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  /** q117 — EXACT per-group quantiles (p50/p90/p99) via the
+    * value-histogram cumulative shape: the ground truth q70's
+    * approx-percentile sketch is allowed to approximate (deva exposes
+    * quantiles through its stats pipe ops; the exact form is what a
+    * report quotes).
+    *
+    * Scale/shape: the corpus collapses FIRST to the (event_type,
+    * cents) count frame — bounded by the value domain, not the row
+    * count, so the cumulative window runs over a histogram that stays
+    * the same size at 100 TB. Rank targets are pure integer math
+    * (ceil(p·n/100) as (p·n+99) div 100 — no double rounding at
+    * exact rank boundaries), and the selected quantile is a min over
+    * the qualifying histogram rows: every step is order-free and
+    * engine-portable. The only corpus-linear work is the one
+    * histogram aggregation with map-side partials.
+    */
+  def q117_exact_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .groupBy(col("event_type"), dec2(col("value")).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("event_type")).orderBy(col("v"))))
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    cum.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("v"), col("cum"), col("n"),
+        explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+      .filter(col("cum") >= expr("(p * n + 99) div 100"))
+      .groupBy(col("event_type"), col("p"))
+      .agg(min(col("v")).cast("double").as("q"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  val q117_exact_quantiles_sql: String =
+    """WITH hist AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+      |  FROM hist),
+      |tot AS (SELECT event_type, SUM(c) AS n FROM hist GROUP BY 1),
+      |ps AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(pp))
+      |SELECT c.event_type, CAST(ps.pp AS BIGINT) AS p, CAST(MIN(c.v) AS DOUBLE) AS q
+      |FROM cum c JOIN tot t USING (event_type) CROSS JOIN ps
+      |WHERE c.cum >= (ps.pp * t.n + 99) // 100
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q118 — triangle counting over the supplier co-occurrence graph
+    * (suppliers sharing an order), DEGREE-ORIENTED: each undirected
+    * edge is directed from its lower-(degree, id) endpoint, wedges
+    * are enumerated only among a node's out-neighbors, and a wedge is
+    * a triangle iff its closing edge exists with the same
+    * orientation. Orientation bounds every node's wedge fan-out by
+    * its OUT-degree ≤ O(√m) on any graph (Chiba–Nishizeki / the
+    * standard MapReduce triangle scheme) — an id-ordered enumeration
+    * would square the hubs that a power-law co-occurrence graph
+    * always has. The count is orientation-independent, so the oracle
+    * runs the naive id-ordered 3-way self-join: the gate proves the
+    * oriented plan ≡ naive, triangle for triangle.
+    *
+    * Scale/shape: in-order pair expansion is bounded by
+    * suppliers-per-order (q45's in-bucket idiom); the degree table
+    * joins edge-keyed (never collected); triangles attribute to their
+    * least supplier id, whose nation gives a label-sized final agg.
+    */
+  def q118_triangles(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    val edges = os.as("x").join(os.as("y"),
+        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient each edge low→high by (degree, id); carry the head's
+    // (degree, id) so wedge pairs order out-neighbors the same way
+    val e = edges
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b")).otherwise(col("a")).as("v"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db")).otherwise(col("da")).as("dv"))
+    val tri = e.as("e1").join(e.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+      .join(e.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(least(col("u"), col("v"), col("w")).as("m"))
+    tri.join(Tables.supplier(spark, dir), col("m") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q118_triangles_sql: String =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+      |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+      |      FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
+      |tri AS (SELECT e1.a AS m
+      |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT s_nationkey, COUNT(*) AS n_tri
+      |FROM tri JOIN supplier ON s_suppkey = m
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q119 — one-pass column profiler over `documents` (the
+    * deequ/data-quality summary every ingest step should emit):
+    * per-column null counts, exact distinct counts, and numeric/length
+    * extremes, unpivoted to (col_name, metric, value) rows.
+    *
+    * Scale/shape: ONE corpus scan; the multi-column exact
+    * countDistinct costs one Expand (×5 on the pruned 5-column
+    * projection) — the honest exact shape. At 100 TB a profiler swaps
+    * in approx_count_distinct (same plan minus the Expand; HLL
+    * partials merge map-side) — the spec asserts the approx path
+    * lands within its error band of these exact counts. Extremes and
+    * null counts are plain min/max/conditional-count partials.
+    */
+  def q119_profile(spark: SparkSession, dir: String): DataFrame = {
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val row = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      nulls("doc_id").as("docid_nulls"), countDistinct(col("doc_id")).as("docid_distinct"),
+      nulls("text").as("text_nulls"), countDistinct(col("text")).as("text_distinct"),
+      min(length(col("text"))).cast("long").as("text_minlen"),
+      max(length(col("text"))).cast("long").as("text_maxlen"),
+      nulls("lang").as("lang_nulls"), countDistinct(col("lang")).as("lang_distinct"),
+      nulls("source").as("source_nulls"), countDistinct(col("source")).as("source_distinct"),
+      nulls("n_chars").as("nchars_nulls"), countDistinct(col("n_chars")).as("nchars_distinct"),
+      min(col("n_chars")).as("nchars_min"), max(col("n_chars")).as("nchars_max"),
+      sum(col("n_chars")).as("nchars_sum"))
+    row.select(expr(
+      """stack(16,
+        |  '_table',  'rows',     n_rows,
+        |  'doc_id',  'nulls',    docid_nulls,
+        |  'doc_id',  'distinct', docid_distinct,
+        |  'text',    'nulls',    text_nulls,
+        |  'text',    'distinct', text_distinct,
+        |  'text',    'min_len',  text_minlen,
+        |  'text',    'max_len',  text_maxlen,
+        |  'lang',    'nulls',    lang_nulls,
+        |  'lang',    'distinct', lang_distinct,
+        |  'source',  'nulls',    source_nulls,
+        |  'source',  'distinct', source_distinct,
+        |  'n_chars', 'nulls',    nchars_nulls,
+        |  'n_chars', 'distinct', nchars_distinct,
+        |  'n_chars', 'min',      nchars_min,
+        |  'n_chars', 'max',      nchars_max,
+        |  'n_chars', 'sum',      nchars_sum) AS (col_name, metric, value)""".stripMargin))
+      .orderBy(col("col_name"), col("metric"))
+  }
+
+  val q119_profile_sql: String =
+    """SELECT col_name, metric, CAST(value AS BIGINT) AS value FROM (
+      |  SELECT '_table' AS col_name, 'rows' AS metric, COUNT(*)::BIGINT AS value FROM documents
+      |  UNION ALL SELECT 'doc_id', 'nulls', COUNT(*) FILTER (doc_id IS NULL) FROM documents
+      |  UNION ALL SELECT 'doc_id', 'distinct', COUNT(DISTINCT doc_id) FROM documents
+      |  UNION ALL SELECT 'text', 'nulls', COUNT(*) FILTER (text IS NULL) FROM documents
+      |  UNION ALL SELECT 'text', 'distinct', COUNT(DISTINCT text) FROM documents
+      |  UNION ALL SELECT 'text', 'min_len', MIN(LENGTH(text)) FROM documents
+      |  UNION ALL SELECT 'text', 'max_len', MAX(LENGTH(text)) FROM documents
+      |  UNION ALL SELECT 'lang', 'nulls', COUNT(*) FILTER (lang IS NULL) FROM documents
+      |  UNION ALL SELECT 'lang', 'distinct', COUNT(DISTINCT lang) FROM documents
+      |  UNION ALL SELECT 'source', 'nulls', COUNT(*) FILTER (source IS NULL) FROM documents
+      |  UNION ALL SELECT 'source', 'distinct', COUNT(DISTINCT source) FROM documents
+      |  UNION ALL SELECT 'n_chars', 'nulls', COUNT(*) FILTER (n_chars IS NULL) FROM documents
+      |  UNION ALL SELECT 'n_chars', 'distinct', COUNT(DISTINCT n_chars) FROM documents
+      |  UNION ALL SELECT 'n_chars', 'min', MIN(n_chars) FROM documents
+      |  UNION ALL SELECT 'n_chars', 'max', MAX(n_chars) FROM documents
+      |  UNION ALL SELECT 'n_chars', 'sum', SUM(n_chars) FROM documents
+      |) ORDER BY col_name, metric""".stripMargin
+
+  /** q120 — wide pivot through Spark's NATIVE pivot operator with
+    * explicit values (q29 hand-writes the conditional aggregation;
+    * this exercises the relational PIVOT surface itself): daily
+    * event-type matrix, count + exact-decimal sum per cell.
+    *
+    * Scale/shape: pivot WITH a value list is a single map-side
+    * conditional aggregation — one shuffle on the day key, columns
+    * bounded by the declared label set. (Valueless pivot would run a
+    * distinct-collect job first and embed an unbounded label set in
+    * the schema — never that form at scale.)
+    */
+  def q120_pivot_wide(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val piv = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("amt"))
+    // pivot leaves empty cells null; counts must read 0 like the
+    // oracle's FILTER form (sums stay NULL in both engines)
+    val fixed = types.foldLeft(piv) { (df, t) =>
+      df.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L)))
+    }
+    fixed.orderBy(col("day"))
+  }
+
+  val q120_pivot_wide_sql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = types.map { t =>
+      s"""  COUNT(*) FILTER (event_type = '$t') AS ${t}_n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = '$t') AS DOUBLE) AS ${t}_amt""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |$cells
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q121 — changelog compaction to the latest snapshot: one row per
+    * user carrying the fields of that user's last event ((ts,
+    * event_id)-latest — the CDC "upsert view" every incremental
+    * ingest materializes).
+    *
+    * Scale/shape: a SINGLE max(struct(...)) aggregation — the struct
+    * comparison is lexicographic on the (ts, event_id) total-order
+    * prefix, so the agg is associative and merges MAP-SIDE: each
+    * task reduces its slice to one candidate row per key before the
+    * shuffle. The window row_number() form sorts whole partitions
+    * and cannot partial-aggregate; at 100 TB of changelog that's the
+    * difference between shuffling one row per (task, key) and
+    * shuffling the corpus. The oracle runs the naive
+    * max-ts-then-max-id lookup, so the gate proves struct-max ≡
+    * naive row-for-row; a spec asserts ≡ the window form too.
+    */
+  def q121_latest_snapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        dec2(col("value")).as("v"))).as("m"))
+      .select(col("user_id"),
+        col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event"),
+        col("m.event_type").as("last_type"),
+        col("m.v").cast("double").as("last_value"))
+      .orderBy(col("user_id"))
+
+  val q121_latest_snapshot_sql: String =
+    """WITH mt AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY 1),
+      |me AS (SELECT e.user_id, m.last_ts, MAX(e.event_id) AS last_event
+      |       FROM events e JOIN mt m ON e.user_id = m.user_id AND e.ts = m.last_ts
+      |       GROUP BY 1, 2)
+      |SELECT m.user_id, m.last_ts, m.last_event,
+      |  e.event_type AS last_type,
+      |  CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+      |FROM me m JOIN events e ON e.event_id = m.last_event
+      |ORDER BY m.user_id""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_exact_quantiles" -> (q117_exact_quantiles _),
+    "q118_triangles" -> (q118_triangles _),
+    "q119_profile" -> (q119_profile _),
+    "q120_pivot_wide" -> (q120_pivot_wide _),
+    "q121_latest_snapshot" -> (q121_latest_snapshot _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q117_exact_quantiles" -> q117_exact_quantiles_sql,
+    "q118_triangles" -> q118_triangles_sql,
+    "q119_profile" -> q119_profile_sql,
+    "q120_pivot_wide" -> q120_pivot_wide_sql,
+    "q121_latest_snapshot" -> q121_latest_snapshot_sql
+  )
+}

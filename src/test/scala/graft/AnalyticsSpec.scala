@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.queries.{AnalyticsQueries, EventQueries}
+import graft.functions.Determinism._
+
+/** Brute-force recounts + plan-shape guards for the round-8 analytics
+  * family (q115–q121). Value-level cross-engine verification runs
+  * through the DuckDB gate; these specs re-derive the semantics a
+  * second way in local Scala so a same-bug-both-sides oracle slip
+  * can't hide.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 4, shufflePartitions = 8)
+  val dir = "/root/testdata/sf0.001"
+
+  test("q115 trailing-7-day distinct equals a per-day brute-force recount") {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSeq
+    val got = AnalyticsQueriesSpecHelper.rows(
+      EventQueries.q115_sliding_distinct(spark, dir),
+      r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = events.map(_._2).distinct
+    val want = days.sorted.map { end =>
+      val lo = end.minusDays(6)
+      end -> events.filter { case (_, d) =>
+        !d.isBefore(lo) && !d.isAfter(end)
+      }.map(_._1).distinct.size.toLong
+    }
+    assert(got == want)
+  }
+
+  test("q116 inter-arrival buckets equal a per-user brute-force recount") {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val want = events.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._4, e._2)).sliding(2).collect {
+        case Seq(a, b) => (b._3, java.lang.Long.toBinaryString(b._4 - a._4).length.toLong)
+      }
+    }.groupBy(identity).map { case ((t, b), g) => (t, b, g.size.toLong) }
+      .toSeq.sorted
+    val got = AnalyticsQueriesSpecHelper.rows(
+      EventQueries.q116_interarrival_hist(spark, dir),
+      r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got == want)
+  }
+
+  test("q117 exact quantiles: brute-force sorted-rank recount + monotone p50<=p90<=p99") {
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), dec2(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1))).toSeq
+    val want = vals.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val sorted = g.map(_._2).sorted((a: java.math.BigDecimal, b: java.math.BigDecimal) => a.compareTo(b))
+      Seq(50L, 90L, 99L).map { p =>
+        // ceil(p*n/100)-th smallest, 1-indexed — the query's integer rank rule
+        val rank = ((p * sorted.size + 99) / 100).toInt
+        (t, p, sorted(rank - 1).doubleValue)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = AnalyticsQueriesSpecHelper.rows(
+      AnalyticsQueries.q117_exact_quantiles(spark, dir),
+      r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got == want)
+    got.groupBy(_._1).values.foreach { g =>
+      val byP = g.map(x => x._2 -> x._3).toMap
+      assert(byP(50L) <= byP(90L) && byP(90L) <= byP(99L))
+    }
+  }
+
+  test("q118 triangles: degree-oriented count equals a brute-force adjacency enumeration") {
+    val os = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = os.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.toSet
+    val nbrs = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
+    val nation = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = edges.toSeq.flatMap { case (a, b) =>
+      // a<b; c>b closing both — counts each triangle once at its min node a
+      nbrs.getOrElse(a, Set.empty).intersect(nbrs.getOrElse(b, Set.empty))
+        .filter(_ > b).toSeq.map(_ => nation(a))
+    }.groupBy(identity).map { case (n, g) => (n, g.size.toLong) }.toSeq.sorted
+    val got = AnalyticsQueriesSpecHelper.rows(
+      AnalyticsQueries.q118_triangles(spark, dir)
+        .select(col("s_nationkey").cast("long"), col("n_tri")),
+      r => (r.getLong(0), r.getLong(1)))
+    assert(got == want)
+  }
+
+  test("q119 profile: approx_count_distinct (the 100 TB swap-in) lands within 5% of each exact distinct") {
+    val exact = AnalyticsQueries.q119_profile(spark, dir)
+      .filter(col("metric") === "distinct")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val approx = Tables.documents(spark, dir).agg(
+      approx_count_distinct(col("doc_id")).as("doc_id"),
+      approx_count_distinct(col("text")).as("text"),
+      approx_count_distinct(col("lang")).as("lang"),
+      approx_count_distinct(col("source")).as("source"),
+      approx_count_distinct(col("n_chars")).as("n_chars")).collect()(0)
+    Seq("doc_id", "text", "lang", "source", "n_chars").foreach { c =>
+      val a = approx.getAs[Long](c).toDouble
+      val e = exact(c).toDouble
+      assert(math.abs(a - e) <= 0.05 * e + 2, s"$c: approx $a vs exact $e")
+    }
+  }
+
+  test("q121 snapshot: struct-max agg equals the window row_number form, and plans no Window") {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"), col("event_id").as("last_event"),
+        col("event_type").as("last_type"), dec2(col("value")).cast("double").as("last_value"))
+      .orderBy(col("user_id"))
+    val got = AnalyticsQueries.q121_latest_snapshot(spark, dir)
+    assert(got.collect().toSeq == viaWindow.collect().toSeq)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), "compaction must aggregate, not sort-and-rank")
+    // the agg must run in two phases (map-side partial before the
+    // exchange) — that is the operator's whole scale claim
+    val phys = got.queryExecution.executedPlan.toString
+    assert(phys.contains("partial_max") || phys.contains("Partial"),
+      s"no partial aggregation phase in:\n$phys")
+  }
+}
+
+/** Tiny collect helpers kept out of the test bodies. */
+object AnalyticsQueriesSpecHelper {
+  def rows[T](df: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.Row => T): Seq[T] =
+    df.collect().toSeq.map(f)
+}
