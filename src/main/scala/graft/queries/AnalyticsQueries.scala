@@ -61,8 +61,13 @@ object AnalyticsQueries {
       |WHERE c.cum >= (ps.pp * t.n + 99) // 100
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** q118 — triangle counting over the supplier co-occurrence graph
-    * (suppliers sharing an order), DEGREE-ORIENTED: each undirected
+  /** q118 — triangle counting over the supplier ASSOCIATION graph
+    * (suppliers co-occurring in ≥ 5 orders — the support threshold is
+    * part of the graph construction, as in market-basket association
+    * graphs: an unthresholded co-occurrence projection of a dense
+    * bipartite layer approaches the complete graph and its triangle
+    * set grows cubically with no analytic meaning), DEGREE-ORIENTED:
+    * each undirected
     * edge is directed from its lower-(degree, id) endpoint, wedges
     * are enumerated only among a node's out-neighbors, and a wedge is
     * a triangle iff its closing edge exists with the same
@@ -84,7 +89,10 @@ object AnalyticsQueries {
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
     val edges = os.as("x").join(os.as("y"),
         col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 5)
+      .select(col("a"), col("b"))
     val deg = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -111,8 +119,11 @@ object AnalyticsQueries {
 
   val q118_triangles_sql: String =
     """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
-      |e AS (SELECT DISTINCT x.s AS a, y.s AS b
-      |      FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
+      |e AS (SELECT a, b FROM (
+      |        SELECT x.s AS a, y.s AS b, COUNT(*) AS c
+      |        FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+      |        GROUP BY 1, 2)
+      |      WHERE c >= 5),
       |tri AS (SELECT e1.a AS m
       |        FROM e e1 JOIN e e2 ON e2.a = e1.b
       |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)

@@ -76,19 +76,28 @@ class AnalyticsSpec extends AnyFunSuite {
     val os = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
-    val edges = os.groupBy(_._1).values.flatMap { g =>
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    os.groupBy(_._1).values.foreach { g =>
       val ss = g.map(_._2).distinct.sorted
-      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
-    }.toSet
+      for (i <- ss.indices; j <- (i + 1) until ss.size) {
+        val e = (ss(i), ss(j))
+        support(e) = support.getOrElse(e, 0) + 1
+      }
+    }
+    val edges = support.collect { case (e, c) if c >= 5 => e }.toSet
+    assert(edges.nonEmpty, s"brute-force graph empty (supports: ${support.values.take(5)})")
     val nbrs = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
     val nation = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_nationkey").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    println(s"DEBUG edges=${edges.size} nbrs=${nbrs.size} nation=${nation.size}")
+    println(s"DEBUG sample edges=${edges.take(3)} sample nbrs=${nbrs.take(2)}")
     val want = edges.toSeq.flatMap { case (a, b) =>
       // a<b; c>b closing both — counts each triangle once at its min node a
       nbrs.getOrElse(a, Set.empty).intersect(nbrs.getOrElse(b, Set.empty))
         .filter(_ > b).toSeq.map(_ => nation(a))
     }.groupBy(identity).map { case (n, g) => (n, g.size.toLong) }.toSeq.sorted
+    println(s"DEBUG want=$want")
     val got = AnalyticsQueriesSpecHelper.rows(
       AnalyticsQueries.q118_triangles(spark, dir)
         .select(col("s_nationkey").cast("long"), col("n_tri")),
