@@ -84,20 +84,19 @@ class AnalyticsSpec extends AnyFunSuite {
         support(e) = support.getOrElse(e, 0) + 1
       }
     }
-    val edges = support.collect { case (e, c) if c >= 5 => e }.toSet
+    // NB: `support.collect { case (e, c) => e }` would re-build a Map
+    // (pairs collapse key-wise) — keep the keySet form.
+    val edges = support.filter(_._2 >= 5).keySet.toSet
     assert(edges.nonEmpty, s"brute-force graph empty (supports: ${support.values.take(5)})")
     val nbrs = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
     val nation = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_nationkey").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    println(s"DEBUG edges=${edges.size} nbrs=${nbrs.size} nation=${nation.size}")
-    println(s"DEBUG sample edges=${edges.take(3)} sample nbrs=${nbrs.take(2)}")
     val want = edges.toSeq.flatMap { case (a, b) =>
       // a<b; c>b closing both — counts each triangle once at its min node a
       nbrs.getOrElse(a, Set.empty).intersect(nbrs.getOrElse(b, Set.empty))
         .filter(_ > b).toSeq.map(_ => nation(a))
     }.groupBy(identity).map { case (n, g) => (n, g.size.toLong) }.toSeq.sorted
-    println(s"DEBUG want=$want")
     val got = AnalyticsQueriesSpecHelper.rows(
       AnalyticsQueries.q118_triangles(spark, dir)
         .select(col("s_nationkey").cast("long"), col("n_tri")),
@@ -122,6 +121,56 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 profile: every emitted metric equals a brute-force recount") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect()
+    def nn(i: Int) = docs.filter(!_.isNullAt(i))
+    val want: Map[(String, String), Long] = Map(
+      ("_table", "rows") -> docs.length.toLong,
+      ("doc_id", "nulls") -> docs.count(_.isNullAt(0)).toLong,
+      ("doc_id", "distinct") -> nn(0).map(_.getLong(0)).distinct.length.toLong,
+      ("text", "nulls") -> docs.count(_.isNullAt(1)).toLong,
+      ("text", "distinct") -> nn(1).map(_.getString(1)).distinct.length.toLong,
+      ("text", "min_len") -> nn(1).map(_.getString(1).length).min.toLong,
+      ("text", "max_len") -> nn(1).map(_.getString(1).length).max.toLong,
+      ("lang", "nulls") -> docs.count(_.isNullAt(2)).toLong,
+      ("lang", "distinct") -> nn(2).map(_.getString(2)).distinct.length.toLong,
+      ("source", "nulls") -> docs.count(_.isNullAt(3)).toLong,
+      ("source", "distinct") -> nn(3).map(_.getString(3)).distinct.length.toLong,
+      ("n_chars", "nulls") -> docs.count(_.isNullAt(4)).toLong,
+      ("n_chars", "distinct") -> nn(4).map(_.getLong(4)).distinct.length.toLong,
+      ("n_chars", "min") -> nn(4).map(_.getLong(4)).min,
+      ("n_chars", "max") -> nn(4).map(_.getLong(4)).max,
+      ("n_chars", "sum") -> nn(4).map(_.getLong(4)).sum)
+    val got = AnalyticsQueries.q119_profile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("q120 pivot: per-cell counts and sums equal a brute-force recount") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val evs = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"), dec2(col("value")).as("v"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1), r.getDecimal(2)))
+    val byDay = evs.groupBy(_._1)
+    val got = AnalyticsQueries.q120_pivot_wide(spark, dir).collect()
+    assert(got.map(_.getDate(0).toLocalDate).toSeq == byDay.keySet.toSeq.sorted)
+    got.foreach { r =>
+      val cell = byDay(r.getDate(0).toLocalDate)
+      types.foreach { t =>
+        val slice = cell.filter(_._2 == t)
+        assert(r.getAs[Long](s"${t}_n") == slice.length.toLong, s"$t count")
+        val wantAmt = if (slice.isEmpty) None
+          else Some(slice.map(_._3).reduce(_ add _).doubleValue)
+        val gotAmt = if (r.isNullAt(r.fieldIndex(s"${t}_amt"))) None
+          else Some(r.getAs[Double](s"${t}_amt"))
+        assert(gotAmt == wantAmt, s"$t amount")
+      }
+    }
+  }
+
   test("q121 snapshot: struct-max agg equals the window row_number form, and plans no Window") {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
     val viaWindow = Tables.events(spark, dir)
@@ -136,8 +185,8 @@ class AnalyticsSpec extends AnyFunSuite {
     // the agg must run in two phases (map-side partial before the
     // exchange) — that is the operator's whole scale claim
     val phys = got.queryExecution.executedPlan.toString
-    assert(phys.contains("partial_max") || phys.contains("Partial"),
-      s"no partial aggregation phase in:\n$phys")
+    assert(phys.contains("partial_max"),
+      s"no map-side partial max phase in:\n$phys")
   }
 }
 
