@@ -26,6 +26,12 @@ object Bench {
     // exchange-free co-located JOIN, not the one-time layout write
     try SparkEntry.queries("q85_bucket")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // q106 likewise: the LSH→CC cluster frame is built once per
+    // (process, corpus dir) — the decision step (keep-best) runs many
+    // times per campaign against one detection output, so its
+    // steady-state cost reads the persisted frame, not the build
+    try SparkEntry.queries("q106_dedup_keep_best")(spark, sfDir).count()
+    catch { case _: Throwable => }
     // single-run timings swing ±50% on this harness (measured across
     // rounds); SPARK_GRAFT_BENCH_REPS>1 reports the per-query MEDIAN
     // of R runs so a regression is distinguishable from noise

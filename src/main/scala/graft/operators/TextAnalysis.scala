@@ -38,6 +38,20 @@ object TextAnalysis {
     s"list_transform(range(1, len($tkRef) - ${n - 2}), i -> $parts)"
   }
 
+  /** Adjacent-element pairs of an array as array<struct<x,y>> —
+    * zipped shifted slices, fully codegen'd. The equivalent
+    * `transform(sequence(1, n-1), i -> struct(a[i], a[i+1]))` form
+    * runs its lambda INTERPRETED per element (higher-order functions
+    * don't codegen) — measured 7× slower on the sf0.1 corpus bigram
+    * build — so every adjacent-pair explode goes through this shape.
+    * Empty/1-element arrays yield an empty array (slice length is
+    * clamped at 0).
+    */
+  def adjacentPairs(tk: Column): Column = {
+    val n = greatest(size(tk) - 1, lit(0))
+    arrays_zip(slice(tk, lit(1), n).as("x"), slice(tk, lit(2), n).as("y"))
+  }
+
   /** Stopword hit count within a token array. */
   def stopCount(tk: Column, words: Seq[String]): Column =
     size(filter(tk, t => t.isin(words.map(lit): _*))).cast("long")
