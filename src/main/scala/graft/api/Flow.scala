@@ -169,5 +169,34 @@ final case class Flow(df: DataFrame) {
   def groupAgg(keys: Seq[Column], aggs: Seq[Column]): Flow =
     Flow(df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
 
+  /** deva `append` (pipe.py:1102): a pipe can push one more element;
+    * here a literal row unions in by NAME. Callers pass
+    * (colName → value) pairs so the row can never bind to the wrong
+    * column, and unionByName rejects a missing/extra field loudly.
+    */
+  def append(values: (String, Any)*): Flow = {
+    val row = df.sparkSession.range(1).select(
+      values.map { case (n, v) => lit(v).as(n) }: _*)
+    Flow(df.unionByName(row.select(df.columns.map(col).toIndexedSeq: _*)))
+  }
+
+  /** deva `index` (pipe.py:1037): 0-based position of the first row
+    * matching a predicate under an explicit total order (list.index
+    * semantics) — the distributed reading of "where in the pipe is
+    * this element". Runs through Sequence.globalRowNumber
+    * (range-partitioned two-pass, no global window funnel; 1-based,
+    * hence the −1), then a 1-row min agg. No match → one null row.
+    */
+  def indexOf(p: Column, order: Seq[Column], as: String = "idx"): Flow =
+    Flow(graft.operators.Sequence.globalRowNumber(df, order, as)
+      .filter(p).agg((min(col(as)) - 1L).as(as)))
+
+  /** deva `islice`/`pslice` (pipe.py:29,852): ordered offset+limit.
+    * offset() composes with limit() into ONE TakeOrdered-style plan —
+    * never collect-then-drop.
+    */
+  def slice(from: Int, until: Int, order: Seq[Column]): Flow =
+    Flow(df.orderBy(order: _*).offset(from).limit(math.max(until - from, 0)))
+
   def toDF: DataFrame = df
 }

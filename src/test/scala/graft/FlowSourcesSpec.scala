@@ -89,6 +89,40 @@ class FlowSourcesSpec extends AnyFunSuite {
     assert(f() == f())
   }
 
+  test("Flow: append unions a name-bound literal row; misnamed column fails loudly") {
+    val base = Flow(Tables.region(spark, dir).select(col("r_regionkey"), col("r_name")))
+    val out = base.append("r_name" -> "ATLANTIS", "r_regionkey" -> 99L).toDF
+    assert(out.count() == base.toDF.count() + 1)
+    assert(out.filter(col("r_regionkey") === 99L).select(col("r_name"))
+      .collect().map(_.getString(0)).toSeq == Seq("ATLANTIS"))
+    intercept[Exception] {
+      base.append("r_nmae" -> "TYPO", "r_regionkey" -> 98L).toDF.collect()
+    }
+  }
+
+  test("Flow: indexOf finds the ordered position of the first match") {
+    val nations = Flow(Tables.nation(spark, dir))
+    val names = Tables.nation(spark, dir).select(col("n_name"))
+      .collect().map(_.getString(0)).sorted
+    val target = names(names.length / 2) // a name that certainly exists
+    val idx = nations.indexOf(col("n_name") === target, Seq(col("n_name"))).toDF
+      .collect()(0).getLong(0)
+    assert(idx == names.indexOf(target).toLong)
+    // no match → null (empty min), not a crash
+    assert(nations.indexOf(col("n_name") === "NOWHERE", Seq(col("n_name")))
+      .toDF.collect()(0).isNullAt(0))
+  }
+
+  test("Flow: slice is ordered offset+limit") {
+    val all = Tables.nation(spark, dir).select(col("n_name"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val got = Flow(Tables.nation(spark, dir)).slice(3, 7, Seq(col("n_name")))
+      .toDF.select(col("n_name")).collect().map(_.getString(0)).toSeq
+    assert(got == all.slice(3, 7))
+    assert(Flow(Tables.nation(spark, dir)).slice(5, 5, Seq(col("n_name")))
+      .toDF.count() == 0)
+  }
+
   test("Flow.toDot renders the operator topology as valid DOT") {
     val ev = Tables.events(spark, dir)
     val flow = Flow(ev.select(col("event_id"), col("user_id"), col("value")))
