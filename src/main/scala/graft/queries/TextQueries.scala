@@ -2325,10 +2325,14 @@ object TextQueries {
     // doc-level pre-aggregation: score each DISTINCT (doc, bigram)
     // once, weighted by its in-doc count — sum over occurrences ==
     // sum over distinct of s·cnt (exact decimals both ways). The
-    // scoring join then runs over the distinct frame (≤ corpus
-    // bigrams, ≪ on repetitive text), and bgc's shuffle is the SAME
-    // exchange the model frames aggregate from, so Catalyst's
-    // exchange reuse makes the whole query ONE corpus scan.
+    // scoring join runs over the distinct frame (≤ corpus bigrams,
+    // ≪ on repetitive text). Corpus passes: exactly TWO — one
+    // materializes the persisted bfreq cache (pfx/voc derive from
+    // the cache, not the corpus), one feeds the scoring side
+    // (listener-measured recordsRead == 2×|documents|, pinned in
+    // PlanAuditSpec; an earlier comment claimed exchange reuse made
+    // this ONE scan — it does not: the InMemoryRelation boundary
+    // means the two bgc derivations are separate plans).
     val bgc = bg.groupBy(col("doc_id"), col("lang"), col("x"), col("y"))
       .agg(count(lit(1)).as("cnt"))
     val bfreq = bgc.groupBy(col("lang"), col("x"), col("y"))

@@ -1,42 +1,43 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-import graft.{Sessions, Tables}
+import graft.{Sessions, SparkEntry}
 
-/** Scratch component-timer for profiling a query's stages in
-  * isolation (not part of the gate; edited ad-hoc per investigation).
+/** Scratch investigator: run a gate query, then print its FINAL
+  * adaptive executed plan (isFinalPlan=true) — the only place
+  * runtime exchange/stage reuse is visible; the static explain
+  * duplicates every shared subtree. Not part of the gate; edited
+  * ad-hoc per investigation.
+  *
+  *   sbt "runMain graft.tools.Probe q105_tfidf_pairs [sfDir]"
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val name = args.headOption.getOrElse("q105_tfidf_pairs")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Sessions.local(cores = 32, shufflePartitions = 32)
-    val toks = graft.operators.TextAnalysis.tokens(col("text"))
-    def time(tag: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n)")
-    }
-    val docs = Tables.documents(spark, dir)
-    time("docs-count")(docs.count())
-    time("uni-agg")(docs.select(explode(toks).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c")).count())
-    time("uni-agg-2")(docs.select(explode(toks).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c")).count())
-    time("bi-agg-transform")(docs
-      .select(explode(when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("x"),
-              element_at(toks, i + 1).as("y"))))
-        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("bg"))
-      .select(col("bg.x").as("x"), col("bg.y").as("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy")).count())
-    time("bi-agg-zip")(docs
-      .select(explode(arrays_zip(
-          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("bg"))
-      .select(col("bg.0").as("x"), col("bg.1").as("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy")).count())
-    time("tok-only-scan")(docs.select(explode(toks).as("tok")).count())
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null) {
+          bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        }
+      }
+    })
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count()
+    Thread.sleep(500) // let straggler task-end events drain
+    println(s"[probe] $name bytesRead=${bytesRead.get} recordsRead=${recordsRead.get}")
+    val plan = df.queryExecution.executedPlan.toString
+    println(plan)
+    def cnt(p: String) = p.r.findAllIn(plan).length
+    val stageIds = "(ShuffleQueryStage|BroadcastQueryStage|TableCacheQueryStage) (\\d+)".r
+      .findAllMatchIn(plan).map(m => m.group(1) + " " + m.group(2)).toSeq
+    println(s"[probe] $name scans=${cnt("Scan parquet")} " +
+      s"stageRefs=${stageIds.length} distinctStages=${stageIds.distinct.length} " +
+      s"inMemory=${cnt("InMemoryTableScan")} shuffles=${cnt("Exchange hashpartitioning")}")
+    println(s"[probe] stages: ${stageIds.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1).mkString(", ")}")
     spark.stop()
   }
 }

@@ -15,6 +15,32 @@ class PlanAuditSpec extends AnyFunSuite {
   def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q107 reads the corpus exactly twice; q105 exactly three times (listener-measured)") {
+    // the docstring scan-count claims, pinned: q107 = one pass to
+    // materialize the persisted model frame + one scoring pass;
+    // q105 = w→norms, vt self-join left, vt self-join right. A
+    // regression that silently re-derives a consumer from the corpus
+    // scan (the round-8 q104 failure mode) moves these counts.
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    def corpusPasses(q: String): Long = {
+      val rec = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) rec.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        spark.catalog.clearCache() // cold caches — the claim is about cold derivation
+        graft.SparkEntry.queries(q)(spark, dir).count()
+        // listener events are async; drain before reading the counter
+        Thread.sleep(1000)
+      } finally spark.sparkContext.removeSparkListener(l)
+      rec.get / nDocs // integer division: partial-table reads surface as a count mismatch
+    }
+    assert(corpusPasses("q107_bigram_perplexity") == 2L)
+    assert(corpusPasses("q105_tfidf_pairs") == 3L)
+  }
+
   test("q03 filter reaches the parquet scan") {
     assert(plan("q03_filter").contains("PushedFilters: [IsNotNull(l_shipdate)"))
   }
