@@ -1966,31 +1966,45 @@ object TextQueries {
     * (drop a mirror site, decontaminate one source against another,
     * adjust q81/q82's mixing weights for double-counted text).
     *
-    * Scale shape: ONE corpus-keyed aggregation. The window grid joins
-    * its slim (doc_id, source) label and folds straight into
-    * `collect_set(source)` per window hash — the set is bounded by
+    * Scale shape: candidates-then-verify over the codegen'd
+    * [[graft.plans.RollingWindowHash]] kernel (q88's production
+    * pattern — r9 swap; the original md5-per-window grid paid
+    * O(tokens·W) byte-hashing through an INTERPRETED higher-order
+    * lambda, measured 2.9 s vs 0.8 s cold at sf0.1). Pass 1 shuffles
+    * only (h, doc_id, pos) longs; window TEXT is re-materialized for
+    * candidate positions only (hashes seen in ≥ 2 docs — a superset
+    * of cross-SOURCE sharing, since a doc has one source), and the
+    * exact-text regroup kills rolling-hash false positives, so the
+    * output is a pure function of the corpus and the ORACLE — which
+    * counts distinct md5s, a bijection of window texts — is
+    * unchanged by the kernel swap (q88's hash-independence
+    * contract). The per-text `collect_set(source)` is bounded by
     * #sources (a provenance label count, dozens), dedup happens
-    * INSIDE the partial aggregation (no separate distinct shuffle),
-    * and hashes living in one source — the overwhelming majority —
-    * are dropped before any pairing. Pairs then explode from the
-    * per-hash source set (≤ sources²/2 rows per SHARED hash only) —
-    * the q45 in-bucket expansion idiom, with a label-bounded bucket.
-    * A self-join formulation instead costs the whole window pipeline
-    * twice plus two more corpus-wide string-key shuffles — measured
-    * 22.5 s vs 5.6 s at the ×10 smoke (where ×N replication makes
-    * EVERY window within-source-shared, the collapse's worst case).
+    * INSIDE the partial aggregation, single-source texts — the
+    * overwhelming majority — drop before any pairing, and pairs
+    * explode from the per-text source set only (the q45 in-bucket
+    * idiom, label-bounded). A self-join formulation instead costs
+    * the whole window pipeline twice plus two more corpus-wide
+    * string-key shuffles — measured 22.5 s vs 5.6 s at the ×10 smoke
+    * (where ×N replication makes EVERY window within-source-shared,
+    * the collapse's worst case).
     */
   def q95_source_overlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val wins = tokenized(spark, dir)
+    val tok = tokenized(spark, dir)
+    val wins = tok.select(col("doc_id"),
+      posexplode(graft.plans.RollingWindowHash(col("tk"), winLen)).as(Seq("pos", "h")))
+    val perPair = wins.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("m"))
+    val candH = perPair
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("ndocs") >= 2)
+      .select(col("h")).distinct()
+    val candText = wins.join(candH, Seq("h"), "left_semi")
+      .join(tok, Seq("doc_id"))
       .select(col("doc_id"),
-        when(size(col("tk")) >= winLen,
-          transform(sequence(lit(0), size(col("tk")) - winLen),
-            i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(winLen))))))
-          .otherwise(array().cast("array<string>")).as("hs"))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    val srcSets = wins.join(docs, Seq("doc_id"))
-      .groupBy(col("h")).agg(collect_set(col("source")).as("ss"))
+        concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(winLen))).as("w"))
+    val srcSets = candText.join(docs, Seq("doc_id"))
+      .groupBy(col("w")).agg(collect_set(col("source")).as("ss"))
       .filter(size(col("ss")) >= 2)
       .select(array_sort(col("ss")).as("ss"))
     srcSets
