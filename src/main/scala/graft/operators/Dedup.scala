@@ -124,9 +124,22 @@ object Dedup {
     *
     * Input: one row per undirected pair (aCol, bCol), numeric ids.
     * Output: (id, label) for every id that appears in a pair.
+    *
+    * GRAPH-SIZE-ADAPTIVE (r9): a directed edge frame at or below
+    * `localEdgeThreshold` rows is collected and union-found on the
+    * driver — the same size class as a broadcast-hash-join build
+    * side (2M × 16 B ≈ 32 MB), replacing diameter-many
+    * (join + agg + action) rounds with one job and microseconds of
+    * driver CPU; identical output by construction (min id per
+    * component, path-compressed union-find tracking the min root).
+    * Above the threshold — the 100 TB regime where the pair graph
+    * itself is big — the distributed label-propagation loop runs
+    * unchanged. The switch mirrors Spark's own size-based
+    * broadcast-vs-shuffle join strategy; parity of the two paths is
+    * spec-asserted on planted graphs (ClusterTraverseSpec).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, localEdgeThreshold: Long = 2000000L): DataFrame = {
     // both edge directions from ONE pass over pairs: a union of two
     // selects would evaluate the (possibly expensive) pairs pipeline
     // twice when the persist below materializes
@@ -137,6 +150,32 @@ object Dedup {
       .distinct()
       .repartition(col("src")) // cached partitioning reused by every round's join
       .persist()
+    val nEdges = edges.count() // also materializes the persist exactly once
+    if (nEdges <= localEdgeThreshold) {
+      val idType = edges.schema("src").dataType
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      // path-compressed union-find; root carries the component min
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min id becomes the root
+      }
+      val out = parent.keys.toSeq.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toDF("id", "label")
+        .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)

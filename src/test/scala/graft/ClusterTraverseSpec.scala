@@ -37,13 +37,35 @@ class ClusterTraverseSpec extends AnyFunSuite {
     // path graph 1-2-3-4-5-6: diameter 5. maxIter bounds CHANGE
     // rounds (detection takes one extra no-change round), so
     // maxIter = 5 must converge with correct labels...
+    // (localEdgeThreshold = 0 forces the DISTRIBUTED loop — the
+    // convergence guard under test belongs to it; the local
+    // union-find path needs no iteration budget)
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
-    val ok = Dedup.connectedComponents(path, "a", "b", maxIter = 5)
+    val ok = Dedup.connectedComponents(path, "a", "b", maxIter = 5, localEdgeThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(ok.values.toSet == Set(1L) && ok.size == 6)
     // ...and maxIter = 2 must fail LOUDLY, not return mislabeled rows
     intercept[IllegalStateException](
-      Dedup.connectedComponents(path, "a", "b", maxIter = 2).count())
+      Dedup.connectedComponents(path, "a", "b", maxIter = 2, localEdgeThreshold = 0L).count())
+  }
+
+  test("connectedComponents: local union-find path equals the distributed loop (parity)") {
+    val sp = spark
+    import sp.implicits._
+    // deterministic pseudo-random graph over 200 nodes: chains, a
+    // clique, isolated pairs, and cross-links — enough structure to
+    // distinguish any labeling slip between the two code paths
+    val pairs = (
+      (0 until 60).map(i => ((i * 37 % 200).toLong, (i * 53 % 200).toLong)).filter(p => p._1 != p._2) ++
+        (100L to 104L).flatMap(a => (a + 1 to 105L).map(b => (a, b))) ++
+        Seq((150L, 151L), (152L, 153L), (151L, 152L))
+      ).toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, "a", "b", localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local.nonEmpty)
   }
 
   test("traverse flattens any nesting depth to atoms") {
