@@ -167,7 +167,14 @@ object ScaleSmoke {
       "q112_cohort_retention",
       // transitions: the lead window's per-user sort is the only
       // superlinear term; count frames stay label²-bounded
-      "q113_transition_matrix")
+      "q113_transition_matrix",
+      // round 9: the analytics family under ×N — the quantile
+      // histogram stays value-domain-bounded, the triangle kernel's
+      // wedge fan-out stays out-degree-bounded (×N key-shifts
+      // replicate the GRAPH N times — components don't merge, so
+      // triangles scale exactly ×N), compaction's partial-max keeps
+      // one candidate row per (task, key)
+      "q117_exact_quantiles", "q118_triangles", "q121_latest_snapshot")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
