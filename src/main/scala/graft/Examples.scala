@@ -217,6 +217,21 @@ object Examples {
     SparkEntry.queries("q108_rolling_anomaly")(spark, dir)
       .filter(col("is_anomaly")).limit(5).show(truncate = false)
 
+    // graph motifs on ANY edge frame: build a support-thresholded
+    // co-occurrence graph, enumerate its triangles (each exactly once)
+    println("== Triangles over the supplier co-occurrence graph ==")
+    val coEdges = graft.operators.Triangles.cooccurrenceEdges(
+      Tables.lineitem(spark, dir).select(col("l_orderkey").as("g"), col("l_suppkey").as("m")),
+      "g", "m", minSupport = 5)
+    graft.operators.Triangles.triangles(coEdges).limit(5).show()
+
+    // pipe conveniences: append a literal row, locate an element
+    println("== Flow.append + Flow.indexOf ==")
+    val regions = graft.api.Flow(Tables.region(spark, dir).select(col("r_regionkey"), col("r_name")))
+    regions.append("r_regionkey" -> 99L, "r_name" -> "ATLANTIS")
+      .toDF.orderBy(col("r_regionkey").desc).limit(3).show(truncate = false)
+    regions.indexOf(col("r_name") === "ASIA", Seq(col("r_name"))).toDF.show()
+
     spark.stop()
   }
 }
