@@ -258,12 +258,51 @@ object AnalyticsQueries {
       |FROM me m JOIN events e ON e.user_id = m.user_id AND e.event_id = m.last_event
       |ORDER BY m.user_id""".stripMargin
 
+  /** q122 — contamination cliques: triangles of the q95 source-overlap
+    * graph (sources as nodes, an edge when two sources share verbatim
+    * 50-token windows). A PAIR in q95 is a mirror/repost; a TRIANGLE
+    * is a syndication ring — content circulating through ≥3 sources,
+    * the strongest signal that q81/q82's mixing weights double-count
+    * a text lineage. The operator's second domain (VERDICT r8's
+    * suggested client): the same degree-oriented kernel that counted
+    * supplier co-occurrence motifs (q118, long keys) runs unchanged
+    * over a string-keyed provenance graph — node type is incidental
+    * to the orientation argument.
+    *
+    * Scale/shape: the edge frame is q95's output — label-bounded
+    * (≤ sources²/2 rows, dozens-sized), so the triangle join is
+    * trivially broadcastable and the real work is q95's
+    * candidates-then-verify window pass (rolling-hash kernel, one
+    * corpus-keyed aggregation). The oracle runs the naive id-ordered
+    * 3-way self-join over the SAME edge construction, so the gate
+    * proves oriented ≡ naive on a second graph shape (strings,
+    * near-clique density) beyond q118's power-law longs.
+    */
+  def q122_source_triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextQueries.q95_source_overlap(spark, dir)
+      .select(col("src_a").as("a"), col("src_b").as("b"))
+    val tri = graft.operators.Triangles.triangles(edges)
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+    tri.select(element_at(col("t"), 1).as("src_a"),
+        element_at(col("t"), 2).as("src_b"),
+        element_at(col("t"), 3).as("src_c"))
+      .orderBy(col("src_a"), col("src_b"), col("src_c"))
+  }
+
+  val q122_source_triangles_sql: String =
+    s"""WITH e AS (${TextQueries.q95_source_overlap_sql})
+       |SELECT e1.src_a AS src_a, e1.src_b AS src_b, e2.src_b AS src_c
+       |FROM e e1 JOIN e e2 ON e2.src_a = e1.src_b
+       |  JOIN e e3 ON e3.src_a = e1.src_a AND e3.src_b = e2.src_b
+       |ORDER BY 1, 2, 3""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_exact_quantiles" -> (q117_exact_quantiles _),
     "q118_triangles" -> (q118_triangles _),
     "q119_profile" -> (q119_profile _),
     "q120_pivot_wide" -> (q120_pivot_wide _),
-    "q121_latest_snapshot" -> (q121_latest_snapshot _)
+    "q121_latest_snapshot" -> (q121_latest_snapshot _),
+    "q122_source_triangles" -> (q122_source_triangles _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -271,6 +310,7 @@ object AnalyticsQueries {
     "q118_triangles" -> q118_triangles_sql,
     "q119_profile" -> q119_profile_sql,
     "q120_pivot_wide" -> q120_pivot_wide_sql,
-    "q121_latest_snapshot" -> q121_latest_snapshot_sql
+    "q121_latest_snapshot" -> q121_latest_snapshot_sql,
+    "q122_source_triangles" -> q122_source_triangles_sql
   )
 }
