@@ -1124,11 +1124,27 @@ object TextQueries {
       .agg(min(col("doc_id")).as("rep_id"), min(col("text")).as("text"))
     val repToks = reps.select(col("rep_id"), explode(TA.tokens(col("text"))).as("tok"))
     val fp = Dedup.simhash(repToks, "rep_id")
-    val blocks = fp.select(col("rep_id"), col("simhash"),
-      explode(sequence(lit(0), lit(4))).as("j"))
+    // LENGTH-BANDED blocking (r9): a pair can only pass the lev ≤ t
+    // gate if |lenA − lenB| ≤ t < 16, so floor(len/16) bands differ
+    // by ≤ 1 and emitting each rep at band and band+1 guarantees any
+    // qualifying pair still shares a (j, bval, band) bucket — while
+    // same-block different-length reps (templated text collides
+    // heavily in 12-bit blocks: measured 802k candidate pairs from
+    // 5k reps at sf0.1) never pair at all. The length prune moves
+    // BEFORE the quadratic expansion; the verified output is
+    // unchanged (any dropped candidate had |Δlen| > t and died at
+    // the pre-DP prune anyway). The oracle replicates the banding.
+    val blocks = fp
+      .join(reps.select(col("rep_id"), length(col("text")).cast("long").as("len")), Seq("rep_id"))
+      .select(col("rep_id"), col("simhash"), col("len"),
+        explode(sequence(lit(0), lit(4))).as("j"))
       .withColumn("bval", expr("(simhash >> (12 * j)) & 4095"))
+      .select(col("rep_id"), col("simhash"), col("j"), col("bval"), col("len"),
+        explode(array(lit(0L), lit(1L))).as("off"))
+      .select(col("rep_id"), col("simhash"), col("j"), col("bval"),
+        (floor(col("len") / 16) + col("off")).as("band"))
     val candReps = blocks
-      .groupBy(col("j"), col("bval"))
+      .groupBy(col("j"), col("bval"), col("band"))
       .agg(sort_array(collect_list(struct(col("rep_id"), col("simhash")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "SimHash block"))
@@ -1171,12 +1187,15 @@ object TextQueries {
        |rtok AS (SELECT rep_id, unnest(${TA.tokensSql}) AS tok FROM reps),
        |fp AS (${Dedup.simhashSql("rtok", "rep_id")}),
        |blocks AS (
-       |  SELECT rep_id, simhash, j, (simhash >> (12 * j)) & 4095 AS bval
-       |  FROM fp, range(0, 5) t(j)),
+       |  SELECT f.rep_id, f.simhash, j, (f.simhash >> (12 * j)) & 4095 AS bval,
+       |    (length(r.text) // 16) + off AS band
+       |  FROM fp f JOIN reps r ON r.rep_id = f.rep_id, range(0, 5) t(j),
+       |       (VALUES (0), (1)) o(off)),
        |candr AS (
        |  SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb
        |  FROM blocks a JOIN blocks b
-       |    ON a.j = b.j AND a.bval = b.bval AND a.rep_id < b.rep_id),
+       |    ON a.j = b.j AND a.bval = b.bval AND a.band = b.band
+       |    AND a.rep_id < b.rep_id),
        |vreps AS (
        |  SELECT pa.cls AS cls_a, pb.cls AS cls_b,
        |    CAST(levenshtein(pa.text, pb.text) AS BIGINT) AS lev,
