@@ -2412,7 +2412,77 @@ object TextQueries {
        |  (CAST(sum_dec AS DOUBLE) / n_bigrams <= $bigramKeepMax) AS keep
        |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** q123 — deterministic weighted priority sampling
+    * (Efraimidis–Spirakis): keep the top-k docs per source by key
+    * u^(1/w), equivalently ln(u)/w — the quality-weighted subsample
+    * every curation pipeline runs when the token budget is smaller
+    * than the cleaned corpus (q31/q49 sample uniformly; production
+    * mixing wants GOOD docs oversampled without going deterministic
+    * argmax like q106, which would collapse diversity). w is q41's
+    * quality score (clamped ≥ 0.001 so zero-quality docs stay
+    * sampleable), u is hash-derived — so the "random" draw is a pure
+    * function of doc_id and reproducible in both engines.
+    *
+    * Determinism: u = ((hash60 >> 8) + 1) / 2^52 — a 52-bit-mantissa
+    * dyadic rational, EXACT in an IEEE double (dividing (0, 2^52]
+    * integers by the power of two loses no bits; using the full 60
+    * bits would round the numerator and invite last-bit divergence).
+    * The single libm ln(u) is quantized to DECIMAL(18,6) (q91's
+    * rule), and the priority lnq/w divides two bit-identical
+    * doubles. Rank runs through GroupTopK (fifth verified regime: a
+    * libm-DERIVED float sort key) with the ORACLE on the naive
+    * PARTITION BY window — two-pass ≡ naive again, tie-broken by
+    * doc_id.
+    *
+    * Scale/shape: one corpus scan, the two-pass rank's bounded
+    * shuffles, label-sized output (k per source). At 100 TB the same
+    * plan samples a token-budgeted mixture per (source, lang) cell by
+    * swapping the key columns.
+    */
+  private val wsK = 20
+  def q123_weighted_sample(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val stopRatio = TA.stopCount(toks, TA.stopEn).cast("double") /
+      greatest(nTok, lit(1L)).cast("double")
+    val qual = least(lit(1.0), nTok.cast("double") / 100.0) * (lit(1.0) - stopRatio)
+    val h52 = shiftright(
+      graft.functions.Determinism.hash60(concat(lit("ws:"), col("doc_id").cast("string"))), 8)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(qual, lit(0.001)).as("w"), h52.as("h52"))
+      .select(col("doc_id"), col("source"),
+        (log((col("h52") + 1).cast("double") / lit(4503599627370496.0))
+          .cast("decimal(18,6)").cast("double") / col("w")).as("priority"))
+    GroupTopK.rank(scored, Seq("source"),
+        Seq(col("priority").desc, col("doc_id")), wsK, "rk")
+      .select(col("source"), col("rk"), col("doc_id"), col("priority"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val q123_weighted_sample_sql: String = {
+    val nTok = s"CAST(len(${TA.tokensSql}) AS BIGINT)"
+    val stopN = TA.stopCountSql(TA.tokensSql, TA.stopEn)
+    val ratio = s"CAST($stopN AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE)"
+    val qual = s"least(1.0, CAST($nTok AS DOUBLE) / 100.0) * (1.0 - $ratio)"
+    val h = graft.functions.Determinism.hash60Sql("'ws:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id, source, greatest($qual, 0.001) AS w, ($h >> 8) AS h52
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(CAST(ln(CAST(h52 + 1 AS DOUBLE) / 4503599627370496.0)
+       |      AS DECIMAL(18,6)) AS DOUBLE) / w AS priority
+       |  FROM base),
+       |ranked AS (
+       |  SELECT source, doc_id, priority,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, priority
+       |FROM ranked WHERE rk <= $wsK ORDER BY source, rk""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_weighted_sample" -> (q123_weighted_sample _),
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
     "q65_corpus_pipeline" -> (q65_corpus_pipeline _),
@@ -2461,6 +2531,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q123_weighted_sample" -> q123_weighted_sample_sql,
     "q59_heavy_hitters" -> q59_heavy_hitters_sql,
     "q65_corpus_pipeline" -> q65_corpus_pipeline_sql,
     "q66_diversity" -> q66_diversity_sql,

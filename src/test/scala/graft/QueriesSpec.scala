@@ -611,4 +611,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
       s"no pushdown in plan:\n$plan")
   }
+
+  test("q123 weighted sample oversamples quality and is k-bounded per source") {
+    import org.apache.spark.sql.functions._
+    val ta = graft.operators.TextAnalysis
+    val toks = ta.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val ratio = ta.stopCount(toks, ta.stopEn).cast("double") /
+      greatest(nTok, lit(1L)).cast("double")
+    val qual = least(lit(1.0), nTok.cast("double") / 100.0) * (lit(1.0) - ratio)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), qual.as("q"))
+    val corpusMean = scored.agg(avg(col("q"))).collect()(0).getDouble(0)
+    val sel = SparkEntry.queries("q123_weighted_sample")(spark, dir)
+    val perSource = sel.groupBy(col("source")).count().collect()
+    assert(perSource.forall(_.getLong(1) <= 20L), "per-source k exceeded")
+    val selMean = sel.join(scored, Seq("doc_id", "source"))
+      .agg(avg(col("q"))).collect()(0).getDouble(0)
+    // the whole point of weighting: the kept subsample is biased
+    // toward quality (deterministic on the fixed corpus)
+    assert(selMean > corpusMean,
+      s"weighted sample mean quality $selMean not above corpus mean $corpusMean")
+  }
 }
