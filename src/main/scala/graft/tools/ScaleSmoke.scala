@@ -174,7 +174,12 @@ object ScaleSmoke {
       // replicate the GRAPH N times — components don't merge, so
       // triangles scale exactly ×N), compaction's partial-max keeps
       // one candidate row per (task, key)
-      "q117_exact_quantiles", "q118_triangles", "q121_latest_snapshot")
+      "q117_exact_quantiles", "q118_triangles", "q121_latest_snapshot",
+      // round 9: motif reuse over the source graph (edge frame stays
+      // label-bounded under ×N — replication adds windows, not
+      // sources) and weighted sampling (k per source fixed, so the
+      // two-pass rank's survivor frame is ×N-invariant)
+      "q122_source_triangles", "q123_weighted_sample")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
