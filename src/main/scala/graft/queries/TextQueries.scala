@@ -421,12 +421,17 @@ object TextQueries {
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "SimHash block"))
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("doc_id").as("a_id"), y.getField("doc_id").as("b_id"),
-            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash"))).as("hamming")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"), col("p.hamming").cast("long").as("hamming"))
+          y => struct(x.getField("doc_id").as("a_id"), x.getField("simhash").as("ha"),
+            y.getField("doc_id").as("b_id"), y.getField("simhash").as("hb")))))).as("p"))
+      // hamming in a codegen'd projection AFTER the explode (not
+      // inside the interpreted lambda), and the ≤ 4 filter BEFORE the
+      // distinct — the dedup shuffle carries only true near-dup pairs
+      // (dozens), not every block collision (~800k on templated text)
+      .select(col("p.a_id"), col("p.b_id"),
+        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 4)
       .distinct()
-    pairs.filter(col("hamming") <= 4)
-      .orderBy(col("a_id"), col("b_id"))
+    pairs.orderBy(col("a_id"), col("b_id"))
   }
 
   val q48_simhash_pairs_sql: String =
