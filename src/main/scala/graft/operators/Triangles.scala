@@ -72,7 +72,13 @@ object Triangles {
     * to re-plan.
     */
   def triangles(edges: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val ed = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // the edge frame feeds the degree agg (twice) and the oriented
+    // frame below; the oriented frame feeds BOTH wedge arms and the
+    // closing join — persist both so an expensive upstream edge
+    // pipeline (e.g. a co-occurrence build) runs once, not once per
+    // self-join arm (both frames are edge-count-sized; callers'
+    // clearCache discipline bounds residency)
+    val ed = edges.select(col(aCol).as("a"), col(bCol).as("b")).persist()
     val deg = ed.select(col("a").as("node"))
       .union(ed.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -85,6 +91,7 @@ object Triangles {
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a")).otherwise(col("b")).as("u"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b")).otherwise(col("a")).as("v"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db")).otherwise(col("da")).as("dv"))
+      .persist()
     e.as("e1").join(e.as("e2"),
         col("e1.u") === col("e2.u") &&
           struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
