@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.{Sessions, Tables}
 
 /** Scratch investigator (not part of the gate; edited ad-hoc per
-  * investigation). Currently: q118 stage timing.
+  * investigation). Currently: pair-expansion formulations.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -17,14 +17,34 @@ object Probe {
     }
     val gm = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
-    time("gm-scan")(gm.count())
     val sets = gm.groupBy(col("o")).agg(sort_array(collect_set(col("s"))).as("ms"))
-    time("collect_set")(sets.count())
-    val edges = graft.operators.Triangles.cooccurrenceEdges(gm, "o", "s", minSupport = 5)
-    time("edges")(edges.count())
-    val tri = graft.operators.Triangles.triangles(edges)
-    time("triangles")(tri.count())
-    time("q118-full")(graft.SparkEntry.queries("q118_triangles")(spark, dir).count())
+      .filter(size(col("ms")) > 1)
+    // formulation A: interpreted nested-lambda in-order pairs
+    time("lambda-pairs")(sets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .groupBy(col("p.x"), col("p.y")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5).count())
+    // formulation B: codegen'd double explode + filter
+    time("explode2-pairs")(sets
+      .select(col("ms"), explode(col("ms")).as("x"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5).count())
+    time("lambda-pairs-2")(sets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .groupBy(col("p.x"), col("p.y")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5).count())
+    time("explode2-pairs-2")(sets
+      .select(col("ms"), explode(col("ms")).as("x"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5).count())
     spark.stop()
   }
 }
