@@ -416,19 +416,19 @@ object TextQueries {
       .withColumn("bval", expr("(simhash >> (12 * j)) & 4095"))
     val pairs = blocks
       .groupBy(col("j"), col("bval"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "SimHash block"))
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("doc_id").as("a_id"), x.getField("simhash").as("ha"),
-            y.getField("doc_id").as("b_id"), y.getField("simhash").as("hb")))))).as("p"))
-      // hamming in a codegen'd projection AFTER the explode (not
-      // inside the interpreted lambda), and the ≤ 4 filter BEFORE the
-      // distinct — the dedup shuffle carries only true near-dup pairs
-      // (dozens), not every block collision (~800k on templated text)
-      .select(col("p.a_id"), col("p.b_id"),
-        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).cast("long").as("hamming"))
+      // pairs via the codegen'd double explode (the r9 expansion
+      // idiom — no interpreted lambda), hamming in a codegen'd
+      // projection, and the ≤ 4 filter BEFORE the distinct — the
+      // dedup shuffle carries only true near-dup pairs (dozens),
+      // not every block collision (~800k on templated text)
+      .select(col("ms"), explode(col("ms")).as("pa"))
+      .select(col("pa"), explode(col("ms")).as("pb"))
+      .filter(col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("a_id"), col("pb.doc_id").as("b_id"),
+        bit_count(col("pa.simhash").bitwiseXOR(col("pb.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 4)
       .distinct()
     pairs.orderBy(col("a_id"), col("b_id"))
@@ -1150,13 +1150,12 @@ object TextQueries {
         (floor(col("len") / 16) + col("off")).as("band"))
     val candReps = blocks
       .groupBy(col("j"), col("bval"), col("band"))
-      .agg(sort_array(collect_list(struct(col("rep_id"), col("simhash")))).as("ms"))
+      .agg(collect_list(col("rep_id")).as("ms"))
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "SimHash block"))
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("rep_id").as("ra"), y.getField("rep_id").as("rb")))))).as("p"))
-      .select(col("p.ra"), col("p.rb"))
+      .select(col("ms"), explode(col("ms")).as("ra"))
+      .select(col("ra"), explode(col("ms")).as("rb"))
+      .filter(col("ra") < col("rb"))
       .distinct()
     val rtxt = reps.select(col("rep_id"), col("cls"), col("text"))
     val verifiedReps = candReps
@@ -1175,12 +1174,12 @@ object TextQueries {
     val withinPairs = classes
       .select(col("cls"), col("doc_id"), length(col("text")).cast("long").as("len"))
       .groupBy(col("cls"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), min(col("len")).as("len"))
+      .agg(collect_list(col("doc_id")).as("ids"), min(col("len")).as("len"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"), col("len"))
-      .select(col("p.a_id"), col("p.b_id"), lit(0L).as("lev"), col("len").as("max_len"))
+      .select(col("ids"), col("len"), explode(col("ids")).as("a_id"))
+      .select(col("a_id"), col("len"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0L).as("lev"), col("len").as("max_len"))
     crossPairs.unionByName(withinPairs)
       .orderBy(col("a_id"), col("b_id"))
   }
