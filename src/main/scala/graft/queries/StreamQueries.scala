@@ -467,7 +467,40 @@ object StreamQueries {
       |    FROM events GROUP BY 1, 2) c) r
       |WHERE pos <= 5 ORDER BY bucket, pos""".stripMargin
 
+  /** q124 — STREAMING changelog compaction: the CDC "latest snapshot
+    * per key" upsert view maintained incrementally over the live
+    * event stream — q121's streaming twin (the pairing q108 ≡ q110
+    * established for the anomaly detector, now for compaction). The
+    * same single max(struct) aggregation runs as a streaming
+    * complete-mode agg: per micro-batch each task reduces its slice
+    * to one candidate row per key before the shuffle (the partial-agg
+    * property that made q121 the scale shape is exactly what makes
+    * the STREAMING state one row per key), and the state store holds
+    * the running maxima — not the changelog. Oracle: q121's batch
+    * SQL verbatim, so the gate proves stream ≡ batch row-for-row; a
+    * spec additionally asserts bit-equality against q121 itself.
+    */
+  def q124_stream_snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q124_mem_${runId.incrementAndGet()}"
+    val res = withStreamShuffle(spark) {
+      EventFlow(EventFlow.fromEvents(spark, dir).df
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            dec2(col("value")).as("v"))).as("m")))
+        .toMemory(spark, name, "complete")
+    }
+    res.select(col("user_id"),
+        col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event"),
+        col("m.event_type").as("last_type"),
+        col("m.v").cast("double").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q124_stream_snapshot_sql: String = AnalyticsQueries.q121_latest_snapshot_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_stream_snapshot" -> (q124_stream_snapshot _),
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
     "q109_stream_enrich" -> (q109_stream_enrich _),
     "q110_stream_anomaly" -> (q110_stream_anomaly _),
@@ -481,6 +514,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q124_stream_snapshot" -> q124_stream_snapshot_sql,
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
     "q109_stream_enrich" -> q109_stream_enrich_sql,
     "q110_stream_anomaly" -> q110_stream_anomaly_sql,

@@ -171,6 +171,12 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q124 streaming snapshot is bit-identical to the q121 batch compaction") {
+    val batch = AnalyticsQueries.q121_latest_snapshot(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q124_stream_snapshot(spark, dir).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("q121 snapshot: struct-max agg equals the window row_number form, and plans no Window") {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
     val viaWindow = Tables.events(spark, dir)
