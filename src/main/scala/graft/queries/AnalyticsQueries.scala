@@ -296,7 +296,63 @@ object AnalyticsQueries {
        |  JOIN e e3 ON e3.src_a = e1.src_a AND e3.src_b = e2.src_b
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** q125 — SCD2 history build: the other half of CDC. q121/q124
+    * compact a changelog to its LATEST snapshot; a warehouse dimension
+    * keeps the FULL history as type-2 validity intervals
+    * ([valid_from, valid_to) per (key, attribute-version), open-ended
+    * for the current row). Two sub-steps, both standard: change
+    * compression (drop updates that repeat the previous value — a
+    * CDC feed re-emits unchanged rows constantly) and interval
+    * stitching (valid_to = next change's valid_from).
+    *
+    * Scale/shape: ONE shuffle on the dimension key (user_id,
+    * event_type); the lag (compression) and lead (stitching) windows
+    * share that partitioning and ordering, and the filter between
+    * them preserves both, so Catalyst plans a single Exchange + a
+    * single Sort with two Window nodes over it — per-key history
+    * never leaves its partition. Ordering is (ts, event_id) so
+    * same-timestamp updates resolve deterministically in both
+    * engines. At 100 TB this is the canonical "windowed scan"
+    * plan: linear, partition-local after one shuffle, no joins.
+    */
+  def q125_scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        dec2(col("value")).as("v"), col("ts"), col("event_id"))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .filter(col("prev_v").isNull || col("v") =!= col("prev_v"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("v").cast("double").as("value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("event_type"), col("valid_from"))
+  }
+
+  val q125_scd2_sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v,
+      |    ts, event_id,
+      |    LAG(CAST(value AS DECIMAL(18,2))) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_v
+      |  FROM events),
+      |changes AS (
+      |  SELECT * FROM ordered WHERE prev_v IS NULL OR v <> prev_v),
+      |stitched AS (
+      |  SELECT user_id, event_type, v, ts,
+      |    LEAD(ts) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to
+      |  FROM changes)
+      |SELECT user_id, event_type, CAST(v AS DOUBLE) AS value,
+      |  ts AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+      |FROM stitched
+      |ORDER BY user_id, event_type, valid_from""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_scd2" -> (q125_scd2 _),
     "q117_exact_quantiles" -> (q117_exact_quantiles _),
     "q118_triangles" -> (q118_triangles _),
     "q119_profile" -> (q119_profile _),
@@ -306,6 +362,7 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q125_scd2" -> q125_scd2_sql,
     "q117_exact_quantiles" -> q117_exact_quantiles_sql,
     "q118_triangles" -> q118_triangles_sql,
     "q119_profile" -> q119_profile_sql,

@@ -699,7 +699,75 @@ object EventQueries {
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Finite-window EWMA weights for q126: w_j = 3^j * 4^(9-j) for
+    * recency j (0 = current row). α = 1/4 decay with the (1-α) = 3/4
+    * base picked because it is DYADIC: every weight is an exact
+    * int64, the weighted numerator stays an exact integer (≤ ~1e10,
+    * well under 2^53), and the final ewma is ONE IEEE division of two
+    * exactly-representable integers — bit-identical in any engine.
+    * Rendered into the oracle SQL from this same Seq so the two
+    * sides cannot drift.
+    */
+  private val ewmaWeights: Seq[Long] =
+    (0 to 9).map(j => math.pow(3, j).toLong * math.pow(4, 9 - j).toLong)
+
+  /** q126 — per-key EWMA (exponentially weighted moving average), the
+    * time-series smoother behind every monitoring dashboard (deva's
+    * stats pipes compute it as per-key Python state; ops.py
+    * accumulate). Finite 10-tap form: ewma_t = Σ_j w_j·x_{t-j} / Σ_j w_j
+    * over the taps that exist (self-normalizing at partition starts,
+    * so the first rows are plain decayed averages of what's there —
+    * no warm-up NULLs and no drifting bias term).
+    *
+    * Scale/shape: the taps are 10 `lag` expressions over ONE window
+    * spec — Catalyst plans a single Exchange(user_id) + Sort +
+    * WindowExec evaluating all 20 frame functions in one partition-
+    * local pass (no collect_list materialization, no higher-order
+    * lambda interpretation per element — the weighted sum is a
+    * codegen'd projection over the lag outputs). Integer-exact
+    * numerator/denominator (see [[ewmaWeights]]) make the result
+    * engine-portable without any decimal quantization of the output.
+    */
+  def q126_ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val num = ewmaWeights.zipWithIndex.map { case (wt, j) =>
+      coalesce(lag(col("cents"), j).over(w) * lit(wt), lit(0L))
+    }.reduce(_ + _)
+    val den = ewmaWeights.zipWithIndex.map { case (wt, j) =>
+      when(lag(col("cents"), j).over(w).isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    ev.withColumn("num", num).withColumn("den", den)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("num") / (col("den") * 100)).as("ewma"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q126_ewma_sql: String = {
+    val numTerms = ewmaWeights.zipWithIndex.map { case (wt, j) =>
+      s"COALESCE(LAG(cents, $j) OVER w * $wt, 0)"
+    }.mkString("\n      + ")
+    val denTerms = ewmaWeights.zipWithIndex.map { case (wt, j) =>
+      s"(CASE WHEN LAG(cents, $j) OVER w IS NOT NULL THEN $wt ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |t AS (
+       |  SELECT user_id, event_id, ts,
+       |    ($numTerms) AS num,
+       |    ($denTerms) AS den
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id, ts, num / (den * 100) AS ewma
+       |FROM t ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_ewma" -> (q126_ewma _),
     "q08_unique" -> (q08_unique _),
     "q115_sliding_distinct" -> (q115_sliding_distinct _),
     "q116_interarrival_hist" -> (q116_interarrival_hist _),
@@ -727,6 +795,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q126_ewma" -> q126_ewma_sql,
     "q08_unique" -> q08_unique_sql,
     "q115_sliding_distinct" -> q115_sliding_distinct_sql,
     "q116_interarrival_hist" -> q116_interarrival_hist_sql,
