@@ -2485,7 +2485,98 @@ object TextQueries {
        |FROM ranked WHERE rk <= $wsK ORDER BY source, rk""".stripMargin
   }
 
+  /** q127 — EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * ICDE'08): every document pair with 3-shingle-set Jaccard ≥ 0.5
+    * — the SAME similarity q45/q47 estimate through MinHash — with a
+    * NO-false-negative guarantee. The deterministic complement
+    * to the probabilistic MinHash-LSH path (q45/q47): LSH trades
+    * recall for speed; prefix filtering keeps exactness and prunes
+    * with two classic filters instead —
+    *   - length filter: J ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|)
+    *     (integer form at τ=1/2: 2·min ≥ max);
+    *   - prefix filter: order the universe by (df asc, token asc) —
+    *     rarest first — sort each set by that order, keep the first
+    *     s − ceil(τ·s) + 1 tokens (= s/2 + 1 at τ=1/2). If two sets
+    *     overlap in ≥ ceil(τ·max) elements, their prefixes MUST share
+    *     a token, so blocking on prefix tokens loses nothing.
+    *
+    * Scale/shape: df ordering avoids any global rank materialization
+    * (no partition-less window — the (df, token) STRUCT is the sort
+    * key directly); prefix tokens are each document's RAREST tokens,
+    * so block sizes are bounded by token df from below — the frequent
+    * tokens that would explode a naive token-join never enter a
+    * prefix. Blocks follow the q45 idiom: one groupBy(token) →
+    * member list, the loud cappedMembers guard, codegen'd double
+    * explode, THEN the length filter inside the expansion before
+    * distinct. Verification joins candidates back to the distinct
+    * token arrays and compares 2·|A∩B| ≥ |A|+|B|−|A∩B| in exact
+    * integers (no float threshold at the τ boundary).
+    *
+    * The oracle is the BRUTE-FORCE all-pairs join — so the gate
+    * mechanically proves the no-false-negative claim on this corpus,
+    * not just that both engines agree on one algorithm.
+    */
+  def q127_prefix_join(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), array_distinct(TA.shingles(col("tk"), 3)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .persist()
+    val ex = docs.select(col("doc_id"), explode(col("ts")).as("t"))
+    val dfc = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val prefixes = ex.join(dfc, "t")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
+      .select(col("doc_id"), size(col("st")).as("s"),
+        explode(transform(
+          slice(col("st"), lit(1), (size(col("st")) / 2).cast("int") + 1),
+          e => e.getField("t"))).as("t"))
+    val cand = prefixes
+      .groupBy(col("t"))
+      .agg(collect_list(struct(col("doc_id"), col("s"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "prefix token"))
+      .select(col("ms"), explode(col("ms")).as("a"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.s"), col("b.s")) * 2 >= greatest(col("a.s"), col("b.s")))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val out = cand
+      .join(docs.select(col("doc_id").as("a_id"), col("ts").as("ta")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("ts").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        (size(col("ta")) + size(col("tb"))
+          - size(array_intersect(col("ta"), col("tb")))).cast("long").as("uni"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+    out
+  }
+
+  val q127_prefix_join_sql: String =
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(${TA.shinglesSql("tk", 3)}) AS s
+       |  FROM tkt),
+       |nz AS (SELECT * FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    len(list_intersect(a.s, b.s)) AS inter,
+       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+       |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       |  CAST(uni AS BIGINT) AS uni,
+       |  CAST(inter AS DOUBLE) / uni AS jaccard
+       |FROM pairs WHERE inter * 2 >= uni
+       |ORDER BY a_id, b_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_prefix_join" -> (q127_prefix_join _),
     "q123_weighted_sample" -> (q123_weighted_sample _),
     "q40_token_count" -> (q40_token_count _),
     "q59_heavy_hitters" -> (q59_heavy_hitters _),
@@ -2536,6 +2627,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q123_weighted_sample" -> q123_weighted_sample_sql,
+    "q127_prefix_join" -> q127_prefix_join_sql,
     "q59_heavy_hitters" -> q59_heavy_hitters_sql,
     "q65_corpus_pipeline" -> q65_corpus_pipeline_sql,
     "q66_diversity" -> q66_diversity_sql,
