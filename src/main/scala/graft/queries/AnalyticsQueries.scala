@@ -351,7 +351,69 @@ object AnalyticsQueries {
       |FROM stitched
       |ORDER BY user_id, event_type, valid_from""".stripMargin
 
+  /** q128 — Z-order layout keys + zone-map bounds: Morton-interleave
+    * (user_id, value-cents) into one 32-bit key, split the key space
+    * into 64 equal ranges (the "files" a layout write would produce
+    * under repartitionByRange(z)), and report each range's row count
+    * and per-dimension min/max — exactly the zone-map metadata a
+    * parquet reader prunes with. The output IS the scale argument:
+    * every bucket's (x, y) bounding box is a small rectangle, so a
+    * selective predicate on EITHER dimension eliminates most buckets
+    * — multi-column scan pruning that a single-column sort cannot
+    * give (see [[graft.operators.ZOrder]]; ZOrderSpec quantifies the
+    * pruning ratio against a row-order layout).
+    *
+    * Scale/shape: the key is a codegen'd bit-arithmetic projection
+    * (no shuffle of its own); the bucket stats are one map-side-
+    * partial aggregation over 64 groups. Bucketing by fixed key
+    * ranges (z >> 26) rather than a range partitioner keeps the
+    * result sampling-free and deterministic in both engines.
+    */
+  def q128_zorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val base = Tables.events(spark, dir).select(
+      col("user_id").as("u"),
+      (dec2(col("value")) * 100).cast("long").as("c"))
+    // domain bounds as a 1-row broadcast scalar frame, so both
+    // dimensions stretch to the full 16-bit range at ANY scale factor
+    // (raw user_id spans 6 bits at sf0.01 — interleaving unstretched
+    // bits would leave the key dominated by one dimension)
+    val rng = base.agg(
+      min(col("u")).as("mnu"), max(col("u")).as("mxu"),
+      min(col("c")).as("mnc"), max(col("c")).as("mxc"))
+    val scaled = base.crossJoin(broadcast(rng)).select(
+      expr("((u - mnu) * 65536) div (mxu - mnu + 1)").as("x"),
+      expr("((c - mnc) * 65536) div (mxc - mnc + 1)").as("y"))
+    scaled.withColumn("z", ZOrder.interleave16(col("x"), col("y")))
+      .groupBy(shiftright(col("z"), 26).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("bucket"))
+  }
+
+  val q128_zorder_sql: String = {
+    import graft.operators.ZOrder
+    val z = ZOrder.interleave16Sql("x", "y")
+    s"""WITH d AS (
+       |  SELECT user_id AS u,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM events),
+       |rng AS (SELECT MIN(u) AS mnu, MAX(u) AS mxu,
+       |               MIN(c) AS mnc, MAX(c) AS mxc FROM d),
+       |s AS (
+       |  SELECT ((u - mnu) * 65536) // (mxu - mnu + 1) AS x,
+       |         ((c - mnc) * 65536) // (mxc - mnc + 1) AS y
+       |  FROM d CROSS JOIN rng),
+       |k AS (SELECT x, y, $z AS z FROM s)
+       |SELECT z >> 26 AS bucket, COUNT(*) AS n,
+       |  MIN(x) AS min_x, MAX(x) AS max_x,
+       |  MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_zorder" -> (q128_zorder _),
     "q125_scd2" -> (q125_scd2 _),
     "q117_exact_quantiles" -> (q117_exact_quantiles _),
     "q118_triangles" -> (q118_triangles _),
@@ -363,6 +425,7 @@ object AnalyticsQueries {
 
   def oracles: Map[String, String] = Map(
     "q125_scd2" -> q125_scd2_sql,
+    "q128_zorder" -> q128_zorder_sql,
     "q117_exact_quantiles" -> q117_exact_quantiles_sql,
     "q118_triangles" -> q118_triangles_sql,
     "q119_profile" -> q119_profile_sql,
