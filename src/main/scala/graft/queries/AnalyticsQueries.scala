@@ -412,7 +412,71 @@ object AnalyticsQueries {
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q129 — snapshot drift detection: the data-quality gate a
+    * recurring 100 TB ingest runs before promoting a new snapshot —
+    * compare per-segment volume, audience, and value statistics of
+    * the NEWER half of the data against the OLDER half and flag
+    * segments whose volume ratio leaves a band. (q119 profiles one
+    * snapshot; this diffs two. deva pipelines express it as two
+    * stats passes + a Python zip; here the halves are CONDITIONAL
+    * AGGREGATES in one corpus pass.)
+    *
+    * Scale/shape: the time midpoint is a 1-row scalar frame
+    * (broadcast), then ONE groupBy(event_type) with when()-guarded
+    * partial aggs computes both halves' profiles simultaneously — no
+    * self-join of two profile runs, no second scan. Exact-decimal
+    * means; the volume ratio is one IEEE division of exact longs.
+    */
+  def q129_profile_drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("user_id"),
+      unix_micros(col("ts")).as("us"), dec2(col("value")).as("v"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val old_ = col("us") < col("mid")
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(old_, 1)).as("n_old"),
+        count(when(!old_, 1)).as("n_new"),
+        count_distinct(when(old_, col("user_id"))).as("users_old"),
+        count_distinct(when(!old_, col("user_id"))).as("users_new"),
+        (sum(when(old_, col("v"))).cast("double") / count(when(old_, 1))).as("mean_old"),
+        (sum(when(!old_, col("v"))).cast("double") / count(when(!old_, 1))).as("mean_new"))
+      .select(col("event_type"), col("n_old"), col("n_new"),
+        (col("n_new").cast("double") / col("n_old")).as("volume_ratio"),
+        col("users_old"), col("users_new"),
+        col("mean_old"), col("mean_new"),
+        (col("n_new").cast("double") / col("n_old") < 0.8 ||
+          col("n_new").cast("double") / col("n_old") > 1.25).as("drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  val q129_profile_drift_sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, epoch_us(ts) AS us,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+      |prof AS (
+      |  SELECT event_type,
+      |    COUNT(CASE WHEN us < mid THEN 1 END) AS n_old,
+      |    COUNT(CASE WHEN us >= mid THEN 1 END) AS n_new,
+      |    COUNT(DISTINCT CASE WHEN us < mid THEN user_id END) AS users_old,
+      |    COUNT(DISTINCT CASE WHEN us >= mid THEN user_id END) AS users_new,
+      |    CAST(SUM(CASE WHEN us < mid THEN v END) AS DOUBLE)
+      |      / COUNT(CASE WHEN us < mid THEN 1 END) AS mean_old,
+      |    CAST(SUM(CASE WHEN us >= mid THEN v END) AS DOUBLE)
+      |      / COUNT(CASE WHEN us >= mid THEN 1 END) AS mean_new
+      |  FROM ev CROSS JOIN mid GROUP BY 1)
+      |SELECT event_type, n_old, n_new,
+      |  CAST(n_new AS DOUBLE) / n_old AS volume_ratio,
+      |  users_old, users_new, mean_old, mean_new,
+      |  (CAST(n_new AS DOUBLE) / n_old < 0.8
+      |    OR CAST(n_new AS DOUBLE) / n_old > 1.25) AS drifted
+      |FROM prof ORDER BY event_type""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_profile_drift" -> (q129_profile_drift _),
     "q128_zorder" -> (q128_zorder _),
     "q125_scd2" -> (q125_scd2 _),
     "q117_exact_quantiles" -> (q117_exact_quantiles _),
@@ -426,6 +490,7 @@ object AnalyticsQueries {
   def oracles: Map[String, String] = Map(
     "q125_scd2" -> q125_scd2_sql,
     "q128_zorder" -> q128_zorder_sql,
+    "q129_profile_drift" -> q129_profile_drift_sql,
     "q117_exact_quantiles" -> q117_exact_quantiles_sql,
     "q118_triangles" -> q118_triangles_sql,
     "q119_profile" -> q119_profile_sql,

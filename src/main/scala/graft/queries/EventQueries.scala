@@ -708,7 +708,7 @@ object EventQueries {
     * Rendered into the oracle SQL from this same Seq so the two
     * sides cannot drift.
     */
-  private val ewmaWeights: Seq[Long] =
+  val ewmaWeights: Seq[Long] =
     (0 to 9).map(j => math.pow(3, j).toLong * math.pow(4, 9 - j).toLong)
 
   /** q126 — per-key EWMA (exponentially weighted moving average), the

@@ -499,7 +499,66 @@ object StreamQueries {
 
   val q124_stream_snapshot_sql: String = AnalyticsQueries.q121_latest_snapshot_sql
 
+  /** q130 — STREAMING EWMA: q126's 10-tap decayed average maintained
+    * incrementally per key over the live stream — the third
+    * batch≡stream pairing (q108≡q110 anomaly, q121≡q124 compaction,
+    * now the smoother every monitoring dashboard plots). State per
+    * key is the last ≤10 cent values (O(1) — the tap window, never
+    * history); each arriving event appends, trims, and emits its
+    * smoothed value exactly once (append mode).
+    *
+    * Determinism: the state holds EXACT cent longs and the weights
+    * are the same exact int64 3^j·4^(9-j) taps as the batch query
+    * ([[EventQueries.ewmaWeights]] — shared constant, cannot drift),
+    * so the emitted ewma is the identical one IEEE division — the
+    * oracle is q126's SQL verbatim, proving stream ≡ batch
+    * row-for-row at the gate.
+    */
+  def q130_stream_ewma(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q130_mem_${runId.incrementAndGet()}"
+    val weights = EventQueries.ewmaWeights
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val smoothed = ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState[List[Long], (Long, Long, Timestamp, Double)](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (k: Long, it: Iterator[EvRow], state: org.apache.spark.sql.streaming.GroupState[List[Long]]) =>
+            var window = state.getOption.getOrElse(List.empty[Long])
+            val outs = it.toVector
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+              .map { e =>
+                window = (window :+ math.floor(e.value * 100 + 0.5).toLong).takeRight(10)
+                val len = window.length
+                var num = 0L; var den = 0L
+                var i = 0
+                while (i < len) {
+                  val w = weights(len - 1 - i) // recency of position i
+                  num += window(i) * w; den += w
+                  i += 1
+                }
+                (k, e.event_id, e.ts, num.toDouble / (den * 100).toDouble)
+              }
+            state.update(window)
+            outs.iterator
+        }
+      val q = smoothed.toDF("user_id", "event_id", "ts", "ewma")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Same oracle as the batch smoother — the point of the query. */
+  val q130_stream_ewma_sql: String = EventQueries.q126_ewma_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_stream_ewma" -> (q130_stream_ewma _),
     "q124_stream_snapshot" -> (q124_stream_snapshot _),
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
     "q109_stream_enrich" -> (q109_stream_enrich _),
@@ -514,6 +573,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q130_stream_ewma" -> q130_stream_ewma_sql,
     "q124_stream_snapshot" -> q124_stream_snapshot_sql,
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
     "q109_stream_enrich" -> q109_stream_enrich_sql,
