@@ -194,6 +194,86 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(phys.contains("partial_max"),
       s"no map-side partial max phase in:\n$phys")
   }
+  // ---- round-9 additions (q125–q130) --------------------------------
+
+  /** Shared brute-force event replay: (user, type, cents, ts_us, id)
+    * sorted the way every windowed query orders (ts, event_id).
+    */
+  private lazy val evReplay: Seq[(Long, String, Long, Long, Long)] =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(4) * 100 + 0.5).toLong, r.getLong(2), r.getLong(3)))
+
+  test("q125 SCD2 intervals equal a per-key compress-and-stitch replay") {
+    val want = evReplay.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((u, t), es) =>
+      val ordered = es.sortBy(e => (e._4, e._5))
+      // change compression
+      val changes = ordered.foldLeft(Vector.empty[(Long, Long)]) { (acc, e) =>
+        if (acc.nonEmpty && acc.last._1 == e._3) acc else acc :+ (e._3, e._4)
+      }
+      // interval stitching
+      changes.zipWithIndex.map { case ((cents, from), i) =>
+        val to = if (i + 1 < changes.length) Some(changes(i + 1)._2) else None
+        (u, t, cents.toDouble / 100.0, from, to, to.isEmpty)
+      }
+    }.sortBy(x => (x._1, x._2, x._4))
+    val got = AnalyticsQueriesSpecHelper.rows(
+      AnalyticsQueries.q125_scd2(spark, dir),
+      r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime * 1000 + r.getTimestamp(3).getNanos / 1000 % 1000,
+        Option(r.getTimestamp(4)).map(t => t.getTime * 1000 + t.getNanos / 1000 % 1000),
+        r.getBoolean(5)))
+    assert(got == want)
+  }
+
+  test("q126 EWMA equals a per-user integer-weight replay, bit-for-bit") {
+    val weights = EventQueries.ewmaWeights
+    val want = evReplay.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._4, e._5))
+      var window = List.empty[Long]
+      ordered.map { e =>
+        window = (window :+ e._3).takeRight(10)
+        var num = 0L; var den = 0L
+        window.zipWithIndex.foreach { case (c, i) =>
+          val w = weights(window.length - 1 - i); num += c * w; den += w
+        }
+        (u, e._5, e._4,
+          java.lang.Double.doubleToLongBits(num.toDouble / (den * 100).toDouble))
+      }
+    }.sortBy(x => (x._1, x._3, x._2))
+    val got = AnalyticsQueriesSpecHelper.rows(
+      EventQueries.q126_ewma(spark, dir),
+      r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+    assert(got == want)
+  }
+
+  test("q130 streaming EWMA is bit-identical to the q126 batch smoother") {
+    val batch = EventQueries.q126_ewma(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q130_stream_ewma(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q129 drift profile equals a two-pass replay, and halves partition the data") {
+    val rows = AnalyticsQueriesSpecHelper.rows(
+      AnalyticsQueries.q129_profile_drift(spark, dir),
+      r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val us = evReplay.map(_._4)
+    val mid = (us.min + us.max) / 2
+    val want = evReplay.groupBy(_._2).toSeq.map { case (t, es) =>
+      val (o, n) = es.partition(_._4 < mid)
+      (t, o.size.toLong, n.size.toLong,
+        o.map(_._1).distinct.size.toLong, n.map(_._1).distinct.size.toLong)
+    }.sortBy(_._1)
+    assert(rows == want)
+    assert(rows.map(r => r._2 + r._3).sum == evReplay.size)
+  }
 }
 
 /** Tiny collect helpers kept out of the test bodies. */

@@ -633,4 +633,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(selMean > corpusMean,
       s"weighted sample mean quality $selMean not above corpus mean $corpusMean")
   }
+
+  test("q127 prefix-filter join equals the brute-force all-pairs join (no false negatives)") {
+    import org.apache.spark.sql.functions._
+    // brute force in plain Scala over the SAME shingle definition
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect().toSeq
+      .map { r =>
+        val tk = r.getString(1).split(" ").filter(_.nonEmpty)
+        val sh = if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+                 else Set.empty[String]
+        (r.getLong(0), sh)
+      }.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size; uni = sa.size + sb.size - inter
+      if inter * 2 >= uni
+    } yield (a, b, inter.toLong, uni.toLong)).sortBy(p => (p._1, p._2))
+    val got = graft.queries.TextQueries.q127_prefix_join(spark, dir)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == want, s"prefix join diverges: got ${got.size}, want ${want.size}")
+  }
 }
