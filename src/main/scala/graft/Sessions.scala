@@ -20,6 +20,15 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesces post-shuffle partitions by BYTE size; this
+      // engine's text/graph kernels carry seconds of compute per MB
+      // (shingle explode, array_distinct, intersect verification), so
+      // the default 1 MB floor collapses those stages to 1–2 tasks at
+      // test SFs (measured: q127's shingle build 9 s single-task vs
+      // 0.4 s wide). A 64 KB floor keeps small-but-hot shuffles at the
+      // parallelism target; at production scale shuffle bytes dwarf
+      // any floor and this setting is inert.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

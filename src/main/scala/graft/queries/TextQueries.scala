@@ -2518,15 +2518,33 @@ object TextQueries {
     * not just that both engines agree on one algorithm.
     */
   def q127_prefix_join(spark: SparkSession, dir: String): DataFrame = {
+    // The repartition pins an EXPLICIT width: AQE's coalescer sizes
+    // stages by shuffle BYTES, and this frame is a few MB carrying
+    // seconds of per-row compute (shingle + distinct + cache write) —
+    // left to the byte heuristic it collapses to ONE task and
+    // serializes the whole build (measured 9 s single-task at sf0.1).
+    // A user-specified count is exempt from coalescing, so the build
+    // and every cache-partitioned consumer stays wide.
+    // No size(ts)>0 filter here, deliberately: Catalyst pushes that
+    // filter BELOW the repartition exchange, which drags the whole
+    // interpreted shingle pipeline onto the single-task scan stage
+    // (measured 4.7 s serial for a 0.6 MB file). Empty-shingle docs
+    // are harmless anyway — they emit no prefix rows, so they can
+    // never become candidates (the oracle keeps its len>0 guard only
+    // to protect the brute-force division).
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("tk"))
-      .repartition(col("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), array_distinct(TA.shingles(col("tk"), 3)).as("ts"))
-      .filter(size(col("ts")) > 0)
       .persist()
+    // materialize the cache ONCE before the main job: four consumers
+    // (df branch, prefix branch, two verify sides) otherwise race the
+    // cold cache and serialize on its per-partition locks — the q104
+    // sequential-pin lesson (PLANS.md round 9)
+    docs.count()
     val ex = docs.select(col("doc_id"), explode(col("ts")).as("t"))
     val dfc = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val prefixes = ex.join(dfc, "t")
+    val prefixes = ex.join(dfc.hint("shuffle_hash"), "t")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
       .select(col("doc_id"), size(col("st")).as("s"),
@@ -2544,18 +2562,25 @@ object TextQueries {
         least(col("a.s"), col("b.s")) * 2 >= greatest(col("a.s"), col("b.s")))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val out = cand
-      .join(docs.select(col("doc_id").as("a_id"), col("ts").as("ta")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("ts").as("tb")), "b_id")
+    // docs is the hinted build side: left to size estimates, AQE
+    // broadcasts the CANDIDATE side (two longs per row estimates
+    // smaller) and drags the whole prefix pipeline into a 2-thread
+    // broadcast build (measured 21 s); the cached docs frame is the
+    // side that is actually cheap to ship
+    cand
+      .join(broadcast(docs.select(col("doc_id").as("a_id"), col("ts").as("ta"))), "a_id")
+      .join(broadcast(docs.select(col("doc_id").as("b_id"), col("ts").as("tb"))), "b_id")
+      // intersect ONCE per pair; sa/sb carried as ints so the second
+      // projection never touches the arrays again
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
-        (size(col("ta")) + size(col("tb"))
-          - size(array_intersect(col("ta"), col("tb")))).cast("long").as("uni"))
+        size(col("ta")).as("sa"), size(col("tb")).as("sb"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("sa") + col("sb") - col("inter")).cast("long").as("uni"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
-    out
   }
 
   val q127_prefix_join_sql: String =
