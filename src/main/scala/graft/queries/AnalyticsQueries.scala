@@ -475,7 +475,80 @@ object AnalyticsQueries {
       |    OR CAST(n_new AS DOUBLE) / n_old > 1.25) AS drifted
       |FROM prof ORDER BY event_type""".stripMargin
 
+  /** q131 — per-group correlation + OLS regression from EXACT integer
+    * moments: for each (event_type, day), the Pearson correlation and
+    * the least-squares line of value-cents against hour-of-day — the
+    * "does the metric drift within the day, and how fast" fit every
+    * monitoring report quotes (deva pipelines run numpy over
+    * collected lists; here the five moments are one map-side-partial
+    * aggregation and the fit is closed-form arithmetic on them).
+    *
+    * Determinism: x = hour (≤23), y = cents — all five moments are
+    * exact int64 sums, and every n·Σxy − Σx·Σy style term is exact
+    * integer arithmetic; the ONLY float ops are the final casts,
+    * sqrts and divisions, each correctly-rounded IEEE from identical
+    * integers in both engines. Degenerate groups (n < 3 or zero
+    * variance) are filtered on integer conditions so no engine ever
+    * divides by zero.
+    *
+    * Scale/shape: one groupBy with five sum partials — the classic
+    * "moments, not data" reduction: the shuffle carries 5 longs per
+    * group whatever the corpus size. The (type, day) key keeps
+    * per-group n bounded by daily volume, which is what keeps the
+    * int64 moment bound (n·Σy² < 2^63) safe at ANY corpus size —
+    * grouping only by type would let n grow with the corpus.
+    */
+  def q131_daily_regression(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), to_date(col("ts")).as("day"),
+      hour(col("ts")).cast("long").as("x"),
+      (dec2(col("value")) * 100).cast("long").as("y"))
+    val m = ev.groupBy(col("event_type"), col("day")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    m.filter(col("n") >= 3 && vx > 0 && vy > 0)
+      .select(col("event_type"), col("day"), col("n"),
+        (cov.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("corr"),
+        (cov.cast("double") / vx.cast("double")).as("slope_cents_per_hour"),
+        ((col("sy").cast("double") - (cov.cast("double") / vx.cast("double"))
+          * col("sx").cast("double")) / col("n").cast("double")).as("intercept_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q131_daily_regression_sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(hour(ts) AS BIGINT) AS x,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, day, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT event_type, day, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour,
+      |  (CAST(sy AS DOUBLE)
+      |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept_cents
+      |FROM m
+      |WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |ORDER BY event_type, day""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_daily_regression" -> (q131_daily_regression _),
     "q129_profile_drift" -> (q129_profile_drift _),
     "q128_zorder" -> (q128_zorder _),
     "q125_scd2" -> (q125_scd2 _),
@@ -491,6 +564,7 @@ object AnalyticsQueries {
     "q125_scd2" -> q125_scd2_sql,
     "q128_zorder" -> q128_zorder_sql,
     "q129_profile_drift" -> q129_profile_drift_sql,
+    "q131_daily_regression" -> q131_daily_regression_sql,
     "q117_exact_quantiles" -> q117_exact_quantiles_sql,
     "q118_triangles" -> q118_triangles_sql,
     "q119_profile" -> q119_profile_sql,

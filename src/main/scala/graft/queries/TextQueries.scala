@@ -2536,48 +2536,95 @@ object TextQueries {
       .select(col("doc_id"), toks.as("tk"))
       .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), array_distinct(TA.shingles(col("tk"), 3)).as("ts"))
+    // EXACT-CLASS COLLAPSE (the q90 lesson, structural here): group
+    // docs with identical shingle SETS and run the join on one
+    // representative per class. Under heavy duplication — the normal
+    // state of a crawl corpus — every dup class of size m would
+    // otherwise multiply its blocks' memberships by m and the
+    // candidate expansion by m² (measured 93 s at the ×10 smoke
+    // before the collapse); class-level blocking keeps the join at
+    // distinct-content scale and only the OUTPUT expansion (which is
+    // inherently pair-sized) stays quadratic in class size. Class
+    // key = hash60 of the sorted set (the q43 exact-dedup key
+    // discipline); sz is surfaced as an AGGREGATE column so the
+    // empty-class filter cannot be pushed below the repartition (the
+    // pushed form re-evaluates the interpreted shingle pipeline on
+    // the single-task scan stage — measured 4.7 s serial).
+    val classes = docs
+      .select(col("doc_id"), col("ts"),
+        // separator "\n" cannot appear inside a shingle (tokens are
+        // space-split, shingles space-joined), so the key is the set,
+        // bijectively, up to hash60 collisions - which the exact gate
+        // would fail loudly (the q43 exact-dedup key discipline)
+        graft.functions.Determinism.hash60(
+          concat_ws("\n", array_sort(col("ts")))).as("ck"))
+      .groupBy(col("ck"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("ts")).as("ts"),
+        max(size(col("ts"))).as("sz"),
+        count(lit(1)).as("m"))
       .persist()
     // materialize the cache ONCE before the main job: four consumers
-    // (df branch, prefix branch, two verify sides) otherwise race the
-    // cold cache and serialize on its per-partition locks — the q104
-    // sequential-pin lesson (PLANS.md round 9)
-    docs.count()
-    val ex = docs.select(col("doc_id"), explode(col("ts")).as("t"))
+    // (df branch, prefix branch, verify, within-class expansion)
+    // otherwise race the cold cache and serialize on its
+    // per-partition locks — the q104 sequential-pin lesson
+    classes.count()
+    val reps = classes.select(col("rep"), col("ts"), col("sz"))
+    val ex = reps.select(col("rep"), explode(col("ts")).as("t"))
     val dfc = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val prefixes = ex.join(dfc.hint("shuffle_hash"), "t")
-      .groupBy(col("doc_id"))
+      .groupBy(col("rep"))
       .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
-      .select(col("doc_id"), size(col("st")).as("s"),
+      .select(col("rep"), size(col("st")).as("s"),
         explode(transform(
           slice(col("st"), lit(1), (size(col("st")) / 2).cast("int") + 1),
           e => e.getField("t"))).as("t"))
     val cand = prefixes
       .groupBy(col("t"))
-      .agg(collect_list(struct(col("doc_id"), col("s"))).as("ms"))
+      .agg(collect_list(struct(col("rep"), col("s"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "prefix token"))
       .select(col("ms"), explode(col("ms")).as("a"))
       .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id") &&
+      .filter(col("a.rep") < col("b.rep") &&
         least(col("a.s"), col("b.s")) * 2 >= greatest(col("a.s"), col("b.s")))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
       .distinct()
-    // docs is the hinted build side: left to size estimates, AQE
+    // classes is the hinted build side: left to size estimates, AQE
     // broadcasts the CANDIDATE side (two longs per row estimates
     // smaller) and drags the whole prefix pipeline into a 2-thread
-    // broadcast build (measured 21 s); the cached docs frame is the
-    // side that is actually cheap to ship
-    cand
-      .join(broadcast(docs.select(col("doc_id").as("a_id"), col("ts").as("ta"))), "a_id")
-      .join(broadcast(docs.select(col("doc_id").as("b_id"), col("ts").as("tb"))), "b_id")
-      // intersect ONCE per pair; sa/sb carried as ints so the second
-      // projection never touches the arrays again
-      .select(col("a_id"), col("b_id"),
+    // broadcast build (measured 21 s)
+    val crossPairs = cand
+      .join(broadcast(classes.select(col("rep").as("ra"),
+        col("ts").as("ta"), col("members").as("mem_a"))), "ra")
+      .join(broadcast(classes.select(col("rep").as("rb"),
+        col("ts").as("tb"), col("members").as("mem_b"))), "rb")
+      // intersect ONCE per class pair; sizes carried as ints so the
+      // second projection never touches the arrays again
+      .select(col("mem_a"), col("mem_b"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
         size(col("ta")).as("sa"), size(col("tb")).as("sb"))
-      .select(col("a_id"), col("b_id"), col("inter"),
+      .select(col("mem_a"), col("mem_b"), col("inter"),
         (col("sa") + col("sb") - col("inter")).cast("long").as("uni"))
       .filter(col("inter") * 2 >= col("uni"))
+      // expand the class pair to its member pairs — output-sized work
+      .select(explode(col("mem_a")).as("a"), col("mem_b"), col("inter"), col("uni"))
+      .select(col("a"), explode(col("mem_b")).as("b"), col("inter"), col("uni"))
+      .select(least(col("a"), col("b")).as("a_id"),
+        greatest(col("a"), col("b")).as("b_id"), col("inter"), col("uni"))
+    // within-class pairs are exact duplicates: jaccard 1 by
+    // construction (excluded for the empty class, which the brute
+    // force also excludes — 0/0 is no pair)
+    val withinPairs = classes
+      .filter(col("m") >= 2 && col("sz") > 0)
+      .select(col("members"), col("sz"))
+      .select(col("members"), explode(col("members")).as("a"), col("sz"))
+      .select(col("a"), explode(col("members")).as("b"), col("sz"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        col("sz").cast("long").as("inter"), col("sz").cast("long").as("uni"))
+    crossPairs.unionByName(withinPairs)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))

@@ -2,55 +2,47 @@ package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
-import graft.{Sessions, Tables}
-import graft.operators.{TextAnalysis => TA}
+import graft.{Sessions, SparkEntry}
 
 /** Scratch investigator (not part of the gate; edited ad-hoc per
-  * investigation). Currently: where the q127 docs cache-build time
-  * goes — tokenize below vs above the repartition exchange.
+  * investigation). Currently: sweep the heavy gate queries for
+  * serialized stages (tasks ≤ 2 with non-trivial wall time) — the
+  * AQE byte-coalescing failure mode found in q127.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = Seq("q118_triangles", "q97_pagerank_step", "q103_stream_drift",
+      "q107_bigram_perplexity", "q105_tfidf_pairs", "q122_source_triangles",
+      "q90_edit_pairs", "q65_corpus_pipeline", "q45_minhash_lsh_pairs",
+      "q54_dedup_clusters", "q104_pmi_collocations", "q57_traverse")
     val spark = Sessions.local(cores = 32, shufflePartitions = 32)
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Int, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
         stages += ((si.stageId, wall, si.taskMetrics.executorRunTime, si.numTasks,
-          si.rddInfos.map(r => r.scope.map(_.name).getOrElse("?")).distinct.mkString(",")))
+          si.rddInfos.map(r => r.scope.map(_.name).getOrElse("?")).distinct.mkString(",").take(70)))
       }
     })
-    def run(tag: String)(df: => DataFrame): Unit = {
-      (1 to 2).foreach { i =>
-        stages.clear()
-        val t0 = System.nanoTime()
-        val d = df.persist()
-        val n = d.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300)
-        println(f"[probe] $tag rep$i: $sec%.2f s ($n rows)")
-        stages.sortBy(-_._2).take(3).foreach { case (id, wall, run, tasks, scopes) =>
-          println(f"[probe]    stage $id%3d wall=${wall / 1e3}%5.2f taskSum=${run / 1e3}%6.2f tasks=$tasks%3d $scopes")
-        }
-        d.unpersist(true)
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try fn(spark, dir).count() catch { case e: Throwable => println(s"[probe] $name warmup failed: $e") }
+      spark.catalog.clearCache()
+      stages.clear()
+      val t0 = System.nanoTime()
+      try fn(spark, dir).count() catch { case _: Throwable => }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      Thread.sleep(300)
+      val serial = stages.filter(s => s._4 <= 2 && s._2 > 500).sortBy(-_._2)
+      println(f"[probe] $name%-24s ${sec}%6.2f s; serial stages: ${serial.size}")
+      serial.take(4).foreach { case (id, wall, run, tasks, scopes) =>
+        println(f"[probe]    stage $id%4d wall=${wall / 1e3}%5.2f tasks=$tasks%2d $scopes")
       }
     }
-    val np = spark.sessionState.conf.numShufflePartitions
-    run("tok-below-exchange")(Tables.documents(spark, dir)
-      .select(col("doc_id"), TA.tokens(col("text")).as("tk"))
-      .repartition(np, col("doc_id"))
-      .select(col("doc_id"), array_distinct(TA.shingles(col("tk"), 3)).as("ts"))
-      .filter(size(col("ts")) > 0))
-    run("text-below-exchange")(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(np, col("doc_id"))
-      .select(col("doc_id"), TA.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), array_distinct(TA.shingles(col("tk"), 3)).as("ts"))
-      .filter(size(col("ts")) > 0))
     spark.stop()
   }
 }

@@ -179,7 +179,16 @@ object ScaleSmoke {
       // label-bounded under ×N — replication adds windows, not
       // sources) and weighted sampling (k per source fixed, so the
       // two-pass rank's survivor frame is ×N-invariant)
-      "q122_source_triangles", "q123_weighted_sample")
+      "q122_source_triangles", "q123_weighted_sample",
+      // round 9b: SCD2 (per-key history 10× longer — the shared
+      // window exchange is the only shuffle), EWMA (O(taps) per row
+      // whatever N), prefix join (×N duplication multiplies every
+      // block's membership by N — the quadratic-in-dup-class term the
+      // capped guard watches), Z-order (pure projection + 64-group
+      // agg), drift (one pass, conditional partials), regression
+      // (moments-not-data: 5 longs per (type, day) group)
+      "q125_scd2", "q126_ewma", "q127_prefix_join", "q128_zorder",
+      "q129_profile_drift", "q131_daily_regression")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
