@@ -402,6 +402,198 @@ object Multimodal {
     }
   }
 
+  // ---- image perceptual hashing (near-dup detection) ---------------
+
+  /** 64-bit perceptual hash (the classic pHash construction): decode
+    * → area-average to 32×32 luminance → 2-D DCT-II → keep the 8×8
+    * low-frequency block → bit i set iff coefficient i exceeds the
+    * median of the 63 non-DC coefficients. Robust to re-encoding,
+    * mild noise and resizing (those perturb high frequencies, which
+    * the 8×8 block discards), while structurally different images
+    * land far apart in Hamming distance — the image analogue of
+    * SimHash for text (q46/q48), enabling image DEDUP on a crawl
+    * corpus where exact byte hashing catches only identical files.
+    * Pure JDK (javax.imageio + own DCT) — zero added dependencies.
+    */
+  def phashBits(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val w = img.getWidth; val h = img.getHeight
+    val g = Array.ofDim[Double](N, N)
+    var by = 0
+    while (by < N) {
+      var bx = 0
+      while (bx < N) {
+        val x0 = bx * w / N; val x1 = math.max((bx + 1) * w / N, x0 + 1)
+        val y0 = by * h / N; val y1 = math.max((by + 1) * h / N, y0 + 1)
+        var s = 0.0; var c = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) * 0.299 + ((rgb >> 8) & 0xff) * 0.587 +
+              (rgb & 0xff) * 0.114
+            c += 1; x += 1
+          }
+          y += 1
+        }
+        g(by)(bx) = if (c == 0) 0.0 else s / c
+        bx += 1
+      }
+      by += 1
+    }
+    // 2-D DCT-II of the 32×32 block, low 8×8 corner only; cos tables
+    // hoisted (8 × 32 entries)
+    val cosT = Array.tabulate(8, N)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2 * N)))
+    val dct = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < N) {
+          var x = 0
+          val cy = cosT(v)(y)
+          while (x < N) { s += g(y)(x) * cosT(u)(x) * cy; x += 1 }
+          y += 1
+        }
+        dct(v)(u) = s
+        v += 1
+      }
+      u += 1
+    }
+    val flat = Array.tabulate(64)(i => dct(i / 8)(i % 8))
+    val nonDc = flat.drop(1).sorted
+    val med = nonDc(31) // median of the 63 non-DC coefficients
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (flat(i) > med) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  case class ImageHash(media_id: Long, phash: Long)
+
+  /** Per-partition pHash extraction — same streaming kernel shape as
+    * [[decodeImages]]; a corrupt payload fails loudly.
+    */
+  def phashImages(ds: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+        require(img != null, s"media ${r.media_id}: payload is not a decodable image")
+        ImageHash(r.media_id, phashBits(img))
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs with Hamming(phash) ≤ maxDist, via
+    * the SimHash pigeonhole (q48's shape on the image domain): split
+    * the 64-bit hash into maxDist+1 bands — any pair within maxDist
+    * agrees exactly on ≥1 band — block on (band, key), expand
+    * in-block pairs with the codegen'd double explode, verify with
+    * the native bit_count(a XOR b). Block sizes are bounded by
+    * per-band collisions, never corpus size; the cap guard turns a
+    * pathological band into a loud error.
+    */
+  def nearDupImages(hashes: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val bands = maxDist + 1
+    val width = 64 / bands
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }
+    hashes
+      .select(col("media_id"), col("phash"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .groupBy(col("bk"))
+      .agg(collect_list(struct(col("media_id"), col("phash"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .withColumn("ms", Dedup.cappedMembers(col("ms"), maxBucket, "phash band"))
+      .select(col("ms"), explode(col("ms")).as("a"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** Deterministic corpus with PLANTED image near-dups: `nBase`
+    * structurally distinct sinusoid-pattern images (pattern frequency
+    * keyed by id), each followed by `dupsPerBase` re-encodes with a
+    * few lightly perturbed pixels — close in pHash space but not
+    * byte-identical. ids: base b = b*(dupsPerBase+1), its dups follow.
+    */
+  def phashCorpus(spark: SparkSession, nBase: Int, dupsPerBase: Int,
+      w: Int = 64, h: Int = 64): Dataset[MediaRow] = {
+    import spark.implicits._
+    val group = dupsPerBase + 1
+    spark.range(nBase.toLong * group).as[Long].map { id =>
+      val base = id / group
+      val variant = (id % group).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // compose the image directly in the DCT low-frequency basis
+      // with ±-signed per-(base,u,v) coefficients: every coefficient
+      // the hash thresholds sits FAR from the median, so the planted
+      // structure is stable under pixel noise (a smooth gradient
+      // image would leave most coefficients at ~0 = the median, and
+      // its hash bits would be coin flips)
+      def sign(u: Int, v: Int): Double = {
+        var z = base * 0x9E3779B97F4A7C15L + u * 0xC2B2AE3D27D4EB4FL + v * 0x165667B19E3779F9L
+        z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+        if ((z & 1L) == 0L) 1.0 else -1.0
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              if (u + v > 0)
+                // distinct magnitude per (u,v): coefficients must not
+                // cluster at one value, or the 63-coefficient median
+                // lands ON a cluster and its bits become noise flips
+                s += sign(u, v) * (1.0 + (u * 8 + v) / 4.0) *
+                  math.cos(math.Pi * u * (x + 0.5) / w) *
+                  math.cos(math.Pi * v * (y + 0.5) / h)
+              v += 1
+            }
+            u += 1
+          }
+          val lum = (128 + s * 10).toInt.max(0).min(255)
+          img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+          x += 1
+        }
+        y += 1
+      }
+      if (variant > 0) {
+        // perturb a handful of pixels deterministically — high-
+        // frequency noise the DCT low block barely sees
+        var k = 0
+        while (k < 8) {
+          val px = ((base * 31 + variant * 17 + k * 13) % w).toInt.abs
+          val py = ((base * 19 + variant * 23 + k * 29) % h).toInt.abs
+          val old = img.getRGB(px, py) & 0xff
+          val nl = (old + 40).min(255)
+          img.setRGB(px, py, (nl << 16) | (nl << 8) | nl)
+          k += 1
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, MediaMeta("image", w, h, 0, 0L), bos.toByteArray)
+    }
+  }
+
   /** Frame sampling stub: split the payload into n equal "frames"
     * (real impl: keyframe extraction) — pure binary-substring
     * expressions, no UDF, so it stays inside codegen.

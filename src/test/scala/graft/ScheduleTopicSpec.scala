@@ -223,6 +223,37 @@ class ScheduleTopicSpec extends AnyFunSuite {
     assert(feats.map(_.mean_lum).toSeq == again.map(_.mean_lum).toSeq)
   }
 
+  test("Multimodal.phash: re-encodes collide, light noise stays near, distinct images far; banded pairs = brute force") {
+    val corpus = Multimodal.phashCorpus(spark, nBase = 10, dupsPerBase = 2)
+    val hashes = Multimodal.phashImages(corpus).collect().sortBy(_.media_id)
+    assert(hashes.length == 30)
+    val byId = hashes.map(h => h.media_id -> h.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // determinism: a second decode pass produces identical hashes
+    val again = Multimodal.phashImages(corpus).collect().sortBy(_.media_id)
+    assert(hashes.map(_.phash).toSeq == again.map(_.phash).toSeq)
+    // planted near-dups land within the band threshold of their base
+    for (base <- 0 until 10; v <- 1 to 2) {
+      val d = ham(byId(base * 3L), byId(base * 3L + v))
+      assert(d <= 3, s"dup $v of base $base drifted to hamming $d")
+    }
+    // structurally distinct bases stay far apart
+    for (a <- 0 until 10; b <- (a + 1) until 10) {
+      val d = ham(byId(a * 3L), byId(b * 3L))
+      assert(d > 6, s"bases $a,$b unexpectedly close: hamming $d")
+    }
+    // the banded pipeline finds exactly the brute-force ≤3 pairs
+    val got = Multimodal.nearDupImages(
+      Multimodal.phashImages(corpus).toDF(), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      a <- hashes; b <- hashes if a.media_id < b.media_id
+      d = ham(a.phash, b.phash) if d <= 3
+    } yield (a.media_id, b.media_id, d)).toSet
+    assert(got == want, s"banded ${got.size} vs brute ${want.size}")
+    assert(want.size >= 20, s"expected the 20 planted pairs, found ${want.size}")
+  }
+
   test("IncrementalDedup: ticks admit each distinct content exactly once, forever") {
     import spark.implicits._
     import graft.sources.KvStore
