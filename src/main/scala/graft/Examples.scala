@@ -232,6 +232,32 @@ object Examples {
       .toDF.orderBy(col("r_regionkey").desc).limit(3).show(truncate = false)
     regions.indexOf(col("r_name") === "ASIA", Seq(col("r_name"))).toDF.show()
 
+    // CDC both ways: full SCD2 history (q125) vs latest snapshot (q121)
+    println("== SCD2 history: one key's validity intervals ==")
+    SparkEntry.queries("q125_scd2")(spark, dir)
+      .filter(col("user_id") === 1 && col("event_type") === "click")
+      .limit(5).show(truncate = false)
+
+    // time-series smoothing, exact cross-engine (dyadic weights)
+    println("== EWMA (first rows of one user) ==")
+    SparkEntry.queries("q126_ewma")(spark, dir)
+      .filter(col("user_id") === 1).limit(5).show(truncate = false)
+
+    // exact similarity join: provable recall (vs LSH's probabilistic)
+    println("== prefix-filter exact Jaccard pairs ==")
+    SparkEntry.queries("q127_prefix_join")(spark, dir).limit(5).show()
+
+    // multi-dimension layout: Z-order keys give every bucket a tight
+    // bbox on BOTH dimensions — the zone-map pruning story
+    println("== Z-order bucket zone maps ==")
+    SparkEntry.queries("q128_zorder")(spark, dir).limit(5).show()
+
+    // image near-dup: perceptual hash + banded Hamming pairs
+    println("== image pHash near-dups (planted corpus) ==")
+    val imgs = graft.operators.Multimodal.phashCorpus(spark, nBase = 4, dupsPerBase = 1)
+    graft.operators.Multimodal.nearDupImages(
+      graft.operators.Multimodal.phashImages(imgs).toDF()).show()
+
     spark.stop()
   }
 }
