@@ -766,7 +766,65 @@ object EventQueries {
        |FROM t ORDER BY user_id, ts, event_id""".stripMargin
   }
 
+  /** q132 — session path analysis: the top event-type TRIGRAM paths
+    * across 30-minute-gap sessions — "what do users actually do, in
+    * order" (the product-analytics path report; deva expresses it as
+    * partition → accumulate per-key sequence state). Composes q34's
+    * sessionization with the shingling kernel the text stack already
+    * owns: a session's event-type sequence is just a token array, so
+    * a path n-gram IS [[TA.shingles]] over it — one operator, two
+    * domains (words and behavior).
+    *
+    * Scale/shape: sessionize = q34's two windows over ONE (user)
+    * exchange; per-session sequences come from a sort_array'd
+    * collect_list (session-bounded arrays, never corpus-bounded);
+    * the path count frame is label³-bounded (event-type vocabulary
+    * cubed) whatever the corpus size, and the final top-20 is a
+    * TakeOrderedAndProject with a total-order tie-break (n desc,
+    * path) — no global sort.
+    */
+  def q132_top_paths(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wSeq))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
+      .select(explode(graft.operators.TextAnalysis.shingles(col("types"), 3)).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+  }
+
+  val q132_top_paths_sql: String = {
+    val tri = graft.operators.TextAnalysis.shinglesSql("types", 3)
+    s"""WITH s AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM (
+       |    SELECT *, CASE WHEN prev_ts IS NULL
+       |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+       |    FROM (SELECT user_id, ts, event_id, event_type,
+       |            lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |          FROM events))),
+       |seq AS (
+       |  SELECT user_id, session_id,
+       |    list(event_type ORDER BY ts, event_id) AS types
+       |  FROM s GROUP BY 1, 2),
+       |paths AS (SELECT unnest($tri) AS path FROM seq)
+       |SELECT path, COUNT(*) AS n FROM paths
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_top_paths" -> (q132_top_paths _),
     "q126_ewma" -> (q126_ewma _),
     "q08_unique" -> (q08_unique _),
     "q115_sliding_distinct" -> (q115_sliding_distinct _),
@@ -796,6 +854,7 @@ object EventQueries {
 
   def oracles: Map[String, String] = Map(
     "q126_ewma" -> q126_ewma_sql,
+    "q132_top_paths" -> q132_top_paths_sql,
     "q08_unique" -> q08_unique_sql,
     "q115_sliding_distinct" -> q115_sliding_distinct_sql,
     "q116_interarrival_hist" -> q116_interarrival_hist_sql,
