@@ -489,38 +489,179 @@ object Multimodal {
     }
   }
 
-  /** Near-duplicate image pairs with Hamming(phash) ≤ maxDist, via
-    * the SimHash pigeonhole (q48's shape on the image domain): split
-    * the 64-bit hash into maxDist+1 bands — any pair within maxDist
-    * agrees exactly on ≥1 band — block on (band, key), expand
-    * in-block pairs with the codegen'd double explode, verify with
-    * the native bit_count(a XOR b). Block sizes are bounded by
-    * per-band collisions, never corpus size; the cap guard turns a
-    * pathological band into a loud error.
+  /** Near-duplicate pairs among 64-bit perceptual hashes with
+    * Hamming ≤ maxDist, via the SimHash pigeonhole (q48's shape on
+    * the media domain): split the hash into maxDist+1 bands — any
+    * pair within maxDist agrees exactly on ≥1 band — block on
+    * (band, key), expand in-block pairs with the codegen'd double
+    * explode, verify with the native bit_count(a XOR b). Block sizes
+    * are bounded by per-band collisions, never corpus size; the cap
+    * guard turns a pathological band into a loud error. Shared by
+    * image pHash and audio fingerprints — the hash domain is
+    * incidental to the pairing machinery.
     */
-  def nearDupImages(hashes: DataFrame, maxDist: Int = 3,
+  def nearDupHashes(hashes: DataFrame, hashCol: String, maxDist: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
     val bands = maxDist + 1
     val width = 64 / bands
+    val hc = col(hashCol)
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("phash"), b * width)
+        shiftright(hc, b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("key"))
     }
     hashes
-      .select(col("media_id"), col("phash"),
+      .select(col("media_id"), hc.as("h"),
         explode(array(bandKeys: _*)).as("bk"))
       .groupBy(col("bk"))
-      .agg(collect_list(struct(col("media_id"), col("phash"))).as("ms"))
+      .agg(collect_list(struct(col("media_id"), col("h"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .withColumn("ms", Dedup.cappedMembers(col("ms"), maxBucket, "phash band"))
+      .withColumn("ms", Dedup.cappedMembers(col("ms"), maxBucket, s"$hashCol band"))
       .select(col("ms"), explode(col("ms")).as("a"))
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("dist"))
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+  }
+
+  /** Image-named convenience over [[nearDupHashes]]. */
+  def nearDupImages(hashes: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    nearDupHashes(hashes, "phash", maxDist, maxBucket)
+
+  // ---- audio fingerprinting (near-dup detection) -------------------
+
+  /** 64-bit spectral band-shape fingerprint (the Haitsma–Kalker
+    * family, per-frame form): 4 frames × 1024 samples; per frame,
+    * Goertzel energy at 17 log-spaced band centers; bit (f, b) set
+    * iff E[f][b] > E[f][b+1]. Ordering adjacent band energies (not
+    * their absolute values) makes the hash invariant to gain and
+    * robust to broadband noise, while different spectral shapes land
+    * far apart — the audio analogue of [[phashBits]]. Pure JVM, own
+    * Goertzel — no added dependencies.
+    */
+  def afingerprintBits(samples: Array[Double], sampleRate: Int): Long = {
+    val frameLen = 1024
+    val nFrames = 4
+    require(samples.length >= frameLen * nFrames,
+      s"need ${frameLen * nFrames} samples for a fingerprint, got ${samples.length}")
+    val bandHz = Array.tabulate(17)(b => 200.0 * math.pow(1.2, b))
+    def goertzel(off: Int, hz: Double): Double = {
+      val w = 2 * math.Pi * hz / sampleRate
+      val coeff = 2 * math.cos(w)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < frameLen) {
+        s0 = samples(off + i) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        i += 1
+      }
+      s1 * s1 + s2 * s2 - coeff * s1 * s2
+    }
+    var bits = 0L
+    var f = 0
+    while (f < nFrames) {
+      val off = f * frameLen
+      val e = bandHz.map(hz => goertzel(off, hz))
+      var b = 0
+      while (b < 16) {
+        if (e(b) > e(b + 1)) bits |= 1L << (f * 16 + b)
+        b += 1
+      }
+      f += 1
+    }
+    bits
+  }
+
+  case class AudioHash(media_id: Long, afp: Long)
+
+  /** Per-partition audio fingerprint extraction (WAV/PCM via
+    * javax.sound — same decode contract as [[decodeAudio]]).
+    */
+  def fingerprintAudio(ds: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.data))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"media ${r.media_id}: only 16-bit little-endian PCM supported")
+        val bytes = ais.readAllBytes()
+        val stride = 2 * fmt.getChannels
+        val n = bytes.length / stride
+        val samples = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(i * stride) & 0xff
+          val hi = bytes(i * stride + 1).toInt
+          samples(i) = ((hi << 8) | lo).toShort / 32768.0
+          i += 1
+        }
+        AudioHash(r.media_id, afingerprintBits(samples, fmt.getSampleRate.toInt))
+      }
+    }
+  }
+
+  /** Deterministic corpus with PLANTED audio near-dups: each base is
+    * a BROADBAND chord — one tone per analysis band with a per-base
+    * PERMUTATION of well-separated amplitudes, so every adjacent-band
+    * energy comparison the fingerprint makes is decisively ordered
+    * (the [[phashCorpus]] lesson: structure must sit far from the
+    * decision threshold or its bits are coin flips). Dups add
+    * deterministic white noise and a gain change — the perturbations
+    * the band-ORDER hash is designed to shrug off.
+    */
+  def audioFpCorpus(spark: SparkSession, nBase: Int, dupsPerBase: Int,
+      sampleRate: Int = 8000): Dataset[MediaRow] = {
+    import spark.implicits._
+    val group = dupsPerBase + 1
+    spark.range(nBase.toLong * group).as[Long].map { id =>
+      val base = id / group
+      val variant = (id % group).toInt
+      val nSamples = 5120 // 4 frames + slack
+      val bandHz = Array.tabulate(17)(b => 200.0 * math.pow(1.2, b))
+      def mix(k: Long): Long = {
+        var z = k * 0x9E3779B97F4A7C15L
+        z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+        z
+      }
+      // per-base permutation of amplitude ranks 0..16 (sort by hash)
+      val ranks = (0 until 17).sortBy(b => mix(base * 131 + b))
+      val amp = new Array[Double](17)
+      ranks.zipWithIndex.foreach { case (b, r) => amp(b) = 0.01 + 0.005 * r }
+      val gain = 1.0 + variant * 0.03
+      var noiseState = base * 7919 + variant
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        var s = 0.0
+        var b = 0
+        while (b < 17) {
+          s += amp(b) * math.sin(2 * math.Pi * bandHz(b) * i / sampleRate)
+          b += 1
+        }
+        if (variant > 0) {
+          noiseState = (noiseState * 6364136223846793005L + 1442695040888963407L)
+          s += ((noiseState >>> 33).toDouble / (1L << 31) - 0.5) * 0.004
+        }
+        val v = (s * gain * Short.MaxValue).toInt
+          .max(Short.MinValue.toInt).min(Short.MaxValue.toInt)
+        pcm(i * 2) = (v & 0xff).toByte
+        pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(id, MediaMeta("audio", 0, 0, sampleRate,
+        nSamples * 1000L / sampleRate), bos.toByteArray)
+    }
   }
 
   /** Deterministic corpus with PLANTED image near-dups: `nBase`

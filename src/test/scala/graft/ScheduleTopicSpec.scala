@@ -254,6 +254,31 @@ class ScheduleTopicSpec extends AnyFunSuite {
     assert(want.size >= 20, s"expected the 20 planted pairs, found ${want.size}")
   }
 
+  test("Multimodal.afingerprint: noise+gain stay near, distinct chords far; banded pairs = brute force") {
+    val corpus = Multimodal.audioFpCorpus(spark, nBase = 8, dupsPerBase = 2)
+    val hashes = Multimodal.fingerprintAudio(corpus).collect().sortBy(_.media_id)
+    assert(hashes.length == 24)
+    val byId = hashes.map(h => h.media_id -> h.afp).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (base <- 0 until 8; v <- 1 to 2) {
+      val d = ham(byId(base * 3L), byId(base * 3L + v))
+      assert(d <= 3, s"dup $v of base $base drifted to hamming $d")
+    }
+    for (a <- 0 until 8; b <- (a + 1) until 8) {
+      val d = ham(byId(a * 3L), byId(b * 3L))
+      assert(d > 6, s"bases $a,$b unexpectedly close: hamming $d")
+    }
+    val got = Multimodal.nearDupHashes(
+      Multimodal.fingerprintAudio(corpus).toDF(), "afp", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      a <- hashes; b <- hashes if a.media_id < b.media_id
+      d = ham(a.afp, b.afp) if d <= 3
+    } yield (a.media_id, b.media_id, d)).toSet
+    assert(got == want, s"banded ${got.size} vs brute ${want.size}")
+    assert(want.size >= 16, s"expected the 16+ planted pairs, found ${want.size}")
+  }
+
   test("IncrementalDedup: ticks admit each distinct content exactly once, forever") {
     import spark.implicits._
     import graft.sources.KvStore
