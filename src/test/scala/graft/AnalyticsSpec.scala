@@ -229,6 +229,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q125 plans ONE hash exchange: compression and stitching windows share it") {
+    val phys = AnalyticsQueries.q125_scd2(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(phys).size
+    assert(hashExchanges == 1,
+      s"expected the two windows to share one hash exchange, found $hashExchanges in:\n$phys")
+    assert("Window".r.findAllIn(phys).size >= 2, "both window phases must be present")
+  }
+
   test("q126 EWMA equals a per-user integer-weight replay, bit-for-bit") {
     val weights = EventQueries.ewmaWeights
     val want = evReplay.groupBy(_._1).toSeq.flatMap { case (u, es) =>
