@@ -188,7 +188,10 @@ object ScaleSmoke {
       // agg), drift (one pass, conditional partials), regression
       // (moments-not-data: 5 longs per (type, day) group)
       "q125_scd2", "q126_ewma", "q127_prefix_join", "q128_zorder",
-      "q129_profile_drift", "q131_daily_regression")
+      "q129_profile_drift", "q131_daily_regression",
+      // path analysis: sessions grow with ×N history; the path count
+      // frame stays label³-bounded
+      "q132_top_paths")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -67,6 +67,47 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zTouched <= 8, s"z layout should touch few files: $zTouched/64")
   }
 
+  test("z-sorted parquet ACTUALLY prunes on disk: a pushed 2-D box reads a fraction of the rows") {
+    // the zone-map claim measured at the I/O layer, not just on
+    // logical bounds: parquet keeps per-row-group min/max for every
+    // column, and Spark pushes comparison filters into the reader —
+    // so a z-SORTED layout (rows clustered in both dimensions) lets
+    // the reader skip most row groups on EITHER predicate, while the
+    // same filter over a row-order layout reads everything (each row
+    // group's min/max spans the whole domain).
+    val rnd = new scala.util.Random(7)
+    val n = 200000
+    val pts = Seq.fill(n)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    val df = pts.toDF("x", "y")
+      .select(col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+      .withColumn("z", ZOrder.interleave16(col("x"), col("y")))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // small row groups so the 200k-row dataset spans many of them
+    spark.conf.set("parquet.block.size", 64 * 1024)
+    df.repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+      .write.parquet(s"$base/zsorted")
+    df.repartition(8).write.parquet(s"$base/roworder")
+    def recordsRead(path: String): Long = {
+      val rec = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) rec.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        spark.read.parquet(path)
+          .filter(col("x").between(16384, 24575) && col("y").between(32768, 40959))
+          .count()
+        Thread.sleep(1000)
+      } finally spark.sparkContext.removeSparkListener(l)
+      rec.get
+    }
+    val zRead = recordsRead(s"$base/zsorted")
+    val rowRead = recordsRead(s"$base/roworder")
+    assert(rowRead >= n * 9L / 10, s"row-order layout should read ~all rows, read $rowRead/$n")
+    assert(zRead <= n / 4, s"z-sorted layout should skip most row groups, read $zRead/$n")
+  }
+
   test("q128 buckets tile the plane: every bucket bbox is a bounded fraction of it") {
     val rows = AnalyticsQueries.q128_zorder(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
