@@ -547,7 +547,76 @@ object AnalyticsQueries {
       |WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
       |ORDER BY event_type, day""".stripMargin
 
+  /** q133 — CUSUM changepoint detection per event_type: the classic
+    * level-shift detector (Page 1954) completing the monitoring kit
+    * (q108 point anomaly, q126 smoothing, q129 snapshot drift — this
+    * one catches SUSTAINED mean shifts a point detector misses).
+    *
+    * The scale insight: CUSUM is defined RECURSIVELY
+    * (S_t = max(0, S_{t-1} + d_t)) — per-row sequential state that
+    * looks unexpressible as a window aggregate. But it decomposes in
+    * closed form: S_t = cum_t − min(0, min_{j≤t} cum_j), the prefix
+    * sum minus the running prefix minimum — TWO frame functions over
+    * ONE shared (type) exchange and sort, instead of a sequential
+    * per-key loop (mapGroups would work but abandons codegen and
+    * whole-partition vectorization).
+    *
+    * Determinism: everything up to the final /100 display division
+    * is exact integer arithmetic — cents, a half-up integer mean
+    * (2·sum+n) div (2·n), slack and threshold in integer cents; the
+    * running extremes are integer min/max, so the shift flag cannot
+    * differ between engines.
+    */
+  def q133_cusum(spark: SparkSession, dir: String): DataFrame = {
+    val slackCents = 100L     // k: ignore drifts smaller than $1
+    val threshCents = 50000L  // h: alarm at $500 accumulated excess
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("event_id"), col("ts"),
+      (dec2(col("value")) * 100).cast("long").as("cents"))
+    val mu = ev.groupBy(col("event_type"))
+      .agg(expr("(2 * sum(cents) + count(1)) div (2 * count(1))").as("mu"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(broadcast(mu), "event_type")
+      .withColumn("d", col("cents") - col("mu") - lit(slackCents))
+      .withColumn("cs", sum(col("d")).over(cum))
+      .withColumn("s", col("cs") - least(lit(0L), min(col("cs")).over(cum)))
+      .select(col("event_type"), col("event_id"), col("ts"),
+        (col("s").cast("double") / 100.0).as("cusum_dollars"),
+        (col("s") > lit(threshCents)).as("shifted"))
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+  }
+
+  val q133_cusum_sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |mu AS (
+      |  SELECT event_type,
+      |    (2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS mu
+      |  FROM ev GROUP BY 1),
+      |d AS (
+      |  SELECT ev.event_type, event_id, ts, cents - mu - 100 AS d
+      |  FROM ev JOIN mu USING (event_type)),
+      |c1 AS (
+      |  SELECT event_type, event_id, ts, SUM(d) OVER w AS cs
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c2 AS (
+      |  SELECT event_type, event_id, ts, cs,
+      |    LEAST(0, MIN(cs) OVER w) AS floor_cs
+      |  FROM c1
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, event_id, ts,
+      |  CAST(cs - floor_cs AS DOUBLE) / 100.0 AS cusum_dollars,
+      |  (cs - floor_cs > 50000) AS shifted
+      |FROM c2 ORDER BY event_type, ts, event_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_cusum" -> (q133_cusum _),
     "q131_daily_regression" -> (q131_daily_regression _),
     "q129_profile_drift" -> (q129_profile_drift _),
     "q128_zorder" -> (q128_zorder _),
@@ -565,6 +634,7 @@ object AnalyticsQueries {
     "q128_zorder" -> q128_zorder_sql,
     "q129_profile_drift" -> q129_profile_drift_sql,
     "q131_daily_regression" -> q131_daily_regression_sql,
+    "q133_cusum" -> q133_cusum_sql,
     "q117_exact_quantiles" -> q117_exact_quantiles_sql,
     "q118_triangles" -> q118_triangles_sql,
     "q119_profile" -> q119_profile_sql,

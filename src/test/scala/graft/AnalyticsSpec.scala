@@ -269,6 +269,31 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q133 closed-form CUSUM equals the sequential max(0, S+d) recursion, bit-for-bit") {
+    // the query computes S_t = cum_t - min(0, running_min(cum)); this
+    // replay runs Page's literal recursion — equality proves the
+    // prefix-decomposition that makes CUSUM a window aggregate
+    val byType = evReplay.groupBy(_._2)
+    val mu = byType.map { case (t, es) =>
+      val sum = es.map(_._3).sum; val n = es.size
+      t -> (2 * sum + n) / (2 * n)
+    }
+    val want = byType.toSeq.flatMap { case (t, es) =>
+      var s = 0L
+      es.sortBy(e => (e._4, e._5)).map { e =>
+        val d = e._3 - mu(t) - 100L
+        s = math.max(0L, s + d)
+        (t, e._5, java.lang.Double.doubleToLongBits(s.toDouble / 100.0), s > 50000L)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = AnalyticsQueriesSpecHelper.rows(
+      AnalyticsQueries.q133_cusum(spark, dir),
+      r => (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getBoolean(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(got == want)
+  }
+
   test("q129 drift profile equals a two-pass replay, and halves partition the data") {
     val rows = AnalyticsQueriesSpecHelper.rows(
       AnalyticsQueries.q129_profile_drift(spark, dir),
