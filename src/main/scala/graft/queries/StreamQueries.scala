@@ -557,7 +557,63 @@ object StreamQueries {
   /** Same oracle as the batch smoother — the point of the query. */
   val q130_stream_ewma_sql: String = EventQueries.q126_ewma_sql
 
+  /** q134 — STREAMING CUSUM: q133's level-shift alarm maintained
+    * incrementally — the FOURTH batch≡stream pairing (anomaly,
+    * compaction, smoothing, now changepoint). The architecture is the
+    * realistic monitoring split: the baseline mean is TRAINED
+    * batch-side (one aggregation over the historical corpus — the
+    * q109 stream-static pattern, collected to a per-type map since
+    * the label set is bounded), and the detector runs Page's literal
+    * recursion as O(1) state per key (ONE long — the running S).
+    * Batch q133 needed the prefix-decomposition trick because a batch
+    * window cannot carry sequential state; the stream just… carries
+    * it. Oracle is q133's SQL verbatim + a bit-equality spec: the
+    * closed form and the recursion meet at the gate.
+    */
+  def q134_stream_cusum(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q134_mem_${runId.incrementAndGet()}"
+    // batch-trained baseline: label-bounded per-type integer means
+    val mu: Map[String, Long] = Tables.events(spark, dir)
+      .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(expr("(2 * sum(cents) + count(1)) div (2 * count(1))").as("mu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val flagged = ds.groupByKey(_.event_type)
+        .flatMapGroupsWithState[Long, (String, Long, Timestamp, Double, Boolean)](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (k: String, it: Iterator[EvRow], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+            var s = state.getOption.getOrElse(0L)
+            val base = mu(k)
+            val outs = it.toVector
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+              .map { e =>
+                val cents = math.floor(e.value * 100 + 0.5).toLong
+                s = math.max(0L, s + (cents - base - 100L))
+                (k, e.event_id, e.ts, s.toDouble / 100.0, s > 50000L)
+              }
+            state.update(s)
+            outs.iterator
+        }
+      val q = flagged.toDF("event_type", "event_id", "ts", "cusum_dollars", "shifted")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy(col("event_type"), col("ts"), col("event_id"))
+  }
+
+  /** Same oracle as the batch detector — the point of the query. */
+  val q134_stream_cusum_sql: String = AnalyticsQueries.q133_cusum_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_stream_cusum" -> (q134_stream_cusum _),
     "q130_stream_ewma" -> (q130_stream_ewma _),
     "q124_stream_snapshot" -> (q124_stream_snapshot _),
     "q60_stream_tumbling" -> (q60_stream_tumbling _),
@@ -574,6 +630,7 @@ object StreamQueries {
 
   def oracles: Map[String, String] = Map(
     "q130_stream_ewma" -> q130_stream_ewma_sql,
+    "q134_stream_cusum" -> q134_stream_cusum_sql,
     "q124_stream_snapshot" -> q124_stream_snapshot_sql,
     "q60_stream_tumbling" -> q60_stream_tumbling_sql,
     "q109_stream_enrich" -> q109_stream_enrich_sql,

@@ -294,6 +294,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q134 streaming CUSUM is bit-identical to the q133 batch closed form") {
+    val batch = AnalyticsQueries.q133_cusum(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q134_stream_cusum(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q129 drift profile equals a two-pass replay, and halves partition the data") {
     val rows = AnalyticsQueriesSpecHelper.rows(
       AnalyticsQueries.q129_profile_drift(spark, dir),
