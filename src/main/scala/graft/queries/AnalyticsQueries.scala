@@ -615,7 +615,45 @@ object AnalyticsQueries {
       |  (cs - floor_cs > 50000) AS shifted
       |FROM c2 ORDER BY event_type, ts, event_id""".stripMargin
 
+  /** q135 — ranking-function surface: ntile deciles, percent_rank
+    * and cume_dist per event_type over a TOTAL order (value, then
+    * event_id — rank ties would otherwise make percent_rank/ntile
+    * engine-dependent at tie boundaries). Closes the window-function
+    * inventory: rank/row_number (q09), lag/lead (q113/q125), frame
+    * aggregates (q10/q108), and now the distribution functions.
+    *
+    * Scale/shape: one (type) exchange + one sort, three window
+    * functions sharing the spec in a single WindowExec pass. The
+    * distribution functions need the partition COUNT, which
+    * WindowExec gets from the partition itself — no extra pass.
+    * Doubles are (rank−1)/(n−1) style integer-derived IEEE divisions
+    * — identical cross-engine by the q131 argument.
+    */
+  def q135_deciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(dec2(col("value")), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        dec2(col("value")).cast("double").as("value"),
+        ntile(10).over(w).cast("long").as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val q135_deciles_sql: String =
+    """SELECT event_type, event_id,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+      |  CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type
+      |  ORDER BY CAST(value AS DECIMAL(18,2)), event_id)
+      |ORDER BY event_type, event_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_deciles" -> (q135_deciles _),
     "q133_cusum" -> (q133_cusum _),
     "q131_daily_regression" -> (q131_daily_regression _),
     "q129_profile_drift" -> (q129_profile_drift _),
@@ -635,6 +673,7 @@ object AnalyticsQueries {
     "q129_profile_drift" -> q129_profile_drift_sql,
     "q131_daily_regression" -> q131_daily_regression_sql,
     "q133_cusum" -> q133_cusum_sql,
+    "q135_deciles" -> q135_deciles_sql,
     "q117_exact_quantiles" -> q117_exact_quantiles_sql,
     "q118_triangles" -> q118_triangles_sql,
     "q119_profile" -> q119_profile_sql,
