@@ -12,10 +12,8 @@ import graft.{Sessions, SparkEntry}
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val names = Seq("q118_triangles", "q97_pagerank_step", "q103_stream_drift",
-      "q107_bigram_perplexity", "q105_tfidf_pairs", "q122_source_triangles",
-      "q90_edit_pairs", "q65_corpus_pipeline", "q45_minhash_lsh_pairs",
-      "q54_dedup_clusters", "q104_pmi_collocations", "q57_traverse")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.contains("stream")) // micro-batch jobs have their own stage story
     val spark = Sessions.local(cores = 32, shufflePartitions = 32)
     spark.sparkContext.setLogLevel("ERROR")
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Int, String)]
