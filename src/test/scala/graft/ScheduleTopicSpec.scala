@@ -279,6 +279,48 @@ class ScheduleTopicSpec extends AnyFunSuite {
     assert(want.size >= 16, s"expected the 16+ planted pairs, found ${want.size}")
   }
 
+  test("IncrementalAgg: the maintained view equals a batch recompute after every tick, crash replays and compaction") {
+    import spark.implicits._
+    import graft.streaming.IncrementalAgg
+    val src = tmp("incagg_src")
+    val ckpt = tmp("incagg_ckpt")
+    val view = tmp("incagg_view") + "/view"
+    def events(rows: (String, Double)*) = rows.toSeq.toDF("k", "v")
+    val schema = events().schema
+    var all = Seq.empty[(String, Double)]
+    def check(tag: String): Unit = {
+      val got = IncrementalAgg.serve(spark, view, Seq("k")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSet
+      val want = all.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.size.toLong,
+          vs.map(v => BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      }.toSet
+      assert(got == want, s"$tag: view $got vs batch recompute $want")
+    }
+    def arrive(tag: String, rows: (String, Double)*): Unit = {
+      events(rows: _*).write.mode("append").parquet(src)
+      all = all ++ rows
+      IncrementalAgg.tick(spark, src, schema, ckpt, view, Seq("k"), "v")
+      check(tag)
+    }
+    arrive("tick1", "a" -> 1.0, "a" -> 2.5, "b" -> 10.0)
+    arrive("tick2", "a" -> 0.5, "c" -> 3.25)
+    // crash replay: re-running a batch body with the SAME id must
+    // converge, not double-add (the per-batch overwrite contract)
+    IncrementalAgg.processBatch(
+      events("a" -> 0.5, "c" -> 3.25), 1L, view, Seq("k"), "v")
+    check("replay of batch 1")
+    IncrementalAgg.compact(spark, view, Seq("k"))
+    check("after compaction")
+    // deltas were absorbed and dropped; the base alone serves
+    val remaining = new java.io.File(s"$view/delta").listFiles()
+    assert(remaining == null || !remaining.exists(_.getName.startsWith("batch=")),
+      "compaction should drop absorbed deltas")
+    arrive("tick3 after compaction", "b" -> 1.0, "d" -> 7.75)
+    IncrementalAgg.compact(spark, view, Seq("k"))
+    check("second compaction")
+  }
+
   test("IncrementalDedup: ticks admit each distinct content exactly once, forever") {
     import spark.implicits._
     import graft.sources.KvStore
