@@ -2355,7 +2355,15 @@ object TextQueries {
     */
   private val bigramKeepMax = 3.45
   def q107_bigram_perplexity(spark: SparkSession, dir: String): DataFrame = {
+    // raw text first through a width-pinned exchange: the 1-file scan
+    // stage would otherwise run tokenize+zip+explode single-task
+    // (0.5 s serial per corpus pass — the 9e AQE lesson); shipping
+    // text is trivial bytes and the interpreted HOF work lands on
+    // the wide side. Generate evaluates its generator once per row,
+    // so inlining toks here cannot re-tokenize per element.
     val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(TA.adjacentPairs(toks)).as("bg"))
       .select(col("doc_id"), col("lang"), col("bg.x").as("x"), col("bg.y").as("y"))
