@@ -652,7 +652,51 @@ object AnalyticsQueries {
       |  ORDER BY CAST(value AS DECIMAL(18,2)), event_id)
       |ORDER BY event_type, event_id""".stripMargin
 
+  /** q136 — audience reconciliation via the NATIVE set operators:
+    * retained / churned / new users between the older and newer half
+    * of the data — INTERSECT and EXCEPT exercised as first-class
+    * relational surface (q28's semi/anti joins express the same
+    * semantics join-wise; a user of the reference writing set algebra
+    * should find the set operators themselves verified).
+    *
+    * Scale/shape: both halves collapse to distinct user frames FIRST
+    * (conditional agg on the broadcast midpoint — one corpus pass for
+    * both sides); the set ops then run on user-sized frames. Spark
+    * plans INTERSECT/EXCEPT as left-semi/left-anti hash joins over
+    * the distinct frames — the same shuffle economics as q28, with
+    * set semantics (dedup) guaranteed by the operator.
+    */
+  def q136_set_reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val tagged = ev.crossJoin(broadcast(mid))
+    val olds = tagged.filter(col("us") < col("mid")).select(col("user_id")).distinct()
+    val news = tagged.filter(col("us") >= col("mid")).select(col("user_id")).distinct()
+    val retained = olds.intersect(news).select(lit("retained").as("segment"), col("user_id"))
+    val churned = olds.except(news).select(lit("churned").as("segment"), col("user_id"))
+    val fresh = news.except(olds).select(lit("new").as("segment"), col("user_id"))
+    retained.unionByName(churned).unionByName(fresh)
+      .orderBy(col("segment"), col("user_id"))
+  }
+
+  val q136_set_reconcile_sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+      |olds AS (SELECT DISTINCT user_id FROM ev CROSS JOIN mid WHERE us < mid),
+      |news AS (SELECT DISTINCT user_id FROM ev CROSS JOIN mid WHERE us >= mid)
+      |SELECT 'retained' AS segment, user_id
+      |  FROM (SELECT user_id FROM olds INTERSECT SELECT user_id FROM news)
+      |UNION ALL
+      |SELECT 'churned' AS segment, user_id
+      |  FROM (SELECT user_id FROM olds EXCEPT SELECT user_id FROM news)
+      |UNION ALL
+      |SELECT 'new' AS segment, user_id
+      |  FROM (SELECT user_id FROM news EXCEPT SELECT user_id FROM olds)
+      |ORDER BY segment, user_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_set_reconcile" -> (q136_set_reconcile _),
     "q135_deciles" -> (q135_deciles _),
     "q133_cusum" -> (q133_cusum _),
     "q131_daily_regression" -> (q131_daily_regression _),
@@ -674,6 +718,7 @@ object AnalyticsQueries {
     "q131_daily_regression" -> q131_daily_regression_sql,
     "q133_cusum" -> q133_cusum_sql,
     "q135_deciles" -> q135_deciles_sql,
+    "q136_set_reconcile" -> q136_set_reconcile_sql,
     "q117_exact_quantiles" -> q117_exact_quantiles_sql,
     "q118_triangles" -> q118_triangles_sql,
     "q119_profile" -> q119_profile_sql,
