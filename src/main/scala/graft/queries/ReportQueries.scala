@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Determinism._
+
+/** Round-9 reporting / reconciliation family: the warehouse-facing
+  * primitives an analytics stack publishes dashboards and data-quality
+  * reports with — calendar gap-fill, bounded graph traversal, robust
+  * outlier detection, marketing attribution, multi-level grouping,
+  * anti-entropy table diff, and inequality metrics. deva serves these
+  * through its stats/report pipe compositions (deva/core/pipe.py
+  * windowing + accumulate + groupby chains); here each is one
+  * declarative plan in its scale-safe shape.
+  *
+  * Shared discipline: order statistics (median, MAD, Gini ranks) come
+  * from the VALUE-HISTOGRAM cumulative idiom (q117) — the corpus
+  * collapses to a (group, value)-count frame bounded by the value
+  * domain, so no per-row sort or row_number window ever runs; all
+  * arithmetic is exact int64/decimal until one final IEEE cast.
+  */
+object ReportQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (dec2(c) * 100).cast("long")
+
+  /** q137 — calendar GAP-FILL with forward-fill (LOCF): per-user daily
+    * purchase totals re-gridded onto the full (user × day) calendar
+    * spine, missing days carrying the last observed value plus a
+    * staleness counter — the snapshot-series shape every BI layer
+    * expects (deva: sliding window + accumulate over a timer spine;
+    * core/timer.py cadence + pipe.py:1270 sliding_window).
+    *
+    * Scale/shape: the only corpus-linear work is the (user, day)
+    * aggregation with map-side partials. The day spine derives from a
+    * 1-row global bound agg and BROADCASTS (days are calendar-bounded);
+    * the users frame stays distributed, so the spine cross join is
+    * map-side — |users|×|days| rows, dimension-sized, never shuffled
+    * on its own. The LOCF window partitions by user ordered by day —
+    * bounded by the calendar length, not the event count.
+    */
+  def q137_gap_fill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val days = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val users = ev.select(col("user_id")).distinct()
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("s"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("s"), ignoreNulls = true).over(w).cast("double").as("filled"),
+        col("s").isNotNull.cast("int").as("observed"),
+        datediff(col("day"),
+          last(when(col("s").isNotNull, col("day")), ignoreNulls = true).over(w))
+          .cast("long").as("days_stale"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q137_gap_fill_sql: String =
+    """WITH ev AS (SELECT user_id, date_trunc('day', ts)::DATE AS day, event_type, value FROM events),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+      |users AS (SELECT DISTINCT user_id FROM ev),
+      |daily AS (SELECT user_id, day, SUM(CAST(value AS DECIMAL(18,2))) AS s
+      |          FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |sp AS (SELECT u.user_id, g.day, d.s
+      |       FROM users u CROSS JOIN days g
+      |       LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = g.day)
+      |SELECT user_id, day,
+      |  CAST(last_value(s IGNORE NULLS) OVER w AS DOUBLE) AS filled,
+      |  CAST(s IS NOT NULL AS INTEGER) AS observed,
+      |  CAST(day - last_value(CASE WHEN s IS NOT NULL THEN day END IGNORE NULLS) OVER w AS BIGINT) AS days_stale
+      |FROM sp
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
+  /** q138 — bounded-depth BFS (k-hop reachability) over the part
+    * co-occurrence graph (parts sharing ≥ 2 orders; the q118 edge
+    * builder reused on the sparser part layer), from the seed set
+    * `p_partkey % 100 = 0`, emitting each reached node's minimum hop
+    * count ≤ 4. The iterative-traversal primitive behind "within N
+    * degrees" audience / recall queries (deva: recursive traverse,
+    * pipe.py:1013, bounded).
+    *
+    * Scale/shape: exactly 4 plan iterations (no data-dependent driver
+    * loop); each round is frontier⋈edges (shuffle on the frontier
+    * key), a distinct, and an anti-join against the reached set —
+    * all hash operations AQE can re-plan. Frontier/reached frames
+    * persist per round so lineage stays 1-round deep; node-count
+    * bounded, never collected. The oracle proves the 4-round fixed
+    * point against DuckDB's recursive CTE.
+    */
+  def q138_khop(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Triangles.cooccurrenceEdges(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      "o", "p", minSupport = 2)
+    val bidir = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
+      .persist()
+    val src = Tables.part(spark, dir)
+      .filter(pmod(col("p_partkey"), lit(100L)) === 0)
+      .select(col("p_partkey").as("n"))
+    var reached = src.withColumn("hops", lit(0L)).persist()
+    var frontier = src
+    for (h <- 1 to 4) {
+      val next = frontier.join(bidir, frontier("n") === bidir("x"))
+        .select(col("y").as("n")).distinct()
+        .join(reached.select(col("n")), Seq("n"), "left_anti")
+        .withColumn("hops", lit(h.toLong)).persist()
+      reached = reached.unionByName(next).persist()
+      frontier = next.select(col("n"))
+    }
+    reached.select(col("n").as("p_partkey"), col("hops")).orderBy(col("p_partkey"))
+  }
+
+  val q138_khop_sql: String =
+    """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+      |e0 AS (SELECT a, b FROM (SELECT x.s AS a, y.s AS b, COUNT(*) AS c
+      |        FROM os x JOIN os y ON x.o = y.o AND x.s < y.s GROUP BY 1, 2) WHERE c >= 2),
+      |e AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+      |src AS (SELECT p_partkey AS n FROM part WHERE p_partkey % 100 = 0),
+      |r(n, hop) AS (SELECT n, 0 FROM src
+      |  UNION SELECT e.y, r.hop + 1 FROM r JOIN e ON e.x = r.n WHERE r.hop < 4)
+      |SELECT n AS p_partkey, CAST(MIN(hop) AS BIGINT) AS hops
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q139 — ROBUST outlier counts per event type: median / MAD
+    * (median absolute deviation) with the |x − med| > 3·MAD rule —
+    * the outlier detector that, unlike q108's mean/stddev z-score,
+    * a single corrupted batch cannot drag (50% breakdown point).
+    *
+    * Exactness: medians come from the value-histogram cumulative
+    * idiom (q117) — lo/hi middle elements selected by integer rank
+    * targets, reported as med2 = lo + hi (twice the median, always
+    * int64, no .5 rounding decision anywhere). Deviations are
+    * half-cent integers d = |2c − med2|; their median mad2 = lo + hi
+    * likewise. The outlier test 2·d > 3·mad2 is the exact integer
+    * form of |x − med| > 3·MAD. Every number in the output is int64.
+    *
+    * Scale/shape: the corpus collapses FIRST to the (type, cents)
+    * histogram (value-domain bounded); the d-histogram derives from
+    * it by re-keying — no second corpus pass, no row-level window,
+    * no sort. The med/mad frames are type-sized and broadcast.
+    */
+  def q139_mad_outliers(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .groupBy(col("event_type"), cents(col("value")).as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    def med2Of(h: DataFrame, vCol: String): DataFrame = {
+      val cum = h.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col(vCol))))
+        .join(broadcast(tot), "event_type")
+      val lo = cum.filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("event_type")).agg(min(col(vCol)).as("lo"))
+      val hi = cum.filter(col("cum") >= expr("(n + 2) div 2"))
+        .groupBy(col("event_type")).agg(min(col(vCol)).as("hi"))
+      lo.join(hi, "event_type").select(col("event_type"), (col("lo") + col("hi")).as("m2"))
+    }
+    val med = med2Of(hist, "c").withColumnRenamed("m2", "med2")
+    val dhist = hist.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), abs(lit(2) * col("c") - col("med2")).as("d"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = med2Of(dhist, "d").withColumnRenamed("m2", "mad2")
+    val outs = hist.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(when(lit(2) * abs(lit(2) * col("c") - col("med2")) > lit(3) * col("mad2"),
+        col("cnt")).otherwise(0L)).as("n_out"))
+    tot.join(med, "event_type").join(mad, "event_type").join(outs, "event_type")
+      .select(col("event_type"), col("n"), col("med2"), col("mad2"), col("n_out"))
+      .orderBy(col("event_type"))
+  }
+
+  val q139_mad_outliers_sql: String =
+    """WITH hist AS (SELECT event_type, CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS c, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (SELECT event_type, c, cnt, SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum FROM hist),
+      |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+      |lo AS (SELECT c.event_type, MIN(c.c) AS lo FROM cum c JOIN tot t USING (event_type)
+      |       WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1),
+      |hi AS (SELECT c.event_type, MIN(c.c) AS hi FROM cum c JOIN tot t USING (event_type)
+      |       WHERE c.cum >= (t.n + 2) // 2 GROUP BY 1),
+      |med AS (SELECT event_type, lo + hi AS med2 FROM lo JOIN hi USING (event_type)),
+      |dh AS (SELECT h.event_type, ABS(2*h.c - m.med2) AS d, CAST(SUM(h.cnt) AS BIGINT) AS cnt
+      |       FROM hist h JOIN med m USING (event_type) GROUP BY 1, 2),
+      |dcum AS (SELECT event_type, d, cnt, SUM(cnt) OVER (PARTITION BY event_type ORDER BY d) AS cum FROM dh),
+      |dlo AS (SELECT c.event_type, MIN(c.d) AS lo FROM dcum c JOIN tot t USING (event_type)
+      |        WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1),
+      |dhi AS (SELECT c.event_type, MIN(c.d) AS hi FROM dcum c JOIN tot t USING (event_type)
+      |        WHERE c.cum >= (t.n + 2) // 2 GROUP BY 1),
+      |mad AS (SELECT event_type, lo + hi AS mad2 FROM dlo JOIN dhi USING (event_type)),
+      |outs AS (SELECT h.event_type,
+      |           CAST(SUM(CASE WHEN 2*ABS(2*h.c - m.med2) > 3*a.mad2 THEN h.cnt ELSE 0 END) AS BIGINT) AS n_out
+      |         FROM hist h JOIN med m USING (event_type) JOIN mad a USING (event_type) GROUP BY 1)
+      |SELECT t.event_type, t.n, m.med2, a.mad2, o.n_out
+      |FROM tot t JOIN med m USING (event_type) JOIN mad a USING (event_type) JOIN outs o USING (event_type)
+      |ORDER BY 1""".stripMargin
+
+  /** q140 — LAST-TOUCH marketing attribution: each purchase attributes
+    * its revenue to the user's most recent preceding non-purchase
+    * event type (the "channel"); purchases with no prior touch fall
+    * to 'direct'. The workhorse attribution model (deva: latest +
+    * combine_latest keyed per user; core/pipe.py:472).
+    *
+    * Scale/shape: ONE pass — a per-user window ordered by (ts,
+    * event_id) carries the last non-purchase type via
+    * last(..., ignoreNulls) over ROWS UNBOUNDED PRECEDING..1
+    * PRECEDING (running state, not a re-scan per row); the window
+    * partitions by user so state never crosses executors, and the
+    * final channel agg is label-sized. Revenue stays exact cents
+    * until the one final double division.
+    */
+  def q140_attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        cents(col("value")).as("cents"))
+      .withColumn("ch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("cents")).cast("decimal(38,0)").cast("double") / 100).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  val q140_attribution_sql: String =
+    """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+      |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+      |att AS (SELECT event_type, cents,
+      |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+      |  FROM ev)
+      |SELECT COALESCE(ch, 'direct') AS channel, COUNT(*) AS n_purchases,
+      |  CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100 AS revenue
+      |FROM att WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q141 — GROUPING SETS with grouping flags: the (flag, status),
+    * (flag), () level stack in ONE aggregation pass — the native
+    * multi-level rollup report (beyond q33's rollup / q96's cube:
+    * arbitrary level sets), via Spark 4's Dataset.groupingSets.
+    *
+    * Scale/shape: one Expand (×3) over the 2-column pruned
+    * projection feeding one hash agg with map-side partials —
+    * exactly the plan rollup/cube lower to; grouping() flags are
+    * computed from the expand's gid, costing nothing extra.
+    */
+  def q141_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("rev"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q141_grouping_sets_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  /** q142 — ANTI-ENTROPY bucket fingerprint diff: reconcile a table
+    * against a (simulated) replica that lost the `l_orderkey % 997 =
+    * 13` slice, by comparing per-bucket (count, fingerprint-sum)
+    * pairs — the Merkle-style primitive that locates divergence in a
+    * 100 TB replica pair while moving only `buckets` rows per side
+    * (deva: DBStream store reconciliation; store.py:44's keyed sync).
+    *
+    * Determinism: row fingerprint = hash60(key‖payload) mod 1e9+7
+    * (portable md5-based hash, Determinism §4); the per-bucket SUM of
+    * ≤1e9 residues stays far inside int64 up to ~9e9 rows per bucket —
+    * beyond that, widen to DECIMAL(38,0) partials (documented bound).
+    * Addition is commutative, so the fingerprint is partition-order
+    * free — the property that makes it work map-side at any scale.
+    *
+    * Scale/shape: ONE scan computes both sides' partials as
+    * conditional aggregates (the replica is a subset predicate); a
+    * real two-cluster reconciliation runs the same plan per side and
+    * joins the 64-row summaries. Differing buckets then bound the
+    * row-level re-sync to 1/64 of the key space per hit.
+    */
+  def q142_bucket_diff(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("okey"), col("l_linenumber").as("lineno"),
+      cents(col("l_quantity")).as("qc"), cents(col("l_extendedprice")).as("pc"))
+    val fp = pmod(hash60(concat_ws("|", col("okey"), col("lineno"), col("qc"), col("pc"))),
+      lit(1000000007L))
+    val inReplica = !(pmod(col("okey"), lit(997L)) === 13)
+    li.select(pmod(col("okey"), lit(64L)).as("bucket"), fp.as("fp"), inReplica.as("r"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_primary"),
+        sum(col("fp")).as("fp_primary"),
+        sum(when(col("r"), 1L).otherwise(0L)).as("n_replica"),
+        sum(when(col("r"), col("fp")).otherwise(0L)).as("fp_replica"))
+      .withColumn("diff",
+        (col("n_primary") =!= col("n_replica") || col("fp_primary") =!= col("fp_replica"))
+          .cast("int"))
+      .orderBy(col("bucket"))
+  }
+
+  val q142_bucket_diff_sql: String =
+    """WITH li AS (SELECT l_orderkey AS okey, l_linenumber AS lineno,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+      |  FROM lineitem),
+      |rows_fp AS (SELECT okey % 64 AS bucket,
+      |    (('0x' || substr(md5(concat_ws('|', okey, lineno, qc, pc)), 1, 15))::BIGINT) % 1000000007 AS fp,
+      |    (NOT okey % 997 = 13) AS r
+      |  FROM li)
+      |SELECT bucket,
+      |  COUNT(*) AS n_primary,
+      |  CAST(SUM(fp) AS BIGINT) AS fp_primary,
+      |  CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_replica,
+      |  CAST(SUM(CASE WHEN r THEN fp ELSE 0 END) AS BIGINT) AS fp_replica,
+      |  CAST(COUNT(*) <> SUM(CASE WHEN r THEN 1 ELSE 0 END)
+      |       OR CAST(SUM(fp) AS BIGINT) <> CAST(SUM(CASE WHEN r THEN fp ELSE 0 END) AS BIGINT)
+      |       AS INTEGER) AS diff
+      |FROM rows_fp GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q144 — GINI coefficient of order spend per region: the standard
+    * inequality report over a revenue distribution, computed from the
+    * rank-weighted sum G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) — but with
+    * ranks taken from the value-histogram cumulative frame, never a
+    * per-row row_number: a tied-value run [cumPrev+1 .. cum]
+    * contributes x·cnt·(2·cum − cnt + 1) to 2·Σi·x in closed form.
+    *
+    * Exactness: order cents are int64; the rank-weighted partial is
+    * computed in DECIMAL(38,0) (the one place int64 would overflow at
+    * ~1e10 rows/region) and both engines sum decimals exactly; the
+    * single IEEE division happens on two identical doubles.
+    *
+    * Scale/shape: corpus → (region, cents) histogram (one shuffle,
+    * value-domain bounded) → cumulative window over the histogram →
+    * region-sized final agg. No sort, no row-level window.
+    */
+  def q144_gini(spark: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), cents(col("o_totalprice")).as("c"))
+    val hist = ords.groupBy(col("r_name"), col("c")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("r_name")).orderBy(col("c"))))
+    cum.groupBy(col("r_name"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("c").cast("decimal(38,0)") * col("cnt")).as("sx"),
+        sum(col("c").cast("decimal(38,0)") * col("cnt") * (lit(2) * col("cum") - col("cnt") + 1)).as("s2"))
+      .select(col("r_name"), col("n"),
+        ((col("s2") - col("sx") * (col("n") + 1)).cast("double")
+          / (col("sx") * col("n")).cast("double")).as("gini"))
+      .orderBy(col("r_name"))
+  }
+
+  val q144_gini_sql: String =
+    """WITH ords AS (
+      |  SELECT r_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |hist AS (SELECT r_name, c, COUNT(*) AS cnt FROM ords GROUP BY 1, 2),
+      |cum AS (SELECT r_name, c, cnt, SUM(cnt) OVER (PARTITION BY r_name ORDER BY c) AS cum FROM hist),
+      |agg AS (SELECT r_name, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    SUM(CAST(c AS DECIMAL(38,0)) * cnt) AS sx,
+      |    SUM(CAST(c AS DECIMAL(38,0)) * cnt * (2*cum - cnt + 1)) AS s2
+      |  FROM cum GROUP BY 1)
+      |SELECT r_name, n,
+      |  CAST(s2 - sx * (n + 1) AS DOUBLE) / CAST(sx * n AS DOUBLE) AS gini
+      |FROM agg ORDER BY r_name""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_gap_fill" -> (q137_gap_fill _),
+    "q138_khop" -> (q138_khop _),
+    "q139_mad_outliers" -> (q139_mad_outliers _),
+    "q140_attribution" -> (q140_attribution _),
+    "q141_grouping_sets" -> (q141_grouping_sets _),
+    "q142_bucket_diff" -> (q142_bucket_diff _),
+    "q144_gini" -> (q144_gini _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q137_gap_fill" -> q137_gap_fill_sql,
+    "q138_khop" -> q138_khop_sql,
+    "q139_mad_outliers" -> q139_mad_outliers_sql,
+    "q140_attribution" -> q140_attribution_sql,
+    "q141_grouping_sets" -> q141_grouping_sets_sql,
+    "q142_bucket_diff" -> q142_bucket_diff_sql,
+    "q144_gini" -> q144_gini_sql
+  )
+}

@@ -612,7 +612,59 @@ object StreamQueries {
   /** Same oracle as the batch detector — the point of the query. */
   val q134_stream_cusum_sql: String = AnalyticsQueries.q133_cusum_sql
 
+  /** q143 — STREAMING last-touch attribution: q140 maintained
+    * incrementally — the FIFTH batch≡stream pairing. The state per
+    * user is ONE string: the most recent non-purchase event type;
+    * each purchase reads it (or 'direct') and emits an attribution
+    * row, exactly what q140's window derives after the fact. The
+    * final channel rollup aggregates the emitted attributions —
+    * label-sized, same as batch. Oracle is q140's SQL verbatim.
+    *
+    * Scale/shape: state is O(1) per user (a single enum-like string),
+    * partitioned by user key — the canonical mapGroupsWithState
+    * sizing; within a micro-batch events replay in (ts, event_id)
+    * order so batch boundaries cannot reorder a user's history.
+    */
+  def q143_stream_attribution(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q143_mem_${runId.incrementAndGet()}"
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val att = ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState[String, (String, Long)](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (_: Long, it: Iterator[EvRow], state: org.apache.spark.sql.streaming.GroupState[String]) =>
+            var ch = state.getOption.getOrElse("direct")
+            val outs = it.toVector
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+              .flatMap { e =>
+                if (e.event_type != "purchase") { ch = e.event_type; None }
+                else Some((ch, math.floor(e.value * 100 + 0.5).toLong))
+              }
+            state.update(ch)
+            outs.iterator
+        }
+      val q = att.toDF("channel", "cents")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("cents")).cast("decimal(38,0)").cast("double") / 100).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** Same oracle as the batch attribution — the point of the query. */
+  val q143_stream_attribution_sql: String = ReportQueries.q140_attribution_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_stream_attribution" -> (q143_stream_attribution _),
     "q134_stream_cusum" -> (q134_stream_cusum _),
     "q130_stream_ewma" -> (q130_stream_ewma _),
     "q124_stream_snapshot" -> (q124_stream_snapshot _),
@@ -629,6 +681,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q143_stream_attribution" -> q143_stream_attribution_sql,
     "q130_stream_ewma" -> q130_stream_ewma_sql,
     "q134_stream_cusum" -> q134_stream_cusum_sql,
     "q124_stream_snapshot" -> q124_stream_snapshot_sql,

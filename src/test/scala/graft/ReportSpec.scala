@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.{ReportQueries, StreamQueries}
+
+/** Brute-force recounts for the round-9 reporting/reconciliation
+  * family (q137–q144) + the q143≡q140 batch-stream parity. The DuckDB
+  * gate proves cross-engine value equality; these re-derive each
+  * semantic a second, imperative way so a same-bug-both-sides oracle
+  * slip can't hide.
+  */
+class ReportSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 4, shufflePartitions = 8)
+  val dir = "/root/testdata/sf0.001"
+
+  private def centsOf(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+
+  private def eventRows: Seq[(Long, Long, String, Long, java.time.LocalDate, Long)] =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDate(4).toLocalDate, centsOf(r.getDouble(5))))
+      .toSeq
+
+  test("q137 gap-fill equals a per-user LOCF replay over the full calendar") {
+    val ev = eventRows
+    val d0 = ev.map(_._5).min
+    val d1 = ev.map(_._5).max
+    val days = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toVector
+    val daily: Map[(Long, java.time.LocalDate), Long] = ev
+      .filter(_._3 == "purchase")
+      .groupBy(e => (e._1, e._5))
+      .map { case (k, es) => k -> es.map(_._6).sum }
+    val want = ev.map(_._1).distinct.sorted.flatMap { u =>
+      var lastVal: Option[Long] = None
+      var lastDay: Option[java.time.LocalDate] = None
+      days.map { day =>
+        val obs = daily.get((u, day))
+        obs.foreach { v => lastVal = Some(v); lastDay = Some(day) }
+        (u, day,
+          lastVal.map(_.toDouble / 100.0),
+          if (obs.isDefined) 1 else 0,
+          lastDay.map(ld => java.time.temporal.ChronoUnit.DAYS.between(ld, day)))
+      }
+    }
+    val got = ReportQueries.q137_gap_fill(spark, dir).collect().toSeq.map { r =>
+      (r.getLong(0), r.getDate(1).toLocalDate,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
+    assert(got == want)
+  }
+
+  test("q138 k-hop frontier equals an in-memory BFS over the same edges") {
+    val edges = graft.operators.Triangles.cooccurrenceEdges(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      "o", "p", minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val src = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 100 === 0)
+      .collect().map(_.getLong(0)).toSet
+    var dist = src.map(_ -> 0L).toMap
+    var frontier = src
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val got = ReportQueries.q138_khop(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == dist.toSeq.sortBy(_._1))
+  }
+
+  test("q139 median/MAD/outlier counts equal a sort-based recount") {
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val want = eventRows.groupBy(_._3).toSeq.map { case (t, es) =>
+      val cs = es.map(_._6)
+      val m2 = med2(cs)
+      val ds = cs.map(c => math.abs(2 * c - m2))
+      val a2 = med2(ds)
+      (t, cs.size.toLong, m2, a2, cs.count(c => 2 * math.abs(2 * c - m2) > 3 * a2).toLong)
+    }.sortBy(_._1)
+    val got = ReportQueries.q139_mad_outliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("q140 last-touch attribution equals an imperative per-user replay") {
+    val want = eventRows
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, es) =>
+        var ch = "direct"
+        es.sortBy(e => (e._4, e._2)).flatMap { e =>
+          if (e._3 != "purchase") { ch = e._3; None }
+          else Some((ch, e._6))
+        }
+      }
+      .groupBy(_._1).toSeq
+      .map { case (ch, ps) => (ch, ps.size.toLong, ps.map(_._2).sum.toDouble / 100) }
+      .sortBy(_._1)
+    val got = ReportQueries.q140_attribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("q143 streaming attribution is bit-identical to batch q140") {
+    val batch = ReportQueries.q140_attribution(spark, dir).collect().toSeq
+    val stream = StreamQueries.q143_stream_attribution(spark, dir).collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("q141 grouping sets equal recounts at each of the three levels") {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getString(1), centsOf(r.getDouble(2)))).toSeq
+    def agg(gf: ((String, String, Long)) => (Option[String], Option[String])) =
+      li.groupBy(gf).map { case ((rf, ls), es) =>
+        (rf, ls, es.size.toLong, es.map(_._3).sum.toDouble / 100)
+      }.toSet
+    val want =
+      agg(e => (Some(e._1), Some(e._2))).map { case (rf, ls, n, s) => (rf, ls, 0L, 0L, n, s) } ++
+      agg(e => (Some(e._1), None)).map { case (rf, ls, n, s) => (rf, ls, 0L, 1L, n, s) } ++
+      agg(_ => (None, None)).map { case (rf, ls, n, s) => (rf, ls, 1L, 1L, n, s) }
+    val got = ReportQueries.q141_grouping_sets(spark, dir).collect().map { r =>
+      (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("q142 flags exactly the buckets containing the lost replica slice") {
+    val keys = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .collect().map(_.getLong(0)).toSeq
+    val lostBuckets = keys.filter(_ % 997 == 13).map(_ % 64).toSet
+    val got = ReportQueries.q142_bucket_diff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+    assert(got.map(_._1) == (0L until 64L))
+    val flagged = got.filter(_._4 == 1).map(_._1).toSet
+    assert(flagged == lostBuckets)
+    // count deltas localize the loss: per flagged bucket, n_primary -
+    // n_replica equals the number of lost keys hashing there
+    val lostPerBucket = keys.filter(_ % 997 == 13).groupBy(_ % 64).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (b, np, nr, _) =>
+      assert(np - nr == lostPerBucket.getOrElse(b, 0L), s"bucket $b")
+    }
+  }
+
+  test("q144 gini equals the pairwise mean-absolute-difference form, bit for bit") {
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), centsOf(r.getDouble(1)))).toSeq
+    val want = rows.groupBy(_._1).toSeq.map { case (rn, es) =>
+      val xs = es.map(_._2)
+      val n = BigInt(xs.size)
+      val sx = xs.map(BigInt(_)).sum
+      val pairSum = (for (a <- xs; b <- xs) yield BigInt((a - b).abs)).sum
+      // rank identity: 2*(s2 - (n+1)sx) = pairSum, so the query's
+      // numerator is exactly pairSum/2 — same integer, same IEEE cast
+      (rn, xs.size.toLong, (pairSum / 2).toDouble / (sx * n).toDouble)
+    }.sortBy(_._1)
+    val got = ReportQueries.q144_gini(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+}
