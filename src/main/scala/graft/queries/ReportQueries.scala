@@ -389,7 +389,133 @@ object ReportQueries {
       |  CAST(s2 - sx * (n + 1) AS DOUBLE) / CAST(sx * n AS DOUBLE) AS gini
       |FROM agg ORDER BY r_name""".stripMargin
 
+  /** q145 — market-basket ASSOCIATION RULES: top-20 part pairs by
+    * lift, with support and confidence — the classic affinity report
+    * (the graph layer q118/q138 threshold into edges, here surfaced
+    * with its probabilistic strengths; deva: frequencies + groupby
+    * composition).
+    *
+    * Scale/shape: ONE shuffle builds per-order member sets
+    * (collect_set partials dedup map-side — the q118 edge-build
+    * idiom, giant orders capped loudly); pair expansion is bounded by
+    * order size; item supports come from re-exploding the SAME
+    * collected frame (no second corpus scan). The supports join is
+    * pair-keyed (never collected); the 1-row order count broadcasts.
+    * Top-20 by (lift, ant, cons) total order → TakeOrderedAndProject,
+    * no global sort. Confidence/lift are single IEEE ops over exact
+    * int64 counts, identically associated in both engines.
+    */
+  def q145_assoc_rules(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(collect_set(col("p")).as("ms"))
+      .persist()
+    val nOrders = sets.agg(count(lit(1)).as("n_orders"))
+    val sup = sets.select(explode(col("ms")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("s"))
+    val pairs = sets.filter(size(col("ms")) > 1)
+      .withColumn("ms", graft.operators.Dedup.cappedMembers(col("ms"), 10000, "assoc order"))
+      .select(col("ms"), explode(col("ms")).as("x"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("sab"))
+      .filter(col("sab") >= 3)
+    val withSup = pairs
+      .join(sup.select(col("p").as("a"), col("s").as("sa")), "a")
+      .join(sup.select(col("p").as("b"), col("s").as("sb")), "b")
+    val rules = withSup.select(col("a").as("ant"), col("b").as("cons"),
+        col("sab"), col("sa").as("s_ant"), col("sb").as("s_cons"))
+      .unionByName(withSup.select(col("b").as("ant"), col("a").as("cons"),
+        col("sab"), col("sb").as("s_ant"), col("sa").as("s_cons")))
+    rules.crossJoin(broadcast(nOrders))
+      .select(col("ant"), col("cons"), col("sab"),
+        (col("sab").cast("double") / col("s_ant")).as("conf"),
+        ((col("sab").cast("double") * col("n_orders"))
+          / (col("s_ant").cast("double") * col("s_cons"))).as("lift"))
+      .orderBy(col("lift").desc, col("ant"), col("cons"))
+      .limit(20)
+  }
+
+  val q145_assoc_rules_sql: String =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM os),
+      |sup AS (SELECT p, COUNT(*) AS s FROM os GROUP BY 1),
+      |pairs AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS sab
+      |          FROM os x JOIN os y ON x.o = y.o AND x.p < y.p
+      |          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |rules AS (
+      |  SELECT a AS ant, b AS cons, sab, sa.s AS s_ant, sb.s AS s_cons FROM pairs
+      |    JOIN sup sa ON sa.p = pairs.a JOIN sup sb ON sb.p = pairs.b
+      |  UNION ALL
+      |  SELECT b, a, sab, sb.s, sa.s FROM pairs
+      |    JOIN sup sa ON sa.p = pairs.a JOIN sup sb ON sb.p = pairs.b)
+      |SELECT ant, cons, sab,
+      |  CAST(sab AS DOUBLE) / s_ant AS conf,
+      |  (CAST(sab AS DOUBLE) * n_orders) / (CAST(s_ant AS DOUBLE) * s_cons) AS lift
+      |FROM rules CROSS JOIN n
+      |ORDER BY lift DESC, ant, cons LIMIT 20""".stripMargin
+
+  /** q146 — funnel CONVERSION-LAG quantiles: per weekday of a user's
+    * first view, the exact p50/p90/p99 of the first-view → first
+    * -subsequent-purchase latency — composing the funnel ordering
+    * (56h) with the exact-quantile histogram idiom (56m) into the
+    * time-to-convert report every growth dashboard quotes.
+    *
+    * Scale/shape: two label-keyed aggregations collapse the corpus to
+    * one row per converting user; latencies quantize to SECONDS so
+    * the quantile histogram is value-domain bounded (~1e6 distinct
+    * lags max, regardless of user count) and partitions by weekday —
+    * no partition-less window, no sort. Rank targets are the q117
+    * integer-exact form.
+    */
+  def q146_conversion_lag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id"), col("v_us")).agg(min(col("us")).as("p_us"))
+    val hist = fp.select(
+        (dayofweek(timestamp_micros(col("v_us"))) - 1).cast("long").as("dow"),
+        ((col("p_us") - col("v_us")) / 1000000).cast("long").as("d_s"))
+      .groupBy(col("dow"), col("d_s")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("dow")).orderBy(col("d_s"))))
+    val tot = hist.groupBy(col("dow")).agg(sum(col("c")).as("n"))
+    cum.join(broadcast(tot), "dow")
+      .select(col("dow"), col("d_s"), col("cum"), col("n"),
+        explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+      .filter(col("cum") >= expr("(p * n + 99) div 100"))
+      .groupBy(col("dow"), col("p"), col("n"))
+      .agg(min(col("d_s")).as("lag_s"))
+      .select(col("dow"), col("p"), col("lag_s"), col("n"))
+      .orderBy(col("dow"), col("p"))
+  }
+
+  val q146_conversion_lag_sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |fv AS (SELECT user_id, MIN(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |fp AS (SELECT e.user_id, fv.v_us, MIN(e.us) AS p_us
+      |       FROM ev e JOIN fv ON fv.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.us > fv.v_us GROUP BY 1, 2),
+      |d AS (SELECT CAST(dayofweek(make_timestamp(v_us)) AS BIGINT) AS dow,
+      |             (p_us - v_us) // 1000000 AS d_s
+      |      FROM fp),
+      |hist AS (SELECT dow, d_s, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (SELECT dow, d_s, c, SUM(c) OVER (PARTITION BY dow ORDER BY d_s) AS cum FROM hist),
+      |tot AS (SELECT dow, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+      |ps AS (SELECT * FROM (VALUES (50), (90), (99)) t(pp))
+      |SELECT c.dow, CAST(ps.pp AS BIGINT) AS p, MIN(c.d_s) AS lag_s, t.n
+      |FROM cum c JOIN tot t USING (dow) CROSS JOIN ps
+      |WHERE c.cum >= (ps.pp * t.n + 99) // 100
+      |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_assoc_rules" -> (q145_assoc_rules _),
+    "q146_conversion_lag" -> (q146_conversion_lag _),
     "q137_gap_fill" -> (q137_gap_fill _),
     "q138_khop" -> (q138_khop _),
     "q139_mad_outliers" -> (q139_mad_outliers _),
@@ -400,6 +526,8 @@ object ReportQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q145_assoc_rules" -> q145_assoc_rules_sql,
+    "q146_conversion_lag" -> q146_conversion_lag_sql,
     "q137_gap_fill" -> q137_gap_fill_sql,
     "q138_khop" -> q138_khop_sql,
     "q139_mad_outliers" -> q139_mad_outliers_sql,

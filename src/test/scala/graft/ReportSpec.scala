@@ -157,6 +157,52 @@ class ReportSpec extends AnyFunSuite {
     }
   }
 
+  test("q145 top-20 rules equal a brute-force support/confidence/lift recount") {
+    val os = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nOrders = os.map(_._1).distinct.size.toLong
+    val sup = os.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairSup = os.groupBy(_._1).values.toSeq
+      .flatMap { es =>
+        val ps = es.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 3L)
+    val rules = pairSup.toSeq.flatMap { case ((a, b), sab) =>
+      Seq((a, b, sab, sup(a), sup(b)), (b, a, sab, sup(b), sup(a)))
+    }.map { case (ant, cons, sab, sa, sb) =>
+      (ant, cons, sab, sab.toDouble / sa, (sab.toDouble * nOrders) / (sa.toDouble * sb))
+    }
+    val want = rules.sortBy { case (ant, cons, _, _, lift) => (-lift, ant, cons) }.take(20)
+    val got = ReportQueries.q145_assoc_rules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want)
+  }
+
+  test("q146 conversion-lag quantiles equal a sort-based per-weekday recount") {
+    val ev = eventRows
+    val lags = ev.filter(_._3 == "view").groupBy(_._1).toSeq.flatMap { case (u, vs) =>
+      val vUs = vs.map(_._4).min
+      val ps = ev.filter(e => e._1 == u && e._3 == "purchase" && e._4 > vUs)
+      if (ps.isEmpty) None
+      else {
+        val dow = java.time.Instant.ofEpochSecond(Math.floorDiv(vUs, 1000000L))
+          .atZone(java.time.ZoneOffset.UTC).getDayOfWeek.getValue % 7 // Mon=1..Sun=7 -> Sun=0
+        Some((dow.toLong, (ps.map(_._4).min - vUs) / 1000000L))
+      }
+    }
+    val want = lags.groupBy(_._1).toSeq.flatMap { case (dow, es) =>
+      val s = es.map(_._2).sorted
+      val n = s.size.toLong
+      Seq(50L, 90L, 99L).map(p => (dow, p, s(((p * n + 99) / 100).toInt - 1), n))
+    }.sortBy(t => (t._1, t._2))
+    val got = ReportQueries.q146_conversion_lag(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("q144 gini equals the pairwise mean-absolute-difference form, bit for bit") {
     val rows = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
