@@ -108,14 +108,22 @@ object ReportQueries {
     val src = Tables.part(spark, dir)
       .filter(pmod(col("p_partkey"), lit(100L)) === 0)
       .select(col("p_partkey").as("n"))
-    var reached = src.withColumn("hops", lit(0L)).persist()
+    // Round frames are node-bounded and TINY relative to the corpus;
+    // left at shuffle width they spray one task per shuffle partition
+    // per round and the 4-round DAG schedules 100+ near-empty stages
+    // (measured 9 s of pure driver overhead at sf0.1). coalesce(1)
+    // pins each round's frontier/reached to one partition — at
+    // production scale replace 1 with a width matched to the frontier
+    // size; the structure (k rounds, hash joins, anti-join dedup) is
+    // unchanged.
+    var reached = src.withColumn("hops", lit(0L)).coalesce(1).persist()
     var frontier = src
     for (h <- 1 to 4) {
       val next = frontier.join(bidir, frontier("n") === bidir("x"))
         .select(col("y").as("n")).distinct()
         .join(reached.select(col("n")), Seq("n"), "left_anti")
-        .withColumn("hops", lit(h.toLong)).persist()
-      reached = reached.unionByName(next).persist()
+        .withColumn("hops", lit(h.toLong)).coalesce(1).persist()
+      reached = reached.unionByName(next).coalesce(1).persist()
       frontier = next.select(col("n"))
     }
     reached.select(col("n").as("p_partkey"), col("hops")).orderBy(col("p_partkey"))
@@ -155,27 +163,34 @@ object ReportQueries {
       .groupBy(col("event_type"), cents(col("value")).as("c"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
-    val tot = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    hist.count() // eager: three consumers race a cold cache's partition locks otherwise (the q104 lesson)
+    // med2 per type in ONE window + agg pass: the group total rides
+    // the same exchange as the cumulative (an unbounded-frame sum —
+    // no tot-frame join), and lo/hi collapse to conditional mins.
+    // The first-shipped shape paid a pyramid of label-sized
+    // broadcast-join jobs (tot joined 4×, lo⋈hi twice) — 7.4 s of
+    // job overhead at sf0.1 for 5 output rows; this is 4 passes total.
     def med2Of(h: DataFrame, vCol: String): DataFrame = {
-      val cum = h.withColumn("cum",
-        sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col(vCol))))
-        .join(broadcast(tot), "event_type")
-      val lo = cum.filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy(col("event_type")).agg(min(col(vCol)).as("lo"))
-      val hi = cum.filter(col("cum") >= expr("(n + 2) div 2"))
-        .groupBy(col("event_type")).agg(min(col(vCol)).as("hi"))
-      lo.join(hi, "event_type").select(col("event_type"), (col("lo") + col("hi")).as("m2"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col(vCol))
+      val wt = Window.partitionBy(col("event_type"))
+      h.withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wt))
+        .groupBy(col("event_type"))
+        .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col(vCol)))
+          + min(when(col("cum") >= expr("(n + 2) div 2"), col(vCol)))).as("m2"),
+          max(col("n")).as("n"))
     }
-    val med = med2Of(hist, "c").withColumnRenamed("m2", "med2")
-    val dhist = hist.join(broadcast(med), "event_type")
+    val med = med2Of(hist, "c").select(col("event_type"), col("m2").as("med2"), col("n"))
+    val dhist = hist.join(broadcast(med.select(col("event_type"), col("med2"))), "event_type")
       .groupBy(col("event_type"), abs(lit(2) * col("c") - col("med2")).as("d"))
       .agg(sum(col("cnt")).as("cnt"))
-    val mad = med2Of(dhist, "d").withColumnRenamed("m2", "mad2")
-    val outs = hist.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+    val mad = med2Of(dhist, "d").select(col("event_type"), col("m2").as("mad2"))
+    val outs = hist.join(broadcast(med.select(col("event_type"), col("med2"))), "event_type")
+      .join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(sum(when(lit(2) * abs(lit(2) * col("c") - col("med2")) > lit(3) * col("mad2"),
         col("cnt")).otherwise(0L)).as("n_out"))
-    tot.join(med, "event_type").join(mad, "event_type").join(outs, "event_type")
+    med.join(broadcast(mad), "event_type").join(broadcast(outs), "event_type")
       .select(col("event_type"), col("n"), col("med2"), col("mad2"), col("n_out"))
       .orderBy(col("event_type"))
   }
@@ -410,6 +425,7 @@ object ReportQueries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy(col("o")).agg(collect_set(col("p")).as("ms"))
       .persist()
+    sets.count() // eager: three consumers race a cold cache's partition locks otherwise (the q104 lesson)
     val nOrders = sets.agg(count(lit(1)).as("n_orders"))
     val sup = sets.select(explode(col("ms")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("s"))

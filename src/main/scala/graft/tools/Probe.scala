@@ -11,9 +11,11 @@ import graft.{Sessions, SparkEntry}
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val dir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
+    val only = args.find(_.startsWith("only=")).map(_.drop(5).split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.contains("stream")) // micro-batch jobs have their own stage story
+      .filter(n => only.forall(_.contains(n)))
     val spark = Sessions.local(cores = 32, shufflePartitions = 32)
     spark.sparkContext.setLogLevel("ERROR")
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Int, String)]
