@@ -191,7 +191,21 @@ object ScaleSmoke {
       "q129_profile_drift", "q131_daily_regression",
       // path analysis: sessions grow with ×N history; the path count
       // frame stays label³-bounded
-      "q132_top_paths")
+      "q132_top_paths",
+      // round 9h: gap-fill (the user×day spine grows ×N with users
+      // while days stay calendar-bounded — the LOCF window must stay
+      // days-deep per user), k-hop BFS (×N key-shifts replicate the
+      // graph N times — frontiers scale ×N, rounds stay k), MAD
+      // (value-domain-bounded histograms whatever N), attribution
+      // (per-user running state; user count and history both grow),
+      // grouping sets (one Expand ×3 at any N), bucket diff (64-row
+      // summary at any N), gini (region histogram value-bounded),
+      // association rules (counts grow ×N, vocab of pairs does not —
+      // supports join must stay pair-keyed), conversion lag
+      // (seconds-quantized histogram bounded at any N)
+      "q137_gap_fill", "q138_khop", "q139_mad_outliers",
+      "q140_attribution", "q141_grouping_sets", "q142_bucket_diff",
+      "q144_gini", "q145_assoc_rules", "q146_conversion_lag")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
