@@ -529,7 +529,87 @@ object ReportQueries {
       |WHERE c.cum >= (ps.pp * t.n + 99) // 100
       |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin
 
+  /** q147 — WEIGHTED median: per return flag, the quantity-weighted
+    * median unit price — the order statistic a revenue report wants
+    * when rows carry unequal mass (deva: stats pipes over weighted
+    * accumulate). Generalizes 56aa: rank targets move from counts to
+    * integer WEIGHT mass; same value-histogram shape, same lo+hi
+    * twice-median convention, every number int64.
+    *
+    * Scale/shape: corpus → (flag, price-cents) histogram with
+    * sum-of-weight partials (ONE shuffle, value-domain bounded); the
+    * weighted total rides the same window exchange as the cumulative
+    * (unbounded-frame sum — the q139 lesson, no tot-frame join
+    * pyramid); conditional mins in one agg.
+    */
+  def q147_weighted_median(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Window.partitionBy(col("rf")).orderBy(col("v"))
+    val wt = Window.partitionBy(col("rf"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("rf"), cents(col("l_extendedprice")).as("v"))
+      .agg(sum(cents(col("l_quantity"))).cast("long").as("w"))
+      .withColumn("cum", sum(col("w")).over(wc))
+      .withColumn("tw", sum(col("w")).over(wt))
+      .groupBy(col("rf"))
+      .agg((min(when(col("cum") >= expr("(tw + 1) div 2"), col("v")))
+        + min(when(col("cum") >= expr("(tw + 2) div 2"), col("v")))).as("wmed2"),
+        max(col("tw")).as("total_weight"))
+      .orderBy(col("rf"))
+  }
+
+  val q147_weighted_median_sql: String =
+    """WITH hist AS (SELECT l_returnflag AS rf,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS v,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (SELECT rf, v, w, SUM(w) OVER (PARTITION BY rf ORDER BY v) AS cum,
+      |               SUM(w) OVER (PARTITION BY rf) AS tw FROM hist)
+      |SELECT rf, MIN(CASE WHEN cum >= (tw + 1) // 2 THEN v END)
+      |         + MIN(CASE WHEN cum >= (tw + 2) // 2 THEN v END) AS wmed2,
+      |       CAST(MAX(tw) AS BIGINT) AS total_weight
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q148 — UNPIVOT (melt): the inverse of q120's wide pivot — a
+    * wide per-user frame of per-type exact-decimal totals melts back
+    * to (user, type, total) rows via Spark's native Dataset.unpivot
+    * (the transpose surface deva serves with `transpose`/attr
+    * plucking, pipe.py:1129 family, in its long-to-wide-to-long
+    * round trip).
+    *
+    * Scale/shape: the wide frame is ONE conditional-agg pass (q120's
+    * idiom); unpivot is a map-side Expand ×5 over the already
+    * user-sized frame — no shuffle, no UDF; exact decimals cast to
+    * double only at the output edge.
+    */
+  def q148_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, dec2(col("value"))).otherwise(lit(0).cast("decimal(18,2)")))
+        .as(t))
+    val wide = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "total")
+      .select(col("user_id"), col("event_type"), col("total").cast("double").as("total"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q148_unpivot_sql: String =
+    """WITH wide AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS click,
+      |    SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS view,
+      |    SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS purchase,
+      |    SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS signup,
+      |    SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS error
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, event_type, CAST(total AS DOUBLE) AS total
+      |FROM (UNPIVOT wide ON click, view, purchase, signup, error INTO NAME event_type VALUE total)
+      |ORDER BY user_id, event_type""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_weighted_median" -> (q147_weighted_median _),
+    "q148_unpivot" -> (q148_unpivot _),
     "q145_assoc_rules" -> (q145_assoc_rules _),
     "q146_conversion_lag" -> (q146_conversion_lag _),
     "q137_gap_fill" -> (q137_gap_fill _),
@@ -542,6 +622,8 @@ object ReportQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q147_weighted_median" -> q147_weighted_median_sql,
+    "q148_unpivot" -> q148_unpivot_sql,
     "q145_assoc_rules" -> q145_assoc_rules_sql,
     "q146_conversion_lag" -> q146_conversion_lag_sql,
     "q137_gap_fill" -> q137_gap_fill_sql,

@@ -203,6 +203,37 @@ class ReportSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q147 weighted median equals a sorted cumulative-mass recount") {
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), centsOf(r.getDouble(1)), centsOf(r.getDouble(2)))).toSeq
+    val want = rows.groupBy(_._1).toSeq.map { case (rf, es) =>
+      val sorted = es.map(e => (e._2, e._3)).groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val tw = sorted.map(_._2).sum
+      def at(target: Long): Long = {
+        var cum = 0L
+        sorted.find { case (_, w) => cum += w; cum >= target }.get._1
+      }
+      (rf, at((tw + 1) / 2) + at((tw + 2) / 2), tw)
+    }.sortBy(_._1)
+    val got = ReportQueries.q147_weighted_median(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("q148 unpivot round-trips the per-(user, type) totals") {
+    val want = eventRows.groupBy(e => (e._1, e._3)).view
+      .mapValues(_.map(_._6).sum).toMap
+    val got = ReportQueries.q148_unpivot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val users = eventRows.map(_._1).distinct
+    assert(got.size == users.size * 5, "every user emits all five type rows")
+    got.foreach { case (u, t, total) =>
+      assert(total == want.getOrElse((u, t), 0L).toDouble / 100, s"($u, $t)")
+    }
+  }
+
   test("q144 gini equals the pairwise mean-absolute-difference form, bit for bit") {
     val rows = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
