@@ -125,6 +125,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sawWindow > 0, "audit traversal found no Window nodes at all — traversal is broken")
   }
 
+  test("round-9h plan shapes: q141 one Expand, q148 no post-agg shuffle, q137 broadcast spine, q139/q147 window-fused totals") {
+    // q141: grouping sets lower to ONE Expand feeding one agg
+    val p141 = plan("q141_grouping_sets")
+    assert("Expand".r.findAllIn(p141).size == 1, "grouping sets = one Expand")
+    // q148: the unpivot Expand sits ABOVE the aggregation — no
+    // exchange between the wide agg and the long output
+    val p148 = plan("q148_unpivot")
+    assert(p148.contains("Expand"), "unpivot lowers to Expand")
+    val idxExpand = p148.indexOf("Expand")
+    // the only exchange above the Expand is the display orderBy's
+    // range partitioning — the melt itself must add no hash shuffle
+    assert(!p148.substring(0, idxExpand).contains("Exchange hashpartitioning"),
+      "the melt must not hash-shuffle above the Expand")
+    // q137: the calendar spine rides a broadcast, never a shuffle join
+    val p137 = plan("q137_gap_fill")
+    assert(p137.contains("BroadcastNestedLoopJoin") || p137.contains("BroadcastExchange"),
+      "day spine must broadcast")
+    // q139/q147: the group-total is computed INSIDE the same window
+    // operator pass as the cumulative — no tot-frame join pyramid
+    // (two window SPECS, same exchange; the plan shows window nodes
+    // but no extra Exchange between them)
+    Seq("q139_mad_outliers", "q147_weighted_median").foreach { q =>
+      val p = plan(q)
+      val afterFirstWindow = p.substring(p.indexOf("Window"))
+      val secondWindow = afterFirstWindow.drop(6)
+      val idx2 = secondWindow.indexOf("Window")
+      if (idx2 >= 0)
+        assert(!secondWindow.substring(0, idx2).contains("Exchange"),
+          s"$q: cumulative and total windows must share one exchange")
+    }
+  }
+
   test("Sequence.globalRowNumber is bit-identical to the window row_number and range-partitions instead") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Sequence
