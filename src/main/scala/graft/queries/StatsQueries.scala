@@ -1,0 +1,504 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Determinism._
+
+/** Round-9i statistical audit kit: the experiment-analysis and
+  * data-quality primitives a warehouse team runs daily — A/B
+  * significance tests, contingency-table independence, Benford
+  * first-digit audits, declarative expectation suites, and join-key
+  * skew diagnostics. deva reaches these through its stats pipe
+  * compositions (deva/core/pipe.py groupby + accumulate chains and
+  * the stats helpers); here each is one declarative plan whose
+  * per-corpus work is a single aggregation with map-side partials.
+  *
+  * Shared determinism discipline (SURVEY §4): every statistic reduces
+  * to EXACT integer/decimal aggregates first (counts, cents sums,
+  * sums of squared cents — all order-free), and the float math is a
+  * single mirrored IEEE expression over those exact scalars, so the
+  * DuckDB oracle is bit-identical without any tolerance.
+  */
+object StatsQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (dec2(c) * 100).cast("long")
+
+  /** q149 — two-arm A/B test readout: users hash-split 50/50 (the
+    * deterministic assignment every experimentation system derives
+    * from a user-id hash), arm-level conversion (any `purchase`
+    * event) compared with the two-proportion pooled z-test, and
+    * revenue-per-user compared with Welch's t. deva: groupby +
+    * custom stats lambda over the user pipe.
+    *
+    * Scale/shape: ONE corpus aggregation to the per-user frame
+    * (map-side partials), then a single global aggregation of eight
+    * exact integer partials (n/x/Σcents/Σcents² per arm) — the
+    * statistics are driver-free closed forms over one output row.
+    * Revenue moments stay in integer cents (Σc² ≤ 2⁶³ at any
+    * plausible per-user total), so partial-aggregation order can
+    * never change a bit.
+    */
+  def q149_ab_test(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        // conversion = a BIG-TICKET purchase (value ≥ $200): the
+        // all-users-purchase saturation of the synthetic feed would
+        // pin p_pool = 1 and zero the z denominator
+        max(when(col("event_type") === "purchase" && dec2(col("value")) >= 200,
+          lit(1L)).otherwise(lit(0L))).as("conv"),
+        sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(lit(0L))).as("c"))
+      .withColumn("arm", pmod(hash60(col("user_id").cast("string")), lit(2L)))
+    val g = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x0"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x1"),
+      sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("s0"),
+      sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("s1"),
+      sum(when(col("arm") === 0, col("c") * col("c")).otherwise(0L)).as("ss0"),
+      sum(when(col("arm") === 1, col("c") * col("c")).otherwise(0L)).as("ss1"))
+    g.select(
+        col("n0"), col("n1"), col("x0"), col("x1"),
+        (col("x0").cast("double") / col("n0").cast("double")).as("p0"),
+        (col("x1").cast("double") / col("n1").cast("double")).as("p1"),
+        expr("""CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)""").as("uplift"),
+        expr("""(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                       * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                       * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))""").as("z_conv"),
+        expr("CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0").as("rev0"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0").as("rev1"),
+        expr("""(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
+                 - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0)
+                / sqrt(((CAST(ss0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                        / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) / 10000.0
+                        / CAST(n0 AS DOUBLE))
+                       + ((CAST(ss1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) / 10000.0
+                          / CAST(n1 AS DOUBLE)))""").as("t_welch"))
+  }
+
+  val q149_ab_test_sql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase'
+       |        AND CAST(value AS DECIMAL(18,2)) >= 200 THEN 1 ELSE 0 END) AS conv,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS c
+       |  FROM events GROUP BY user_id),
+       |armd AS (
+       |  SELECT ${hash60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm, conv, c FROM pu),
+       |g AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s0,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS ss0,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS ss1
+       |  FROM armd)
+       |SELECT n0, n1, x0, x1,
+       |  CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+       |  CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+       |  CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |    - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS uplift,
+       |  (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |    - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       |  / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+       |         * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+       |         * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z_conv,
+       |  CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS rev0,
+       |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS rev1,
+       |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
+       |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0)
+       |  / sqrt(((CAST(ss0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+       |           - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+       |          / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) / 10000.0
+       |          / CAST(n0 AS DOUBLE))
+       |         + ((CAST(ss1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+       |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       |            / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) / 10000.0
+       |            / CAST(n1 AS DOUBLE))) AS t_welch
+       |FROM g""".stripMargin
+
+  /** q150 — chi-square test of independence over the (market
+    * segment × order priority) contingency table: is order priority
+    * distributed independently of customer segment? The categorical
+    * association test behind every "does cohort X behave differently"
+    * report. deva: groupby-pair counts + a stats lambda.
+    *
+    * Scale/shape: the corpus collapses to the label-bounded cell
+    * frame in ONE aggregation (the customer dim broadcasts into the
+    * fact scan); row/column margins are windows over the tiny cell
+    * frame (real partition keys — never a global window), and N rides
+    * a broadcast scalar. Each cell's contribution is the exact
+    * integer identity (obs·N − rt·ct)² / (rt·ct·N) evaluated as one
+    * mirrored double expression; the total is an exact decimal sum of
+    * 6-dp-quantized contributions, so cell order cannot move a bit.
+    */
+  def q150_chi_square(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+    val cells = joined.groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("obs"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    val margins = cells
+      .withColumn("rt", sum(col("obs")).over(Window.partitionBy(col("segment"))))
+      .withColumn("ct", sum(col("obs")).over(Window.partitionBy(col("priority"))))
+      .crossJoin(broadcast(n))
+    val contrib = margins.select(
+      col("segment"), col("priority"), col("obs"), col("rt"), col("ct"), col("n"),
+      expr("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)").as("expected"),
+      expr("""CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE)
+              / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE))""").as("contrib"))
+    val chi2 = contrib.agg(
+      sum(col("contrib").cast("decimal(18,6)")).cast("double").as("chi2"),
+      count_distinct(col("segment")).as("nseg"),
+      count_distinct(col("priority")).as("nprio"))
+    contrib
+      .select(col("segment"), col("priority"), col("obs"), col("expected"),
+        col("contrib").cast("decimal(18,6)").cast("double").as("contrib"))
+      .crossJoin(broadcast(chi2.select(col("chi2"),
+        ((col("nseg") - 1) * (col("nprio") - 1)).as("dof"))))
+      .orderBy(col("segment"), col("priority"))
+  }
+
+  val q150_chi_square_sql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |    CAST(COUNT(*) AS BIGINT) AS obs
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT segment, priority, obs,
+      |    SUM(obs) OVER (PARTITION BY segment) AS rt,
+      |    SUM(obs) OVER (PARTITION BY priority) AS ct,
+      |    (SELECT SUM(obs) FROM cells) AS n
+      |  FROM cells),
+      |c AS (
+      |  SELECT segment, priority, obs,
+      |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+      |    CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE)
+      |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE)) AS contrib
+      |  FROM m),
+      |t AS (
+      |  SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+      |    CAST((COUNT(DISTINCT segment) - 1) * (COUNT(DISTINCT priority) - 1) AS BIGINT) AS dof
+      |  FROM c)
+      |SELECT segment, priority, obs, expected,
+      |  CAST(CAST(contrib AS DECIMAL(18,6)) AS DOUBLE) AS contrib, chi2, dof
+      |FROM c CROSS JOIN t
+      |ORDER BY segment, priority""".stripMargin
+
+  /** q151 — Benford first-digit audit of `l_extendedprice`: the
+    * classic fraud/synthetic-data screen comparing the observed
+    * leading-significant-digit distribution against Benford's law,
+    * with a chi-square distance. (The TPC-H-ish generator is
+    * uniform-ish, so the audit REJECTS loudly — which is the point:
+    * the query is the detector, the verdict belongs to the data.)
+    *
+    * Determinism: the leading digit comes from the DECIMAL cents
+    * rendering (first char of the int64 string — both engines print
+    * integers identically; no log10 whose last ulp could flip a
+    * boundary value), and the Benford expectations are shared decimal
+    * LITERALS, not engine libm calls. Per-digit contributions quantize
+    * to 6 dp before the exact total sum.
+    *
+    * Scale/shape: one aggregation to the 9-row digit frame; the
+    * scalar N and chi2 ride broadcasts.
+    */
+  def q151_benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.lineitem(spark, dir)
+      .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val n = digits.agg(sum(col("obs")).as("n"))
+    val expShare = expr(s"element_at(array(${benfordLits.mkString(", ")}), digit)")
+    val cells = digits.crossJoin(broadcast(n))
+      .withColumn("exp_share", expShare)
+      .withColumn("expected",
+        expr("CAST(exp_share AS DOUBLE) * CAST(n AS DOUBLE)"))
+      .withColumn("contrib",
+        expr("""(CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+                / expected""").cast("decimal(18,6)").cast("double"))
+    val chi2 = cells.agg(sum(col("contrib").cast("decimal(18,6)")).cast("double").as("chi2"))
+    cells.select(col("digit"), col("obs"), col("n"),
+        expr("CAST(obs AS DOUBLE) / CAST(n AS DOUBLE)").as("obs_share"),
+        col("exp_share").cast("double").as("exp_share"),
+        col("contrib"))
+      .crossJoin(broadcast(chi2))
+      .orderBy(col("digit"))
+  }
+
+  /** Benford P(d) = log10(1 + 1/d), shared 12-dp decimal literals. */
+  private val benfordVals = Seq(
+    "0.301029995664", "0.176091259056", "0.124938736608", "0.096910013008",
+    "0.079181246048", "0.066946789631", "0.057991946978", "0.051152522447",
+    "0.045757490561")
+  private val benfordLits = benfordVals.map(v => s"CAST($v AS DECIMAL(14,12))")
+
+  val q151_benford_sql: String = {
+    val rows = benfordVals.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, CAST($v AS DECIMAL(14,12)))" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM lineitem),
+       |digits AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs FROM d GROUP BY 1),
+       |bf AS (SELECT * FROM (VALUES $rows) AS t(digit, exp_share)),
+       |cells AS (
+       |  SELECT g.digit, g.obs, (SELECT CAST(SUM(obs) AS BIGINT) FROM digits) AS n, b.exp_share
+       |  FROM digits g JOIN bf b ON g.digit = b.digit),
+       |c2 AS (
+       |  SELECT digit, obs, n, exp_share,
+       |    CAST(exp_share AS DOUBLE) * CAST(n AS DOUBLE) AS expected
+       |  FROM cells),
+       |c3 AS (
+       |  SELECT digit, obs, n, exp_share, expected,
+       |    CAST(CAST((CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+       |      / expected AS DECIMAL(18,6)) AS DOUBLE) AS contrib
+       |  FROM c2),
+       |t AS (SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2 FROM c3)
+       |SELECT digit, obs, n,
+       |  CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+       |  CAST(exp_share AS DOUBLE) AS exp_share, contrib, chi2
+       |FROM c3 CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+  }
+
+  /** q152 — declarative data-quality EXPECTATION SUITE (the
+    * Deequ/Great-Expectations shape): primary-key uniqueness, value
+    * ranges, categorical domains, and referential integrity, emitted
+    * as one (check, table, violations, total, pass) report frame.
+    * deva: the filter + count pipe chains a quality gate composes.
+    *
+    * Scale/shape: every per-table family of checks is ONE scan with
+    * conditional aggregates melted by `stack` (never one job per
+    * check — the q139 tiny-job lesson), and each referential check is
+    * one anti-join (broadcast when the parent side is dim-sized,
+    * shuffle otherwise — AQE's call). Nothing is collected; the
+    * report frame is check-count-bounded.
+    */
+  def q152_expectations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+
+    val liChecks = li.agg(
+        count(lit(1)).as("total"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v_qty"),
+        sum(when(!col("l_discount").between(0, 0.5), 1L).otherwise(0L)).as("v_disc"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+        (count(lit(1)) - count_distinct(col("l_orderkey") * 10000 + col("l_linenumber"))).as("v_pk"))
+      .select(expr(
+        """stack(4,
+          |  'quantity_in_1_50', v_qty,
+          |  'discount_in_0_0.5', v_disc,
+          |  'price_positive', v_price,
+          |  'pk_unique', v_pk) AS (check_name, violations)""".stripMargin),
+        lit("lineitem").as("table_name"), col("total"))
+
+    val ordChecks = ord.agg(
+        count(lit(1)).as("total"),
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("v_pk"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_total"),
+        sum(when(!col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 1L)
+          .otherwise(0L)).as("v_prio"))
+      .select(expr(
+        """stack(3,
+          |  'pk_unique', v_pk,
+          |  'totalprice_positive', v_total,
+          |  'priority_domain', v_prio) AS (check_name, violations)""".stripMargin),
+        lit("orders").as("table_name"), col("total"))
+
+    val evChecks = ev.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("v_val"),
+        sum(when(!col("event_type").isin(
+          "click", "error", "purchase", "signup", "view"), 1L).otherwise(0L)).as("v_type"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_user"))
+      .select(expr(
+        """stack(3,
+          |  'value_nonnegative', v_val,
+          |  'event_type_domain', v_type,
+          |  'user_id_not_null', v_user) AS (check_name, violations)""".stripMargin),
+        lit("events").as("table_name"), col("total"))
+
+    val ordFk = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("fk_customer").as("check_name"), col("violations"),
+        lit("orders").as("table_name"))
+      .crossJoin(broadcast(ord.agg(count(lit(1)).as("total"))))
+    val liFk = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("fk_orders").as("check_name"), col("violations"),
+        lit("lineitem").as("table_name"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("total"))))
+
+    liChecks.unionByName(ordChecks).unionByName(evChecks)
+      .unionByName(ordFk).unionByName(liFk)
+      .select(col("table_name"), col("check_name"), col("violations"),
+        col("total"), (col("violations") === 0).as("pass"))
+      .orderBy(col("table_name"), col("check_name"))
+  }
+
+  val q152_expectations_sql: String =
+    """WITH li AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+      |    CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.5) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+      |    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |    CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 10000 + l_linenumber) AS BIGINT) AS v_pk
+      |  FROM lineitem),
+      |ord AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_pk,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_total,
+      |    CAST(SUM(CASE WHEN o_orderpriority NOT IN
+      |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS v_prio
+      |  FROM orders),
+      |ev AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+      |    CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_val,
+      |    CAST(SUM(CASE WHEN event_type NOT IN
+      |      ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+      |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_user
+      |  FROM events),
+      |rows_out AS (
+      |  SELECT 'lineitem' AS table_name, 'quantity_in_1_50' AS check_name, v_qty AS violations, total FROM li
+      |  UNION ALL SELECT 'lineitem', 'discount_in_0_0.5', v_disc, total FROM li
+      |  UNION ALL SELECT 'lineitem', 'price_positive', v_price, total FROM li
+      |  UNION ALL SELECT 'lineitem', 'pk_unique', v_pk, total FROM li
+      |  UNION ALL SELECT 'orders', 'pk_unique', v_pk, total FROM ord
+      |  UNION ALL SELECT 'orders', 'totalprice_positive', v_total, total FROM ord
+      |  UNION ALL SELECT 'orders', 'priority_domain', v_prio, total FROM ord
+      |  UNION ALL SELECT 'events', 'value_nonnegative', v_val, total FROM ev
+      |  UNION ALL SELECT 'events', 'event_type_domain', v_type, total FROM ev
+      |  UNION ALL SELECT 'events', 'user_id_not_null', v_user, total FROM ev
+      |  UNION ALL SELECT 'orders', 'fk_customer',
+      |    CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |          WHERE c.c_custkey IS NULL) AS BIGINT),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+      |  UNION ALL SELECT 'lineitem', 'fk_orders',
+      |    CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |          WHERE o.o_orderkey IS NULL) AS BIGINT),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem))
+      |SELECT table_name, check_name, violations, total, violations = 0 AS pass
+      |FROM rows_out ORDER BY table_name, check_name""".stripMargin
+
+  /** q153 — join-key SKEW PROFILE: per candidate shuffle key
+    * (lineitem.l_partkey / l_suppkey, orders.o_custkey,
+    * events.user_id) the diagnostics that decide salting/AQE-skew
+    * treatment before a 100 TB join ever runs — key cardinality, max
+    * and exact p50/p90/p99 per-key row counts, and the max/avg skew
+    * factor. The planning query behind SURVEY §5's skew doctrine
+    * (q83's salting and the AQE skew spec act on what this measures).
+    *
+    * Scale/shape: per key the corpus collapses to (key, cnt) with
+    * map-side partials, then to the COUNTS-OF-COUNTS histogram —
+    * bounded by the distinct per-key multiplicities, not the corpus —
+    * and the exact percentiles run the q117 cumulative idiom over
+    * that tiny frame (windows partition by the profiled column's
+    * name). No sort, no collect, two shuffles per profiled key.
+    */
+  def q153_skew_profile(spark: SparkSession, dir: String): DataFrame = {
+    def hist(df: DataFrame, key: String, label: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("keys"))
+        .select(lit(label).as("col_name"), col("c"), col("keys"))
+    val li = Tables.lineitem(spark, dir)
+    val hists =
+      hist(li, "l_partkey", "lineitem.l_partkey")
+        .unionByName(hist(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(hist(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
+        .unionByName(hist(Tables.events(spark, dir), "user_id", "events.user_id"))
+    val tot = hists.groupBy(col("col_name")).agg(
+      sum(col("keys")).as("n_keys"),
+      sum(col("c") * col("keys")).as("rows"),
+      max(col("c")).as("max_cnt"))
+    val cum = hists.withColumn("cum",
+      sum(col("keys")).over(Window.partitionBy(col("col_name")).orderBy(col("c"))))
+    val qs = cum.join(broadcast(tot.select(col("col_name"), col("n_keys"))), "col_name")
+      .select(col("col_name"), col("c"), col("cum"), col("n_keys"),
+        explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+      .filter(col("cum") >= expr("(p * n_keys + 99) div 100"))
+      .groupBy(col("col_name"), col("p")).agg(min(col("c")).as("q"))
+      .groupBy(col("col_name")).agg(
+        max(when(col("p") === 50, col("q"))).as("p50_cnt"),
+        max(when(col("p") === 90, col("q"))).as("p90_cnt"),
+        max(when(col("p") === 99, col("q"))).as("p99_cnt"))
+    tot.join(qs, "col_name")
+      .select(col("col_name"), col("n_keys"), col("rows"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        expr("CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(rows AS DOUBLE)")
+          .as("max_over_avg"),
+        expr("CAST(max_cnt AS DOUBLE) / CAST(rows AS DOUBLE)").as("top1_share"))
+      .orderBy(col("col_name"))
+  }
+
+  val q153_skew_profile_sql: String = {
+    def one(tbl: String, key: String, label: String) =
+      s"""SELECT '$label' AS col_name, c, CAST(COUNT(*) AS BIGINT) AS keys FROM (
+         |  SELECT $key, CAST(COUNT(*) AS BIGINT) AS c FROM $tbl GROUP BY $key) GROUP BY c""".stripMargin
+    s"""WITH hists AS (
+       |  ${one("lineitem", "l_partkey", "lineitem.l_partkey")}
+       |  UNION ALL ${one("lineitem", "l_suppkey", "lineitem.l_suppkey")}
+       |  UNION ALL ${one("orders", "o_custkey", "orders.o_custkey")}
+       |  UNION ALL ${one("events", "user_id", "events.user_id")}),
+       |tot AS (
+       |  SELECT col_name, CAST(SUM(keys) AS BIGINT) AS n_keys,
+       |    CAST(SUM(c * keys) AS BIGINT) AS rows_, CAST(MAX(c) AS BIGINT) AS max_cnt
+       |  FROM hists GROUP BY col_name),
+       |cum AS (
+       |  SELECT col_name, c, keys,
+       |    SUM(keys) OVER (PARTITION BY col_name ORDER BY c) AS cum
+       |  FROM hists),
+       |qsel AS (
+       |  SELECT h.col_name, ps.pp AS p, CAST(MIN(h.c) AS BIGINT) AS q
+       |  FROM cum h JOIN tot t USING (col_name)
+       |  CROSS JOIN (SELECT * FROM (VALUES (50), (90), (99)) AS v(pp)) ps
+       |  WHERE h.cum >= (ps.pp * t.n_keys + 99) // 100
+       |  GROUP BY 1, 2),
+       |qs AS (
+       |  SELECT col_name,
+       |    MAX(CASE WHEN p = 50 THEN q END) AS p50_cnt,
+       |    MAX(CASE WHEN p = 90 THEN q END) AS p90_cnt,
+       |    MAX(CASE WHEN p = 99 THEN q END) AS p99_cnt
+       |  FROM qsel GROUP BY col_name)
+       |SELECT t.col_name, t.n_keys, t.rows_ AS rows, t.max_cnt,
+       |  q.p50_cnt, q.p90_cnt, q.p99_cnt,
+       |  CAST(t.max_cnt AS DOUBLE) * CAST(t.n_keys AS DOUBLE) / CAST(t.rows_ AS DOUBLE) AS max_over_avg,
+       |  CAST(t.max_cnt AS DOUBLE) / CAST(t.rows_ AS DOUBLE) AS top1_share
+       |FROM tot t JOIN qs q USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_ab_test" -> (q149_ab_test _),
+    "q150_chi_square" -> (q150_chi_square _),
+    "q151_benford" -> (q151_benford _),
+    "q152_expectations" -> (q152_expectations _),
+    "q153_skew_profile" -> (q153_skew_profile _))
+
+  val oracles: Map[String, String] = Map(
+    "q149_ab_test" -> q149_ab_test_sql,
+    "q150_chi_square" -> q150_chi_square_sql,
+    "q151_benford" -> q151_benford_sql,
+    "q152_expectations" -> q152_expectations_sql,
+    "q153_skew_profile" -> q153_skew_profile_sql)
+}

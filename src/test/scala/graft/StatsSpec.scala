@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.StatsQueries
+
+/** Brute-force recounts for the round-9i statistical audit kit
+  * (q149–q153). The DuckDB gate proves cross-engine value equality;
+  * these re-derive each statistic a second, imperative way (collected
+  * rows + scala.math) so a same-formula-both-sides oracle slip can't
+  * hide.
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 4, shufflePartitions = 8)
+  val dir = "/root/testdata/sf0.001"
+
+  private def centsOf(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+
+  test("q149 z and Welch t equal a driver-side recomputation from raw events") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      val conv = if (es.exists(e => e._2 == "purchase" && centsOf(e._3) >= 20000)) 1L else 0L
+      val cents = es.filter(_._2 == "purchase").map(e => centsOf(e._3)).sum
+      (u, conv, cents)
+    }.toVector
+    // arm assignment via the SAME hash the query uses (portable md5-60)
+    val arms = {
+      val sp = spark
+      import sp.implicits._
+      perUser.map(_._1).toDF("user_id")
+        .select(col("user_id"),
+          graft.functions.Determinism.hash60(col("user_id").cast("string")).as("h"))
+        .collect().map(r => r.getLong(0) -> (((r.getLong(1) % 2) + 2) % 2)).toMap
+    }
+    def stats(arm: Long) = {
+      val rows = perUser.filter(p => arms(p._1) == arm)
+      val n = rows.size.toDouble
+      val x = rows.map(_._2).sum.toDouble
+      val s = rows.map(_._3).sum.toDouble
+      val ss = rows.map(t => t._3 * t._3).sum.toDouble
+      (n, x, s, ss)
+    }
+    val (n0, x0, s0, ss0) = stats(0)
+    val (n1, x1, s1, ss1) = stats(1)
+    val pp = (x0 + x1) / (n0 + n1)
+    val z = (x1 / n1 - x0 / n0) / math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    def varCents(n: Double, s: Double, ss: Double) = (ss * n - s * s) / (n * (n - 1.0))
+    val t = (s1 / n1 / 100.0 - s0 / n0 / 100.0) /
+      math.sqrt(varCents(n0, s0, ss0) / 10000.0 / n0 + varCents(n1, s1, ss1) / 10000.0 / n1)
+    val r = StatsQueries.q149_ab_test(spark, dir).collect().head
+    assert(r.getLong(0) == n0.toLong && r.getLong(1) == n1.toLong)
+    assert(r.getLong(2) == x0.toLong && r.getLong(3) == x1.toLong)
+    assert(math.abs(r.getAs[Double]("z_conv") - z) < 1e-9, s"z: got ${r.getAs[Double]("z_conv")} want $z")
+    assert(math.abs(r.getAs[Double]("t_welch") - t) < 1e-9, s"t: got ${r.getAs[Double]("t_welch")} want $t")
+  }
+
+  test("q150 chi-square equals the naive contingency recomputation; margins consistent") {
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val obs = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = rows.size.toDouble
+    val rt = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val ct = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val naiveChi2 = obs.map { case ((s, p), o) =>
+      val e = rt(s) * ct(p) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val got = StatsQueries.q150_chi_square(spark, dir).collect()
+    assert(got.length == obs.size)
+    val chi2 = got.head.getAs[Double]("chi2")
+    assert(math.abs(chi2 - naiveChi2) < 1e-4, s"chi2 got $chi2 want $naiveChi2")
+    assert(got.head.getAs[Long]("dof") == (rt.size - 1).toLong * (ct.size - 1))
+    got.foreach { r =>
+      assert(r.getAs[Long]("obs") == obs((r.getString(0), r.getString(1))))
+    }
+  }
+
+  test("q151 digit counts equal a string-derived recount; shares sum to ~1") {
+    val prices = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
+      .collect().map(r => centsOf(r.getDouble(0)))
+    val want = prices.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    val got = StatsQueries.q151_benford(spark, dir).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("obs") == want(r.getInt(0).toLong),
+        s"digit ${r.getInt(0)}")
+    }
+    assert(math.abs(got.map(_.getAs[Double]("obs_share")).sum - 1.0) < 1e-12)
+    // Benford expectation shares are a (near-)distribution
+    assert(math.abs(got.map(_.getAs[Double]("exp_share")).sum - 1.0) < 1e-9)
+  }
+
+  test("q152 expectations: FK and PK checks equal set-based recounts; all checks present") {
+    val got = StatsQueries.q152_expectations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.size == 12)
+    val custKeys = Tables.customer(spark, dir).select(col("c_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    val ordKeys = Tables.orders(spark, dir).select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val ordCust = Tables.orders(spark, dir).select(col("o_custkey"))
+      .collect().map(_.getLong(0))
+    val liOrd = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .collect().map(_.getLong(0))
+    val ordKeySet = ordKeys.toSet
+    assert(got(("orders", "fk_customer"))._1 == ordCust.count(!custKeys(_)))
+    assert(got(("lineitem", "fk_orders"))._1 == liOrd.count(!ordKeySet(_)))
+    assert(got(("orders", "pk_unique"))._1 == (ordKeys.length - ordKeySet.size).toLong)
+    // totals carry the right table sizes
+    assert(got(("orders", "pk_unique"))._2 == ordKeys.length.toLong)
+    assert(got(("lineitem", "fk_orders"))._2 == liOrd.length.toLong)
+    // pass flag is exactly violations == 0
+    StatsQueries.q152_expectations(spark, dir).collect().foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(2) == 0L))
+    }
+  }
+
+  test("q153 skew stats for events.user_id equal a sorted-counts recount") {
+    val counts = Tables.events(spark, dir).select(col("user_id"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map(_._2.size.toLong).toVector.sorted
+    val nKeys = counts.size
+    def pctl(p: Int): Long = counts((p * nKeys + 99) / 100 - 1)
+    val r = StatsQueries.q153_skew_profile(spark, dir)
+      .filter(col("col_name") === "events.user_id").collect().head
+    assert(r.getAs[Long]("n_keys") == nKeys.toLong)
+    assert(r.getAs[Long]("rows") == counts.sum)
+    assert(r.getAs[Long]("max_cnt") == counts.max)
+    assert(r.getAs[Long]("p50_cnt") == pctl(50))
+    assert(r.getAs[Long]("p90_cnt") == pctl(90))
+    assert(r.getAs[Long]("p99_cnt") == pctl(99))
+    val avg = counts.sum.toDouble / nKeys
+    assert(math.abs(r.getAs[Double]("max_over_avg") - counts.max / avg) < 1e-9)
+  }
+}
