@@ -663,7 +663,78 @@ object StreamQueries {
   /** Same oracle as the batch attribution — the point of the query. */
   val q143_stream_attribution_sql: String = ReportQueries.q140_attribution_sql
 
+  /** q157 — STREAMING Holt linear-trend smoothing: q156's recursion
+    * maintained incrementally per event_type — the SIXTH batch≡stream
+    * pairing (anomaly, compaction, smoothing, changepoint,
+    * attribution, now trend forecasting). State per key is the
+    * day-count series (calendar-bounded — the same frame the batch
+    * side collects per group); each micro-batch merges its events
+    * into the day counts and re-emits the folded (level, trend,
+    * forecast) — O(days) per key per batch, days bounded by the
+    * calendar. Day bucketing is epoch-day floor of the UTC millis,
+    * bit-identical to `to_date(ts)` under the session's pinned UTC.
+    * Oracle is q156's recursive-CTE SQL verbatim; a parity spec
+    * asserts stream ≡ batch bit-for-bit.
+    */
+  def q157_stream_holt(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q157_mem_${runId.incrementAndGet()}"
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val holt = ds.groupByKey(_.event_type)
+        .flatMapGroupsWithState[Vector[(Long, Long)], (String, Long, Double, Double, Double)](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (k: String, it: Iterator[EvRow],
+           state: org.apache.spark.sql.streaming.GroupState[Vector[(Long, Long)]]) =>
+            val m = scala.collection.mutable.HashMap.empty[Long, Long]
+            state.getOption.getOrElse(Vector.empty).foreach { case (d, c) => m(d) = c }
+            it.foreach { e =>
+              val d = Math.floorDiv(e.ts.getTime, 86400000L)
+              m(d) = m.getOrElse(d, 0L) + 1L
+            }
+            val sorted = m.toVector.sortBy(_._1)
+            state.update(sorted)
+            if (sorted.size < 2) Iterator.empty
+            else {
+              // identical IEEE op sequence to q156's array fold
+              val xs = sorted.map(_._2.toDouble)
+              var l = xs(0)
+              var b = xs(1) - xs(0)
+              var t = 1
+              while (t < xs.length) {
+                val lNew = 0.5 * xs(t) + 0.5 * (l + b)
+                b = 0.25 * ((0.5 * xs(t) + 0.5 * (l + b)) - l) + 0.75 * b
+                l = lNew
+                t += 1
+              }
+              Iterator.single((k, xs.length.toLong, l, b, l + 7.0 * b))
+            }
+        }
+      val q = holt.toDF("event_type", "n_days", "level", "trend", "forecast_7")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // one emission per key per batch; n_days only grows, so the
+    // max-struct picks each key's final state (the q121 idiom)
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n_days"), col("level"), col("trend"), col("forecast_7"))).as("s"))
+      .select(col("event_type"), col("s.n_days").as("n_days"),
+        col("s.level").as("level"), col("s.trend").as("trend"),
+        col("s.forecast_7").as("forecast_7"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Same oracle as the batch Holt — the point of the query. */
+  val q157_stream_holt_sql: String = TimeSeriesQueries.q156_holt_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_stream_holt" -> (q157_stream_holt _),
     "q143_stream_attribution" -> (q143_stream_attribution _),
     "q134_stream_cusum" -> (q134_stream_cusum _),
     "q130_stream_ewma" -> (q130_stream_ewma _),
@@ -681,6 +752,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q157_stream_holt" -> q157_stream_holt_sql,
     "q143_stream_attribution" -> q143_stream_attribution_sql,
     "q130_stream_ewma" -> q130_stream_ewma_sql,
     "q134_stream_cusum" -> q134_stream_cusum_sql,

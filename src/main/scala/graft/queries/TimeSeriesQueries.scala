@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Determinism._
+
+/** Round-9j time-series kit: autocorrelation, seasonal
+  * decomposition, and exponential trend smoothing over the daily
+  * order-revenue / event-count series — the forecasting-adjacent
+  * primitives that complete the monitoring family (q108 anomaly,
+  * q126/q130 EWMA, q129 drift, q133/q134 CUSUM). deva reaches these
+  * through sliding_window + accumulate pipe chains; here each is one
+  * declarative plan over the day-bounded series frame.
+  *
+  * Shared shape: the corpus collapses FIRST to a calendar-bounded
+  * (day, value) frame in one aggregation with map-side partials —
+  * every subsequent join/window touches only that tiny series, so
+  * the plans are corpus-scan-dominated at any scale. Lag access is
+  * a day-offset EQUI-JOIN on the series frame (never a global
+  * partition-less window). Determinism: deviations are exact integer
+  * cents around the half-up integer mean (the q133 discipline);
+  * cross products sum in DECIMAL; the only doubles are final
+  * mirrored IEEE divisions.
+  */
+object TimeSeriesQueries {
+
+  private def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("cents"))
+
+  private val dailySql =
+    """SELECT date_trunc('day', o_orderdate)::DATE AS day,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1""".stripMargin
+
+  /** q154 — sample AUTOCORRELATION of daily order revenue at lags
+    * 1–7: the dependence screen run before fitting any forecasting
+    * model (and the basis of seasonality detection — a weekly cycle
+    * shows as an acf(7) spike). deva: sliding_window + a stats
+    * lambda over the zipped series.
+    *
+    * Lags come from a day-offset self-join of the series frame
+    * (7 lag rows per day via one `sequence` explode), never a global
+    * window: the join is AQE-broadcast on the day-bounded frame.
+    * Deviations are integer cents around the half-up integer mean;
+    * numerator/denominator accumulate exactly in DECIMAL and meet in
+    * one final double division (the standard biased estimator
+    * n-normalized via the shared denominator).
+    */
+  def q154_acf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
+    val mu = daily.agg(expr("(2 * sum(cents) + count(1)) div (2 * count(1))").as("mu"))
+    val dx = daily.crossJoin(broadcast(mu))
+      .select(col("day"), (col("cents") - col("mu")).as("dx"))
+    val den = dx.agg(
+      sum(col("dx").cast(DecimalType(18, 0)) * col("dx").cast(DecimalType(18, 0))).as("den"))
+    val lagged = dx.select(col("day"), col("dx").as("dxa"),
+        explode(sequence(lit(1), lit(7))).as("lag"))
+      .withColumn("day_b", date_add(col("day"), col("lag")))
+    lagged.join(dx.select(col("day").as("day_b"), col("dx").as("dxb")), "day_b")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dxa").cast(DecimalType(18, 0)) * col("dxb").cast(DecimalType(18, 0))).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  val q154_acf_sql: String =
+    s"""WITH daily AS (
+       |  $dailySql),
+       |mu AS (
+       |  SELECT CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mu FROM daily),
+       |dx AS (
+       |  SELECT day, cents - mu AS dx FROM daily CROSS JOIN mu),
+       |den AS (
+       |  SELECT SUM(CAST(dx AS DECIMAL(18,0)) * CAST(dx AS DECIMAL(18,0))) AS den FROM dx),
+       |lagged AS (
+       |  SELECT a.day, a.dx AS dxa, k.lag, a.day + k.lag AS day_b
+       |  FROM dx a CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS lag) k)
+       |SELECT CAST(l.lag AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CAST(l.dxa AS DECIMAL(18,0)) * CAST(b.dx AS DECIMAL(18,0))) AS DOUBLE)
+       |    / CAST((SELECT den FROM den) AS DOUBLE) AS acf
+       |FROM lagged l JOIN dx b ON b.day = l.day_b
+       |GROUP BY l.lag ORDER BY lag""".stripMargin
+
+  /** q155 — weekday SEASONAL DECOMPOSITION of daily revenue: trend
+    * via the centered 7-day moving average (computed only where all
+    * 7 calendar neighbors exist — boundary and gap days carry no
+    * trend estimate), seasonal index per weekday as the mean
+    * detrended deviation. The classical decomposition step behind
+    * "is Monday really 12% below trend" reporting.
+    *
+    * The moving average is a ±3 day-offset equi-join (one explode,
+    * 7 rows/day) over the series frame; detrended values stay exact
+    * integers via the ×7 trick (7·x − Σwindow — no division until
+    * the final per-weekday mean). Weekday = days-since-a-known-Sunday
+    * mod 7, identical in both engines (no locale-dependent dayofweek
+    * numbering).
+    */
+  def q155_seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
+    val win = daily.select(col("day").as("center"), col("cents"))
+      .withColumn("off", explode(sequence(lit(-3), lit(3))))
+      .withColumn("day_b", date_add(col("center"), col("off")))
+    val ma = win.join(daily.select(col("day").as("day_b"), col("cents").as("cb")), "day_b")
+      .groupBy(col("center"), col("cents"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cb")).as("ma_sum"))
+      .filter(col("cnt") === 7)
+      .select(col("center"),
+        (col("cents") * 7 - col("ma_sum")).as("detr"),
+        pmod(datediff(col("center"), lit("1995-01-01").cast("date")), lit(7)).as("dow"))
+    ma.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("detr")).cast("double") /
+          (lit(700.0) * count(lit(1)).cast("double"))).as("seasonal_dollars"))
+      .select(col("dow").cast("long").as("dow"), col("n_days"), col("seasonal_dollars"))
+      .orderBy(col("dow"))
+  }
+
+  val q155_seasonal_sql: String =
+    s"""WITH daily AS (
+       |  $dailySql),
+       |win AS (
+       |  SELECT a.day AS center, a.cents, a.day + k.off AS day_b
+       |  FROM daily a CROSS JOIN (SELECT CAST(unnest(generate_series(-3, 3)) AS INTEGER) AS off) k),
+       |ma AS (
+       |  SELECT w.center, w.cents, COUNT(*) AS cnt, CAST(SUM(b.cents) AS BIGINT) AS ma_sum
+       |  FROM win w JOIN daily b ON b.day = w.day_b
+       |  GROUP BY w.center, w.cents),
+       |detr AS (
+       |  SELECT center, cents * 7 - ma_sum AS detr,
+       |    (center - DATE '1995-01-01') % 7 AS dow
+       |  FROM ma WHERE cnt = 7)
+       |SELECT CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  CAST(CAST(SUM(detr) AS BIGINT) AS DOUBLE)
+       |    / (700.0 * CAST(COUNT(*) AS DOUBLE)) AS seasonal_dollars
+       |FROM detr GROUP BY dow ORDER BY dow""".stripMargin
+
+  /** q156 — HOLT'S LINEAR TREND smoothing over per-event-type daily
+    * counts (α = 1/2, β = 1/4 — dyadic taps, the q126 discipline),
+    * emitting the final level/trend state and the 7-day-ahead
+    * forecast. The recursion l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} is inherently sequential —
+    * batch-side it runs as a per-group ARRAY FOLD (`aggregate` over
+    * the day-sorted series array), calendar-bounded per group, while
+    * the streaming twin (q157) carries the same recursion as two
+    * doubles of state. The oracle is a DuckDB RECURSIVE CTE running
+    * the identical IEEE op sequence: three shapes — fold, state
+    * machine, recursive SQL — one bit-exact answer.
+    *
+    * Scale/shape: one corpus aggregation to the (type, day) count
+    * frame; collect_list gathers only the calendar-bounded series
+    * per group (the q92/q116 array idiom), and the fold is a single
+    * codegen-stage projection.
+    */
+  def q156_holt(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)").as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+        expr(
+          """aggregate(
+            |  slice(xs, 2, size(xs) - 1),
+            |  named_struct('l', element_at(xs, 1),
+            |               'b', element_at(xs, 2) - element_at(xs, 1)),
+            |  (acc, v) -> named_struct(
+            |    'l', 0.5 * v + 0.5 * (acc.l + acc.b),
+            |    'b', 0.25 * ((0.5 * v + 0.5 * (acc.l + acc.b)) - acc.l) + 0.75 * acc.b))
+            |""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + lit(7.0) * col("st.b")).as("forecast_7"))
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_acf" -> (q154_acf _),
+    "q155_seasonal" -> (q155_seasonal _),
+    "q156_holt" -> (q156_holt _))
+
+  val oracles: Map[String, String] = Map(
+    "q154_acf" -> q154_acf_sql,
+    "q155_seasonal" -> q155_seasonal_sql,
+    "q156_holt" -> q156_holt_sql)
+
+  /** DuckDB runs the identical recursion as a RECURSIVE CTE — the
+    * same IEEE op sequence as the batch fold and the stream state
+    * machine (q157), so all three are bit-equal.
+    */
+  lazy val q156_holt_sql: String =
+    """WITH RECURSIVE cnts AS (
+      |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+      |    CAST(COUNT(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, day, x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM cnts),
+      |n AS (SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_days FROM s GROUP BY 1),
+      |h AS (
+      |  SELECT s1.event_type, 1 AS t, s1.x AS l, s2.x - s1.x AS b
+      |  FROM s s1 JOIN s s2
+      |    ON s1.event_type = s2.event_type AND s1.rn = 1 AND s2.rn = 2
+      |  UNION ALL
+      |  SELECT h.event_type, h.t + 1,
+      |    0.5 * s.x + 0.5 * (h.l + h.b),
+      |    0.25 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+      |  FROM h JOIN s ON s.event_type = h.event_type AND s.rn = h.t + 1)
+      |SELECT h.event_type, n.n_days, h.l AS level, h.b AS trend,
+      |  h.l + 7.0 * h.b AS forecast_7
+      |FROM h JOIN n ON h.event_type = n.event_type AND h.t = n.n_days
+      |WHERE n.n_days >= 2
+      |ORDER BY h.event_type""".stripMargin
+}
