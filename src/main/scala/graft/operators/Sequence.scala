@@ -87,4 +87,46 @@ object Sequence {
     InternalRows.createDataFrame(spark, indexed,
       StructType(sorted.schema.fields :+ StructField(idxName, LongType, nullable = false)))
   }
+
+  /** Global RUNNING SUM of a long column under a total order — the
+    * scale-safe form of `sum(x) OVER (ORDER BY …)`, which Spark
+    * executes through ONE task. Same two-pass discipline as
+    * [[globalRowNumber]]: range-repartition + in-partition sort, a
+    * partition-count-bounded collect of per-partition value sums,
+    * then a map-side pass seeded with each partition's prefix offset.
+    * Bit-identical to the window form because long addition is
+    * associative and the range partitions are disjoint ordered runs.
+    *
+    * Cost at 100 TB: one range exchange + one map pass + a
+    * #partitions-sized driver collect. EAGER like globalRowNumber.
+    */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+      cumName: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val valueIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.queryExecution.toRdd
+    val sums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(valueIdx))
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val summed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var run = offsets(i)
+      val cumCell = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { r =>
+        run += r.getLong(valueIdx); cumCell.update(0, run)
+        joined(r, cumCell): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    InternalRows.createDataFrame(spark, summed,
+      StructType(sorted.schema.fields :+ StructField(cumName, LongType, nullable = false)))
+  }
 }
