@@ -205,7 +205,22 @@ object ScaleSmoke {
       // (seconds-quantized histogram bounded at any N)
       "q137_gap_fill", "q138_khop", "q139_mad_outliers",
       "q140_attribution", "q141_grouping_sets", "q142_bucket_diff",
-      "q144_gini", "q145_assoc_rules", "q146_conversion_lag")
+      "q144_gini", "q145_assoc_rules", "q146_conversion_lag",
+      // round 9i-9k: audit/time-series/lifecycle kits. A/B + chi2 +
+      // Benford collapse to label/digit-bounded cells at any N;
+      // expectations are one scan per table + anti-joins that grow
+      // linearly; skew profile's counts-of-counts stays multiplicity-
+      // bounded; acf/seasonal fold day-bounded series frames (the ×N
+      // user replication fattens per-day counts, not the series
+      // length); holt folds a calendar-bounded array per type; streaks
+      // and survival are per-user windows + cohort-bounded folds; RFM
+      // histograms are value-domain bounded; ABC's global prefix sum
+      // is the one part-linear total order — the two-pass range
+      // exchange must parallelize, never single-task
+      "q149_ab_test", "q150_chi_square", "q151_benford",
+      "q152_expectations", "q153_skew_profile", "q154_acf",
+      "q155_seasonal", "q156_holt", "q158_streaks", "q159_survival",
+      "q160_rfm", "q161_abc")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
