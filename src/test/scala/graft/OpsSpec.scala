@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.OpsQueries
+
+/** Brute-force recounts for the round-9l operational reporting kit
+  * (q162–q164).
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 4, shufflePartitions = 8)
+  val dir = "/root/testdata/sf0.001"
+
+  private def centsOf(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+
+  test("q162 SLA shares and percentiles equal a sorted-latency recount") {
+    val lats = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sorted }
+    val got = OpsQueries.q162_sla(spark, dir).collect()
+    assert(got.length == lats.size)
+    got.foreach { r =>
+      val v = lats(r.getString(0))
+      val n = v.length
+      assert(r.getAs[Long]("n_items") == n.toLong)
+      assert(r.getAs[Double]("pct_30d") == v.count(_ <= 30).toDouble / n)
+      assert(r.getAs[Double]("pct_90d") == v.count(_ <= 90).toDouble / n)
+      def pctl(p: Int): Long = v((p * n + 99) / 100 - 1)
+      assert(r.getAs[Long]("p50_days") == pctl(50), s"${r.getString(0)} p50")
+      assert(r.getAs[Long]("p90_days") == pctl(90), s"${r.getString(0)} p90")
+      assert(r.getAs[Long]("p99_days") == pctl(99), s"${r.getString(0)} p99")
+    }
+  }
+
+  test("q163 trend classes equal a naive per-part regression sign test") {
+    val monthly = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1).cast("long"),
+        col("l_extendedprice"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), centsOf(r.getDouble(2))))
+      .groupBy(_._1).map { case (k, v) => (k._1, k._2, v.map(_._2).sum) }
+    val brands = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // .toVector BEFORE the map: a Map.map producing 2-tuples would
+    // collapse back into a Map keyed by brand (the q118-recount
+    // footgun VERDICT r8 found)
+    val classes = monthly.groupBy(_._1).toVector.map { case (pk, rows) =>
+      val n = rows.size.toLong
+      val cls = if (n < 6) "short" else {
+        val sx = rows.map(_._2).sum
+        val sy = rows.map(_._3).sum
+        val sxx = rows.map(t => t._2 * t._2).sum
+        val sxy = rows.map(t => t._2 * t._3).sum
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        if (num > 100 * den) "rising"
+        else if (num < -100 * den) "falling"
+        else "flat"
+      }
+      (brands(pk), cls)
+    }
+    val want = classes.groupBy(_._1).map { case (b, v) =>
+      b -> (v.size.toLong,
+        v.count(_._2 == "rising").toLong, v.count(_._2 == "falling").toLong,
+        v.count(_._2 == "flat").toLong, v.count(_._2 == "short").toLong)
+    }
+    val got = OpsQueries.q163_part_trend(spark, dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, ris, fal, fla, sho) = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        == ((n, ris, fal, fla, sho)), s"brand ${r.getString(0)}")
+    }
+  }
+
+  test("q164 trailing windows equal a per-customer day scan") {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .collect().map(r => ((r.getLong(0), r.getDate(1).toLocalDate.toEpochDay), centsOf(r.getDouble(2))))
+      .groupBy(_._1).map { case (k, v) => (k._1, k._2, v.map(_._2).sum, v.size.toLong) }
+      .toVector
+    val byCust = daily.groupBy(_._1)
+    val want = byCust.flatMap { case (cust, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map { case (_, d, _, _) =>
+        val win = sorted.filter(t => t._2 >= d - 29 && t._2 <= d)
+        ((cust, d), (win.map(_._3).sum, win.map(_._4).sum))
+      }
+    }
+    val got = OpsQueries.q164_trailing(spark, dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (cents, n) = want((r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      assert(r.getDouble(2) == cents.toDouble / 100.0,
+        s"cust ${r.getLong(0)} day ${r.getDate(1)}")
+      assert(r.getLong(3) == n)
+    }
+  }
+}
