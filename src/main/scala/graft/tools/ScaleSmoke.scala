@@ -220,7 +220,11 @@ object ScaleSmoke {
       "q149_ab_test", "q150_chi_square", "q151_benford",
       "q152_expectations", "q153_skew_profile", "q154_acf",
       "q155_seasonal", "q156_holt", "q158_streaks", "q159_survival",
-      "q160_rfm", "q161_abc")
+      "q160_rfm", "q161_abc",
+      // round 9l: SLA (latency-domain-bounded histogram), part trend
+      // (catalog-keyed exact moments), trailing RANGE windows
+      // (per-customer history depth)
+      "q162_sla", "q163_part_trend", "q164_trailing")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
