@@ -733,8 +733,76 @@ object StreamQueries {
   /** Same oracle as the batch Holt — the point of the query. */
   val q157_stream_holt_sql: String = TimeSeriesQueries.q156_holt_sql
 
+  /** q165 — STREAMING FUNNEL: q111's view→click→purchase staging
+    * maintained as a per-user state machine — the SEVENTH
+    * batch≡stream pairing. State is three micro-timestamps; each
+    * event advances at most one stage. The subtle bit is TIES: batch
+    * q111's `click.ts >= first_view` admits a click at the exact
+    * first-view timestamp, so the stream processes each equal-
+    * timestamp group in stage order (views, then clicks, then
+    * purchases) — a plain per-event scan ordered by (ts, event_id)
+    * would miss a same-instant click sorted before its view. Oracle
+    * is q111's SQL verbatim; a parity spec asserts stream ≡ batch.
+    */
+  def q165_stream_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q165_mem_${runId.incrementAndGet()}"
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val staged = ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Option[Long], Option[Long], Option[Long], Long)](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (k: Long, it: Iterator[EvRow],
+           state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+            var (fv, fc, fp) = state.getOption.getOrElse((-1L, -1L, -1L))
+            it.toVector
+              .map(e => (micros(e.ts), e.event_type))
+              .sortBy(_._1)
+              .groupBy(_._1).toVector.sortBy(_._1)
+              .foreach { case (us, group) =>
+                // stage order within an instant mirrors the batch >=
+                if (fv < 0 && group.exists(_._2 == "view")) fv = us
+                if (fv >= 0 && fc < 0 && group.exists(_._2 == "click") && us >= fv) fc = us
+                if (fc >= 0 && fp < 0 && group.exists(_._2 == "purchase") && us >= fc) fp = us
+              }
+            state.update((fv, fc, fp))
+            val stage = if (fp >= 0) 3L else if (fc >= 0) 2L else if (fv >= 0) 1L else 0L
+            Iterator.single((k,
+              if (fv >= 0) Some(fv) else None,
+              if (fc >= 0) Some(fc) else None,
+              if (fp >= 0) Some(fp) else None, stage))
+        }
+      val q = staged.toDF("user_id", "fv", "fc", "fp", "stage")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // one emission per user per batch; fields are set-once and stage
+    // only grows, so min-ignoring-nulls + max(stage) pick the finals
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(min(col("fv")).as("fv"), min(col("fc")).as("fc"),
+        min(col("fp")).as("fp"), max(col("stage")).as("stage"))
+      .select(col("user_id"),
+        timestamp_micros(col("fv")).as("first_view"),
+        timestamp_micros(col("fc")).as("first_click"),
+        timestamp_micros(col("fp")).as("first_purchase"),
+        col("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Same oracle as the batch funnel — the point of the query. */
+  val q165_stream_funnel_sql: String = EventQueries.q111_funnel_steps_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_stream_holt" -> (q157_stream_holt _),
+    "q165_stream_funnel" -> (q165_stream_funnel _),
     "q143_stream_attribution" -> (q143_stream_attribution _),
     "q134_stream_cusum" -> (q134_stream_cusum _),
     "q130_stream_ewma" -> (q130_stream_ewma _),
@@ -753,6 +821,7 @@ object StreamQueries {
 
   def oracles: Map[String, String] = Map(
     "q157_stream_holt" -> q157_stream_holt_sql,
+    "q165_stream_funnel" -> q165_stream_funnel_sql,
     "q143_stream_attribution" -> q143_stream_attribution_sql,
     "q130_stream_ewma" -> q130_stream_ewma_sql,
     "q134_stream_cusum" -> q134_stream_cusum_sql,

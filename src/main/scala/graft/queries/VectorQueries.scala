@@ -401,7 +401,94 @@ object VectorQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** q166 — IVF + PQ end-to-end: the PRODUCTION two-stage ANN shape
+    * composing the engine's coarse quantizer (q51's deterministic
+    * IVF cells — a probe touches only its 2 nearest cells, ~2/k of
+    * the corpus) with q68's int8 product-quantized scoring INSIDE
+    * the probed cells (the codegen'd ArrayDot kernel; int8 dots over
+    * 64 dims are exact in a double) and a final exact-cosine rerank
+    * of the 20-deep shortlist. At 100 TB: corpus bucketed by cell,
+    * probes ship only codes into the coarse stage, full vectors are
+    * touched for 20 candidates per probe — the FAISS IVF-PQ serving
+    * pattern as one declarative plan.
+    */
+  def q166_ivf_pq(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cent) = embWithCents(spark, dir)
+    val codes = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Similarity.qScale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        Similarity.quantize(col("embedding"), col("scale")).as("codes"))
+    val assigned = assignToCells(e, cent).join(codes, "vec_id")
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .join(codes, "vec_id")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"),
+        col("nrm").as("pnrm"), col("scale").as("pscale"), col("codes").as("pcodes"))
+    val wProbe = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cent_id"))
+    val pcells = probes.crossJoin(broadcast(cent))
+      .withColumn("pcos", Similarity.dot(col("pemb"), col("cemb")) / (col("pnrm") * col("cnrm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("probe_id"), col("pemb"), col("pnrm"), col("pscale"),
+        col("pcodes"), col("cent_id").as("cell"))
+    val wCoarse = Window.partitionBy(col("probe_id")).orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = pcells.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("approx",
+        graft.plans.ArrayDot(col("codes"), col("pcodes")) * col("scale") * col("pscale"))
+      .withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= 20)
+    val wExact = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .withColumn("cosine", Similarity.dot(col("embedding"), col("pemb")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val q166_ivf_pq_sql: String = {
+    val dVC = Similarity.dotSql("embedding", "cemb", dim)
+    val dPC = Similarity.dotSql("pemb", "cemb", dim)
+    val dCP = Similarity.dotSql("embedding", "pemb", dim)
+    val intDot = s"list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform(range(1, ${dim + 1}), i -> codes[i] * pcodes[i])), (x, y) -> x + y)"
+    s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding", dim)} AS nrm FROM embeddings),
+       |sc AS (SELECT vec_id, ${Similarity.qScaleSql("embedding")} AS scale FROM embeddings),
+       |cd AS (SELECT e.vec_id, sc.scale, ${Similarity.quantizeSql("e.embedding", "sc.scale")} AS codes
+       |       FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id % $seedModSql = 0),
+       |assigned AS (
+       |  SELECT t.vec_id, t.cell, t.embedding, t.nrm, c.scale, c.codes FROM (
+       |    SELECT n.vec_id, cent.cent_id AS cell, n.embedding, n.nrm,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $dVC / (nrm * cnrm) DESC, cent_id) AS rn
+       |    FROM n, cent) t JOIN cd c ON t.vec_id = c.vec_id WHERE t.rn = 1),
+       |probes AS (
+       |  SELECT n.vec_id AS probe_id, n.embedding AS pemb, n.nrm AS pnrm,
+       |    c.scale AS pscale, c.codes AS pcodes
+       |  FROM n JOIN cd c ON n.vec_id = c.vec_id WHERE n.vec_id % 50 = 0),
+       |pcells AS (
+       |  SELECT probe_id, pemb, pnrm, pscale, pcodes, cent_id AS cell FROM (
+       |    SELECT probes.probe_id, probes.pemb, probes.pnrm, probes.pscale, probes.pcodes, cent.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY $dPC / (pnrm * cnrm) DESC, cent_id) AS prn
+       |    FROM probes, cent) t WHERE prn <= 2),
+       |shortlist AS (
+       |  SELECT * FROM (
+       |    SELECT p.probe_id, p.pemb, p.pnrm, a.vec_id, a.cell, a.embedding, a.nrm,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |        ORDER BY CAST($intDot AS DOUBLE) * a.scale * p.pscale DESC, a.vec_id) AS crn
+       |    FROM pcells p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.probe_id) t
+       |  WHERE crn <= 20)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, cell, cosine FROM (
+       |  SELECT probe_id, vec_id, cell,
+       |    $dCP / (nrm * pnrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY $dCP / (nrm * pnrm) DESC, vec_id) AS rank
+       |  FROM shortlist) t
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_ivf_pq" -> (q166_ivf_pq _),
     "q78_kmeans_step" -> (q78_kmeans_step _),
     "q86_semdedup" -> (q86_semdedup _),
     "q50_ann_topk" -> (q50_ann_topk _),
@@ -413,6 +500,7 @@ object VectorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q166_ivf_pq" -> q166_ivf_pq_sql,
     "q78_kmeans_step" -> q78_kmeans_step_sql,
     "q86_semdedup" -> q86_semdedup_sql,
     "q50_ann_topk" -> q50_ann_topk_sql,

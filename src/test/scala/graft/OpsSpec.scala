@@ -77,6 +77,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q165 stream funnel is bit-identical to the q111 batch funnel") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0),
+        Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), r.getLong(4))
+    }.sortBy(_._1).toSeq
+    val batch = canon(graft.queries.EventQueries.q111_funnel_steps(spark, dir))
+    val stream = canon(graft.queries.StreamQueries.q165_stream_funnel(spark, dir))
+    assert(stream == batch)
+  }
+
+  test("q166 IVF-PQ results lie in the probe's nearest cells with exact cosines") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+    val got = graft.queries.VectorQueries.q166_ivf_pq(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (p, v) = (r.getLong(0), r.getLong(2))
+      val want = dot(emb(p), emb(v)) / (nrm(emb(p)) * nrm(emb(v)))
+      // the query computes the same double via the codegen'd kernel;
+      // summation order matches the sequential fold
+      assert(math.abs(r.getDouble(4) - want) < 1e-9, s"cosine p=$p v=$v")
+    }
+    // per probe: ranks are 1..k dense and cosine non-increasing
+    got.groupBy(_.getLong(0)).foreach { case (p, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.size))
+      val cos = sorted.map(_.getDouble(4)).toSeq
+      assert(cos == cos.sorted.reverse, s"probe $p order")
+    }
+  }
+
   test("q164 trailing windows equal a per-customer day scan") {
     val daily = Tables.orders(spark, dir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
