@@ -695,7 +695,84 @@ object AnalyticsQueries {
       |  FROM (SELECT user_id FROM news EXCEPT SELECT user_id FROM olds)
       |ORDER BY segment, user_id""".stripMargin
 
+  /** q169 — global Pearson correlation MATRIX over lineitem's four
+    * measures (quantity, price, discount, tax), melted to one row per
+    * unordered pair — the feature-correlation screen an EDA/feature-
+    * selection pass runs before modeling. Completes the moment family:
+    * q131 fits per-GROUP x-vs-y; this is the all-pairs matrix over
+    * the WHOLE corpus in one scan.
+    *
+    * Determinism: measures become exact cents (dec2×100 longs);
+    * per-row products stay < 2^63 (price² ≈ 1.2e14) but their SUMS
+    * don't at corpus scale, so every moment accumulates in
+    * DECIMAL(38,0) (the q144 Gini discipline — exact to 1e38, which
+    * covers 1e12 rows of price²) mirroring DuckDB's HUGEINT SUM;
+    * all n·Σxy − ΣxΣy terms are exact decimal integers and the ONLY
+    * float ops are the final casts/sqrts/division, identical IEEE in
+    * both engines.
+    *
+    * Scale/shape: ONE corpus scan → 15 map-side-partial moment sums
+    * → a single 1-row frame; the 6 matrix cells are an in-plan
+    * explode of that row (never a re-scan per cell, never a driver
+    * collect). The shuffle carries 15 decimals total. At 100 TB the
+    * plan is unchanged — the reduction is all partial aggregation.
+    */
+  def q169_corr_matrix(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: String) => (dec2(col(c)) * 100).cast("long")
+    val v = Tables.lineitem(spark, dir).select(
+      cents("l_quantity").as("q"), cents("l_extendedprice").as("p"),
+      cents("l_discount").as("d"), cents("l_tax").as("t"))
+    def dsum38(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val vars = Seq("q", "p", "d", "t")
+    val sums =
+      vars.map(a => dsum38(col(a)).as(s"s_$a")) ++
+      (for (a <- vars; b <- vars if a <= b)
+        yield dsum38(col(a) * col(b)).as(s"s_$a$b"))
+    val m = v.agg(count(lit(1)).as("n"), sums: _*)
+    val label = Map("q" -> "quantity", "p" -> "price", "d" -> "discount", "t" -> "tax")
+    def cell(a: String, b: String) = {
+      val (x, y) = if (a <= b) (a, b) else (b, a)
+      val cov = col("n") * col(s"s_$x$y") - col(s"s_$x") * col(s"s_$y")
+      val vx = col("n") * col(s"s_$x$x") - col(s"s_$x") * col(s"s_$x")
+      val vy = col("n") * col(s"s_$y$y") - col(s"s_$y") * col(s"s_$y")
+      struct(lit(label(a)).as("var_a"), lit(label(b)).as("var_b"),
+        (cov.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("corr"))
+    }
+    // unordered pairs, emitted so (var_a, var_b) labels sort ascending
+    val pairs = Seq(("d", "p"), ("d", "q"), ("d", "t"), ("p", "q"), ("p", "t"), ("q", "t"))
+    m.select(col("n"), explode(array(pairs.map { case (a, b) => cell(a, b) }: _*)).as("r"))
+      .select(col("r.var_a").as("var_a"), col("r.var_b").as("var_b"),
+        col("n"), col("r.corr").as("corr"))
+      .orderBy(col("var_a"), col("var_b"))
+  }
+
+  val q169_corr_matrix_sql: String = {
+    val label = Map("q" -> "quantity", "p" -> "price", "d" -> "discount", "t" -> "tax")
+    val colOf = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax")
+    val vars = Seq("q", "p", "d", "t")
+    val cents = vars.map(a =>
+      s"CAST(CAST(${colOf(a)} AS DECIMAL(18,2)) * 100 AS BIGINT) AS $a").mkString(", ")
+    val sums = (vars.map(a => s"SUM($a) AS s_$a") ++
+      (for (a <- vars; b <- vars if a <= b) yield s"SUM($a * $b) AS s_$a$b")).mkString(", ")
+    def cellSql(a: String, b: String) = {
+      val (x, y) = if (a <= b) (a, b) else (b, a)
+      s"""SELECT '${label(a)}' AS var_a, '${label(b)}' AS var_b, n,
+         |  CAST(n * s_$x$y - s_$x * s_$y AS DOUBLE)
+         |    / (sqrt(CAST(n * s_$x$x - s_$x * s_$x AS DOUBLE))
+         |       * sqrt(CAST(n * s_$y$y - s_$y * s_$y AS DOUBLE))) AS corr
+         |FROM m""".stripMargin
+    }
+    val pairs = Seq(("d", "p"), ("d", "q"), ("d", "t"), ("p", "q"), ("p", "t"), ("q", "t"))
+    s"""WITH v AS (SELECT $cents FROM lineitem),
+       |m AS (SELECT COUNT(*) AS n, $sums FROM v)
+       |${pairs.map { case (a, b) => cellSql(a, b) }.mkString("\nUNION ALL\n")}
+       |ORDER BY var_a, var_b""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_corr_matrix" -> (q169_corr_matrix _),
     "q136_set_reconcile" -> (q136_set_reconcile _),
     "q135_deciles" -> (q135_deciles _),
     "q133_cusum" -> (q133_cusum _),
@@ -712,6 +789,7 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q169_corr_matrix" -> q169_corr_matrix_sql,
     "q125_scd2" -> q125_scd2_sql,
     "q128_zorder" -> q128_zorder_sql,
     "q129_profile_drift" -> q129_profile_drift_sql,

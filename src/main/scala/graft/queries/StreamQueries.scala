@@ -800,9 +800,47 @@ object StreamQueries {
   /** Same oracle as the batch funnel — the point of the query. */
   val q165_stream_funnel_sql: String = EventQueries.q111_funnel_steps_sql
 
+  /** q168 — STREAMING trailing-7-day distinct reach: q115 maintained
+    * incrementally — the EIGHTH batch≡stream pairing. The stream
+    * holds only the watermark-bounded DISTINCT (user, day) frame —
+    * the minimal sufficient statistic for any trailing-distinct
+    * report (q115's own first move, here as streaming dedup state
+    * instead of a batch distinct); the ×7 window-end fan-out and the
+    * countDistinct are a batch projection of the emitted state, so
+    * raw events never accumulate anywhere. Same single-micro-batch
+    * exactness contract as q61 (the 7-day horizon exceeds the gate
+    * data's span; on a longer stream a (user, day) pair recurring
+    * past the horizon is correctly re-emitted and the downstream
+    * distinct re-collapses it). Oracle is q115's SQL verbatim + a
+    * parity spec.
+    */
+  def q168_stream_sliding_distinct(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q168_mem_${runId.incrementAndGet()}"
+    val res = withStreamShuffle(spark) {
+      EventFlow.fromEvents(spark, dir)
+        .select(col("ts"), col("user_id"), to_date(col("ts")).as("day"))
+        .withWatermark("ts", "7 days")
+        .uniqueWithinWatermark(Seq("user_id", "day"))
+        .toMemory(spark, name, "append")
+    }
+    val days = res.select(col("user_id"), col("day"))
+    val ends = days.select(col("day").as("window_end")).distinct()
+    days
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("window_end"))
+      .join(broadcast(ends), Seq("window_end"), "left_semi")
+      .groupBy(col("window_end"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_end"))
+  }
+
+  /** Same oracle as the batch sliding distinct — the point. */
+  val q168_stream_sliding_distinct_sql: String = EventQueries.q115_sliding_distinct_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_stream_holt" -> (q157_stream_holt _),
     "q165_stream_funnel" -> (q165_stream_funnel _),
+    "q168_stream_sliding_distinct" -> (q168_stream_sliding_distinct _),
     "q143_stream_attribution" -> (q143_stream_attribution _),
     "q134_stream_cusum" -> (q134_stream_cusum _),
     "q130_stream_ewma" -> (q130_stream_ewma _),
@@ -822,6 +860,7 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     "q157_stream_holt" -> q157_stream_holt_sql,
     "q165_stream_funnel" -> q165_stream_funnel_sql,
+    "q168_stream_sliding_distinct" -> q168_stream_sliding_distinct_sql,
     "q143_stream_attribution" -> q143_stream_attribution_sql,
     "q130_stream_ewma" -> q130_stream_ewma_sql,
     "q134_stream_cusum" -> q134_stream_cusum_sql,

@@ -2655,7 +2655,59 @@ object TextQueries {
        |FROM pairs WHERE inter * 2 >= uni
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q167 — RAG document chunking: overlapping token-window chunks
+    * (window 64 tokens, stride 48 — the 25%-overlap retrieval shape),
+    * emitting per chunk its position, length and content hash — the
+    * indexing front half of every retrieval pipeline (and the unit
+    * the q50/q166 ANN queries would embed). Chunk starts are the
+    * stride multiples `< n_tokens`, so every token is covered and the
+    * tail chunk may run short — the contract retrieval stacks use.
+    *
+    * Determinism: chunk content is identified by hash60 of the
+    * space-rejoined token window (the q43 exact-dedup key
+    * discipline) — the gate compares hashes, not 64-token strings.
+    *
+    * Scale/shape: one corpus scan; the explode emits ~n_tokens/48
+    * rows per doc (output-sized, no shuffle until the final sort);
+    * chunking is per-doc local so the operator parallelizes with the
+    * corpus and never carries cross-doc state. At 100 TB this is a
+    * map-only stage feeding the embed/index stages downstream.
+    */
+  def q167_rag_chunks(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64; val S = 48
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), ((col("n") - 1) / S).cast("long"))).as("chunk_id"),
+        col("tk"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * S + 1).as("start_tok"),
+        slice(col("tk"), (col("chunk_id") * S + 1).cast("int"), lit(W)).as("ctk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("ctk")).cast("long").as("n_tokens"),
+        graft.functions.Determinism.hash60(concat_ws(" ", col("ctk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q167_rag_chunks_sql: String = {
+    val h = graft.functions.Determinism.hash60Sql("array_to_string(ctk, ' ')")
+    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+       |d AS (SELECT doc_id, tk, len(tk) AS n FROM tkt WHERE len(tk) > 0),
+       |c AS (SELECT doc_id, unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_id, tk FROM d),
+       |ck AS (SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS start_tok,
+       |         tk[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS ctk
+       |       FROM c)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(len(ctk) AS BIGINT) AS n_tokens,
+       |  $h AS chunk_hash
+       |FROM ck ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_rag_chunks" -> (q167_rag_chunks _),
     "q127_prefix_join" -> (q127_prefix_join _),
     "q123_weighted_sample" -> (q123_weighted_sample _),
     "q40_token_count" -> (q40_token_count _),
@@ -2706,6 +2758,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q167_rag_chunks" -> q167_rag_chunks_sql,
     "q123_weighted_sample" -> q123_weighted_sample_sql,
     "q127_prefix_join" -> q127_prefix_join_sql,
     "q59_heavy_hitters" -> q59_heavy_hitters_sql,

@@ -224,7 +224,11 @@ object ScaleSmoke {
       // round 9l: SLA (latency-domain-bounded histogram), part trend
       // (catalog-keyed exact moments), trailing RANGE windows
       // (per-customer history depth)
-      "q162_sla", "q163_part_trend", "q164_trailing")
+      "q162_sla", "q163_part_trend", "q164_trailing",
+      // round 9m/9n: IVF-PQ (cell-pruned coarse pass + 20-vector
+      // rerank per probe), RAG chunking (map-only, output-sized
+      // explode), corr matrix (15 map-side moment partials → 1 row)
+      "q166_ivf_pq", "q167_rag_chunks", "q169_corr_matrix")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -116,6 +116,63 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q167 chunks equal a per-doc imperative chunking replay") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    val want = docs.toSeq.flatMap { case (id, tk) =>
+      if (tk.isEmpty) Nil
+      else (0 to (tk.length - 1) / 48).map { cid =>
+        val chunk = tk.slice(cid * 48, cid * 48 + 64)
+        (id, cid.toLong, cid * 48L + 1, chunk.length.toLong, chunk.mkString(" "))
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.queries.TextQueries.q167_rag_chunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == want.length)
+    // recompute the hash via the A/B composed form on the replayed text
+    val sp = spark
+    import sp.implicits._
+    val wantH = want.toDF("doc_id", "chunk_id", "start_tok", "n_tokens", "ctext")
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tokens"),
+        graft.functions.Determinism.hash60Composed(col("ctext")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == wantH.toSeq)
+  }
+
+  test("q168 stream sliding distinct is bit-identical to batch q115") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1).toSeq
+    val batch = canon(graft.queries.EventQueries.q115_sliding_distinct(spark, dir))
+    val stream = canon(graft.queries.StreamQueries.q168_stream_sliding_distinct(spark, dir))
+    assert(stream == batch)
+  }
+
+  test("q169 correlation matrix equals a naive double-pass Pearson within 1e-12") {
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .collect().map(r => Array(centsOf(r.getDouble(0)), centsOf(r.getDouble(1)),
+        centsOf(r.getDouble(2)), centsOf(r.getDouble(3))))
+    val names = Array("quantity", "price", "discount", "tax")
+    def pearson(i: Int, j: Int): Double = {
+      val n = rows.length.toDouble
+      val (xs, ys) = (rows.map(_(i).toDouble), rows.map(_(j).toDouble))
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum
+      val vy = ys.map(y => (y - my) * (y - my)).sum
+      cov / (math.sqrt(vx) * math.sqrt(vy))
+    }
+    val got = graft.queries.AnalyticsQueries.q169_corr_matrix(spark, dir).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      val (a, b) = (names.indexOf(r.getString(0)), names.indexOf(r.getString(1)))
+      assert(r.getLong(2) == rows.length.toLong)
+      assert(math.abs(r.getDouble(3) - pearson(a, b)) < 1e-12,
+        s"${r.getString(0)}~${r.getString(1)}")
+    }
+  }
+
   test("q164 trailing windows equal a per-customer day scan") {
     val daily = Tables.orders(spark, dir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
