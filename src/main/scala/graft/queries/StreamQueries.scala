@@ -837,10 +837,168 @@ object StreamQueries {
   /** Same oracle as the batch sliding distinct — the point. */
   val q168_stream_sliding_distinct_sql: String = EventQueries.q115_sliding_distinct_sql
 
+  /** q170 — STREAMING exact quantiles: q117's per-type value
+    * histogram maintained as a streaming aggregation (complete mode)
+    * — the NINTH batch≡stream pairing, and the q124 state argument
+    * for EXACT percentiles: the streaming state is the (type, cents)
+    * count frame, bounded by the VALUE DOMAIN, not the stream length,
+    * so a monitoring dashboard gets exact p50/p90/p99 incrementally
+    * forever. The cumulative-rank projection (window + integer rank
+    * targets) is batch math over the emitted histogram — it never
+    * touches raw events. Oracle is q117's SQL verbatim + a parity
+    * spec against the batch query.
+    */
+  def q170_stream_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q170_mem_${runId.incrementAndGet()}"
+    val hist = withStreamShuffle(spark) {
+      EventFlow(EventFlow.fromEvents(spark, dir).df
+          .groupBy(col("event_type"), dec2(col("value")).as("v"))
+          .agg(count(lit(1)).as("c")))
+        .toMemory(spark, name, "complete")
+    }
+    // two derivations of the one histogram meet in a join — the q103
+    // memory-sink-view pitfall ("conflicting references in Join"), so
+    // the cumulative-rank projection runs as Spark SQL over a temp
+    // view, mirroring the oracle clause-for-clause
+    hist.createOrReplaceTempView(s"${name}_h")
+    spark.sql(
+      s"""WITH cum AS (
+         |  SELECT event_type, v, c,
+         |    SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+         |  FROM ${name}_h),
+         |tot AS (SELECT event_type, SUM(c) AS n FROM ${name}_h GROUP BY event_type)
+         |SELECT c.event_type, ps.p, CAST(MIN(c.v) AS DOUBLE) AS q
+         |FROM cum c JOIN tot t ON c.event_type = t.event_type
+         |CROSS JOIN (SELECT explode(array(50L, 90L, 99L)) AS p) ps
+         |WHERE c.cum >= (ps.p * t.n + 99) div 100
+         |GROUP BY c.event_type, ps.p
+         |ORDER BY c.event_type, ps.p""".stripMargin)
+  }
+
+  /** Same oracle as the batch exact quantiles — the point. */
+  val q170_stream_quantiles_sql: String = AnalyticsQueries.q117_exact_quantiles_sql
+
+  /** q171 — STREAMING inter-arrival histogram: q116's per-user gap
+    * distribution maintained incrementally — the TENTH pairing.
+    * State per user is the (last_us, last_event_id) pair alone (O(1)
+    * — never history); each micro-batch sorts its events into the
+    * batch order (ts, event_id), emits one exact-µs gap per event
+    * after the user's first, and the log2 bucketing + label×64 count
+    * is a batch projection of the emitted gaps. The bucket stays the
+    * INTEGER bit-length path (`bin` length) — the q116 discipline —
+    * so stream and batch cannot disagree at exact powers of two.
+    * Oracle is q116's SQL verbatim + a parity spec.
+    */
+  def q171_stream_interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q171_mem_${runId.incrementAndGet()}"
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val gaps = ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState[(Long, Long), (String, Long)](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (_: Long, it: Iterator[EvRow],
+           state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+            var last = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+            val out = Vector.newBuilder[(String, Long)]
+            it.toVector
+              .map(e => (micros(e.ts), e.event_id, e.event_type))
+              .sortBy(t => (t._1, t._2))
+              .foreach { case (us, eid, tpe) =>
+                if (last._1 != Long.MinValue) out += ((tpe, us - last._1))
+                last = (us, eid)
+              }
+            state.update(last)
+            out.result().iterator
+        }
+      val q = gaps.toDF("event_type", "gap_us")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .withColumn("bucket", length(bin(col("gap_us"))).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Same oracle as the batch inter-arrival histogram — the point. */
+  val q171_stream_interarrival_sql: String = EventQueries.q116_interarrival_hist_sql
+
+  /** q172 — STREAMING transition matrix: q113's Markov counts
+    * maintained incrementally — the ELEVENTH pairing. State per user
+    * is the (last_us, last_event_id, last_type) triple (O(1)); each
+    * event after the user's first emits its (prev → curr) transition
+    * once, and the label²-bounded count + conditional-probability
+    * math is a batch projection of the emitted pairs (the one
+    * division is the same exact-long IEEE op as batch q113). Oracle
+    * is q113's SQL verbatim + a parity spec.
+    */
+  def q172_stream_transitions(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q172_mem_${runId.incrementAndGet()}"
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val trans = ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (_: Long, it: Iterator[EvRow],
+           state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String)]) =>
+            var last = state.getOption.getOrElse((Long.MinValue, Long.MinValue, ""))
+            val out = Vector.newBuilder[(String, String)]
+            it.toVector
+              .map(e => (micros(e.ts), e.event_id, e.event_type))
+              .sortBy(t => (t._1, t._2))
+              .foreach { case (us, eid, tpe) =>
+                if (last._1 != Long.MinValue) out += ((last._3, tpe))
+                last = (us, eid, tpe)
+              }
+            state.update(last)
+            out.result().iterator
+        }
+      val q = trans.toDF("event_type", "next_type")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // counts and totals both derive from the one emitted-pairs view —
+    // the q103 memory-sink-view pitfall — so the projection runs as
+    // Spark SQL over a temp view, mirroring the oracle
+    spark.table(name).createOrReplaceTempView(s"${name}_t")
+    spark.sql(
+      s"""WITH tr AS (
+         |  SELECT event_type, next_type, COUNT(*) AS c
+         |  FROM ${name}_t GROUP BY event_type, next_type),
+         |tot AS (SELECT event_type, SUM(c) AS n FROM tr GROUP BY event_type)
+         |SELECT tr.event_type, tr.next_type, tr.c,
+         |  CAST(tr.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+         |FROM tr JOIN tot t ON tr.event_type = t.event_type
+         |ORDER BY tr.event_type, tr.next_type""".stripMargin)
+  }
+
+  /** Same oracle as the batch transition matrix — the point. */
+  val q172_stream_transitions_sql: String = EventQueries.q113_transition_matrix_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_stream_holt" -> (q157_stream_holt _),
     "q165_stream_funnel" -> (q165_stream_funnel _),
     "q168_stream_sliding_distinct" -> (q168_stream_sliding_distinct _),
+    "q170_stream_quantiles" -> (q170_stream_quantiles _),
+    "q171_stream_interarrival" -> (q171_stream_interarrival _),
+    "q172_stream_transitions" -> (q172_stream_transitions _),
     "q143_stream_attribution" -> (q143_stream_attribution _),
     "q134_stream_cusum" -> (q134_stream_cusum _),
     "q130_stream_ewma" -> (q130_stream_ewma _),
@@ -861,6 +1019,9 @@ object StreamQueries {
     "q157_stream_holt" -> q157_stream_holt_sql,
     "q165_stream_funnel" -> q165_stream_funnel_sql,
     "q168_stream_sliding_distinct" -> q168_stream_sliding_distinct_sql,
+    "q170_stream_quantiles" -> q170_stream_quantiles_sql,
+    "q171_stream_interarrival" -> q171_stream_interarrival_sql,
+    "q172_stream_transitions" -> q172_stream_transitions_sql,
     "q143_stream_attribution" -> q143_stream_attribution_sql,
     "q130_stream_ewma" -> q130_stream_ewma_sql,
     "q134_stream_cusum" -> q134_stream_cusum_sql,

@@ -173,6 +173,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q170/q171/q172 streaming pairings are bit-identical to their batch twins") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(graft.queries.StreamQueries.q170_stream_quantiles(spark, dir)) ==
+      canon(graft.queries.AnalyticsQueries.q117_exact_quantiles(spark, dir)))
+    assert(canon(graft.queries.StreamQueries.q171_stream_interarrival(spark, dir)) ==
+      canon(graft.queries.EventQueries.q116_interarrival_hist(spark, dir)))
+    assert(canon(graft.queries.StreamQueries.q172_stream_transitions(spark, dir)) ==
+      canon(graft.queries.EventQueries.q113_transition_matrix(spark, dir)))
+  }
+
   test("q164 trailing windows equal a per-customer day scan") {
     val daily = Tables.orders(spark, dir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
