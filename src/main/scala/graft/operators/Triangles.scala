@@ -43,6 +43,15 @@ object Triangles {
     * threshold is part of the graph CONSTRUCTION, not a post-filter.
     */
   def cooccurrenceEdges(gm: DataFrame, groupCol: String, memberCol: String,
+      minSupport: Long, maxGroupSize: Int = 10000): DataFrame =
+    cooccurrenceSupport(gm, groupCol, memberCol, minSupport, maxGroupSize)
+      .select(col("a"), col("b"))
+
+  /** As [[cooccurrenceEdges]] but keeping the co-occurrence count —
+    * the weighted projection collaborative-filtering / association
+    * consumers need (q174's cosine, q145's lift both divide by it).
+    */
+  def cooccurrenceSupport(gm: DataFrame, groupCol: String, memberCol: String,
       minSupport: Long, maxGroupSize: Int = 10000): DataFrame = {
     gm.groupBy(col(groupCol))
       .agg(collect_set(col(memberCol)).as("ms"))
@@ -54,7 +63,6 @@ object Triangles {
       .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .select(col("a"), col("b"))
   }
 
   /** All triangles of the undirected simple graph given as (a < b)

@@ -607,7 +607,181 @@ object ReportQueries {
       |FROM (UNPIVOT wide ON click, view, purchase, signup, error INTO NAME event_type VALUE total)
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q174 — ITEM-ITEM collaborative filtering: top-5 nearest
+    * neighbors per part by co-purchase COSINE cxy/√(cx·cy) — the
+    * "customers who bought X also bought Y" recommender primitive.
+    * Completes the basket family: q145's lift is the probabilistic
+    * surface, cosine is the normalized-similarity surface the
+    * item-kNN recommender serves from.
+    *
+    * Scale/shape: q145's one-shuffle idiom — per-order member sets
+    * built ONCE (collect_set dedups map-side, giant orders capped
+    * loudly), item counts re-explode the SAME cached frame, pair
+    * expansion is order-size-bounded. The per-part top-5 runs through
+    * GroupTopK (skew-proof two-pass — a staple part with thousands of
+    * neighbors never funnels one task). Cosine is one double division
+    * of exact integer counts, identical IEEE both engines; min
+    * co-support 3 keeps the candidate frame support-bounded.
+    */
+  def q174_item_cf(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(collect_set(col("p")).as("ms"))
+      .persist()
+    sets.count() // eager: two consumers race a cold cache otherwise (q104 lesson)
+    val cx = sets.select(explode(col("ms")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = sets.filter(size(col("ms")) > 1)
+      .withColumn("ms", graft.operators.Dedup.cappedMembers(col("ms"), 10000, "cf order"))
+      .select(col("ms"), explode(col("ms")).as("x"))
+      .select(col("x"), explode(col("ms")).as("y"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 3)
+    val sym = pairs.select(col("a").as("part"), col("b").as("nb"), col("cxy"))
+      .unionByName(pairs.select(col("b").as("part"), col("a").as("nb"), col("cxy")))
+    val scored = sym
+      .join(cx.select(col("p").as("part"), col("c").as("ca")), "part")
+      .join(cx.select(col("p").as("nb"), col("c").as("cb")), "nb")
+      .select(col("part"), col("nb"), col("cxy"),
+        (col("cxy").cast("double") / sqrt((col("ca") * col("cb")).cast("double"))).as("cosine"))
+    graft.operators.GroupTopK.rank(scored, Seq("part"),
+        Seq(col("cosine").desc, col("nb")), 5, "rank")
+      .select(col("part"), col("rank").cast("long").as("rank"),
+        col("nb"), col("cxy"), col("cosine"))
+      .orderBy(col("part"), col("rank"))
+  }
+
+  val q174_item_cf_sql: String =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |cx AS (SELECT p, COUNT(*) AS c FROM os GROUP BY 1),
+      |pairs AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS cxy
+      |          FROM os x JOIN os y ON x.o = y.o AND x.p < y.p
+      |          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |sym AS (SELECT a AS part, b AS nb, cxy FROM pairs
+      |        UNION ALL SELECT b, a, cxy FROM pairs),
+      |sc AS (SELECT s.part, s.nb, s.cxy,
+      |         CAST(s.cxy AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS cosine
+      |       FROM sym s JOIN cx ca ON ca.p = s.part JOIN cx cb ON cb.p = s.nb),
+      |r AS (SELECT *, ROW_NUMBER() OVER
+      |        (PARTITION BY part ORDER BY cosine DESC, nb) AS rank FROM sc)
+      |SELECT part, CAST(rank AS BIGINT) AS rank, nb, cxy, cosine
+      |FROM r WHERE rank <= 5 ORDER BY part, rank""".stripMargin
+
+  /** q175 — MULTI-TOUCH linear attribution: each purchase splits one
+    * unit of conversion credit EQUALLY across the user's touches
+    * since their previous purchase — the fractional model every
+    * marketing stack reports beside last-touch (q140/q143 batch ≡
+    * stream). Segments come from a running prior-purchase count (a
+    * per-user window, never global); credit 1/k is one mirrored IEEE
+    * division quantized DECIMAL(18,6) before the order-free sum.
+    * Trailing touches with no following purchase earn nothing
+    * (inner join against the segment's purchase), purchases with no
+    * touches carry no credit to split — both by construction.
+    */
+  def q175_multitouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("seg", coalesce(
+        sum(when(col("event_type") === "purchase", 1L)).over(w), lit(0L)))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("seg"), col("event_type"))
+    val k = touches.groupBy(col("user_id"), col("seg")).agg(count(lit(1)).as("k"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("seg"))
+    touches
+      .join(pur, Seq("user_id", "seg"))
+      .join(k, Seq("user_id", "seg"))
+      .select(col("event_type"),
+        (lit(1.0) / col("k").cast("double")).cast("decimal(18,6)").as("credit"))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).cast("double").as("credit"))
+      .orderBy(col("channel"))
+  }
+
+  val q175_multitouch_sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      |  FROM events),
+      |t AS (SELECT user_id, seg, event_type FROM s WHERE event_type <> 'purchase'),
+      |k AS (SELECT user_id, seg, COUNT(*) AS k FROM t GROUP BY 1, 2),
+      |pur AS (SELECT user_id, seg FROM s WHERE event_type = 'purchase'),
+      |cr AS (
+      |  SELECT t.event_type,
+      |    CAST(CAST(1 AS DOUBLE) / k.k AS DECIMAL(18,6)) AS credit
+      |  FROM t JOIN pur USING (user_id, seg) JOIN k USING (user_id, seg))
+      |SELECT event_type AS channel, COUNT(*) AS n_touches,
+      |  CAST(SUM(credit) AS DOUBLE) AS credit
+      |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q176 — hierarchical SHARE-OF-PARENT: customer revenue rolled up
+    * region → nation with each level's share of its parent (nations
+    * of their region, regions of the world) — the drill-down
+    * composition report beside the level-stack shapes (q33 rollup,
+    * q96 cube, q141 grouping sets): those emit totals per level, this
+    * emits the RATIOS between adjacent levels.
+    *
+    * Scale/shape: one corpus join+agg collapses orders to the
+    * 25-nation frame; everything after is label-bounded broadcast
+    * math. Revenue stays exact DECIMAL(38,0) cents; shares are one
+    * double division of exact integers per row.
+    */
+  def q176_share_of_parent(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(cents(col("o_totalprice")).cast("decimal(38,0)")).as("ncents"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("ncents"))
+      .persist()
+    val reg = nat.groupBy(col("r_name")).agg(sum(col("ncents")).as("rcents"))
+    val glob = reg.agg(sum(col("rcents")).as("gcents"))
+    val nationRows = nat.join(broadcast(reg), "r_name")
+      .select(lit("nation").as("level"), col("n_name").as("name"),
+        col("r_name").as("parent"),
+        (col("ncents").cast("double") / 100).as("revenue"),
+        (col("ncents").cast("double") / col("rcents").cast("double")).as("share"))
+    val regionRows = reg.crossJoin(broadcast(glob))
+      .select(lit("region").as("level"), col("r_name").as("name"),
+        lit("world").as("parent"),
+        (col("rcents").cast("double") / 100).as("revenue"),
+        (col("rcents").cast("double") / col("gcents").cast("double")).as("share"))
+    nationRows.unionByName(regionRows).orderBy(col("level"), col("name"))
+  }
+
+  val q176_share_of_parent_sql: String =
+    """WITH nat AS (
+      |  SELECT r.r_name, n.n_name,
+      |    SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS ncents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |reg AS (SELECT r_name, SUM(ncents) AS rcents FROM nat GROUP BY 1),
+      |gtot AS (SELECT SUM(rcents) AS gcents FROM reg)
+      |SELECT 'nation' AS level, n.n_name AS name, n.r_name AS parent,
+      |  CAST(n.ncents AS DOUBLE) / 100 AS revenue,
+      |  CAST(n.ncents AS DOUBLE) / CAST(r.rcents AS DOUBLE) AS share
+      |FROM nat n JOIN reg r USING (r_name)
+      |UNION ALL
+      |SELECT 'region', r_name, 'world',
+      |  CAST(rcents AS DOUBLE) / 100,
+      |  CAST(rcents AS DOUBLE) / CAST(gcents AS DOUBLE)
+      |FROM reg CROSS JOIN gtot
+      |ORDER BY level, name""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_item_cf" -> (q174_item_cf _),
+    "q175_multitouch" -> (q175_multitouch _),
+    "q176_share_of_parent" -> (q176_share_of_parent _),
     "q147_weighted_median" -> (q147_weighted_median _),
     "q148_unpivot" -> (q148_unpivot _),
     "q145_assoc_rules" -> (q145_assoc_rules _),
@@ -622,6 +796,9 @@ object ReportQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q174_item_cf" -> q174_item_cf_sql,
+    "q175_multitouch" -> q175_multitouch_sql,
+    "q176_share_of_parent" -> q176_share_of_parent_sql,
     "q147_weighted_median" -> q147_weighted_median_sql,
     "q148_unpivot" -> q148_unpivot_sql,
     "q145_assoc_rules" -> q145_assoc_rules_sql,

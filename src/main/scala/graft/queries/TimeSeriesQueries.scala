@@ -182,15 +182,116 @@ object TimeSeriesQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q173 — ROLLING-ORIGIN forecast backtest of the Holt model
+    * (q156): for every cutoff day t, forecast horizons 1–7 from the
+    * state at t and score |forecast − actual| — MAE per (type,
+    * horizon), the evaluation report every forecasting deployment
+    * publishes before trusting a model. The key insight is that the
+    * backtest needs NO refitting: Holt's state at every prefix IS the
+    * intermediate fold state, so ONE pass of q156's recursion with an
+    * accumulating history array yields all n cutoffs (vs the naive
+    * n refits = O(n²)); t=1's init uses x₂ (the standard 2-point
+    * seed), inherited by every Holt backtest.
+    *
+    * Determinism: the fold runs q156's exact IEEE op sequence (the
+    * level/trend expressions are textually repeated inside the
+    * history append — same ops, same doubles); each |error| is
+    * quantized to exact µ-units via floor(e·10⁶) — NOT a
+    * double→DECIMAL cast, whose rounding diverges between engines on
+    * arbitrary doubles (Spark rounds the SHORTEST-STRING decimal via
+    * BigDecimal.valueOf, DuckDB the exact binary expansion; a value
+    * whose shortest string sits on the .5 boundary flips — observed
+    * at sf0.001). floor of the identical IEEE product is bit-exact
+    * everywhere; the int64 µ-unit sum is order-free, and MAE is the
+    * mirrored double division chain at the end.
+    *
+    * Scale/shape: the corpus collapses to the calendar-bounded
+    * (type, day) frame; the history array and the states×7 explode
+    * are day²-bounded per type — independent of corpus row count.
+    */
+  def q173_holt_backtest(spark: SparkSession, dir: String): DataFrame = {
+    val states = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)").as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(col("event_type"), col("xs"),
+        expr(
+          """aggregate(
+            |  slice(xs, 2, size(xs) - 1),
+            |  named_struct(
+            |    'l', element_at(xs, 1),
+            |    'b', element_at(xs, 2) - element_at(xs, 1),
+            |    'hist', array(named_struct(
+            |      't', 1,
+            |      'l', element_at(xs, 1),
+            |      'b', element_at(xs, 2) - element_at(xs, 1)))),
+            |  (acc, v) -> named_struct(
+            |    'l', 0.5 * v + 0.5 * (acc.l + acc.b),
+            |    'b', 0.25 * ((0.5 * v + 0.5 * (acc.l + acc.b)) - acc.l) + 0.75 * acc.b,
+            |    'hist', concat(acc.hist, array(named_struct(
+            |      't', size(acc.hist) + 1,
+            |      'l', 0.5 * v + 0.5 * (acc.l + acc.b),
+            |      'b', 0.25 * ((0.5 * v + 0.5 * (acc.l + acc.b)) - acc.l) + 0.75 * acc.b)))))
+            |""".stripMargin).as("st"))
+      .select(col("event_type"), col("xs"), explode(col("st.hist")).as("hs"))
+    states
+      .select(col("event_type"), col("xs"),
+        col("hs.t").as("t"), col("hs.l").as("l"), col("hs.b").as("b"),
+        explode(sequence(lit(1), lit(7))).as("hz"))
+      .filter(col("t") + col("hz") <= size(col("xs")))
+      .select(col("event_type"), col("hz").cast("long").as("h"),
+        floor(abs(col("l") + col("hz").cast("double") * col("b")
+          - element_at(col("xs"), (col("t") + col("hz")).cast("int"))) * lit(1000000.0))
+          .cast("long").as("eu"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_evals"),
+        (sum(col("eu")).cast("double") / lit(1000000.0) / count(lit(1))).as("mae"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  /** The oracle reuses q156's RECURSIVE CTE unfiltered — its rows ARE
+    * the per-cutoff states — joined to actuals at rn = t + horizon.
+    */
+  val q173_holt_backtest_sql: String =
+    """WITH RECURSIVE cnts AS (
+      |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+      |    CAST(COUNT(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, day, x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM cnts),
+      |hs AS (
+      |  SELECT s1.event_type, 1 AS t, s1.x AS l, s2.x - s1.x AS b
+      |  FROM s s1 JOIN s s2
+      |    ON s1.event_type = s2.event_type AND s1.rn = 1 AND s2.rn = 2
+      |  UNION ALL
+      |  SELECT hs.event_type, hs.t + 1,
+      |    0.5 * s.x + 0.5 * (hs.l + hs.b),
+      |    0.25 * ((0.5 * s.x + 0.5 * (hs.l + hs.b)) - hs.l) + 0.75 * hs.b
+      |  FROM hs JOIN s ON s.event_type = hs.event_type AND s.rn = hs.t + 1),
+      |ev AS (
+      |  SELECT hs.event_type, hz.hz,
+      |    CAST(floor(abs(hs.l + CAST(hz.hz AS DOUBLE) * hs.b - s.x) * 1000000.0) AS BIGINT) AS eu
+      |  FROM hs CROSS JOIN (SELECT unnest(range(1, 8)) AS hz) hz
+      |  JOIN s ON s.event_type = hs.event_type AND s.rn = hs.t + hz.hz)
+      |SELECT event_type, CAST(hz AS BIGINT) AS h, COUNT(*) AS n_evals,
+      |  CAST(SUM(eu) AS DOUBLE) / 1000000.0 / COUNT(*) AS mae
+      |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_acf" -> (q154_acf _),
     "q155_seasonal" -> (q155_seasonal _),
-    "q156_holt" -> (q156_holt _))
+    "q156_holt" -> (q156_holt _),
+    "q173_holt_backtest" -> (q173_holt_backtest _))
 
   val oracles: Map[String, String] = Map(
     "q154_acf" -> q154_acf_sql,
     "q155_seasonal" -> q155_seasonal_sql,
-    "q156_holt" -> q156_holt_sql)
+    "q156_holt" -> q156_holt_sql,
+    "q173_holt_backtest" -> q173_holt_backtest_sql)
 
   /** DuckDB runs the identical recursion as a RECURSIVE CTE — the
     * same IEEE op sequence as the batch fold and the stream state

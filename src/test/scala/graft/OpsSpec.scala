@@ -184,6 +184,104 @@ class OpsSpec extends AnyFunSuite {
       canon(graft.queries.EventQueries.q113_transition_matrix(spark, dir)))
   }
 
+  test("q173 backtest MAE is bit-identical to an imperative Holt replay") {
+    val series = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1).map { case (t, v) => t -> v.sortBy(_._2).map(_._3) }
+    val wantRaw = series.toSeq.filter(_._2.length >= 2).flatMap { case (tpe, xs) =>
+      var l = xs(0); var b = xs(1) - xs(0)
+      val states = Vector.newBuilder[(Double, Double)]
+      states += ((l, b))
+      for (i <- 1 until xs.length) {
+        val v = xs(i)
+        val nl = 0.5 * v + 0.5 * (l + b)
+        val nb = 0.25 * (nl - l) + 0.75 * b
+        l = nl; b = nb; states += ((l, b))
+      }
+      for {
+        (st, t0) <- states.result().zipWithIndex; t = t0 + 1
+        h <- 1 to 7 if t + h <= xs.length
+      } yield ((tpe, h.toLong),
+        math.floor(math.abs(st._1 + h.toDouble * st._2 - xs(t + h - 1)) * 1000000.0).toLong)
+    }
+    val want = wantRaw.groupBy(_._1).map { case (k, v) =>
+      k -> (v.size.toLong, v.map(_._2).sum.toDouble / 1000000.0 / v.size)
+    }
+    val got = graft.queries.TimeSeriesQueries.q173_holt_backtest(spark, dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, mae) = want((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == n && r.getDouble(3) == mae, s"${r.getString(0)} h=${r.getLong(1)}")
+    }
+  }
+
+  test("q174 item-CF equals a brute-force basket cosine top-5") {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cx = baskets.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    val pairCnt = baskets.groupBy(_._1).toSeq.flatMap { case (_, items) =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      .filter(_._2 >= 3)
+    val want = pairCnt.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+      .map { case (p, nb, c) => (p, nb, c, c.toDouble / math.sqrt((cx(p) * cx(nb)).toDouble)) }
+      .groupBy(_._1).flatMap { case (p, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex
+          .map { case ((_, nb, c, cos), i) => (p, i + 1L, nb, c, cos) }
+      }.toSet
+    val got = graft.queries.ReportQueries.q174_item_cf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want)
+  }
+
+  test("q175 multi-touch credit equals a per-user segment replay") {
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val credits = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      var seg = 0L
+      val tagged = ordered.map { e =>
+        val t = (e._4, seg)
+        if (e._4 == "purchase") seg += 1
+        t
+      }
+      val purchaseSegs = tagged.filter(_._1 == "purchase").map(_._2).toSet
+      val touches = tagged.filter(_._1 != "purchase")
+      val k = touches.groupBy(_._2).map { case (s, v) => s -> v.size }
+      touches.filter(t => purchaseSegs(t._2))
+        .map(t => t._1 -> BigDecimal(1.0 / k(t._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val want = credits.groupBy(_._1).map { case (ch, v) =>
+      ch -> (v.size.toLong, v.map(_._2).sum.toDouble)
+    }
+    val got = graft.queries.ReportQueries.q175_multitouch(spark, dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, c) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == c, r.getString(0))
+    }
+  }
+
+  test("q176 shares are exact child/parent ratios and children cover each parent") {
+    val got = graft.queries.ReportQueries.q176_share_of_parent(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4)))
+    val nations = got.filter(_._1 == "nation")
+    val regions = got.filter(_._1 == "region").map(r => r._2 -> r._4).toMap
+    val world = got.filter(_._1 == "region").map(_._4).sum
+    nations.groupBy(_._3).foreach { case (reg, kids) =>
+      assert(math.abs(kids.map(_._4).sum - regions(reg)) < 1e-6, reg)
+      kids.foreach(k => assert(math.abs(k._5 - k._4 / regions(reg)) < 1e-12, k._2))
+    }
+    got.filter(_._1 == "region").foreach { r =>
+      assert(math.abs(r._5 - r._4 / world) < 1e-12, r._2)
+    }
+  }
+
   test("q164 trailing windows equal a per-customer day scan") {
     val daily = Tables.orders(spark, dir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
