@@ -488,7 +488,47 @@ object StatsQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** q177 — K-ANONYMITY audit over quasi-identifiers: cell sizes of
+    * the (nation, market-segment) identifier combination at every
+    * level of the generalization ladder (full pair → nation only →
+    * global), flagging cells below k=5 — the re-identification risk
+    * report a privacy review runs before releasing a training corpus
+    * (completing the privacy family beside q74's PII scrub and q75's
+    * decontamination: q74 removes direct identifiers, this measures
+    * the QUASI-identifier risk that remains).
+    *
+    * Scale/shape: ONE rollup aggregation (single Expand ×3 feeding a
+    * hash agg with map-side partials — the q33/q141 plan) over the
+    * 2-column pruned projection; the level is integer GROUPING
+    * arithmetic; output is label-bounded (≤ nations×segments cells).
+    * at_risk is an exact integer comparison.
+    */
+  def q177_k_anonymity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("n_name")) + grouping(col("c_mktsegment")))
+          .cast("long").as("level"))
+      .select(col("level"), col("n_name"),
+        col("c_mktsegment").as("segment"), col("n"),
+        (col("n") < 5).as("at_risk"))
+      .orderBy(col("level"), col("n_name").asc_nulls_first,
+        col("segment").asc_nulls_first)
+  }
+
+  val q177_k_anonymity_sql: String =
+    """SELECT
+      |  CAST(GROUPING(n.n_name) + GROUPING(c.c_mktsegment) AS BIGINT) AS level,
+      |  n.n_name, c.c_mktsegment AS segment, COUNT(*) AS n,
+      |  COUNT(*) < 5 AS at_risk
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+      |ORDER BY level, n_name ASC NULLS FIRST, segment ASC NULLS FIRST""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_k_anonymity" -> (q177_k_anonymity _),
     "q149_ab_test" -> (q149_ab_test _),
     "q150_chi_square" -> (q150_chi_square _),
     "q151_benford" -> (q151_benford _),
@@ -496,6 +536,7 @@ object StatsQueries {
     "q153_skew_profile" -> (q153_skew_profile _))
 
   val oracles: Map[String, String] = Map(
+    "q177_k_anonymity" -> q177_k_anonymity_sql,
     "q149_ab_test" -> q149_ab_test_sql,
     "q150_chi_square" -> q150_chi_square_sql,
     "q151_benford" -> q151_benford_sql,

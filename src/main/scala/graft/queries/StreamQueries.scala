@@ -992,6 +992,66 @@ object StreamQueries {
   /** Same oracle as the batch transition matrix — the point. */
   val q172_stream_transitions_sql: String = EventQueries.q113_transition_matrix_sql
 
+  /** q178 — STREAMING multi-touch attribution: q175's fractional
+    * credit maintained incrementally — the TWELFTH pairing. State per
+    * user is the LABEL-BOUNDED touch-count map since the last
+    * purchase (never the touch list — the q114 histogram argument
+    * applied to attribution state); each purchase drains it, emitting
+    * one (channel, multiplicity, k) row per touched channel, and the
+    * 1/k quantization + credit sum is a batch projection of the
+    * emitted rows (m·dec6(1/k) summed exactly ≡ q175's per-touch
+    * dec6(1/k) — multiplication by an integer distributes over the
+    * quantized decimal). Trailing touches stay in state unemitted,
+    * touch-less purchases drain nothing — q175's semantics by
+    * construction. Oracle is q175's SQL verbatim + a parity spec.
+    */
+  def q178_stream_multitouch(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val name = s"q178_mem_${runId.incrementAndGet()}"
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    withStreamShuffle(spark) {
+      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
+      val em = ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState[Map[String, Long], (String, Long, Long)](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (_: Long, it: Iterator[EvRow],
+           state: org.apache.spark.sql.streaming.GroupState[Map[String, Long]]) =>
+            var acc = state.getOption.getOrElse(Map.empty[String, Long])
+            val out = Vector.newBuilder[(String, Long, Long)]
+            it.toVector
+              .map(e => (micros(e.ts), e.event_id, e.event_type))
+              .sortBy(t => (t._1, t._2))
+              .foreach { case (_, _, tpe) =>
+                if (tpe == "purchase") {
+                  val k = acc.valuesIterator.sum
+                  if (k > 0) acc.foreach { case (ch, m) => out += ((ch, m, k)) }
+                  acc = Map.empty
+                } else acc = acc.updated(tpe, acc.getOrElse(tpe, 0L) + 1L)
+              }
+            state.update(acc)
+            out.result().iterator
+        }
+      val q = em.toDF("channel", "m", "k")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(col("channel"), col("m"),
+        ((lit(1.0) / col("k").cast("double")).cast("decimal(18,6)") * col("m")).as("cr"))
+      .groupBy(col("channel"))
+      .agg(sum(col("m")).as("n_touches"), sum(col("cr")).cast("double").as("credit"))
+      .orderBy(col("channel"))
+  }
+
+  /** Same oracle as the batch multi-touch — the point. */
+  val q178_stream_multitouch_sql: String = ReportQueries.q175_multitouch_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_stream_holt" -> (q157_stream_holt _),
     "q165_stream_funnel" -> (q165_stream_funnel _),
@@ -999,6 +1059,7 @@ object StreamQueries {
     "q170_stream_quantiles" -> (q170_stream_quantiles _),
     "q171_stream_interarrival" -> (q171_stream_interarrival _),
     "q172_stream_transitions" -> (q172_stream_transitions _),
+    "q178_stream_multitouch" -> (q178_stream_multitouch _),
     "q143_stream_attribution" -> (q143_stream_attribution _),
     "q134_stream_cusum" -> (q134_stream_cusum _),
     "q130_stream_ewma" -> (q130_stream_ewma _),
@@ -1022,6 +1083,7 @@ object StreamQueries {
     "q170_stream_quantiles" -> q170_stream_quantiles_sql,
     "q171_stream_interarrival" -> q171_stream_interarrival_sql,
     "q172_stream_transitions" -> q172_stream_transitions_sql,
+    "q178_stream_multitouch" -> q178_stream_multitouch_sql,
     "q143_stream_attribution" -> q143_stream_attribution_sql,
     "q130_stream_ewma" -> q130_stream_ewma_sql,
     "q134_stream_cusum" -> q134_stream_cusum_sql,

@@ -1027,7 +1027,9 @@ object TextQueries {
     * via TakeOrderedAndProject over the scored frame only.
     */
   private val bm25Terms = Seq("window", "join", "dup")
-  def q89_bm25(spark: SparkSession, dir: String): DataFrame = {
+  /** The BM25-scored (doc_id, score_dec) frame — q89's scoring,
+    * shared with the q179 hybrid-retrieval fusion. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
@@ -1041,7 +1043,7 @@ object TextQueries {
       .filter(col("tok").isin(bm25Terms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf
+    tf
       .join(broadcast(df), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -1052,6 +1054,10 @@ object TextQueries {
               (col("tot_dl").cast("double") / col("n_docs"))))))
           ).cast("decimal(18,6)").as("s"))
       .groupBy(col("doc_id")).agg(sum(col("s")).as("score_dec"))
+  }
+
+  def q89_bm25(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bm25Scored(spark, dir)
     // top-k FIRST (TakeOrderedAndProject — parallel partial top-k, no
     // total sort), then number the 20 survivors; the partition-less
     // window runs over a limit-bounded frame (PlanAuditSpec's rule)
@@ -1064,9 +1070,11 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
-  val q89_bm25_sql: String = {
+  /** The q89 scoring CTE stack (through `scored`), shared verbatim by
+    * the q179 hybrid oracle so the two cannot drift. */
+  private lazy val bm25ScoredCtes: String = {
     val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
+    s"""tkt AS (SELECT doc_id, ${TA.tokensSql} AS tk FROM documents),
        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tkt),
        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
@@ -1081,13 +1089,93 @@ object TextQueries {
        |          (CAST(tot_dl AS DOUBLE) / n_docs)))))
        |    AS DECIMAL(18,6))) AS score_dec
        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), stats
-       |  GROUP BY doc_id),
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  val q89_bm25_sql: String =
+    s"""WITH $bm25ScoredCtes,
        |ranked AS (SELECT doc_id, score_dec,
        |    row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rank
        |  FROM scored)
        |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
        |  CAST(score_dec AS DOUBLE) AS score
        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** q179 — HYBRID retrieval with Reciprocal Rank Fusion: BM25
+    * (q89's lexical arm, top-50) fused with embedding cosine (the
+    * q50 vector arm against the doc-0 probe, top-50) by
+    * RRF(d) = Σ_lists 1/(60 + rank_d) — the standard hybrid-search
+    * ranker (Cormack et al. SIGIR'09) every RAG stack runs when
+    * lexical and semantic evidence must combine without score
+    * calibration (ranks, not scores, fuse — which is why the two
+    * arms' incomparable score scales don't matter).
+    *
+    * Determinism: both arms rank by (score desc, doc_id) total
+    * orders; the fusion terms are IEEE divisions of exact small
+    * integers (1/(60+rank)) summed in a fixed (text + vector) order —
+    * identical in both engines; final rank by (rrf desc, doc_id).
+    *
+    * Scale/shape: each arm is its own top-50 (TakeOrderedAndProject —
+    * parallel partial top-k); the fusion joins two 50-row frames
+    * (full outer — a doc may appear in one list only), broadcast-
+    * trivial; at 100 TB the arms are the scaling surfaces (q73's
+    * persisted postings / q166's IVF-PQ serve them) and the fusion
+    * cost never grows.
+    */
+  def q179_hybrid_rrf(spark: SparkSession, dir: String): DataFrame = {
+    val text = bm25Scored(spark, dir)
+      .orderBy(col("score_dec").desc, col("doc_id")).limit(50)
+      .withColumn("rt", row_number().over(
+        Window.orderBy(col("score_dec").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rt"))
+    val Sim = graft.operators.Similarity
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Sim.norm(col("embedding")).as("nrm"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pemb"), col("nrm").as("pnrm"))
+    val vec = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        (Sim.dot(col("embedding"), col("pemb")) / (col("nrm") * col("pnrm"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+      .withColumn("rv", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rv"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rt"), col("rv"),
+        (coalesce(lit(1.0) / (lit(60L) + col("rt")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("rv")).cast("double"), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("rt").cast("long").as("text_rank"),
+        col("rv").cast("long").as("vec_rank"), col("rrf"))
+      .orderBy(col("rank"))
+  }
+
+  val q179_hybrid_rrf_sql: String = {
+    val Sim = graft.operators.Similarity
+    val dCP = Sim.dotSql("embedding", "pemb", 64)
+    s"""WITH $bm25ScoredCtes,
+       |txt AS (SELECT doc_id, rt FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rt
+       |    FROM scored) t WHERE rt <= 50),
+       |n AS (SELECT vec_id, embedding, ${Sim.normSql("embedding", 64)} AS nrm FROM embeddings),
+       |p AS (SELECT embedding AS pemb, nrm AS pnrm FROM n WHERE vec_id = 0),
+       |vc AS (SELECT doc_id, rv FROM (
+       |    SELECT n.vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY $dCP / (nrm * pnrm) DESC, n.vec_id) AS rv
+       |    FROM n, p WHERE n.vec_id <> 0) t WHERE rv <= 50),
+       |fused AS (
+       |  SELECT COALESCE(txt.doc_id, vc.doc_id) AS doc_id, txt.rt, vc.rv,
+       |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + txt.rt AS DOUBLE), 0.0) +
+       |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + vc.rv AS DOUBLE), 0.0) AS rrf
+       |  FROM txt FULL OUTER JOIN vc ON txt.doc_id = vc.doc_id)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(rt AS BIGINT) AS text_rank, CAST(rv AS BIGINT) AS vec_rank, rrf
+       |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused) t
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
   }
 
   /** q90 — typo-level near-dup: edit-distance verification over the
@@ -2708,6 +2796,7 @@ object TextQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_rag_chunks" -> (q167_rag_chunks _),
+    "q179_hybrid_rrf" -> (q179_hybrid_rrf _),
     "q127_prefix_join" -> (q127_prefix_join _),
     "q123_weighted_sample" -> (q123_weighted_sample _),
     "q40_token_count" -> (q40_token_count _),
@@ -2759,6 +2848,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q167_rag_chunks" -> q167_rag_chunks_sql,
+    "q179_hybrid_rrf" -> q179_hybrid_rrf_sql,
     "q123_weighted_sample" -> q123_weighted_sample_sql,
     "q127_prefix_join" -> q127_prefix_join_sql,
     "q59_heavy_hitters" -> q59_heavy_hitters_sql,

@@ -282,6 +282,54 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q177 k-anonymity cells recount and the ladder nests") {
+    val rows = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = graft.queries.StatsQueries.q177_k_anonymity(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getLong(3), r.getBoolean(4)))
+    val l0 = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val l1 = rows.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    got.foreach {
+      case (0L, Some(n), Some(s), c, risk) =>
+        assert(l0((n, s)) == c && risk == (c < 5))
+      case (1L, Some(n), None, c, risk) =>
+        assert(l1(n) == c && risk == (c < 5))
+      case (2L, None, None, c, risk) =>
+        assert(c == rows.length.toLong && risk == (c < 5))
+      case other => fail(s"unexpected ladder row $other")
+    }
+    assert(got.count(_._1 == 0L) == l0.size && got.count(_._1 == 1L) == l1.size &&
+      got.count(_._1 == 2L) == 1)
+  }
+
+  test("q178 streaming multi-touch is bit-identical to batch q175") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(canon(graft.queries.StreamQueries.q178_stream_multitouch(spark, dir)) ==
+      canon(graft.queries.ReportQueries.q175_multitouch(spark, dir)))
+  }
+
+  test("q179 RRF fusion recounts from the two arms' independent rankings") {
+    val text = graft.queries.TextQueries.q89_bm25(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap // doc -> bm25 rank (top-20 window)
+    val got = graft.queries.TextQueries.q179_hybrid_rrf(spark, dir).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val (rt, rv) = (Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))
+      val want = rt.map(x => 1.0 / (60 + x).toDouble).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x).toDouble).getOrElse(0.0)
+      assert(r.getDouble(4) == want, s"doc ${r.getLong(1)}")
+      // where the doc is in BM25's own top-20, the text rank must agree
+      text.get(r.getLong(1)).foreach(tr => rt.foreach(x => assert(x == tr)))
+    }
+    val rrfs = got.sortBy(_.getLong(0)).map(_.getDouble(4)).toSeq
+    assert(rrfs == rrfs.sorted.reverse)
+  }
+
   test("q164 trailing windows equal a per-customer day scan") {
     val daily = Tables.orders(spark, dir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
