@@ -778,7 +778,47 @@ object ReportQueries {
       |FROM reg CROSS JOIN gtot
       |ORDER BY level, name""".stripMargin
 
+  /** q180 — supply-chain COMPONENT CENSUS: connected components of
+    * the part co-purchase graph (≥2 shared orders — q138's edge
+    * layer) summarized as a component-size histogram — the "how
+    * fragmented is this graph" diagnostic run before any per-cluster
+    * processing (the q54/q65 dedup pipelines run the SAME operator on
+    * doc-similarity edges; this is the operator composed with the
+    * q118/q138 co-occurrence builder on the relational layer).
+    *
+    * Scale/shape: the one-shuffle co-occurrence build feeds
+    * Dedup.connectedComponents (hash-min label propagation, one
+    * shuffle per round, converged-or-throw); the census is two
+    * label-bounded aggs over the (node, label) frame. Oracle proves
+    * the fixed point against DuckDB's recursive transitive closure.
+    */
+  def q180_component_census(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Triangles.cooccurrenceEdges(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      "o", "p", minSupport = 2)
+    graft.operators.Dedup.connectedComponents(edges, "a", "b")
+      .groupBy(col("label")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
+      .orderBy(col("csize"))
+  }
+
+  val q180_component_census_sql: String =
+    """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT a, b FROM (SELECT x.p AS a, y.p AS b, COUNT(*) AS c
+      |        FROM os x JOIN os y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2) WHERE c >= 2),
+      |edges AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lbl AS (SELECT src AS id, least(src, MIN(dst)) AS label FROM reach GROUP BY src),
+      |cs AS (SELECT label, COUNT(*) AS csize FROM lbl GROUP BY 1)
+      |SELECT CAST(csize AS BIGINT) AS csize, COUNT(*) AS n_components
+      |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_component_census" -> (q180_component_census _),
     "q174_item_cf" -> (q174_item_cf _),
     "q175_multitouch" -> (q175_multitouch _),
     "q176_share_of_parent" -> (q176_share_of_parent _),
@@ -796,6 +836,7 @@ object ReportQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q180_component_census" -> q180_component_census_sql,
     "q174_item_cf" -> q174_item_cf_sql,
     "q175_multitouch" -> q175_multitouch_sql,
     "q176_share_of_parent" -> q176_share_of_parent_sql,

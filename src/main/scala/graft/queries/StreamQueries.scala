@@ -1052,6 +1052,46 @@ object StreamQueries {
   /** Same oracle as the batch multi-touch — the point. */
   val q178_stream_multitouch_sql: String = ReportQueries.q175_multitouch_sql
 
+  /** q181 — STREAMING per-group correlation/OLS: q131's five exact
+    * integer moments maintained as a streaming aggregation — the
+    * THIRTEENTH pairing, and the moments-not-data argument live:
+    * state per (type, day) is SIX longs (n, Σx, Σy, Σx², Σy², Σxy),
+    * bounded by the key space whatever the stream length; the
+    * closed-form Pearson/slope/intercept math is a batch projection
+    * of the emitted moment frame running q131's exact expressions.
+    * Oracle is q131's SQL verbatim + a parity spec.
+    */
+  def q181_stream_regression(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q181_mem_${runId.incrementAndGet()}"
+    val m = withStreamShuffle(spark) {
+      EventFlow(EventFlow.fromEvents(spark, dir).df
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            hour(col("ts")).cast("long").as("x"),
+            (dec2(col("value")) * 100).cast("long").as("y"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy")))
+        .toMemory(spark, name, "complete")
+    }
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    m.filter(col("n") >= 3 && vx > 0 && vy > 0)
+      .select(col("event_type"), col("day"), col("n"),
+        (cov.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("corr"),
+        (cov.cast("double") / vx.cast("double")).as("slope_cents_per_hour"),
+        ((col("sy").cast("double") - (cov.cast("double") / vx.cast("double"))
+          * col("sx").cast("double")) / col("n").cast("double")).as("intercept_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Same oracle as the batch regression — the point. */
+  val q181_stream_regression_sql: String = AnalyticsQueries.q131_daily_regression_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_stream_holt" -> (q157_stream_holt _),
     "q165_stream_funnel" -> (q165_stream_funnel _),
@@ -1060,6 +1100,7 @@ object StreamQueries {
     "q171_stream_interarrival" -> (q171_stream_interarrival _),
     "q172_stream_transitions" -> (q172_stream_transitions _),
     "q178_stream_multitouch" -> (q178_stream_multitouch _),
+    "q181_stream_regression" -> (q181_stream_regression _),
     "q143_stream_attribution" -> (q143_stream_attribution _),
     "q134_stream_cusum" -> (q134_stream_cusum _),
     "q130_stream_ewma" -> (q130_stream_ewma _),
@@ -1084,6 +1125,7 @@ object StreamQueries {
     "q171_stream_interarrival" -> q171_stream_interarrival_sql,
     "q172_stream_transitions" -> q172_stream_transitions_sql,
     "q178_stream_multitouch" -> q178_stream_multitouch_sql,
+    "q181_stream_regression" -> q181_stream_regression_sql,
     "q143_stream_attribution" -> q143_stream_attribution_sql,
     "q130_stream_ewma" -> q130_stream_ewma_sql,
     "q134_stream_cusum" -> q134_stream_cusum_sql,

@@ -228,7 +228,13 @@ object ScaleSmoke {
       // round 9m/9n: IVF-PQ (cell-pruned coarse pass + 20-vector
       // rerank per probe), RAG chunking (map-only, output-sized
       // explode), corr matrix (15 map-side moment partials → 1 row)
-      "q166_ivf_pq", "q167_rag_chunks", "q169_corr_matrix")
+      "q166_ivf_pq", "q167_rag_chunks", "q169_corr_matrix",
+      // round 9p/9q: backtest folds calendar-bounded series; CF pairs
+      // are order-size-bounded; multitouch is one per-user window;
+      // shares/k-anonymity collapse to label-bounded frames; RRF arms
+      // are top-50 TakeOrderedAndProject
+      "q173_holt_backtest", "q174_item_cf", "q175_multitouch",
+      "q176_share_of_parent", "q177_k_anonymity", "q179_hybrid_rrf")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

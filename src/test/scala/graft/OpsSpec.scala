@@ -330,6 +330,37 @@ class OpsSpec extends AnyFunSuite {
     assert(rrfs == rrfs.sorted.reverse)
   }
 
+  test("q180 component census equals a union-find recount of the part graph") {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = baskets.groupBy(_._1).toSeq.flatMap { case (_, items) =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.length >= 2).keys.toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.toSeq.map(find).groupBy(identity).map(_._2.size)
+      .groupBy(identity).map { case (sz, v) => sz.toLong -> v.size.toLong }
+    val got = graft.queries.ReportQueries.q180_component_census(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("q181 streaming regression is bit-identical to batch q131") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(graft.queries.StreamQueries.q181_stream_regression(spark, dir)) ==
+      canon(graft.queries.AnalyticsQueries.q131_daily_regression(spark, dir)))
+  }
+
   test("q164 trailing windows equal a per-customer day scan") {
     val daily = Tables.orders(spark, dir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
