@@ -771,7 +771,134 @@ object AnalyticsQueries {
        |ORDER BY var_a, var_b""".stripMargin
   }
 
+  /** q182 — POINT-IN-TIME join against the SCD2 dimension: each
+    * purchase looks up the user's view-stream value that was CURRENT
+    * at purchase time ("what the user was seeing when they bought") —
+    * the temporal-correctness join every feature store and lakehouse
+    * audit needs (training-serving skew is exactly a PIT join done
+    * wrong). Composes q125's SCD2 stitching with the interval lookup.
+    *
+    * Scale/shape: the join is EQUALITY-keyed on user_id (hash join,
+    * AQE-free to broadcast a small dim) with the validity-interval
+    * predicate in the join condition; per-user histories are
+    * change-count bounded, so the filter fans out per-key history
+    * size, never corpus². Intervals partition time per key (lead over
+    * the same window), so at most one row matches — LEFT join keeps
+    * pre-first-view purchases with a NULL as-of value.
+    */
+  def q182_pit_join(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), dec2(col("value")).as("v"), col("ts"), col("event_id"))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .filter(col("prev_v").isNull || col("v") =!= col("prev_v"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id").as("d_user"), col("v"),
+        col("ts").as("valid_from"), col("valid_to"))
+    val facts = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        dec2(col("value")).cast("double").as("purchase_value"))
+    facts.join(dim,
+        facts("user_id") === dim("d_user") &&
+          facts("ts") >= dim("valid_from") &&
+          (dim("valid_to").isNull || facts("ts") < dim("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_value"), col("v").cast("double").as("asof_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q182_pit_join_sql: String =
+    """WITH v AS (
+      |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v, ts, event_id,
+      |    LAG(CAST(value AS DECIMAL(18,2))) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+      |  FROM events WHERE event_type = 'view'),
+      |ch AS (SELECT * FROM v WHERE prev_v IS NULL OR v <> prev_v),
+      |dim AS (
+      |  SELECT user_id AS d_user, v, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM ch),
+      |facts AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts, f.purchase_value,
+      |  CAST(d.v AS DOUBLE) AS asof_view_value
+      |FROM facts f LEFT JOIN dim d
+      |  ON f.user_id = d.d_user AND f.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |ORDER BY f.event_id""".stripMargin
+
+  /** q183 — CDC SNAPSHOT DIFF: row-level reconciliation of two table
+    * versions into added/deleted/updated/unchanged counts per event
+    * type — the change-audit report behind every versioned-table
+    * "what changed between snapshot A and B" question (q142 LOCATES
+    * divergence cheaply via bucket fingerprints; this CLASSIFIES it
+    * row by row once located). Snapshot B is simulated in-plan from
+    * the same deterministic rules in both engines: ids ≡0 mod 97
+    * deleted, ≡0 mod 101 get value+1 (updates), ≡0 mod 103 cloned to
+    * id+10⁹ (inserts).
+    *
+    * Scale/shape: ONE full-outer hash join on the key, class = null-
+    * pattern + payload comparison (exact decimals), label-bounded
+    * final agg with map-side partials. At 100 TB both sides partition
+    * by the join key and the diff never materializes matched rows —
+    * only the class counts.
+    */
+  def q183_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), dec2(col("value")).as("v"))
+    val base = Tables.events(spark, dir)
+      .filter(pmod(col("event_id"), lit(97L)) =!= 0)
+      .select(col("event_id"), col("event_type"),
+        when(pmod(col("event_id"), lit(101L)) === 0, dec2(col("value")) + lit(1).cast("decimal(18,2)"))
+          .otherwise(dec2(col("value"))).as("v"))
+    val inserts = Tables.events(spark, dir)
+      .filter(pmod(col("event_id"), lit(103L)) === 0)
+      .select((col("event_id") + lit(1000000000L)).as("event_id"),
+        col("event_type"), dec2(col("value")).as("v"))
+    val b = base.unionByName(inserts)
+    a.select(col("event_id"), col("event_type").as("ta"), col("v").as("va"))
+      .join(b.select(col("event_id"), col("event_type").as("tb"), col("v").as("vb")),
+        Seq("event_id"), "full_outer")
+      .select(coalesce(col("ta"), col("tb")).as("event_type"),
+        when(col("ta").isNull, "added")
+          .when(col("tb").isNull, "deleted")
+          .when(col("va") =!= col("vb"), "updated")
+          .otherwise("unchanged").as("class"))
+      .groupBy(col("event_type"), col("class"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("class"))
+  }
+
+  val q183_snapshot_diff_sql: String =
+    """WITH a AS (
+      |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |b AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 101 = 0
+      |      THEN CAST(value AS DECIMAL(18,2)) + CAST(1 AS DECIMAL(18,2))
+      |      ELSE CAST(value AS DECIMAL(18,2)) END AS v
+      |  FROM events WHERE event_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT event_id + 1000000000, event_type, CAST(value AS DECIMAL(18,2))
+      |  FROM events WHERE event_id % 103 = 0),
+      |d AS (
+      |  SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+      |    CASE WHEN a.event_id IS NULL THEN 'added'
+      |         WHEN b.event_id IS NULL THEN 'deleted'
+      |         WHEN a.v <> b.v THEN 'updated'
+      |         ELSE 'unchanged' END AS class
+      |  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+      |SELECT event_type, class, COUNT(*) AS n
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_pit_join" -> (q182_pit_join _),
+    "q183_snapshot_diff" -> (q183_snapshot_diff _),
     "q169_corr_matrix" -> (q169_corr_matrix _),
     "q136_set_reconcile" -> (q136_set_reconcile _),
     "q135_deciles" -> (q135_deciles _),
@@ -789,6 +916,8 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q182_pit_join" -> q182_pit_join_sql,
+    "q183_snapshot_diff" -> q183_snapshot_diff_sql,
     "q169_corr_matrix" -> q169_corr_matrix_sql,
     "q125_scd2" -> q125_scd2_sql,
     "q128_zorder" -> q128_zorder_sql,

@@ -361,6 +361,48 @@ class OpsSpec extends AnyFunSuite {
       canon(graft.queries.AnalyticsQueries.q131_daily_regression(spark, dir)))
   }
 
+  test("q182 PIT join equals a per-purchase interval replay, one row per purchase") {
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val hist = evs.filter(_._4 == "view").groupBy(_._1).map { case (u, v) =>
+      val ordered = v.sortBy(e => (e._2.getTime, e._3))
+      // change rows only (value differs from previous)
+      val changes = ordered.foldLeft(Vector.empty[(java.sql.Timestamp, Long)]) { (acc, e) =>
+        val cents = centsOf(e._5)
+        if (acc.nonEmpty && acc.last._2 == cents) acc else acc :+ ((e._2, cents))
+      }
+      u -> changes
+    }
+    val purchases = evs.filter(_._4 == "purchase")
+    val got = graft.queries.AnalyticsQueries.q182_pit_join(spark, dir).collect()
+    assert(got.length == purchases.length)
+    val byId = got.map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    purchases.foreach { case (u, ts, eid, _, _) =>
+      val want = hist.getOrElse(u, Vector.empty)
+        .takeWhile(_._1.getTime <= ts.getTime).lastOption
+        .map(_._2.toDouble / 100)
+      assert(byId(eid) == want, s"purchase $eid")
+    }
+  }
+
+  test("q183 diff classes recount under the simulated snapshot rules") {
+    val evs = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), centsOf(r.getDouble(2))))
+    val classes = scala.collection.mutable.Map.empty[(String, String), Long]
+    def bump(t: String, c: String): Unit = classes((t, c)) = classes.getOrElse((t, c), 0L) + 1
+    evs.foreach { case (id, t, _) =>
+      if (id % 97 == 0) bump(t, "deleted")
+      else if (id % 101 == 0) bump(t, "updated")
+      else bump(t, "unchanged")
+      if (id % 103 == 0) bump(t, "added")
+    }
+    val got = graft.queries.AnalyticsQueries.q183_snapshot_diff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == classes.toMap)
+  }
+
   test("q164 trailing windows equal a per-customer day scan") {
     val daily = Tables.orders(spark, dir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
