@@ -89,13 +89,17 @@ object ReportQueries {
     * degrees" audience / recall queries (deva: recursive traverse,
     * pipe.py:1013, bounded).
     *
-    * Scale/shape: exactly 4 plan iterations (no data-dependent driver
-    * loop); each round is frontier⋈edges (shuffle on the frontier
-    * key), a distinct, and an anti-join against the reached set —
-    * all hash operations AQE can re-plan. Frontier/reached frames
-    * persist per round so lineage stays 1-round deep; node-count
-    * bounded, never collected. The oracle proves the 4-round fixed
-    * point against DuckDB's recursive CTE.
+    * Scale/shape: the traversal is [[graft.operators.KHop.expand]] —
+    * exactly 4 plan iterations (no data-dependent driver loop); each
+    * round is frontier⋈edges (shuffle on the frontier key), a
+    * distinct, and an anti-join against the reached set — all hash
+    * operations AQE can re-plan. Round frames persist per round
+    * (1-round-deep lineage) and their partition width is DERIVED from
+    * the materialized frontier count (ceil(n/500k), shuffle-free
+    * cap-down — kills the near-empty-task spray at sf0.1 while a
+    * catalog-sized reached set at 100× keeps hundreds of parallel
+    * tasks; the r9 literal coalesce(1) is gone). The oracle proves
+    * the 4-round fixed point against DuckDB's recursive CTE.
     */
   def q138_khop(spark: SparkSession, dir: String): DataFrame = {
     val edges = graft.operators.Triangles.cooccurrenceEdges(
@@ -108,25 +112,8 @@ object ReportQueries {
     val src = Tables.part(spark, dir)
       .filter(pmod(col("p_partkey"), lit(100L)) === 0)
       .select(col("p_partkey").as("n"))
-    // Round frames are node-bounded and TINY relative to the corpus;
-    // left at shuffle width they spray one task per shuffle partition
-    // per round and the 4-round DAG schedules 100+ near-empty stages
-    // (measured 9 s of pure driver overhead at sf0.1). coalesce(1)
-    // pins each round's frontier/reached to one partition — at
-    // production scale replace 1 with a width matched to the frontier
-    // size; the structure (k rounds, hash joins, anti-join dedup) is
-    // unchanged.
-    var reached = src.withColumn("hops", lit(0L)).coalesce(1).persist()
-    var frontier = src
-    for (h <- 1 to 4) {
-      val next = frontier.join(bidir, frontier("n") === bidir("x"))
-        .select(col("y").as("n")).distinct()
-        .join(reached.select(col("n")), Seq("n"), "left_anti")
-        .withColumn("hops", lit(h.toLong)).coalesce(1).persist()
-      reached = reached.unionByName(next).coalesce(1).persist()
-      frontier = next.select(col("n"))
-    }
-    reached.select(col("n").as("p_partkey"), col("hops")).orderBy(col("p_partkey"))
+    graft.operators.KHop.expand(bidir, src, maxHops = 4)
+      .select(col("n").as("p_partkey"), col("hops")).orderBy(col("p_partkey"))
   }
 
   val q138_khop_sql: String =

@@ -337,6 +337,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(read.count() > 0)
   }
 
+  test("KHop round-frame width is data-derived and grows with the frontier (no literal 1)") {
+    import graft.operators.KHop
+    // the width law itself: 1 below the per-task target, then linear
+    assert(KHop.frameWidth(0) == 1)
+    assert(KHop.frameWidth(500000) == 1)
+    assert(KHop.frameWidth(500001) == 2)
+    assert(KHop.frameWidth(5000000) == 10)
+    assert(KHop.frameWidth(4999, 500) == 10)
+    val probes = Seq(0L, 1L, 499999L, 500000L, 500001L, 2000000L, 5000000L)
+    assert(probes.map(KHop.frameWidth(_)) == probes.map(KHop.frameWidth(_)).sorted,
+      "frameWidth must be monotone in the frontier size")
+
+    // end-to-end on a planted star graph (hop-1 frontier = 5000
+    // nodes). AQE's byte-based re-planning folds these tiny test
+    // frames to arbitrary widths regardless of row policy, so turn
+    // it off on a cloned session for a deterministic materialized
+    // width — the assertion targets KHop's own cap, which coalesces
+    // DOWN to frameWidth(n) and never below it.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    import sess.implicits._
+    val edges = sess.range(1, 5001).toDF("y").select(lit(0L).as("x"), col("y"))
+    val bidir = edges.unionByName(edges.select(col("y").as("x"), col("x").as("y")))
+    val src = Seq(0L).toDF("n")
+    val tight = KHop.expand(bidir, src, maxHops = 1, targetRowsPerTask = 500)
+    val loose = KHop.expand(bidir, src, maxHops = 1, targetRowsPerTask = 500000L)
+    // same answer either way…
+    assert(tight.count() == 5001 && loose.count() == 5001)
+    // …but the 5000-row frontier at a 500-row/task target must KEEP
+    // its materialized width (8 shuffle partitions ≤ frameWidth=10),
+    // while the default target correctly folds the tiny frames to 1.
+    assert(tight.rdd.getNumPartitions >= 8,
+      s"large frontier collapsed to ${tight.rdd.getNumPartitions} partitions — width not data-derived")
+    assert(loose.rdd.getNumPartitions <= 2,
+      s"tiny frames kept ${loose.rdd.getNumPartitions} partitions — near-empty spray not capped")
+    sess.catalog.clearCache()
+  }
+
   test("graft_hash60 is callable from SQL via extensions") {
     val r = spark.sql("SELECT graft_hash60('hello') AS h").collect()(0).getLong(0)
     // same value as the composed md5 form
