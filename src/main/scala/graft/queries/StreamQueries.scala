@@ -21,25 +21,15 @@ object StreamQueries {
 
   private val runId = new AtomicInteger(0)
 
-  /** Stateful streaming allocates ONE state-store instance per shuffle
-    * partition per stateful operator, and every micro-batch pays a
-    * commit/maintenance round-trip on each of them. For the local gate
-    * (≤100k rows of state) 32 partitions is pure fixed overhead — the
-    * round-2 bench showed q61/q64 at 2.3×/2.6× their round-1 times for
-    * exactly this reason. Run the streaming plan under a small
-    * partition count and restore the session default afterwards; on a
-    * real cluster this knob is sized to executor cores × executors,
-    * not hard-coded (GRAFT_STREAM_SHUFFLE env overrides).
+  /** See [[graft.streaming.Pairing.withStreamShuffle]] — the shared
+    * stream-shuffle-width discipline, factored into the pairing
+    * harness in round 10.
     */
-  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "5"))
-    try body finally spark.conf.set(key, prev)
-  }
+  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T =
+    graft.streaming.Pairing.withStreamShuffle(spark)(body)
 
-  case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double, props: String)
+  /** The events row type, shared with the pairing harness. */
+  type EvRow = graft.streaming.Pairing.EvRow
 
   /** q60 — deva timed_window as a streaming tumbling aggregation
     * (complete mode, so all windows are emitted at end of input).
@@ -573,40 +563,24 @@ object StreamQueries {
   def q134_stream_cusum(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val name = s"q134_mem_${runId.incrementAndGet()}"
     // batch-trained baseline: label-bounded per-type integer means
     val mu: Map[String, Long] = Tables.events(spark, dir)
       .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
       .groupBy(col("event_type"))
       .agg(expr("(2 * sum(cents) + count(1)) div (2 * count(1))").as("mu"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    withStreamShuffle(spark) {
-      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
-      val flagged = ds.groupByKey(_.event_type)
-        .flatMapGroupsWithState[Long, (String, Long, Timestamp, Double, Boolean)](
-          org.apache.spark.sql.streaming.OutputMode.Append,
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-          (k: String, it: Iterator[EvRow], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-            var s = state.getOption.getOrElse(0L)
-            val base = mu(k)
-            val outs = it.toVector
-              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-              .map { e =>
-                val cents = math.floor(e.value * 100 + 0.5).toLong
-                s = math.max(0L, s + (cents - base - 100L))
-                (k, e.event_id, e.ts, s.toDouble / 100.0, s > 50000L)
-              }
-            state.update(s)
-            outs.iterator
+    graft.streaming.Pairing.run[String, Long, (String, Long, Timestamp, Double, Boolean)](
+      spark, dir, Seq("event_type", "event_id", "ts", "cusum_dollars", "shifted"))(
+      _.event_type)(0L) { (k, s0, ordered) =>
+        var s = s0
+        val base = mu(k)
+        val outs = ordered.map { e =>
+          val cents = math.floor(e.value * 100 + 0.5).toLong
+          s = math.max(0L, s + (cents - base - 100L))
+          (k, e.event_id, e.ts, s.toDouble / 100.0, s > 50000L)
         }
-      val q = flagged.toDF("event_type", "event_id", "ts", "cusum_dollars", "shifted")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name).orderBy(col("event_type"), col("ts"), col("event_id"))
+        (s, outs)
+      } (_.orderBy(col("event_type"), col("ts"), col("event_id")))
   }
 
   /** Same oracle as the batch detector — the point of the query. */
@@ -628,36 +602,18 @@ object StreamQueries {
   def q143_stream_attribution(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val name = s"q143_mem_${runId.incrementAndGet()}"
-    withStreamShuffle(spark) {
-      val ds = EventFlow.fromEvents(spark, dir).df.as[EvRow]
-      val att = ds.groupByKey(_.user_id)
-        .flatMapGroupsWithState[String, (String, Long)](
-          org.apache.spark.sql.streaming.OutputMode.Append,
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-          (_: Long, it: Iterator[EvRow], state: org.apache.spark.sql.streaming.GroupState[String]) =>
-            var ch = state.getOption.getOrElse("direct")
-            val outs = it.toVector
-              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-              .flatMap { e =>
-                if (e.event_type != "purchase") { ch = e.event_type; None }
-                else Some((ch, math.floor(e.value * 100 + 0.5).toLong))
-              }
-            state.update(ch)
-            outs.iterator
+    graft.streaming.Pairing.run[Long, String, (String, Long)](
+      spark, dir, Seq("channel", "cents"))(_.user_id)("direct") { (_, ch0, ordered) =>
+        var ch = ch0
+        val outs = ordered.flatMap { e =>
+          if (e.event_type != "purchase") { ch = e.event_type; None }
+          else Some((ch, math.floor(e.value * 100 + 0.5).toLong))
         }
-      val q = att.toDF("channel", "cents")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
-      .groupBy(col("channel"))
-      .agg(count(lit(1)).as("n_purchases"),
-        (sum(col("cents")).cast("decimal(38,0)").cast("double") / 100).as("revenue"))
-      .orderBy(col("channel"))
+        (ch, outs)
+      } (_.groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            (sum(col("cents")).cast("decimal(38,0)").cast("double") / 100).as("revenue"))
+          .orderBy(col("channel")))
   }
 
   /** Same oracle as the batch attribution — the point of the query. */
@@ -1092,7 +1048,59 @@ object StreamQueries {
   /** Same oracle as the batch regression — the point. */
   val q181_stream_regression_sql: String = AnalyticsQueries.q131_daily_regression_sql
 
+  /** q184 — STREAMING engagement streaks: q158's gaps-and-islands
+    * maintained incrementally per user — the FOURTEENTH batch≡stream
+    * pairing, and the first written as a ~30-line client of the
+    * [[graft.streaming.Pairing]] harness. State per user is six
+    * longs (last purchase day, current run start/length, best run
+    * start/length, events seen): O(1) whatever the history length.
+    * Each batch folds its purchase events in canonical order: a day
+    * equal to the last is a same-day duplicate (batch's DISTINCT),
+    * last+1 extends the run, anything later starts a new one; the
+    * best-run update is STRICTLY-greater — runs arrive in start
+    * order, so an equal-length later run must not displace the
+    * earlier start (q158's longest-then-earliest tie-break).
+    * Emissions carry a monotone per-user event count; the
+    * projection compacts to the max-seq row per user (q124's
+    * changelog idiom) so multi-batch runs supersede correctly. Day
+    * is the epoch-day floor of UTC millis — bit-identical to
+    * to_date(ts) under the pinned-UTC session (the q157 argument) —
+    * and the date column is rebuilt columnar-side from it. Oracle is
+    * q158's SQL verbatim + a bit-equality parity spec.
+    */
+  def q184_stream_streaks(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Long, Long, Long, Long, Long), (Long, Long, Long, Long)](
+      spark, dir, Seq("user_id", "seq", "best_len", "best_start_day"),
+      where = Some(col("event_type") === "purchase"))(
+      _.user_id)((Long.MinValue, 0L, 0L, 0L, 0L, 0L)) { (u, s0, ordered) =>
+        var (lastDay, curStart, curLen, bestStart, bestLen, seen) = s0
+        ordered.foreach { e =>
+          val day = math.floorDiv(e.ts.getTime, 86400000L)
+          seen += 1
+          if (day != lastDay) {
+            if (day == lastDay + 1) curLen += 1
+            else { curStart = day; curLen = 1 }
+            lastDay = day
+            if (curLen > bestLen) { bestLen = curLen; bestStart = curStart }
+          }
+        }
+        ((lastDay, curStart, curLen, bestStart, bestLen, seen),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((u, seen, bestLen, bestStart)))
+      } (_.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("best_len"), col("best_start_day"))).as("b"))
+          .select(col("user_id"), col("b.best_len").as("best_len"),
+            date_add(lit("1970-01-01").cast("date"), col("b.best_start_day").cast("int")).as("best_start"))
+          .orderBy(col("user_id")))
+  }
+
+  /** Same oracle as the batch streaks — the point of the query. */
+  val q184_stream_streaks_sql: String = LifecycleQueries.q158_streaks_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_stream_streaks" -> (q184_stream_streaks _),
     "q157_stream_holt" -> (q157_stream_holt _),
     "q165_stream_funnel" -> (q165_stream_funnel _),
     "q168_stream_sliding_distinct" -> (q168_stream_sliding_distinct _),
@@ -1118,6 +1126,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q184_stream_streaks" -> q184_stream_streaks_sql,
     "q157_stream_holt" -> q157_stream_holt_sql,
     "q165_stream_funnel" -> q165_stream_funnel_sql,
     "q168_stream_sliding_distinct" -> q168_stream_sliding_distinct_sql,

@@ -258,7 +258,15 @@ object ScaleSmoke {
       (if (only.forall(_.contains("vidx"))) smokeVectorIndex(spark, out, factor) else Nil) ++
       (if (only.forall(_.contains("heartbeat"))) smokeHeartbeat(spark, factor) else Nil)
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke_total","value":${times.map(_._2).sum},"unit":"sec","factor":$factor,"queries":$qs}""")
+    val line = s"""{"metric":"scale_smoke_total","value":${times.map(_._2).sum},"unit":"sec","factor":$factor,"queries":$qs}"""
+    println(line)
+    // driver-adjacent artifact (VERDICT r9 item 5): the per-round
+    // scale regression check should be a mechanical diff of this file,
+    // not PLANS prose. Same rung format as Bench's bench_out.json.
+    val artifact = args.find(_.startsWith("artifact="))
+      .map(_.stripPrefix("artifact=")).getOrElse("SCALE.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 

@@ -43,6 +43,12 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("q184 streaming streaks are bit-identical to batch q158 (pairing #14)") {
+    val batch = LifecycleQueries.q158_streaks(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q184_stream_streaks(spark, dir).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("q159 KM curve equals an imperative survival recomputation") {
     val rows = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
