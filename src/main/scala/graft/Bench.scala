@@ -12,28 +12,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/parquet/shuffle paths once so the first
-    // measured query isn't charged for session startup
-    try SparkEntry.queries("q01_agg")(spark, sfDir).count()
-    catch { case _: Throwable => }
-    // q73 serves from a persistent postings store built once per
-    // (process, corpus dir); build it during warmup so its measured
-    // time is STEADY-STATE SERVING — the number a production deploy
-    // sees per query — not a one-time index build conflated with a
-    // serve (the build cost itself is measured in PLANS.md)
-    try SparkEntry.queries("q73_index_search")(spark, sfDir).count()
-    catch { case _: Throwable => }
-    // q85 likewise: the bucketed layout is built once per (process,
-    // corpus dir); pre-build it here so the measured time is the
-    // exchange-free co-located JOIN, not the one-time layout write
-    try SparkEntry.queries("q85_bucket")(spark, sfDir).count()
-    catch { case _: Throwable => }
-    // q106 likewise: the LSH→CC cluster frame is built once per
-    // (process, corpus dir) — the decision step (keep-best) runs many
-    // times per campaign against one detection output, so its
-    // steady-state cost reads the persisted frame, not the build
-    try SparkEntry.queries("q106_dedup_keep_best")(spark, sfDir).count()
-    catch { case _: Throwable => }
     // single-run timings swing ±50% on this harness (measured across
     // rounds); the per-query value reported is the MEDIAN of R runs so
     // a regression is distinguishable from noise. Default R = 3: the
@@ -45,63 +23,104 @@ object Bench {
     // the bench after warmup and leave the gate without a metric line
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
-    // a failed query reports -1, never its time-to-throw (which would
-    // make breakage look like a speedup)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // drop any persisted intermediates so cached partitions from one
-        // query/rep can't distort the storage/execution memory of the
-        // next (outside the timed window)
-        spark.catalog.clearCache()
-        if (ok) sec else -1.0
+
+    /** Warm the per-(process, corpus dir) stores so measured times are
+      * steady-state serving, not one-time builds: q73's persistent
+      * postings, q85's bucketed layout, q106's LSH→CC cluster frame
+      * (each build cost is measured separately in PLANS.md). The q01
+      * call also absorbs JVM/codegen/parquet/shuffle session startup
+      * ahead of the first measured query.
+      */
+    def warm(dir: String): Unit =
+      Seq("q01_agg", "q73_index_search", "q85_bucket", "q106_dedup_keep_best")
+        .foreach { q =>
+          try SparkEntry.queries(q)(spark, dir).count()
+          catch { case _: Throwable => }
+        }
+
+    /** One full gate pass at `dir`: per-query median of `reps` runs.
+      * A failed query reports -1, never its time-to-throw (which would
+      * make breakage look like a speedup); any failed rep marks the
+      * query failed — a flaky query must not hide behind its passing
+      * reps' median.
+      */
+    def runSf(dir: String): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, dir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          // drop any persisted intermediates so cached partitions from one
+          // query/rep can't distort the storage/execution memory of the
+          // next (outside the timed window)
+          spark.catalog.clearCache()
+          if (ok) sec else -1.0
+        }
+        val median = {
+          val s = times.sorted
+          // true median: even rep counts average the middle pair (the
+          // upper-middle alone would report max-of-2 for reps=2)
+          if (s.length % 2 == 1) s(s.length / 2)
+          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+        }
+        name -> (if (times.exists(_ < 0)) -1.0 else median)
       }
-      val median = {
-        val s = times.sorted
-        // true median: even rep counts average the middle pair (the
-        // upper-middle alone would report max-of-2 for reps=2)
-        if (s.length % 2 == 1) s(s.length / 2)
-        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-      }
-      // any failed rep marks the query failed — a flaky query must not
-      // hide behind its passing reps' median
-      name -> (if (times.exists(_ < 0)) -1.0 else median)
-    }
+
+    def total(rs: Seq[(String, Double)]): Double = rs.collect { case (_, v) if v >= 0 => v }.sum
+    def failed(rs: Seq[(String, Double)]): Int = rs.count(_._2 < 0)
+    def roundN(n: Int)(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${n}f", Double.box(v))
+
+    warm(sfDir)
+    val results = runSf(sfDir)
+
+    // secondary rung (VERDICT r9 stretch 8): the sf0.01 gate beside
+    // the main SF — a lighter-contention rung that makes cross-round
+    // comparison robust to the 8 GiB JVM's memory pressure. Skipped
+    // when the main SF IS sf0.01 (local iteration) or the dir is
+    // absent. Full precision goes to bench_out.json + an early stdout
+    // line; the final compact line carries only its scalar total.
+    val auxDir = "/root/testdata/sf0.01"
+    val aux: Option[Seq[(String, Double)]] =
+      if (new java.io.File(sfDir).getName == "sf0.01" || !new java.io.File(auxDir).isDirectory) None
+      else { warm(auxDir); Some(runSf(auxDir)) }
+
     // compact lines carry only the dir BASENAME ("sf0.1") — the driver
     // records the sf itself; the full path in every rung was 15 chars
     // of the 1900-char width budget spent on redundancy
     val sfTag = new java.io.File(sfDir).getName
-    def mkLine(fmt: Double => String, sf: String = sfDir): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // the aux scalar rides every rung (~30 chars of the width budget)
+    val auxField = aux.map(a =>
+      s""","aux_sf001_total":${roundN(2)(total(a))},"aux_failed":${failed(a)}""").getOrElse("")
+    def mkKeyed(key: String => String, sf: String)(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // failed queries (sentinel -1.0) must not contribute to the
       // headline total — summing them would make breakage read as a
       // speedup in a total-vs-total comparison
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      val failed = results.count(_._2 < 0)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total(results))},"unit":"sec","failed":${failed(results)}$auxField,"queries":$qs,"sf":"$sf"}"""
     }
-    // full precision goes to the known file (and an early stdout line)
+    def mkLine(fmt: Double => String, sf: String = sfDir): String = mkKeyed(identity, sf)(fmt)
+    // full precision goes to the known file (and an early stdout line);
+    // the aux rung's full per-query map is a SECOND line of the file
     val full = mkLine(_.toString)
     println(full)
+    val auxFull = aux.map { a =>
+      val qs = a.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${total(a)},"unit":"sec","failed":${failed(a)},"queries":$qs,"sf":"sf0.01"}"""
+    }
+    auxFull.foreach(println)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (full + "\n").getBytes("UTF-8"))
+      (full + "\n" + auxFull.map(_ + "\n").getOrElse("")).getBytes("UTF-8"))
     // The harness keeps only the LAST ~2000 chars of stdout and parses
     // the last line as the metric JSON; full precision over 75 queries
     // is ~2.6k chars, so the kept window starts mid-line and the parse
     // fails. The FINAL line is therefore a 2-decimal compact form
     // (~1.7k chars), degrading to totals-only if it ever outgrows the
     // window.
-    def roundN(n: Int)(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${n}f", Double.box(v))
-    val totalsOnly = {
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      val failed = results.count(_._2 < 0)
-      s"""{"metric":"total","value":${roundN(2)(total)},"unit":"sec","failed":$failed,"queries":{},"sf":"$sfTag"}"""
-    }
+    val totalsOnly =
+      s"""{"metric":"total","value":${roundN(2)(total(results))},"unit":"sec","failed":${failed(results)}$auxField,"queries":{},"sf":"$sfTag"}"""
     // precision ladder: full-name 2-dec → 1-dec → whole seconds →
     // SHORT-KEY 1-dec → short-key whole seconds → totals-only. The
     // short-key rungs keep per-query data alive past the query count
@@ -112,18 +131,11 @@ object Bench {
     // in bench_out.json and the early stdout line. QueriesSpec pins
     // the short rung's worst case (3-digit values) under the guard so
     // a new query can never silently push the gate to totals-only.
-    def mkKeyed(key: String => String)(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      val failed = results.count(_._2 < 0)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfTag"}"""
-    }
     // short rung: "q87"; NUM rung (added when short-key whole-seconds
     // itself outgrew the window at ~179 queries): bare "87" — still
     // unique (same prefix), still trivially mapped back to full names
-    val mkShort = mkKeyed(_.takeWhile(_ != '_')) _
-    val mkNum = mkKeyed(_.takeWhile(_ != '_').drop(1)) _
+    val mkShort = mkKeyed(_.takeWhile(_ != '_'), sfTag) _
+    val mkNum = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag) _
     println(
       Seq(mkLine(roundN(2), sfTag), mkLine(roundN(1), sfTag), mkLine(roundN(0), sfTag),
           mkShort(roundN(1)), mkShort(roundN(0)), mkNum(roundN(1)), mkNum(roundN(0)))

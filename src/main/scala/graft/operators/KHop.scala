@@ -35,22 +35,27 @@ object KHop {
     math.max(1L, (rows + targetRowsPerTask - 1) / targetRowsPerTask).toInt
   }
 
-  /** Persist + count `df`, then cap its partition count down to
-    * frameWidth(count). Returns the shaped frame and its count.
-    * The cap is `coalesce` (no shuffle); if the frame already
-    * materialized at or under the target width it is returned as-is.
+  /** Count `df` (an UNCACHED pass — the frame's inputs are the
+    * previous rounds' cached frames plus the cached edge list, so
+    * this is one round's compute), then persist + materialize it
+    * capped at frameWidth(count) partitions. The cap is `coalesce`
+    * (no shuffle, never widens past the plan's natural partitions).
+    *
+    * Deliberately ONE cache entry per frame, with `coalesce` applied
+    * BEFORE the persist: the first-cut "persist raw → count → cache a
+    * second coalesced frame on top" double-cached each round and
+    * defeated AQE's cached-plan substitution — every round replayed
+    * its full lineage from the parquet scan (measured 47 s vs 5 s at
+    * sf0.01, then OOM from the re-cache churn; bisect in PLANS r10).
+    * The price of knowing the exact count first is executing each
+    * round body twice over cached inputs — sub-second against the
+    * pathology it replaces.
     */
   private def materializedShaped(df: DataFrame, targetRowsPerTask: Long): (DataFrame, Long) = {
-    val raw = df.persist()
-    val n = raw.count()
-    val w = frameWidth(n, targetRowsPerTask)
-    if (raw.rdd.getNumPartitions <= w) (raw, n)
-    else {
-      val shaped = raw.coalesce(w).persist()
-      shaped.count()
-      raw.unpersist()
-      (shaped, n)
-    }
+    val n = df.count()
+    val shaped = df.coalesce(frameWidth(n, targetRowsPerTask)).persist()
+    shaped.count()
+    (shaped, n)
   }
 
   /** Expand `src` (column `n`) over directed edges `bidir` (columns

@@ -37,7 +37,9 @@ class QueriesSpec extends AnyFunSuite {
     // rung (short keys, worst case 3-digit values) must fit the
     // 1900-char guard — this fails AT THE COMMIT that adds the query
     // that overflows, not two rounds later in a driver artifact.
-    val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"queries":"""
+    // budget includes the aux sf0.01 rung's scalar (round 10) at its
+    // widest plausible value
+    val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"aux_sf001_total":99999.99,"aux_failed":0,"queries":"""
     // compact rungs carry the dir basename only (Bench sfTag)
     val tail = s""","sf":"sf0.1"}"""
     val short = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
