@@ -2794,7 +2794,97 @@ object TextQueries {
        |FROM ck ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** q185 — Jaro–Winkler title linkage: fuzzy record matching over
+    * the doc-title field (first 32 chars, lowercased) — the
+    * name/title matcher record-linkage systems run beside token
+    * (q45/q47) and edit-distance (q90) similarity: transposition-
+    * tolerant and prefix-weighted, which neither shingles nor
+    * banded Levenshtein give. Scored by the codegen'd
+    * [[graft.plans.JaroWinklerSim]] expression, whose semantics are
+    * pinned bit-for-bit to DuckDB's jaro_winkler_similarity — the
+    * oracle therefore verifies the custom kernel value-exactly on
+    * every candidate pair, not just the survivor set.
+    *
+    * Shape (the q127/q90 dedup discipline): EXACT-CLASS COLLAPSE
+    * first (identical titles → one representative; under crawl-grade
+    * duplication dup classes multiply candidates quadratically —
+    * within-class pairs are emitted arithmetically at jw = 1);
+    * blocking key is the 2-byte title prefix — the canonical
+    * Winkler blocking, aligned with the boost's own prefix weight (a
+    * high-JW pair with different first bytes earns no boost and
+    * needs jaro > 0.87 from disjoint-prefix matches — rare enough
+    * that census-style deployments block exactly this way). Block
+    * member lists ride the loud cappedMembers guard; at 100 TB the
+    * key extends (prefix-4 + length band) exactly like q90's bands —
+    * the plan shape is unchanged. Scores quantize to DECIMAL(18,6)
+    * (q91's rule) after the ≥ 0.88 gate, evaluated on doubles that
+    * are bit-identical in both engines.
+    */
+  private val jwThreshold = 0.88
+  def q185_jaro_linkage(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(substring(col("text"), 1, 32)).as("title"))
+    val cls = t.groupBy(col("title"))
+      .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("ids"))
+      .persist()
+    cls.count() // eager: two consumers race a cold cache otherwise (the q104 lesson)
+    val candReps = cls
+      .select(substring(col("title"), 1, 2).as("pfx"), col("rep_id"))
+      .groupBy(col("pfx"))
+      .agg(collect_list(col("rep_id")).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "JW prefix block"))
+      .select(col("ms"), explode(col("ms")).as("ra"))
+      .select(col("ra"), explode(col("ms")).as("rb"))
+      .filter(col("ra") < col("rb"))
+    val byRep = cls.select(col("rep_id"), col("title"), col("ids"))
+    val cross = candReps
+      .join(byRep.select(col("rep_id").as("ra"), col("title").as("ta"), col("ids").as("ids_a")), Seq("ra"))
+      .join(byRep.select(col("rep_id").as("rb"), col("title").as("tb"), col("ids").as("ids_b")), Seq("rb"))
+      .withColumn("jw", graft.plans.JaroWinklerSim(col("ta"), col("tb")))
+      .filter(col("jw") >= lit(jwThreshold))
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jw"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("jw"))
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"),
+        col("jw").cast("decimal(18,6)").as("jw"))
+    val within = cls
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("a_id"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).cast("decimal(18,6)").as("jw"))
+    cross.unionByName(within).orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q185_jaro_linkage_sql: String =
+    s"""WITH t AS (SELECT doc_id, lower(substr(text, 1, 32)) AS title FROM documents),
+       |cls AS (SELECT title, MIN(doc_id) AS rep_id, list(doc_id) AS ids
+       |  FROM t GROUP BY title),
+       |cand AS (
+       |  SELECT a.rep_id AS ra, b.rep_id AS rb
+       |  FROM cls a JOIN cls b
+       |    ON substr(a.title, 1, 2) = substr(b.title, 1, 2)
+       |    AND a.rep_id < b.rep_id),
+       |scored AS (
+       |  SELECT pa.ids AS ids_a, pb.ids AS ids_b,
+       |    jaro_winkler_similarity(pa.title, pb.title) AS jw
+       |  FROM cand JOIN cls pa ON pa.rep_id = ra JOIN cls pb ON pb.rep_id = rb
+       |  WHERE jaro_winkler_similarity(pa.title, pb.title) >= $jwThreshold),
+       |cross_pairs AS (
+       |  SELECT least(da, db) AS a_id, greatest(da, db) AS b_id,
+       |    CAST(jw AS DECIMAL(18,6)) AS jw
+       |  FROM scored, unnest(ids_a) ua(da), unnest(ids_b) ub(db)),
+       |within AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(1.0 AS DECIMAL(18,6)) AS jw
+       |  FROM t a JOIN t b ON a.title = b.title AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, jw FROM cross_pairs
+       |UNION ALL SELECT a_id, b_id, jw FROM within
+       |ORDER BY a_id, b_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_jaro_linkage" -> (q185_jaro_linkage _),
     "q167_rag_chunks" -> (q167_rag_chunks _),
     "q179_hybrid_rrf" -> (q179_hybrid_rrf _),
     "q127_prefix_join" -> (q127_prefix_join _),
@@ -2847,6 +2937,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q185_jaro_linkage" -> q185_jaro_linkage_sql,
     "q167_rag_chunks" -> q167_rag_chunks_sql,
     "q179_hybrid_rrf" -> q179_hybrid_rrf_sql,
     "q123_weighted_sample" -> q123_weighted_sample_sql,
