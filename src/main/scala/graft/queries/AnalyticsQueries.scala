@@ -896,7 +896,83 @@ object AnalyticsQueries {
       |SELECT event_type, class, COUNT(*) AS n
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q186 — LOCAL CLUSTERING COEFFICIENT per node, rolled up to
+    * nation cells: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the
+    * q118 supplier association graph — the "how clique-ish is each
+    * node's neighborhood" diagnostic that separates hub-and-spoke
+    * from community structure (Watts–Strogatz; the graph-family
+    * completion beside triangle counts q118, census q180, PageRank
+    * q97, k-hop q138). T(v) comes from the degree-oriented
+    * [[graft.operators.Triangles]] kernel — each triangle surfaces
+    * once and explodes to its three corners, so per-node counts stay
+    * exact without a second enumeration; the oracle recomputes them
+    * from the naive id-ordered 3-way self-join, proving oriented ≡
+    * naive per NODE (a strictly finer check than q118's per-nation
+    * triangle totals).
+    *
+    * Determinism: T and deg are exact longs; cc = 2.0·T/(d·(d−1)) is
+    * one double multiply + divide of exact integers in identical
+    * order both engines, quantized DECIMAL(18,6) (q91's rule) before
+    * the order-free decimal sum; avg divides the exact decimal sum
+    * by the exact count. Scale/shape: triangle corners and degrees
+    * are edge-keyed aggs (never collected); the rollup is
+    * label-bounded.
+    */
+  def q186_clustering_coeff(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Triangles.cooccurrenceEdges(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")),
+      "o", "s", minSupport = 5).persist()
+    val tri = graft.operators.Triangles.triangles(edges)
+    val triPerNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val cc = deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("t"), lit(0L)).as("t"),
+        when(col("d") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) / (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)).cast("decimal(18,6)").as("cc"))
+    cc.join(Tables.supplier(spark, dir), col("node") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("t")).as("tri_corners"),
+        (sum(col("cc")).cast("double") / count(lit(1))).as("avg_cc"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q186_clustering_coeff_sql: String =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+      |e AS (SELECT a, b FROM (
+      |        SELECT x.s AS a, y.s AS b, COUNT(*) AS c
+      |        FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+      |        GROUP BY 1, 2)
+      |      WHERE c >= 5),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+      |         SELECT x AS node FROM tri
+      |         UNION ALL SELECT y FROM tri
+      |         UNION ALL SELECT z FROM tri) GROUP BY 1),
+      |degs AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |         SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |ccf AS (SELECT dg.node, COALESCE(tn.t, 0) AS t,
+      |         CAST(CASE WHEN dg.d >= 2
+      |           THEN 2.0 * COALESCE(tn.t, 0) / (dg.d * (dg.d - 1))
+      |           ELSE 0.0 END AS DECIMAL(18,6)) AS cc
+      |        FROM degs dg LEFT JOIN tn ON tn.node = dg.node)
+      |SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(t) AS BIGINT) AS tri_corners,
+      |  CAST(SUM(cc) AS DOUBLE) / COUNT(*) AS avg_cc
+      |FROM ccf JOIN supplier ON s_suppkey = node
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_clustering_coeff" -> (q186_clustering_coeff _),
     "q182_pit_join" -> (q182_pit_join _),
     "q183_snapshot_diff" -> (q183_snapshot_diff _),
     "q169_corr_matrix" -> (q169_corr_matrix _),
@@ -916,6 +992,7 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q186_clustering_coeff" -> q186_clustering_coeff_sql,
     "q182_pit_join" -> q182_pit_join_sql,
     "q183_snapshot_diff" -> q183_snapshot_diff_sql,
     "q169_corr_matrix" -> q169_corr_matrix_sql,

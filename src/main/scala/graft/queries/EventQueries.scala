@@ -823,7 +823,101 @@ object EventQueries {
        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
   }
 
+  /** q187 — KMV SET-OPERATION estimates (Beyer et al. SIGMOD'07):
+    * audience-overlap between every event-type pair from the
+    * bottom-k sketches alone — union size from the merged sketch's
+    * k-th minimum, Jaccard from the merged-bottom-k survivor ratio,
+    * intersection as their product — beside the exact intersection
+    * for accuracy audit. Completes the sketch algebra (q58 builds
+    * and unions sketches; this INTERSECTS them — the one estimate a
+    * mergeable-distinct sketch cannot answer directly, which is why
+    * the KMV form matters: HLL unions trivially but cannot intersect
+    * without inclusion-exclusion error blowup).
+    *
+    * The oracle is VALUE-EXACT, not tolerance-pinned: the sketch is
+    * hash-deterministic (bottom-64 of hash60), so DuckDB rebuilds
+    * the IDENTICAL sketch (distinct hashes → rank ≤ k per type) and
+    * replays the same estimate arithmetic — doubles from exact
+    * integers in fixed op order (÷64 is exact — k a power of two),
+    * quantized DECIMAL at the edge. The accuracy flag is computed
+    * from the same values in both engines, never hardcoded.
+    *
+    * Scale/shape: sketches are label-keyed k-longs aggregates
+    * (map-side mergeable — the 100 TB distinct path); the pair frame
+    * is label²-bounded; only the exact-audit join touches the
+    * distinct (type, user) frame, and a production run at 100 TB
+    * drops that audit column and keeps the sketch math.
+    */
+  def q187_kmv_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val bottomK = udaf(new graft.operators.Sketches.BottomK(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct().persist()
+    du.count() // eager: sketch + exact-audit consumers race a cold cache otherwise
+    val sk = du
+      .select(col("event_type"), hash60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type")).agg(bottomK(col("h")).as("bk"))
+    val pr = sk.select(col("event_type").as("ta"), col("bk").as("ba"))
+      .join(sk.select(col("event_type").as("tb"), col("bk").as("bb")),
+        col("ta") < col("tb"))
+      .withColumn("mk", slice(array_sort(array_union(col("ba"), col("bb"))), 1, k))
+      .withColumn("est_union",
+        when(size(col("mk")) < k, size(col("mk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+            element_at(col("mk"), k).cast("double")))
+      .withColumn("jacc",
+        size(array_intersect(array_intersect(col("mk"), col("ba")), col("bb")))
+          .cast("double") / lit(k))
+    val exact = du.select(col("event_type").as("ta"), col("user_id"))
+      .join(du.select(col("event_type").as("tb"), col("user_id")), Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("exact_inter"))
+    pr.join(exact, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("exact_inter"),
+        col("est_union").cast("decimal(18,4)").as("est_union"),
+        (col("jacc") * col("est_union")).cast("decimal(18,4)").as("est_inter"),
+        col("jacc").cast("decimal(18,6)").as("jacc_est"),
+        (abs(col("jacc") * col("est_union") - col("exact_inter").cast("double")) /
+          greatest(col("exact_inter").cast("double"), lit(1.0)) <= lit(0.5)).as("in_tol"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val q187_kmv_overlap_sql: String = {
+    val h = graft.functions.Determinism.hash60Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |hs AS (SELECT DISTINCT event_type, $h AS h FROM du),
+       |rk AS (SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |       FROM hs),
+       |bk AS (SELECT event_type, list(h ORDER BY h) AS bk
+       |       FROM rk WHERE rn <= 64 GROUP BY 1),
+       |pr AS (SELECT a.event_type AS ta, a.bk AS ba, b.event_type AS tb, b.bk AS bb
+       |       FROM bk a JOIN bk b ON a.event_type < b.event_type),
+       |m AS (SELECT ta, tb, ba, bb,
+       |        (list_sort(list_distinct(list_concat(ba, bb))))[1:64] AS mk
+       |      FROM pr),
+       |calc AS (SELECT ta, tb,
+       |    CASE WHEN len(mk) < 64 THEN CAST(len(mk) AS DOUBLE)
+       |         ELSE 63.0 * power(2.0, 60) / CAST(mk[64] AS DOUBLE) END AS est_union,
+       |    CAST(len(list_intersect(list_intersect(mk, ba), bb)) AS DOUBLE) / 64 AS jacc
+       |  FROM m),
+       |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
+       |         CAST(COUNT(*) AS BIGINT) AS exact_inter
+       |       FROM du a JOIN du b ON a.user_id = b.user_id
+       |         AND a.event_type < b.event_type
+       |       GROUP BY 1, 2)
+       |SELECT ta, tb, exact_inter,
+       |  CAST(est_union AS DECIMAL(18,4)) AS est_union,
+       |  CAST(jacc * est_union AS DECIMAL(18,4)) AS est_inter,
+       |  CAST(jacc AS DECIMAL(18,6)) AS jacc_est,
+       |  (abs(jacc * est_union - CAST(exact_inter AS DOUBLE)) /
+       |    greatest(CAST(exact_inter AS DOUBLE), 1.0)) <= 0.5 AS in_tol
+       |FROM calc JOIN ex USING (ta, tb) ORDER BY ta, tb""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_kmv_overlap" -> (q187_kmv_overlap _),
     "q132_top_paths" -> (q132_top_paths _),
     "q126_ewma" -> (q126_ewma _),
     "q08_unique" -> (q08_unique _),
@@ -853,6 +947,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q187_kmv_overlap" -> q187_kmv_overlap_sql,
     "q126_ewma" -> q126_ewma_sql,
     "q132_top_paths" -> q132_top_paths_sql,
     "q08_unique" -> q08_unique_sql,

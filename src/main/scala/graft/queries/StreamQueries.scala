@@ -1099,7 +1099,55 @@ object StreamQueries {
   /** Same oracle as the batch streaks — the point of the query. */
   val q184_stream_streaks_sql: String = LifecycleQueries.q158_streaks_sql
 
+  /** q188 — STREAMING cohort retention: q112 maintained
+    * incrementally — the FIFTEENTH batch≡stream pairing, second
+    * written against [[graft.streaming.Pairing]]. The state per user
+    * is the distinct activity-day set (CALENDAR-bounded — the same
+    * frame batch q112 collapses to first); each batch emits exactly
+    * the (user, day) pairs NOT already in state, so the sink
+    * accumulates the distinct user×day frame with cross-batch
+    * exactly-once semantics (the q61 streaming-distinct contract,
+    * keyed by user instead of globally). The projection then runs
+    * q112's aggregation verbatim over the emitted frame — cohort =
+    * min day, offsets, per-cell distinct users — so the stream
+    * answers retention at any point without rescanning history. Day
+    * is the epoch-day floor of UTC millis (bit-identical to
+    * to_date(ts) under the pinned-UTC session); dates rebuild
+    * columnar-side. Oracle is q112's SQL verbatim + a bit-equality
+    * parity spec.
+    */
+  def q188_stream_retention(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, List[Long], (Long, Long)](
+      spark, dir, Seq("user_id", "day"))(
+      _.user_id)(Nil) { (u, seen, ordered) =>
+        val fresh = ordered.map(e => math.floorDiv(e.ts.getTime, 86400000L))
+          .distinct.filterNot(seen.contains).toList
+        (fresh ::: seen, fresh.map(d => (u, d)).toVector)
+      } { t =>
+        // cohort via a user-partitioned window min instead of q112's
+        // self-join: joining a memory-sink table to its own aggregate
+        // trips Spark's conflicting-reference resolution (MemoryPlan
+        // attributes don't dedup) — and the window is the same
+        // user-keyed exchange the join would have paid anyway
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        t.select(col("user_id"),
+            date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("day"))
+          .withColumn("cohort", min(col("day")).over(w))
+          .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(col("cohort"), col("offset_days").cast("long").as("offset_days"),
+            col("n_users"))
+          .orderBy(col("cohort"), col("offset_days"))
+      }
+  }
+
+  /** Same oracle as the batch retention — the point of the query. */
+  val q188_stream_retention_sql: String = EventQueries.q112_cohort_retention_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_stream_retention" -> (q188_stream_retention _),
     "q184_stream_streaks" -> (q184_stream_streaks _),
     "q157_stream_holt" -> (q157_stream_holt _),
     "q165_stream_funnel" -> (q165_stream_funnel _),
@@ -1126,6 +1174,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q188_stream_retention" -> q188_stream_retention_sql,
     "q184_stream_streaks" -> q184_stream_streaks_sql,
     "q157_stream_holt" -> q157_stream_holt_sql,
     "q165_stream_funnel" -> q165_stream_funnel_sql,

@@ -302,6 +302,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q188 streaming retention is bit-identical to batch q112 (pairing #15)") {
+    val batch = graft.queries.EventQueries.q112_cohort_retention(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q188_stream_retention(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q129 drift profile equals a two-pass replay, and halves partition the data") {
     val rows = AnalyticsQueriesSpecHelper.rows(
       AnalyticsQueries.q129_profile_drift(spark, dir),
