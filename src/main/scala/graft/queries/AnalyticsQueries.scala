@@ -971,7 +971,99 @@ object AnalyticsQueries {
       |FROM ccf JOIN supplier ON s_suppkey = node
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q189 — MULTI-ITERATION PageRank (3 power-iteration rounds over
+    * the customer–supplier bipartite graph) as ONE declarative plan:
+    * q97 is the single-step kernel and operators/PageRank the
+    * run-to-convergence production path (no cross-engine oracle —
+    * doubles to a tolerance); this query is the missing middle — a
+    * FIXED iteration count whose every intermediate is cross-engine
+    * bit-exact, so DuckDB replays the whole power iteration as
+    * chained CTEs and the gate hashes the final vector.
+    *
+    * The induction that makes 3 rounds of float math hash-stable:
+    * per-edge contribution = pr_prev / deg is one double division of
+    * a bit-identical double by an exact long (identical both
+    * engines), QUANTIZED to DECIMAL(28,18) (q97's move) so the
+    * per-node mass sum is an order-free exact decimal sum; the new
+    * pr = 0.15/n + 0.85·(sum as double) is again fixed-order double
+    * arithmetic — bit-identical input, bit-identical output, so the
+    * property carries across rounds. (PageRank.run deliberately
+    * does NOT quantize — tolerance-converged production ranks don't
+    * need it; the gate form pays one decimal cast per edge per
+    * round to be provable.)
+    *
+    * Scale/shape: the symmetrized edge frame + degrees persist once
+    * and only the node-sized rank vector moves per round; exactly 3
+    * plan iterations, each referencing the previous vector ONCE
+    * (linear lineage — the twice-referencing delta loop is what
+    * forces PageRank.run's localCheckpoint); n is a 1-row scalar.
+    */
+  def q189_pagerank_iter(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count() // 1-row scalar (node count), the q104-audited class
+    var pr = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = sym
+        .join(deg, "src")
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          (col("pr") / col("deg").cast("double")).cast("decimal(28,18)").as("c"))
+      pr = contrib.groupBy(col("dst"))
+        .agg(sum(col("c")).as("m"))
+        .select(col("dst").as("id"),
+          (lit(0.15 / n) + lit(0.85) * col("m").cast("double")).as("pr"))
+    }
+    pr.join(deg, pr("id") === deg("src"))
+      .select(
+        when(col("id") % 2 === 0,
+          concat(lit("c"), (col("id") / 2).cast("long").cast("string")))
+          .otherwise(
+            concat(lit("s"), ((col("id") - 1) / 2).cast("long").cast("string")))
+          .as("node"),
+        col("deg"), col("pr"))
+      .orderBy(col("node"))
+  }
+
+  val q189_pagerank_iter_sql: String = {
+    def round(prev: String, i: Int): String =
+      s"""c$i AS (
+         |  SELECT s.dst, CAST(p.pr / CAST(d.deg AS DOUBLE) AS DECIMAL(28,18)) AS c
+         |  FROM sym s JOIN deg d USING (src) JOIN $prev p ON p.id = s.src),
+         |p$i AS (
+         |  SELECT dst AS id,
+         |    CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE) +
+         |      CAST(0.85 AS DOUBLE) * CAST(SUM(c) AS DOUBLE) AS pr
+         |  FROM c$i, nn GROUP BY dst, nn.n)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT a AS src, b AS dst FROM e
+       |        UNION ALL SELECT b AS src, a AS dst FROM e),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |p0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+       |       FROM deg, nn),
+       |${round("p0", 1)},
+       |${round("p1", 2)},
+       |${round("p2", 3)}
+       |SELECT CASE WHEN p.id % 2 = 0 THEN 'c' || CAST(p.id // 2 AS VARCHAR)
+       |            ELSE 's' || CAST((p.id - 1) // 2 AS VARCHAR) END AS node,
+       |  d.deg, p.pr
+       |FROM p3 p JOIN deg d ON d.src = p.id
+       |ORDER BY node""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_pagerank_iter" -> (q189_pagerank_iter _),
     "q186_clustering_coeff" -> (q186_clustering_coeff _),
     "q182_pit_join" -> (q182_pit_join _),
     "q183_snapshot_diff" -> (q183_snapshot_diff _),
@@ -992,6 +1084,7 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q189_pagerank_iter" -> q189_pagerank_iter_sql,
     "q186_clustering_coeff" -> q186_clustering_coeff_sql,
     "q182_pit_join" -> q182_pit_join_sql,
     "q183_snapshot_diff" -> q183_snapshot_diff_sql,

@@ -916,7 +916,55 @@ object EventQueries {
        |FROM calc JOIN ex USING (ta, tb) ORDER BY ta, tb""".stripMargin
   }
 
+  /** q190 — JOURNEY PATTERN MATCHING (the MATCH_RECOGNIZE /
+    * Flink-CEP ask, composed from primitives Spark already has):
+    * each user's event history renders to a compact symbol string
+    * (one initial per event, canonical (ts, event_id) order — the
+    * q132 path idiom taken to full-history length) and sequence
+    * patterns become REGEXES over it — 'v[^p]*p' is "view leading
+    * to purchase with no purchase between", the funnel-with-
+    * exclusion shape SQL window functions cannot express directly.
+    * Patterns here: conversion paths, error-shadowed conversions,
+    * and signup-first journeys.
+    *
+    * Determinism: the symbol string is an array_sort over
+    * (ts, event_id, sym) structs — unique total order; regex
+    * counting is non-overlapping leftmost scan in both engines
+    * (java.util.regex / RE2 agree on this pattern class: the [^x]*
+    * body cannot cross its terminator, so matches are uniquely
+    * determined). Scale/shape: one corpus scan, one user-keyed
+    * aggregation; journeys are history-bounded strings (the same
+    * state q143's attribution carries one symbol of); the pattern
+    * scan is map-side over the user-bounded frame.
+    */
+  def q190_journey_patterns(spark: SparkSession, dir: String): DataFrame = {
+    val sym = substring(col("event_type"), 1, 1)
+    val j = Tables.events(spark, dir)
+      .select(col("user_id"), struct(col("ts"), col("event_id"), sym.as("s")).as("r"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("r"))), x => x("s")), "")
+        .as("journey"))
+    j.select(col("user_id"),
+        length(col("journey")).cast("long").as("n_events"),
+        regexp_count(col("journey"), lit("v[^p]*p")).cast("long").as("n_conversions"),
+        regexp_count(col("journey"), lit("e[^p]*p")).cast("long").as("n_error_shadowed"),
+        col("journey").startsWith("s").as("signup_first"))
+      .orderBy(col("user_id"))
+  }
+
+  val q190_journey_patterns_sql: String =
+    """WITH j AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(journey, 'v[^p]*p')) AS BIGINT) AS n_conversions,
+      |  CAST(len(regexp_extract_all(journey, 'e[^p]*p')) AS BIGINT) AS n_error_shadowed,
+      |  starts_with(journey, 's') AS signup_first
+      |FROM j ORDER BY user_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_journey_patterns" -> (q190_journey_patterns _),
     "q187_kmv_overlap" -> (q187_kmv_overlap _),
     "q132_top_paths" -> (q132_top_paths _),
     "q126_ewma" -> (q126_ewma _),
@@ -947,6 +995,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q190_journey_patterns" -> q190_journey_patterns_sql,
     "q187_kmv_overlap" -> q187_kmv_overlap_sql,
     "q126_ewma" -> q126_ewma_sql,
     "q132_top_paths" -> q132_top_paths_sql,
