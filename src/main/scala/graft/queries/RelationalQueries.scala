@@ -793,7 +793,63 @@ object RelationalQueries {
       |    CAST(0.85 AS DOUBLE) * CAST(SUM(c) AS DOUBLE) AS pr
       |FROM contrib GROUP BY dst, n ORDER BY node""".stripMargin
 
+  /** q192 — CORRELATED SCALAR SUBQUERIES (whale-order report): each
+    * order compares against ITS customer's own order statistics via
+    * two correlated aggregating subqueries — the TPC-H Q17/Q20 shape
+    * and the one relational plan class the gate had not exercised:
+    * Catalyst must DECORRELATE (RewriteCorrelatedScalarSubquery pulls
+    * each subquery into an aggregate-then-join on the correlation
+    * key) or the plan would be O(orders²). PlanAuditSpec asserts the
+    * decorrelated physical shape: no nested subquery execution, just
+    * hash aggregates and joins.
+    *
+    * Determinism: the whale test multiplies out the average —
+    * price·count > 2·sum in DECIMAL cents (no division, no floats) —
+    * so the comparison is integer-exact in both engines; revenue is
+    * the order-free decimal sum cast at the edge.
+    *
+    * Scale/shape: decorrelation turns each subquery into one
+    * customer-keyed aggregation of orders joined back on o_custkey —
+    * two shuffles on the same key (Catalyst reuses the exchange),
+    * never a per-row subquery execution. The segment rollup is
+    * label-bounded.
+    */
+  def q192_correlated_sub(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g192_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("g192_customer")
+    spark.sql(
+      """WITH flagged AS (
+        |  SELECT o.o_custkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM g192_orders o
+        |  WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM g192_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |           FROM g192_orders o3 WHERE o3.o_custkey = o.o_custkey))
+        |SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_whale_orders,
+        |  CAST(COUNT(DISTINCT f.o_custkey) AS BIGINT) AS n_whale_customers,
+        |  CAST(SUM(f.p) AS DOUBLE) AS whale_revenue
+        |FROM flagged f JOIN g192_customer c ON c.c_custkey = f.o_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin)
+  }
+
+  val q192_correlated_sub_sql: String =
+    """WITH flagged AS (
+      |  SELECT o.o_custkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders o
+      |  WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+      |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey))
+      |SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_whale_orders,
+      |  CAST(COUNT(DISTINCT f.o_custkey) AS BIGINT) AS n_whale_customers,
+      |  CAST(SUM(f.p) AS DOUBLE) AS whale_revenue
+      |FROM flagged f JOIN customer c ON c.c_custkey = f.o_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_correlated_sub" -> (q192_correlated_sub _),
     "q01_agg" -> (q01_agg _),
     "q02_map" -> (q02_map _),
     "q03_filter" -> (q03_filter _),
@@ -826,6 +882,7 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q192_correlated_sub" -> q192_correlated_sub_sql,
     "q01_agg" -> q01_agg_sql,
     "q02_map" -> q02_map_sql,
     "q03_filter" -> q03_filter_sql,

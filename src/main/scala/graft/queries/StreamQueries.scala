@@ -1146,7 +1146,62 @@ object StreamQueries {
   /** Same oracle as the batch retention — the point of the query. */
   val q188_stream_retention_sql: String = EventQueries.q112_cohort_retention_sql
 
+  /** q191 — STREAMING journey patterns: q190's regexes compiled to
+    * AUTOMATA — the SIXTEENTH pairing, and the true CEP streaming
+    * story: the batch side scans a materialized history string with
+    * 'v[^p]*p'; the stream cannot keep histories, so each pattern
+    * becomes its one-bit machine (open-since-last-terminator), and
+    * the per-user state is SIX SCALARS however long the history
+    * grows — the regex ≡ automaton equivalence argument is in the
+    * step's comment and the oracle (q190's SQL verbatim) proves it
+    * on every user. Emissions carry the monotone event count;
+    * max-seq compaction (q124) supersedes across batches.
+    *
+    * Automaton ≡ non-overlapping leftmost regex count: the engine's
+    * scan resumes after each consumed terminator; the machine's
+    * `open` flag arms at the first trigger symbol after the last
+    * counted terminator and fires at the next terminator — the same
+    * positions, pattern by pattern (the [^x]* body cannot cross its
+    * terminator, so no other alignment exists).
+    */
+  def q191_stream_journeys(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    // state: (nEvents, nConv, openV, nErrShadow, openE, firstSym)
+    graft.streaming.Pairing.run[Long, (Long, Long, Boolean, Long, Boolean, String),
+        (Long, Long, Long, Long, Long, String)](
+      spark, dir, Seq("user_id", "seq", "n_conversions", "n_error_shadowed", "n_events", "first_sym"))(
+      _.user_id)((0L, 0L, false, 0L, false, "")) { (u, s0, ordered) =>
+        var (n, conv, openV, errSh, openE, first) = s0
+        ordered.foreach { e =>
+          val c = e.event_type.charAt(0)
+          n += 1
+          if (first.isEmpty) first = c.toString
+          if (c == 'v') openV = true
+          if (c == 'e') openE = true
+          if (c == 'p') {
+            if (openV) { conv += 1; openV = false }
+            if (openE) { errSh += 1; openE = false }
+          }
+        }
+        ((n, conv, openV, errSh, openE, first),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((u, n, conv, errSh, n, first)))
+      } (_.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("n_conversions"), col("n_error_shadowed"),
+            col("n_events"), col("first_sym"))).as("b"))
+          .select(col("user_id"), col("b.n_events").as("n_events"),
+            col("b.n_conversions").as("n_conversions"),
+            col("b.n_error_shadowed").as("n_error_shadowed"),
+            (col("b.first_sym") === "s").as("signup_first"))
+          .orderBy(col("user_id")))
+  }
+
+  /** Same oracle as the batch pattern scan — the point of the query. */
+  val q191_stream_journeys_sql: String = EventQueries.q190_journey_patterns_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_stream_journeys" -> (q191_stream_journeys _),
     "q188_stream_retention" -> (q188_stream_retention _),
     "q184_stream_streaks" -> (q184_stream_streaks _),
     "q157_stream_holt" -> (q157_stream_holt _),
@@ -1174,6 +1229,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q191_stream_journeys" -> q191_stream_journeys_sql,
     "q188_stream_retention" -> q188_stream_retention_sql,
     "q184_stream_streaks" -> q184_stream_streaks_sql,
     "q157_stream_holt" -> q157_stream_holt_sql,

@@ -310,6 +310,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q191 streaming journey automata are bit-identical to batch q190 regex counts (pairing #16)") {
+    val batch = graft.queries.EventQueries.q190_journey_patterns(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q191_stream_journeys(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q129 drift profile equals a two-pass replay, and halves partition the data") {
     val rows = AnalyticsQueriesSpecHelper.rows(
       AnalyticsQueries.q129_profile_drift(spark, dir),

@@ -376,6 +376,17 @@ class PlanAuditSpec extends AnyFunSuite {
     sess.catalog.clearCache()
   }
 
+  test("q192 correlated subqueries decorrelate to aggregate+join (no per-row subquery)") {
+    val p = plan("q192_correlated_sub")
+    // RewriteCorrelatedScalarSubquery must have pulled both
+    // aggregating subqueries into customer-keyed aggregates joined
+    // back on o_custkey; a surviving scalar-subquery node would mean
+    // per-row re-execution (O(orders²))
+    assert(!p.contains("ScalarSubquery"), s"correlated subquery not decorrelated:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected decorrelated aggregates:\n$p")
+    assert(p.contains("Join"), s"expected subquery-to-join rewrite:\n$p")
+  }
+
   test("graft_hash60 is callable from SQL via extensions") {
     val r = spark.sql("SELECT graft_hash60('hello') AS h").collect()(0).getLong(0)
     // same value as the composed md5 form
