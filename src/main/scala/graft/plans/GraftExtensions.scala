@@ -5,15 +5,21 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions wiring: makes graft's custom expressions
-  * first-class for SQL users (`SELECT graft_hash60(col)`), the same
-  * channel a custom Rule/Strategy would register through if a future
-  * operator genuinely needs one (SURVEY §8 records why none does yet).
+  * first-class for SQL users (`SELECT graft_hash60(col)`) and injects
+  * the library's optimizer rules ([[RewriteArrayDot]] — the natural
+  * HOF dot-product silently gets the codegen'd kernel). A custom
+  * Strategy/SparkPlan would register through the same channel if an
+  * operator genuinely needed one (SURVEY §8 records why none does).
   *
   * Use: SparkSession.builder().withExtensions(new GraftExtensions) …
   * or spark.sql.extensions=graft.plans.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // injected Rules (r10): the natural HOF dot-product and the
+    // composed md5-hex hash idiom rewrite to their codegen'd kernels
+    ext.injectOptimizerRule(_ => RewriteArrayDot)
+    ext.injectOptimizerRule(_ => RewriteHash60)
     ext.injectFunction((
       new FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
