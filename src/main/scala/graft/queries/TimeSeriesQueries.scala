@@ -281,13 +281,90 @@ object TimeSeriesQueries {
       |  CAST(SUM(eu) AS DOUBLE) / 1000000.0 / COUNT(*) AS mae
       |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q193 — THEIL–SEN robust trend slope per event type: the median
+    * of all pairwise day-slopes over the daily-revenue series — the
+    * robust-regression complement that finishes the family (q131 is
+    * least-squares, q139 is the robust LOCATION estimator; this is
+    * the robust TREND estimator a single corrupted day cannot drag —
+    * 29% breakdown point vs OLS's zero).
+    *
+    * Determinism: each slope is ONE double division of exact cent /
+    * day-index longs (bit-identical both engines); the median picks
+    * values by integer rank over the per-type value-sorted slope
+    * frame (row_number ties among equal doubles are value-irrelevant)
+    * and averages the lo/hi middle pair — (lo + hi) / 2.0 in fixed
+    * order, quantized DECIMAL(18,6) at the edge.
+    *
+    * Scale/shape: the corpus collapses FIRST to the (type, day)
+    * daily frame (calendar-bounded); the pair expansion is
+    * days²-per-type — calendar², NOT corpus² — and the rank window
+    * partitions by type (label-keyed, never global).
+    */
+  def q193_theil_sen(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("d"),
+        col("y"))
+    val pairs = daily.select(col("event_type"), col("d").as("da"), col("y").as("ya"))
+      .join(daily.select(col("event_type"), col("d").as("db"), col("y").as("yb")),
+        Seq("event_type"))
+      .filter(col("da") < col("db"))
+      .select(col("event_type"),
+        ((col("yb") - col("ya")).cast("double") /
+          (col("db") - col("da")).cast("double")).as("s"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w.orderBy(col("s"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val nDays = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    ranked.groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_pairs"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("s"))).as("lo"),
+        max(when(col("rn") === expr("n div 2 + 1"), col("s"))).as("hi"))
+      .join(nDays, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        (((col("lo") + col("hi")) / 2.0) / 100.0).cast("decimal(18,6)")
+          .as("slope_dollars_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val q193_theil_sen_sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT event_type, CAST(day - DATE '2024-01-01' AS BIGINT) AS d, y
+      |       FROM daily),
+      |pr AS (
+      |  SELECT a.event_type, CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+      |  FROM dd a JOIN dd b ON a.event_type = b.event_type AND a.d < b.d),
+      |rk AS (
+      |  SELECT event_type, s,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM pr),
+      |med AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN s END) AS lo,
+      |    MAX(CASE WHEN rn = n // 2 + 1 THEN s END) AS hi
+      |  FROM rk GROUP BY 1),
+      |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+      |SELECT m.event_type, nd.n_days, m.n_pairs,
+      |  CAST(((m.lo + m.hi) / 2.0) / 100.0 AS DECIMAL(18,6)) AS slope_dollars_per_day
+      |FROM med m JOIN nd USING (event_type)
+      |ORDER BY m.event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_theil_sen" -> (q193_theil_sen _),
     "q154_acf" -> (q154_acf _),
     "q155_seasonal" -> (q155_seasonal _),
     "q156_holt" -> (q156_holt _),
     "q173_holt_backtest" -> (q173_holt_backtest _))
 
   val oracles: Map[String, String] = Map(
+    "q193_theil_sen" -> q193_theil_sen_sql,
     "q154_acf" -> q154_acf_sql,
     "q155_seasonal" -> q155_seasonal_sql,
     "q156_holt" -> q156_holt_sql,
