@@ -35,27 +35,26 @@ object KHop {
     math.max(1L, (rows + targetRowsPerTask - 1) / targetRowsPerTask).toInt
   }
 
-  /** Count `df` (an UNCACHED pass — the frame's inputs are the
-    * previous rounds' cached frames plus the cached edge list, so
-    * this is one round's compute), then persist + materialize it
-    * capped at frameWidth(count) partitions. The cap is `coalesce`
-    * (no shuffle, never widens past the plan's natural partitions).
+  /** Persist + count `df` (ONE execution of the round body — its
+    * inputs are the previous rounds' cached frames plus the cached
+    * edge list), then cap the returned frame at frameWidth(count)
+    * partitions with an UNPERSISTED `coalesce` on top of the cache:
+    * downstream consumers read the cached blocks through a narrow
+    * dependency and merge them in-task — no shuffle, no second cache
+    * entry, no re-execution.
     *
-    * Deliberately ONE cache entry per frame, with `coalesce` applied
-    * BEFORE the persist: the first-cut "persist raw → count → cache a
-    * second coalesced frame on top" double-cached each round and
-    * defeated AQE's cached-plan substitution — every round replayed
-    * its full lineage from the parquet scan (measured 47 s vs 5 s at
-    * sf0.01, then OOM from the re-cache churn; bisect in PLANS r10).
-    * The price of knowing the exact count first is executing each
-    * round body twice over cached inputs — sub-second against the
-    * pathology it replaces.
+    * The one-cache-entry discipline is load-bearing: the first cut
+    * persisted the coalesced frame AS WELL, and caching a plan that
+    * wraps another cached plan defeats AQE's cached-plan substitution
+    * — every round replayed its full lineage from the parquet scan
+    * (measured 47 s vs 5 s at sf0.01, then OOM from the re-cache
+    * churn; 6-variant bisect in PLANS r10).
     */
   private def materializedShaped(df: DataFrame, targetRowsPerTask: Long): (DataFrame, Long) = {
-    val n = df.count()
-    val shaped = df.coalesce(frameWidth(n, targetRowsPerTask)).persist()
-    shaped.count()
-    (shaped, n)
+    val raw = df.persist()
+    val n = raw.count()
+    val w = frameWidth(n, targetRowsPerTask)
+    (if (raw.rdd.getNumPartitions <= w) raw else raw.coalesce(w), n)
   }
 
   /** Expand `src` (column `n`) over directed edges `bidir` (columns
