@@ -849,12 +849,20 @@ object EventQueries {
     * drops that audit column and keeps the sketch math.
     */
   def q187_kmv_overlap(spark: SparkSession, dir: String): DataFrame = {
-    val k = 64
-    val bottomK = udaf(new graft.operators.Sketches.BottomK(k),
-      org.apache.spark.sql.Encoders.scalaLong)
     val du = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id")).distinct().persist()
     du.count() // eager: sketch + exact-audit consumers race a cold cache otherwise
+    kmvOverlapFrom(du)
+  }
+
+  /** q187's pipeline from the distinct (event_type, user_id) frame —
+    * shared with the streaming twin q194, whose per-user state
+    * maintains exactly this frame (as a type bitmask).
+    */
+  private[queries] def kmvOverlapFrom(du: DataFrame): DataFrame = {
+    val k = 64
+    val bottomK = udaf(new graft.operators.Sketches.BottomK(k),
+      org.apache.spark.sql.Encoders.scalaLong)
     val sk = du
       .select(col("event_type"), hash60(col("user_id").cast("string")).as("h"))
       .groupBy(col("event_type")).agg(bottomK(col("h")).as("bk"))

@@ -1200,7 +1200,93 @@ object StreamQueries {
   /** Same oracle as the batch pattern scan — the point of the query. */
   val q191_stream_journeys_sql: String = EventQueries.q190_journey_patterns_sql
 
+  /** q194 — STREAMING audience overlap: q187's KMV set-operation
+    * report maintained incrementally — the SEVENTEENTH pairing. The
+    * sufficient statistic for EVERY pairwise overlap is the distinct
+    * (user, type) incidence, so the state per user is ONE INT — a
+    * bitmask over the label-bounded type alphabet — and emissions
+    * fire only when a bit turns on; the mask is monotone, so max()
+    * per user IS the compaction (no separate sequence). The
+    * projection rebuilds the distinct frame from the masks and runs
+    * q187's pipeline verbatim (shared code, shared oracle) — sketch
+    * math, estimates, exact audit and all. One byte per user of
+    * state answers continuous audience overlap at any moment; the
+    * corpus never re-scans.
+    */
+  def q194_stream_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    graft.streaming.Pairing.run[Long, Int, (Long, Int)](
+      spark, dir, Seq("user_id", "mask"))(
+      _.user_id)(0) { (u, m0, ordered) =>
+        var m = m0
+        ordered.foreach { e =>
+          val i = types.indexOf(e.event_type)
+          if (i >= 0) m |= (1 << i)
+        }
+        (m, if (m != m0) Vector((u, m)) else Vector.empty)
+      } { t =>
+        val du = t.groupBy(col("user_id")).agg(max(col("mask")).as("mask"))
+          .select(col("user_id"), col("mask"), explode(sequence(lit(0), lit(4))).as("i"))
+          .filter(expr("((mask >> i) & 1) = 1"))
+          .select(
+            element_at(array(types.map(lit): _*), col("i") + 1).as("event_type"),
+            col("user_id"))
+        EventQueries.kmvOverlapFrom(du)
+      }
+  }
+
+  /** Same oracle as the batch overlap report — the point of the query. */
+  val q194_stream_overlap_sql: String = EventQueries.q187_kmv_overlap_sql
+
+  /** q195 — STREAMING Theil–Sen: q193's robust trend maintained
+    * incrementally — the EIGHTEENTH pairing. State per type is the
+    * day→cents map (CALENDAR-bounded — exactly the daily frame the
+    * batch side collapses to first); each batch merges its events'
+    * cents into the map and emits the whole series with a monotone
+    * event count; max-seq compaction supersedes across batches, and
+    * the projection replays q193's pairwise-median pipeline over the
+    * reconstructed daily frame (shared code, shared oracle). The
+    * pairwise expansion never touches the stream — it runs over the
+    * label×calendar-bounded state image.
+    */
+  def q195_stream_theil_sen(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val epoch2024 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    graft.streaming.Pairing.run[String, (Long, Map[Long, Long]), (String, Long, Seq[Long], Seq[Long])](
+      spark, dir, Seq("event_type", "seq", "days", "cents"))(
+      _.event_type)((0L, Map.empty[Long, Long])) { (k, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { e =>
+          val day = math.floorDiv(e.ts.getTime, 86400000L)
+          val cents = math.floor(e.value * 100 + 0.5).toLong
+          m = m.updated(day, m.getOrElse(day, 0L) + cents)
+          seen += 1
+        }
+        val days = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((k, seen, days, days.map(m))))
+      } { t =>
+        val daily = t.groupBy(col("event_type"))
+          .agg(max(struct(col("seq"), col("days"), col("cents"))).as("b"))
+          .select(col("event_type"),
+            explode(arrays_zip(col("b.days"), col("b.cents"))).as("z"))
+          .select(col("event_type"),
+            (col("z.days") - lit(epoch2024)).as("d"),
+            col("z.cents").as("y"))
+        TimeSeriesQueries.theilSenFrom(daily)
+      }
+  }
+
+  /** Same oracle as the batch Theil–Sen — the point of the query. */
+  val q195_stream_theil_sen_sql: String = TimeSeriesQueries.q193_theil_sen_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_stream_overlap" -> (q194_stream_overlap _),
+    "q195_stream_theil_sen" -> (q195_stream_theil_sen _),
     "q191_stream_journeys" -> (q191_stream_journeys _),
     "q188_stream_retention" -> (q188_stream_retention _),
     "q184_stream_streaks" -> (q184_stream_streaks _),
@@ -1229,6 +1315,8 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q194_stream_overlap" -> q194_stream_overlap_sql,
+    "q195_stream_theil_sen" -> q195_stream_theil_sen_sql,
     "q191_stream_journeys" -> q191_stream_journeys_sql,
     "q188_stream_retention" -> q188_stream_retention_sql,
     "q184_stream_streaks" -> q184_stream_streaks_sql,

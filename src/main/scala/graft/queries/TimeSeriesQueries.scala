@@ -300,14 +300,20 @@ object TimeSeriesQueries {
     * days²-per-type — calendar², NOT corpus² — and the rank window
     * partitions by type (label-keyed, never global).
     */
-  def q193_theil_sen(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-    val daily = Tables.events(spark, dir)
+  def q193_theil_sen(spark: SparkSession, dir: String): DataFrame =
+    theilSenFrom(Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum((dec2(col("value")) * 100).cast("long")).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("d"),
-        col("y"))
+        col("y")))
+
+  /** q193's pipeline from the collapsed (event_type, day-index d,
+    * cents y) frame — shared with the streaming twin q195, whose
+    * per-type state maintains exactly this calendar-bounded frame.
+    */
+  private[queries] def theilSenFrom(daily: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
     val pairs = daily.select(col("event_type"), col("d").as("da"), col("y").as("ya"))
       .join(daily.select(col("event_type"), col("d").as("db"), col("y").as("yb")),
         Seq("event_type"))

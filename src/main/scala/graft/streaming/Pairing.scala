@@ -87,6 +87,13 @@ object Pairing {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    project(spark.table(name))
+    // localCheckpoint: a projection that SELF-JOINS the sink (q188's
+    // cohort join, q194's pair/audit joins) trips Spark's
+    // conflicting-reference resolution on MemoryPlan attributes
+    // (they don't dedup like relation outputs); checkpointing swaps
+    // in a LogicalRDD with fresh attribute ids on the standard dedup
+    // path. The sink is emission-sized, so the materialization is
+    // trivial.
+    project(spark.table(name).localCheckpoint(true))
   }
 }

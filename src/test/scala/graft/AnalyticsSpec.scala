@@ -318,6 +318,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q194 streaming overlap is bit-identical to batch q187 (pairing #17)") {
+    val batch = graft.queries.EventQueries.q187_kmv_overlap(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q194_stream_overlap(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q195 streaming Theil-Sen is bit-identical to batch q193 (pairing #18)") {
+    val batch = graft.queries.TimeSeriesQueries.q193_theil_sen(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q195_stream_theil_sen(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q129 drift profile equals a two-pass replay, and halves partition the data") {
     val rows = AnalyticsQueriesSpecHelper.rows(
       AnalyticsQueries.q129_profile_drift(spark, dir),
