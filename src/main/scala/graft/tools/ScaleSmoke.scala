@@ -234,7 +234,20 @@ object ScaleSmoke {
       // shares/k-anonymity collapse to label-bounded frames; RRF arms
       // are top-50 TakeOrderedAndProject
       "q173_holt_backtest", "q174_item_cf", "q175_multitouch",
-      "q176_share_of_parent", "q177_k_anonymity", "q179_hybrid_rrf")
+      "q176_share_of_parent", "q177_k_anonymity", "q179_hybrid_rrf",
+      // round 10: JW linkage (×N duplication multiplies title-class
+      // membership — the exact-class collapse must keep candidates
+      // class²-not-doc²), clustering coefficient (corner explode and
+      // degrees stay edge-keyed; ×N key-shifts replicate the graph so
+      // cc distributions are ×N-invariant), KMV overlap (sketches are
+      // k-longs whatever N), 3-round PageRank (edge frame ×N, vector
+      // node-sized), journey regex (strings grow with ×N history —
+      // the per-user agg is the only superlinear term), correlated
+      // subqueries (decorrelated aggregates scale like any groupBy),
+      // Theil-Sen (calendar²-bounded pair frame at any N)
+      "q185_jaro_linkage", "q186_clustering_coeff", "q187_kmv_overlap",
+      "q189_pagerank_iter", "q190_journey_patterns",
+      "q192_correlated_sub", "q193_theil_sen")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
