@@ -971,7 +971,65 @@ object EventQueries {
       |  starts_with(journey, 's') AS signup_first
       |FROM j ORDER BY user_id""".stripMargin
 
+  /** q196 — TIME-BOUNDED conversion pattern (view → purchase within
+    * 1 hour with no purchase between): q190's sequence patterns
+    * gain the TIME CONSTRAINT — the defining Flink-CEP feature
+    * (`within(Time.hours(1))`) that a plain regex over symbols
+    * cannot express. Two ignoreNulls carries per user (last view
+    * time, last purchase time over the preceding frame) turn the
+    * pattern into pure column logic: a purchase converts iff a view
+    * exists, is more recent than any prior purchase, and is within
+    * the window. Timestamps compare in integer MICROSECONDS
+    * (unix_micros ≡ DuckDB epoch_us — the q34 lesson; a double
+    * epoch() carries rounding).
+    *
+    * Scale/shape: one corpus scan, one user-partitioned window pass
+    * (two carries ride the same exchange), then a user-keyed count
+    * agg — user-bounded output, no self-join.
+    */
+  def q196_timed_conversion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(spark, dir)
+      .withColumn("last_view_us",
+        last(when(col("event_type") === "view", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .withColumn("last_purch_us",
+        last(when(col("event_type") === "purchase", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+    ev.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase" &&
+          col("last_view_us").isNotNull &&
+          (col("last_purch_us").isNull || col("last_view_us") > col("last_purch_us")) &&
+          unix_micros(col("ts")) - col("last_view_us") <= lit(3600L * 1000000L),
+          1L).otherwise(0L)).as("n_conversions_1h"))
+      .orderBy(col("user_id"))
+  }
+
+  val q196_timed_conversion_sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purch_us
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase'
+      |    AND last_view_us IS NOT NULL
+      |    AND (last_purch_us IS NULL OR last_view_us > last_purch_us)
+      |    AND us - last_view_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions_1h
+      |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_timed_conversion" -> (q196_timed_conversion _),
     "q190_journey_patterns" -> (q190_journey_patterns _),
     "q187_kmv_overlap" -> (q187_kmv_overlap _),
     "q132_top_paths" -> (q132_top_paths _),
@@ -1003,6 +1061,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q196_timed_conversion" -> q196_timed_conversion_sql,
     "q190_journey_patterns" -> q190_journey_patterns_sql,
     "q187_kmv_overlap" -> q187_kmv_overlap_sql,
     "q126_ewma" -> q126_ewma_sql,

@@ -1284,7 +1284,57 @@ object StreamQueries {
   /** Same oracle as the batch Theil–Sen — the point of the query. */
   val q195_stream_theil_sen_sql: String = TimeSeriesQueries.q193_theil_sen_sql
 
+  /** q197 — STREAMING timed conversions: q196's within-1-hour CEP
+    * pattern as its online machine — the NINETEENTH pairing. State
+    * per user is FOUR LONGS (last view µs, last purchase µs, purchase
+    * and conversion counters) + a view counter: the batch side's two
+    * ignoreNulls window carries ARE this state, read off
+    * incrementally; a purchase converts iff the carried view is
+    * newer than the carried purchase and within the window —
+    * evaluated in the same integer microseconds, so the decision is
+    * bit-identical event for event (oracle q196 verbatim + parity
+    * spec). The time constraint costs the stream nothing extra —
+    * exactly why CEP engines run this shape online.
+    */
+  def q197_stream_timed_conversion(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Long, Long, Long, Long, Long), (Long, Long, Long, Long, Long)](
+      spark, dir, Seq("user_id", "seq", "n_views", "n_purchases", "n_conversions_1h"))(
+      _.user_id)((Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L)) { (u, s0, ordered) =>
+        var (lastView, lastPurch, views, purchases, convs, seen) = s0
+        ordered.foreach { e =>
+          val us = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+          seen += 1
+          e.event_type match {
+            case "view" =>
+              views += 1; lastView = us
+            case "purchase" =>
+              purchases += 1
+              if (lastView != Long.MinValue &&
+                (lastPurch == Long.MinValue || lastView > lastPurch) &&
+                us - lastView <= 3600L * 1000000L) convs += 1
+              lastPurch = us
+            case _ => ()
+          }
+        }
+        ((lastView, lastPurch, views, purchases, convs, seen),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((u, seen, views, purchases, convs)))
+      } (_.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("n_views"), col("n_purchases"),
+            col("n_conversions_1h"))).as("b"))
+          .select(col("user_id"), col("b.n_views").as("n_views"),
+            col("b.n_purchases").as("n_purchases"),
+            col("b.n_conversions_1h").as("n_conversions_1h"))
+          .orderBy(col("user_id")))
+  }
+
+  /** Same oracle as the batch pattern — the point of the query. */
+  val q197_stream_timed_conversion_sql: String = EventQueries.q196_timed_conversion_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_stream_timed_conversion" -> (q197_stream_timed_conversion _),
     "q194_stream_overlap" -> (q194_stream_overlap _),
     "q195_stream_theil_sen" -> (q195_stream_theil_sen _),
     "q191_stream_journeys" -> (q191_stream_journeys _),
@@ -1315,6 +1365,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q197_stream_timed_conversion" -> q197_stream_timed_conversion_sql,
     "q194_stream_overlap" -> q194_stream_overlap_sql,
     "q195_stream_theil_sen" -> q195_stream_theil_sen_sql,
     "q191_stream_journeys" -> q191_stream_journeys_sql,

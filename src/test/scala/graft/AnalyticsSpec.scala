@@ -334,6 +334,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q197 streaming timed conversions are bit-identical to batch q196 (pairing #19)") {
+    val batch = graft.queries.EventQueries.q196_timed_conversion(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q197_stream_timed_conversion(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q129 drift profile equals a two-pass replay, and halves partition the data") {
     val rows = AnalyticsQueriesSpecHelper.rows(
       AnalyticsQueries.q129_profile_drift(spark, dir),
