@@ -93,13 +93,23 @@ object Bench {
     // the aux scalar rides every rung (~30 chars of the width budget)
     val auxField = aux.map(a =>
       s""","aux_sf001_total":${roundN(2)(total(a))},"aux_failed":${failed(a)}""").getOrElse("")
+    // batch/streaming split (VERDICT r10 stretch 8): the 19 streaming
+    // pairings carry ~fixed micro-batch machinery cost that obscures
+    // batch regressions inside the headline total — publish both
+    // components beside it (QueriesSpec budgets the extra width)
+    val streamingKeys = graft.queries.StreamQueries.defs.keySet
+    val streamingTotal = results.collect {
+      case (k, v) if v >= 0 && streamingKeys(k) => v }.sum
+    val splitField =
+      s""","batch_total":${roundN(2)(total(results) - streamingTotal)}""" +
+      s""","streaming_total":${roundN(2)(streamingTotal)}"""
     def mkKeyed(key: String => String, sf: String)(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // failed queries (sentinel -1.0) must not contribute to the
       // headline total — summing them would make breakage read as a
       // speedup in a total-vs-total comparison
-      s"""{"metric":"total","value":${fmt(total(results))},"unit":"sec","failed":${failed(results)}$auxField,"queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total(results))},"unit":"sec","failed":${failed(results)}$auxField$splitField,"queries":$qs,"sf":"$sf"}"""
     }
     def mkLine(fmt: Double => String, sf: String = sfDir): String = mkKeyed(identity, sf)(fmt)
     // full precision goes to the known file (and an early stdout line);
@@ -120,7 +130,7 @@ object Bench {
     // (~1.7k chars), degrading to totals-only if it ever outgrows the
     // window.
     val totalsOnly =
-      s"""{"metric":"total","value":${roundN(2)(total(results))},"unit":"sec","failed":${failed(results)}$auxField,"queries":{},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${roundN(2)(total(results))},"unit":"sec","failed":${failed(results)}$auxField$splitField,"queries":{},"sf":"$sfTag"}"""
     // precision ladder: full-name 2-dec → 1-dec → whole seconds →
     // SHORT-KEY 1-dec → short-key whole seconds → totals-only. The
     // short-key rungs keep per-query data alive past the query count

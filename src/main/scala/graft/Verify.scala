@@ -47,6 +47,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // environment stamp: when a local-vs-driver oracle split happens
+    // (round 10: five hash fails reproducible only in the driver's
+    // DuckDB build), the artifacts should say what each side ran —
+    // check.py stamps its duckdb version beside this.
+    val env = Seq(
+      "spark" -> spark.version,
+      "java" -> sys.props.getOrElse("java.version", "?"),
+      "scala" -> scala.util.Properties.versionNumberString,
+      "timezone" -> spark.conf.get("spark.sql.session.timeZone"),
+      "note" -> ("local certification replica is tools/check.py; its DuckDB " +
+        "version is recorded in env.json by check.py when it runs"))
+    Files.writeString(Paths.get(s"$outDir/env.json"),
+      env.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

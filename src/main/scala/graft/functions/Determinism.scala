@@ -46,4 +46,34 @@ object Determinism {
   /** DuckDB SQL fragment for [[hash60]]. */
   def hash60Sql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+
+  /** Floor-quantize a double into DECIMAL(precision, scale) through
+    * an exact int64 — the ONLY sanctioned double→DECIMAL edge for
+    * hashed outputs (the q173 idiom, promoted to a helper after
+    * round 10). A raw double→DECIMAL CAST's rounding (tie-break
+    * mode, shortest-string vs exact-binary expansion) is engine- and
+    * version-sensitive: five gate queries hash-diverged between two
+    * DuckDB builds on exactly that cast class. This form has no
+    * engine-dependent step — the scaling multiply and floor are IEEE
+    * ops on a bit-identical double, the long→decimal conversion and
+    * the decimal multiply by an exact 10^-scale literal are exact in
+    * both engines. DuckDB rendering: [[decqSql]] (keep both in sync
+    * — the oracle must replay the identical op sequence).
+    */
+  def decq(c: Column, scale: Int, precision: Int = 18): Column = {
+    require(scale >= 1 && scale <= 18 && precision >= scale)
+    // 10^scale ≤ 1e18 is exactly representable in a double
+    val mult = BigDecimal(10).pow(scale)
+    val inv = BigDecimal(java.math.BigInteger.ONE, scale) // exact 10^-scale
+    (floor(c * lit(mult.toDouble)).cast("decimal(18,0)") * lit(inv))
+      .cast(s"decimal($precision,$scale)")
+  }
+
+  /** DuckDB SQL fragment mirroring [[decq]] op for op. */
+  def decqSql(e: String, scale: Int, precision: Int = 18): String = {
+    require(scale >= 1 && scale <= 18 && precision >= scale)
+    val mult = "1" + ("0" * scale) + ".0"
+    val inv = "0." + ("0" * (scale - 1)) + "1"
+    s"CAST(CAST(CAST(floor(($e) * $mult) AS BIGINT) AS DECIMAL(18,0)) * $inv AS DECIMAL($precision,$scale))"
+  }
 }

@@ -83,10 +83,16 @@ object KHop {
         targetRowsPerTask)
       reachedN += n
       // union adds no shuffle; cap the accumulated width so the next
-      // round's anti-join build side isn't a spray of tiny partitions
+      // round's anti-join build side isn't a spray of tiny partitions.
+      // The union stays UNPERSISTED (ADVICE r10): each round's `next`
+      // is already the single cache entry for its rows, so the union
+      // is a narrow read over those caches — persisting it would
+      // stack maxHops overlapping cache entries holding the same rows
+      // (and re-persisting a frame that wraps cached frames is the
+      // documented AQE cache-on-cache hazard class)
       val u = reached.unionByName(next)
       val w = frameWidth(reachedN, targetRowsPerTask)
-      reached = (if (u.rdd.getNumPartitions > w) u.coalesce(w) else u).persist()
+      reached = if (u.rdd.getNumPartitions > w) u.coalesce(w) else u
       frontier = next.select(col("n"))
     }
     reached

@@ -17,9 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // injected Rules (r10): the natural HOF dot-product and the
-    // composed md5-hex hash idiom rewrite to their codegen'd kernels
+    // composed md5-hex hash idiom rewrite to their codegen'd kernels;
+    // (r11) the exact-cents cast chain fuses to the Cents kernel
     ext.injectOptimizerRule(_ => RewriteArrayDot)
     ext.injectOptimizerRule(_ => RewriteHash60)
+    ext.injectOptimizerRule(_ => RewriteCents)
     ext.injectFunction((
       new FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
@@ -70,6 +72,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_rolling_hash window length must be an integer literal, got $other")
         }
         RollingWindowHash(children.head, w)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cents"),
+      new ExpressionInfo(classOf[Cents].getName, "graft_cents"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_cents`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            cause = None)
+        Cents(children.head,
+          org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_deflate_size"),

@@ -933,9 +933,9 @@ object AnalyticsQueries {
     val cc = deg.join(triPerNode, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("t"), lit(0L)).as("t"),
-        when(col("d") >= 2,
+        decq(when(col("d") >= 2,
           lit(2.0) * coalesce(col("t"), lit(0L)) / (col("d") * (col("d") - 1)))
-          .otherwise(lit(0.0)).cast("decimal(18,6)").as("cc"))
+          .otherwise(lit(0.0)), 6).as("cc"))
     cc.join(Tables.supplier(spark, dir), col("node") === col("s_suppkey"))
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_nodes"),
@@ -961,9 +961,12 @@ object AnalyticsQueries {
       |degs AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
       |         SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
       |ccf AS (SELECT dg.node, COALESCE(tn.t, 0) AS t,
-      |         CAST(CASE WHEN dg.d >= 2
-      |           THEN 2.0 * COALESCE(tn.t, 0) / (dg.d * (dg.d - 1))
-      |           ELSE 0.0 END AS DECIMAL(18,6)) AS cc
+      |         """.stripMargin +
+      graft.functions.Determinism.decqSql(
+        """CASE WHEN dg.d >= 2
+          |           THEN 2.0 * COALESCE(tn.t, 0) / (dg.d * (dg.d - 1))
+          |           ELSE 0.0 END""".stripMargin, 6) +
+    """ AS cc
       |        FROM degs dg LEFT JOIN tn ON tn.node = dg.node)
       |SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_nodes,
       |  CAST(SUM(t) AS BIGINT) AS tri_corners,
@@ -1016,7 +1019,11 @@ object AnalyticsQueries {
         .join(deg, "src")
         .join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst"),
-          (col("pr") / col("deg").cast("double")).cast("decimal(28,18)").as("c"))
+          // floor-int64 quantization (decq): scale 12 keeps the
+          // scaled value inside exact-long range for any plausible
+          // rank mass; a raw double→DECIMAL cast's rounding is
+          // engine-version-sensitive (round-10 lesson)
+          decq(col("pr") / col("deg").cast("double"), 12, 28).as("c"))
       pr = contrib.groupBy(col("dst"))
         .agg(sum(col("c")).as("m"))
         .select(col("dst").as("id"),
@@ -1036,7 +1043,8 @@ object AnalyticsQueries {
   val q189_pagerank_iter_sql: String = {
     def round(prev: String, i: Int): String =
       s"""c$i AS (
-         |  SELECT s.dst, CAST(p.pr / CAST(d.deg AS DOUBLE) AS DECIMAL(28,18)) AS c
+         |  SELECT s.dst, ${graft.functions.Determinism.decqSql(
+                "p.pr / CAST(d.deg AS DOUBLE)", 12, 28)} AS c
          |  FROM sym s JOIN deg d USING (src) JOIN $prev p ON p.id = s.src),
          |p$i AS (
          |  SELECT dst AS id,

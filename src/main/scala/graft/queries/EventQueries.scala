@@ -839,7 +839,9 @@ object EventQueries {
     * the IDENTICAL sketch (distinct hashes → rank ≤ k per type) and
     * replays the same estimate arithmetic — doubles from exact
     * integers in fixed op order (÷64 is exact — k a power of two),
-    * quantized DECIMAL at the edge. The accuracy flag is computed
+    * floor-quantized through exact int64 before the DECIMAL edge
+    * (the q173 idiom — raw double→DECIMAL casts round differently
+    * across DuckDB versions; round-10 lesson). The accuracy flag is computed
     * from the same values in both engines, never hardcoded.
     *
     * Scale/shape: sketches are label-keyed k-longs aggregates
@@ -872,7 +874,10 @@ object EventQueries {
       .withColumn("mk", slice(array_sort(array_union(col("ba"), col("bb"))), 1, k))
       .withColumn("est_union",
         when(size(col("mk")) < k, size(col("mk")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+          // exact literal 2^60 (6 significant bits — exactly a double),
+          // not a libm power() call: one less portability hazard on
+          // the oracle side (round-10 lesson).
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0d) /
             element_at(col("mk"), k).cast("double")))
       .withColumn("jacc",
         size(array_intersect(array_intersect(col("mk"), col("ba")), col("bb")))
@@ -881,11 +886,19 @@ object EventQueries {
       .join(du.select(col("event_type").as("tb"), col("user_id")), Seq("user_id"))
       .filter(col("ta") < col("tb"))
       .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("exact_inter"))
+    // floor-int64 quantization at every hashed DECIMAL edge (the
+    // q173 idiom): the estimate doubles are bit-identical in both
+    // engines, but a double→DECIMAL CAST's rounding is not — floor
+    // into an exact long, then a rounding-free decimal multiply.
+    def dec4(c: org.apache.spark.sql.Column) =
+      (floor(c * lit(10000.0)).cast("decimal(18,0)") *
+        lit(BigDecimal("0.0001"))).cast("decimal(18,4)")
     pr.join(exact, Seq("ta", "tb"))
       .select(col("ta"), col("tb"), col("exact_inter"),
-        col("est_union").cast("decimal(18,4)").as("est_union"),
-        (col("jacc") * col("est_union")).cast("decimal(18,4)").as("est_inter"),
-        col("jacc").cast("decimal(18,6)").as("jacc_est"),
+        dec4(col("est_union")).as("est_union"),
+        dec4(col("jacc") * col("est_union")).as("est_inter"),
+        (floor(col("jacc") * lit(1000000.0)).cast("decimal(18,0)") *
+          lit(BigDecimal("0.000001"))).cast("decimal(18,6)").as("jacc_est"),
         (abs(col("jacc") * col("est_union") - col("exact_inter").cast("double")) /
           greatest(col("exact_inter").cast("double"), lit(1.0)) <= lit(0.5)).as("in_tol"))
       .orderBy(col("ta"), col("tb"))
@@ -907,7 +920,8 @@ object EventQueries {
        |      FROM pr),
        |calc AS (SELECT ta, tb,
        |    CASE WHEN len(mk) < 64 THEN CAST(len(mk) AS DOUBLE)
-       |         ELSE 63.0 * power(2.0, 60) / CAST(mk[64] AS DOUBLE) END AS est_union,
+       |         ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(mk[64] AS DOUBLE)
+       |    END AS est_union,
        |    CAST(len(list_intersect(list_intersect(mk, ba), bb)) AS DOUBLE) / 64 AS jacc
        |  FROM m),
        |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
@@ -916,9 +930,12 @@ object EventQueries {
        |         AND a.event_type < b.event_type
        |       GROUP BY 1, 2)
        |SELECT ta, tb, exact_inter,
-       |  CAST(est_union AS DECIMAL(18,4)) AS est_union,
-       |  CAST(jacc * est_union AS DECIMAL(18,4)) AS est_inter,
-       |  CAST(jacc AS DECIMAL(18,6)) AS jacc_est,
+       |  CAST(CAST(CAST(floor(est_union * 10000.0) AS BIGINT) AS DECIMAL(18,0))
+       |    * 0.0001 AS DECIMAL(18,4)) AS est_union,
+       |  CAST(CAST(CAST(floor(jacc * est_union * 10000.0) AS BIGINT) AS DECIMAL(18,0))
+       |    * 0.0001 AS DECIMAL(18,4)) AS est_inter,
+       |  CAST(CAST(CAST(floor(jacc * 1000000.0) AS BIGINT) AS DECIMAL(18,0))
+       |    * 0.000001 AS DECIMAL(18,6)) AS jacc_est,
        |  (abs(jacc * est_union - CAST(exact_inter AS DOUBLE)) /
        |    greatest(CAST(exact_inter AS DOUBLE), 1.0)) <= 0.5 AS in_tol
        |FROM calc JOIN ex USING (ta, tb) ORDER BY ta, tb""".stripMargin

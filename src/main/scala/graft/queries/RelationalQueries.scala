@@ -757,8 +757,9 @@ object RelationalQueries {
     sym.join(deg, "src")
       .crossJoin(broadcast(n))
       .select(col("dst"),
-        (lit(1.0) / (col("n") * col("deg")).cast("double"))
-          .cast("decimal(28,18)").as("c"),
+        // decq: floor-int64 quantization — never a raw double→DECIMAL
+        // cast (engine-version-sensitive rounding; round-10 lesson)
+        decq(lit(1.0) / (col("n") * col("deg")).cast("double"), 12, 28).as("c"),
         col("n"))
       .groupBy(col("dst"), col("n"))
       .agg(count(lit(1)).as("deg"), sum(col("c")).as("inc"))
@@ -775,7 +776,7 @@ object RelationalQueries {
   }
 
   val q97_pagerank_step_sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
       |    's' || CAST(l_suppkey AS VARCHAR) AS b
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -785,7 +786,8 @@ object RelationalQueries {
       |nn AS (SELECT COUNT(*) AS n FROM deg),
       |contrib AS (
       |  SELECT dst,
-      |    CAST(CAST(1.0 AS DOUBLE) / CAST(n * deg AS DOUBLE) AS DECIMAL(28,18)) AS c,
+      |    ${graft.functions.Determinism.decqSql(
+           "CAST(1.0 AS DOUBLE) / CAST(n * deg AS DOUBLE)", 12, 28)} AS c,
       |    n
       |  FROM sym JOIN deg USING (src), nn)
       |SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS deg,

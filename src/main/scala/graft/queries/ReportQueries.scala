@@ -662,7 +662,8 @@ object ReportQueries {
     * marketing stack reports beside last-touch (q140/q143 batch ≡
     * stream). Segments come from a running prior-purchase count (a
     * per-user window, never global); credit 1/k is one mirrored IEEE
-    * division quantized DECIMAL(18,6) before the order-free sum.
+    * division floor-quantized through an exact int64 (decq) before
+    * the order-free sum.
     * Trailing touches with no following purchase earn nothing
     * (inner join against the segment's purchase), purchases with no
     * touches carry no credit to split — both by construction.
@@ -683,7 +684,10 @@ object ReportQueries {
       .join(pur, Seq("user_id", "seg"))
       .join(k, Seq("user_id", "seg"))
       .select(col("event_type"),
-        (lit(1.0) / col("k").cast("double")).cast("decimal(18,6)").as("credit"))
+        // decq: floor-int64 quantization — 1/k for k like 128 lands
+        // exactly on a scale-7 tie whose double→DECIMAL rounding is
+        // engine-version-sensitive (round-10 lesson)
+        decq(lit(1.0) / col("k").cast("double"), 6).as("credit"))
       .groupBy(col("event_type").as("channel"))
       .agg(count(lit(1)).as("n_touches"),
         sum(col("credit")).cast("double").as("credit"))
@@ -691,7 +695,7 @@ object ReportQueries {
   }
 
   val q175_multitouch_sql: String =
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT user_id, event_type,
       |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) OVER
       |      (PARTITION BY user_id ORDER BY ts, event_id
@@ -702,7 +706,8 @@ object ReportQueries {
       |pur AS (SELECT user_id, seg FROM s WHERE event_type = 'purchase'),
       |cr AS (
       |  SELECT t.event_type,
-      |    CAST(CAST(1 AS DOUBLE) / k.k AS DECIMAL(18,6)) AS credit
+      |    ${graft.functions.Determinism.decqSql(
+           "CAST(1 AS DOUBLE) / CAST(k.k AS DOUBLE)", 6)} AS credit
       |  FROM t JOIN pur USING (user_id, seg) JOIN k USING (user_id, seg))
       |SELECT event_type AS channel, COUNT(*) AS n_touches,
       |  CAST(SUM(credit) AS DOUBLE) AS credit

@@ -162,22 +162,26 @@ object StatsQueries {
     val contrib = margins.select(
       col("segment"), col("priority"), col("obs"), col("rt"), col("ct"), col("n"),
       expr("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)").as("expected"),
-      expr("""CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE)
-              / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE))""").as("contrib"))
+      // decq: floor-int64 quantization once, reused by the sum and
+      // the display column — never a raw double→DECIMAL cast
+      decq(expr(
+        """CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE)
+              / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE))"""), 6)
+        .as("contrib_q"))
     val chi2 = contrib.agg(
-      sum(col("contrib").cast("decimal(18,6)")).cast("double").as("chi2"),
+      sum(col("contrib_q")).cast("double").as("chi2"),
       count_distinct(col("segment")).as("nseg"),
       count_distinct(col("priority")).as("nprio"))
     contrib
       .select(col("segment"), col("priority"), col("obs"), col("expected"),
-        col("contrib").cast("decimal(18,6)").cast("double").as("contrib"))
+        col("contrib_q").cast("double").as("contrib"))
       .crossJoin(broadcast(chi2.select(col("chi2"),
         ((col("nseg") - 1) * (col("nprio") - 1)).as("dof"))))
       .orderBy(col("segment"), col("priority"))
   }
 
   val q150_chi_square_sql: String =
-    """WITH cells AS (
+    s"""WITH cells AS (
       |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
       |    CAST(COUNT(*) AS BIGINT) AS obs
       |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -191,15 +195,17 @@ object StatsQueries {
       |c AS (
       |  SELECT segment, priority, obs,
       |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
-      |    CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE)
-      |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE)) AS contrib
+      |    ${graft.functions.Determinism.decqSql(
+           """CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE)
+      |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE))""".stripMargin,
+           6)} AS contrib_q
       |  FROM m),
       |t AS (
-      |  SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+      |  SELECT CAST(SUM(contrib_q) AS DOUBLE) AS chi2,
       |    CAST((COUNT(DISTINCT segment) - 1) * (COUNT(DISTINCT priority) - 1) AS BIGINT) AS dof
       |  FROM c)
       |SELECT segment, priority, obs, expected,
-      |  CAST(CAST(contrib AS DECIMAL(18,6)) AS DOUBLE) AS contrib, chi2, dof
+      |  CAST(contrib_q AS DOUBLE) AS contrib, chi2, dof
       |FROM c CROSS JOIN t
       |ORDER BY segment, priority""".stripMargin
 
@@ -231,14 +237,17 @@ object StatsQueries {
       .withColumn("exp_share", expShare)
       .withColumn("expected",
         expr("CAST(exp_share AS DOUBLE) * CAST(n AS DOUBLE)"))
-      .withColumn("contrib",
-        expr("""(CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
-                / expected""").cast("decimal(18,6)").cast("double"))
-    val chi2 = cells.agg(sum(col("contrib").cast("decimal(18,6)")).cast("double").as("chi2"))
+      .withColumn("contrib_q",
+        // decq: floor-int64 quantization once, reused by the sum and
+        // the display column — never a raw double→DECIMAL cast
+        decq(expr(
+          """(CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+                / expected"""), 6))
+    val chi2 = cells.agg(sum(col("contrib_q")).cast("double").as("chi2"))
     cells.select(col("digit"), col("obs"), col("n"),
         expr("CAST(obs AS DOUBLE) / CAST(n AS DOUBLE)").as("obs_share"),
         col("exp_share").cast("double").as("exp_share"),
-        col("contrib"))
+        col("contrib_q").cast("double").as("contrib"))
       .crossJoin(broadcast(chi2))
       .orderBy(col("digit"))
   }
@@ -268,13 +277,15 @@ object StatsQueries {
        |  FROM cells),
        |c3 AS (
        |  SELECT digit, obs, n, exp_share, expected,
-       |    CAST(CAST((CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
-       |      / expected AS DECIMAL(18,6)) AS DOUBLE) AS contrib
+       |    ${graft.functions.Determinism.decqSql(
+            """(CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+       |      / expected""".stripMargin, 6)} AS contrib_q
        |  FROM c2),
-       |t AS (SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2 FROM c3)
+       |t AS (SELECT CAST(SUM(contrib_q) AS DOUBLE) AS chi2 FROM c3)
        |SELECT digit, obs, n,
        |  CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
-       |  CAST(exp_share AS DOUBLE) AS exp_share, contrib, chi2
+       |  CAST(exp_share AS DOUBLE) AS exp_share,
+       |  CAST(contrib_q AS DOUBLE) AS contrib, chi2
        |FROM c3 CROSS JOIN t
        |ORDER BY digit""".stripMargin
   }
@@ -416,17 +427,32 @@ object StatsQueries {
     * that tiny frame (windows partition by the profiled column's
     * name). No sort, no collect, two shuffles per profiled key.
     */
-  def q153_skew_profile(spark: SparkSession, dir: String): DataFrame = {
-    def hist(df: DataFrame, key: String, label: String): DataFrame =
-      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
-        .groupBy(col("c")).agg(count(lit(1)).as("keys"))
-        .select(lit(label).as("col_name"), col("c"), col("keys"))
+  def q153_skew_profile(spark: SparkSession, dir: String): DataFrame =
+    skewProfileFrom(staticHists(spark, dir)
+      .unionByName(hist(Tables.events(spark, dir), "user_id", "events.user_id")))
+
+  /** One profiled column's counts-of-counts histogram. */
+  private[queries] def hist(df: DataFrame, key: String, label: String): DataFrame =
+    df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("keys"))
+      .select(lit(label).as("col_name"), col("c"), col("keys"))
+
+  /** The three non-events histograms (lineitem ×2, orders) — shared
+    * with the streaming twin q198, which maintains the EVENTS
+    * histogram online and reads these at projection (q109's
+    * stream-static precedent).
+    */
+  private[queries] def staticHists(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val hists =
-      hist(li, "l_partkey", "lineitem.l_partkey")
-        .unionByName(hist(li, "l_suppkey", "lineitem.l_suppkey"))
-        .unionByName(hist(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
-        .unionByName(hist(Tables.events(spark, dir), "user_id", "events.user_id"))
+    hist(li, "l_partkey", "lineitem.l_partkey")
+      .unionByName(hist(li, "l_suppkey", "lineitem.l_suppkey"))
+      .unionByName(hist(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
+  }
+
+  /** q153's report from the unioned counts-of-counts frame — shared
+    * with the streaming twin q198.
+    */
+  private[queries] def skewProfileFrom(hists: DataFrame): DataFrame = {
     val tot = hists.groupBy(col("col_name")).agg(
       sum(col("keys")).as("n_keys"),
       sum(col("c") * col("keys")).as("rows"),

@@ -257,10 +257,10 @@ object StreamQueries {
          |  CROSS JOIN gt),
          |terms AS (
          |  SELECT bucket, wt,
-         |    CAST(p AS DECIMAL(18,12)) AS pad,
-         |    CAST(q AS DECIMAL(18,12)) AS qad,
-         |    CAST(ln(2.0D * p / (p + q)) AS DECIMAL(18,6)) AS la,
-         |    CAST(ln(2.0D * q / (p + q)) AS DECIMAL(18,6)) AS lb
+         |    ${graft.functions.Determinism.decqSql("p", 12)} AS pad,
+         |    ${graft.functions.Determinism.decqSql("q", 12)} AS qad,
+         |    ${graft.functions.Determinism.decqSql("ln(2.0D * p / (p + q))", 6)} AS la,
+         |    ${graft.functions.Determinism.decqSql("ln(2.0D * q / (p + q))", 6)} AS lb
          |  FROM pq),
          |agg AS (
          |  SELECT bucket, wt, COUNT(*) AS n_types,
@@ -276,7 +276,7 @@ object StreamQueries {
   }
 
   val q103_stream_drift_sql: String =
-    """WITH w AS (
+    s"""WITH w AS (
       |  SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n
       |  FROM events GROUP BY 1, 2),
       |wt AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS wt FROM w GROUP BY bucket),
@@ -289,10 +289,10 @@ object StreamQueries {
       |  FROM w JOIN wt USING (bucket) JOIN g USING (event_type), gt),
       |terms AS (
       |  SELECT bucket, wt,
-      |    CAST(p AS DECIMAL(18,12)) AS pad,
-      |    CAST(q AS DECIMAL(18,12)) AS qad,
-      |    CAST(ln(2.0 * p / (p + q)) AS DECIMAL(18,6)) AS la,
-      |    CAST(ln(2.0 * q / (p + q)) AS DECIMAL(18,6)) AS lb
+      |    ${graft.functions.Determinism.decqSql("p", 12)} AS pad,
+      |    ${graft.functions.Determinism.decqSql("q", 12)} AS qad,
+      |    ${graft.functions.Determinism.decqSql("ln(2.0 * p / (p + q))", 6)} AS la,
+      |    ${graft.functions.Determinism.decqSql("ln(2.0 * q / (p + q))", 6)} AS lb
       |  FROM pq),
       |agg AS (
       |  SELECT bucket, wt, COUNT(*) AS n_types,
@@ -999,7 +999,9 @@ object StreamQueries {
     }
     spark.table(name)
       .select(col("channel"), col("m"),
-        ((lit(1.0) / col("k").cast("double")).cast("decimal(18,6)") * col("m")).as("cr"))
+        // decq mirrors q175's floor-int64 credit quantization — the
+        // parity property depends on the identical edge
+        (decq(lit(1.0) / col("k").cast("double"), 6) * col("m")).as("cr"))
       .groupBy(col("channel"))
       .agg(sum(col("m")).as("n_touches"), sum(col("cr")).cast("double").as("credit"))
       .orderBy(col("channel"))
@@ -1223,7 +1225,13 @@ object StreamQueries {
         var m = m0
         ordered.foreach { e =>
           val i = types.indexOf(e.event_type)
-          if (i >= 0) m |= (1 << i)
+          // fail LOUDLY on alphabet drift: silently dropping an
+          // unknown type would diverge from batch q187 (which sees
+          // every type) without any error — the worst failure mode
+          if (i < 0) throw new IllegalStateException(
+            s"q194: event_type '${e.event_type}' outside the pinned alphabet " +
+              s"$types — extend the bitmask alphabet to match batch q187")
+          m |= (1 << i)
         }
         (m, if (m != m0) Vector((u, m)) else Vector.empty)
       } { t =>
@@ -1333,7 +1341,44 @@ object StreamQueries {
   /** Same oracle as the batch pattern — the point of the query. */
   val q197_stream_timed_conversion_sql: String = EventQueries.q196_timed_conversion_sql
 
+  /** q198 — STREAMING join-key skew profile: q153's planning report
+    * maintained incrementally — the TWENTIETH pairing. The profiled
+    * STREAM column (events.user_id — the one that actually arrives as
+    * a stream at 100 TB) keeps ONE LONG of state per key: its running
+    * row count, emitted monotonically, so max() per key is the
+    * compaction and the counts-of-counts histogram is a label-bounded
+    * projection over the compacted counts. The three static dims
+    * (lineitem ×2, orders) are read at projection through the SHARED
+    * staticHists — the q109 stream-static precedent: you stream what
+    * streams, you scan what sits. Downstream (exact p50/p90/p99 over
+    * the histogram, max/avg skew factors) is q153's skewProfileFrom
+    * verbatim — shared code, shared oracle. Continuous skew telemetry
+    * is exactly what sizes q83's salting and the AQE skew-join knobs
+    * online; the corpus never re-scans for it.
+    */
+  def q198_stream_skew(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, Long, (Long, Long)](
+      spark, dir, Seq("user_id", "cnt"))(
+      _.user_id)(0L) { (u, c0, ordered) =>
+        val c = c0 + ordered.size
+        (c, if (ordered.isEmpty) Vector.empty else Vector((u, c)))
+      } { t =>
+        // cnt is monotone per user — max() IS the compaction
+        val evHist = t.groupBy(col("user_id")).agg(max(col("cnt")).as("c"))
+          .groupBy(col("c")).agg(count(lit(1)).as("keys"))
+          .select(lit("events.user_id").as("col_name"), col("c"), col("keys"))
+        StatsQueries.skewProfileFrom(
+          StatsQueries.staticHists(spark, dir).unionByName(evHist))
+      }
+  }
+
+  /** Same oracle as the batch skew profile — the point of the query. */
+  val q198_stream_skew_sql: String = StatsQueries.q153_skew_profile_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_stream_skew" -> (q198_stream_skew _),
     "q197_stream_timed_conversion" -> (q197_stream_timed_conversion _),
     "q194_stream_overlap" -> (q194_stream_overlap _),
     "q195_stream_theil_sen" -> (q195_stream_theil_sen _),
@@ -1365,6 +1410,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q198_stream_skew" -> q198_stream_skew_sql,
     "q197_stream_timed_conversion" -> q197_stream_timed_conversion_sql,
     "q194_stream_overlap" -> q194_stream_overlap_sql,
     "q195_stream_theil_sen" -> q195_stream_theil_sen_sql,

@@ -1048,11 +1048,13 @@ object TextQueries {
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        // decq: floor-int64 quantization — never a raw double→DECIMAL
+        // cast (engine-version-sensitive rounding; round-10 lesson)
+        graft.functions.Determinism.decq(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           ((col("tf") * lit(2.2)) /
             (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") /
-              (col("tot_dl").cast("double") / col("n_docs"))))))
-          ).cast("decimal(18,6)").as("s"))
+              (col("tot_dl").cast("double") / col("n_docs")))))), 6).as("s"))
       .groupBy(col("doc_id")).agg(sum(col("s")).as("score_dec"))
   }
 
@@ -1082,12 +1084,11 @@ object TextQueries {
        |  WHERE tok IN ($termList) GROUP BY doc_id, tok),
        |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
        |scored AS (
-       |  SELECT doc_id, SUM(CAST(
-       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |  SELECT doc_id, SUM(${graft.functions.Determinism.decqSql(
+            """ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
        |      ((tf * 2.2) /
        |        (tf + 1.2 * (0.25 + 0.75 * (dl /
-       |          (CAST(tot_dl AS DOUBLE) / n_docs)))))
-       |    AS DECIMAL(18,6))) AS score_dec
+       |          (CAST(tot_dl AS DOUBLE) / n_docs)))))""".stripMargin, 6)}) AS score_dec
        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), stats
        |  GROUP BY doc_id)""".stripMargin
   }
@@ -1344,7 +1345,8 @@ object TextQueries {
       .join(broadcast(freq), Seq("lang", "tok"))
       .join(broadcast(tot), Seq("lang"))
       .select(col("doc_id"),
-        (-log(col("c") / col("total"))).cast("decimal(18,6)").as("s"))
+        // decq: floor-int64 quantization (round-10 lesson)
+        graft.functions.Determinism.decq(-log(col("c") / col("total")), 6).as("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("sum_dec"))
       .select(col("doc_id"), col("n_tokens"),
@@ -1362,7 +1364,7 @@ object TextQueries {
        |freq AS (SELECT lang, tok, COUNT(*) AS c FROM tokt GROUP BY lang, tok),
        |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total FROM freq GROUP BY lang),
        |scored AS (
-       |  SELECT doc_id, CAST(-ln(c / total) AS DECIMAL(18,6)) AS s
+       |  SELECT doc_id, ${graft.functions.Determinism.decqSql("-ln(c / total)", 6)} AS s
        |  FROM tokt JOIN freq USING (lang, tok) JOIN tot USING (lang)),
        |perdoc AS (
        |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(s) AS sum_dec
@@ -1713,14 +1715,15 @@ object TextQueries {
     val a = p.select(col("source").as("src_a"), col("tok"), col("p").as("pa"))
     val b = p.select(col("source").as("src_b"), col("tok"), col("p").as("pb"))
     val ln2 = lit(ln2Lit.toDouble)
+    // decq: floor-int64 quantization at every double→DECIMAL edge
+    // (round-10 lesson); types unchanged — D(18,12) and D(18,6)
+    val decq = graft.functions.Determinism.decq _
     a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
-        col("pa").cast("decimal(18,12)").as("pad"),
-        col("pb").cast("decimal(18,12)").as("pbd"),
-        log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
-          .cast("decimal(18,6)").as("la"),
-        log(lit(2.0) * col("pb") / (col("pa") + col("pb")))
-          .cast("decimal(18,6)").as("lb"))
+        decq(col("pa"), 12, 18).as("pad"),
+        decq(col("pb"), 12, 18).as("pbd"),
+        decq(log(lit(2.0) * col("pa") / (col("pa") + col("pb"))), 6, 18).as("la"),
+        decq(log(lit(2.0) * col("pb") / (col("pa") + col("pb"))), 6, 18).as("lb"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared_vocab"),
         sum(col("pad") * col("la")).as("sa"),
@@ -1745,10 +1748,10 @@ object TextQueries {
        |  FROM freq JOIN tot USING (source)),
        |pairs AS (
        |  SELECT a.source AS src_a, b.source AS src_b,
-       |    CAST(a.p AS DECIMAL(18,12)) AS pad,
-       |    CAST(b.p AS DECIMAL(18,12)) AS pbd,
-       |    CAST(ln(2.0 * a.p / (a.p + b.p)) AS DECIMAL(18,6)) AS la,
-       |    CAST(ln(2.0 * b.p / (a.p + b.p)) AS DECIMAL(18,6)) AS lb
+       |    ${graft.functions.Determinism.decqSql("a.p", 12)} AS pad,
+       |    ${graft.functions.Determinism.decqSql("b.p", 12)} AS pbd,
+       |    ${graft.functions.Determinism.decqSql("ln(2.0 * a.p / (a.p + b.p))", 6)} AS la,
+       |    ${graft.functions.Determinism.decqSql("ln(2.0 * b.p / (a.p + b.p))", 6)} AS lb
        |  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source),
        |agg AS (
        |  SELECT src_a, src_b, COUNT(*) AS n_shared_vocab,
@@ -1872,8 +1875,9 @@ object TextQueries {
     val xy = freq
       .withColumn("rank", row_number().over(w))
       .select(col("lang"),
-        log(col("rank").cast("double")).cast("decimal(18,6)").as("x"),
-        log(col("c").cast("double")).cast("decimal(18,6)").as("y"))
+        // decq: floor-int64 quantization (round-10 lesson)
+        graft.functions.Determinism.decq(log(col("rank").cast("double")), 6).as("x"),
+        graft.functions.Determinism.decq(log(col("c").cast("double")), 6).as("y"))
     xy.groupBy(col("lang"))
       .agg(count(lit(1)).cast("double").as("n"),
         sum(col("x")).cast("double").as("sx"),
@@ -1895,9 +1899,10 @@ object TextQueries {
        |  FROM tkt t JOIN documents d ON t.doc_id = d.doc_id),
        |freq AS (SELECT lang, tok, COUNT(*) AS c FROM tox GROUP BY lang, tok),
        |xy AS (SELECT lang,
-       |    CAST(ln(CAST(ROW_NUMBER() OVER (
-       |      PARTITION BY lang ORDER BY c DESC, tok) AS DOUBLE)) AS DECIMAL(18,6)) AS x,
-       |    CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) AS y
+       |    ${graft.functions.Determinism.decqSql(
+            """ln(CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY lang ORDER BY c DESC, tok) AS DOUBLE))""".stripMargin, 6)} AS x,
+       |    ${graft.functions.Determinism.decqSql("ln(CAST(c AS DOUBLE))", 6)} AS y
        |  FROM freq),
        |s AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
@@ -2200,9 +2205,10 @@ object TextQueries {
       .join(broadcast(uni.select(col("tok").as("x"), col("c").as("cx"))), "x")
       .join(broadcast(uni.select(col("tok").as("y"), col("c").as("cy"))), "y")
       .select(col("x").as("tok_x"), col("y").as("tok_y"), col("c_xy"),
-        log((col("c_xy").cast("double") * lit(nUni) * lit(nUni)) /
-            (col("cx").cast("double") * col("cy") * lit(nBi)))
-          .cast("decimal(18,6)").as("pmi_d"))
+        // decq: floor-int64 quantization (round-10 lesson)
+        graft.functions.Determinism.decq(
+          log((col("c_xy").cast("double") * lit(nUni) * lit(nUni)) /
+            (col("cx").cast("double") * col("cy") * lit(nBi))), 6).as("pmi_d"))
       .orderBy(col("pmi_d").desc, col("tok_x"), col("tok_y"))
       .limit(pmiTopK)
       .select(col("tok_x"), col("tok_y"), col("c_xy"),
@@ -2220,8 +2226,9 @@ object TextQueries {
        |nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bf),
        |scored AS (
        |  SELECT x, y, c_xy,
-       |    CAST(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni) /
-       |            (CAST(fx.c AS DOUBLE) * fy.c * n_bi)) AS DECIMAL(18,6)) AS pmi_d
+       |    ${graft.functions.Determinism.decqSql(
+            """ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni) /
+       |            (CAST(fx.c AS DOUBLE) * fy.c * n_bi))""".stripMargin, 6)} AS pmi_d
        |  FROM bf JOIN ufreq fx ON bf.x = fx.tok JOIN ufreq fy ON bf.y = fy.tok, nu, nb
        |  WHERE c_xy >= $pmiMinCount)
        |SELECT x AS tok_x, y AS tok_y, CAST(c_xy AS BIGINT) AS c_xy,
@@ -2264,8 +2271,11 @@ object TextQueries {
     val w = tokc.join(dfr, "tok").crossJoin(broadcast(nd))
       .filter(col("df") <= least(greatest(lit(2L), expr("n div 5")), lit(1000L)))
       .select(col("doc_id"), col("tok"), col("df"),
-        (col("tf") * log(col("n").cast("double") / col("df"))
-          .cast("decimal(18,6)")).cast("decimal(18,6)").as("wq"))
+        // inner idf goes through decq (floor-int64; round-10 lesson);
+        // the outer cast is decimal→decimal scale trimming — exact
+        (col("tf") * graft.functions.Determinism.decq(
+          log(col("n").cast("double") / col("df")), 6))
+          .cast("decimal(18,6)").as("wq"))
     val norms = w.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("n2"))
     val vt = w.filter(col("df") >= 2).select(col("doc_id"), col("tok"), col("wq"))
     vt.select(col("doc_id").as("doc_a"), col("tok"), col("wq").as("wa"))
@@ -2290,7 +2300,8 @@ object TextQueries {
        |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tkt) GROUP BY doc_id, tok),
        |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tokc GROUP BY tok),
        |w AS (SELECT doc_id, tok, df,
-       |    CAST(tf * CAST(ln(CAST(n AS DOUBLE) / df) AS DECIMAL(18,6))
+       |    CAST(tf * ${graft.functions.Determinism.decqSql(
+            "ln(CAST(n AS DOUBLE) / df)", 6)}
        |      AS DECIMAL(18,6)) AS wq
        |  FROM tokc JOIN dfr USING (tok), nd
        |  WHERE df <= least(greatest(2, n // 5), 1000)),
@@ -2477,8 +2488,10 @@ object TextQueries {
       .join(broadcast(pfx), Seq("lang", "x"))
       .join(broadcast(voc), Seq("lang"))
       .select(col("doc_id"), col("cnt"),
-        (-log((col("c_xy") + 1).cast("double") / (col("c_px") + col("v")).cast("double")))
-          .cast("decimal(18,6)").as("s"))
+        // decq: floor-int64 quantization (round-10 lesson)
+        graft.functions.Determinism.decq(
+          -log((col("c_xy") + 1).cast("double") / (col("c_px") + col("v")).cast("double")),
+          6).as("s"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"), sum(col("s") * col("cnt")).as("sum_dec"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -2499,8 +2512,8 @@ object TextQueries {
        |voc AS (SELECT lang, CAST(COUNT(DISTINCT y) AS BIGINT) AS v FROM bfreq GROUP BY 1),
        |scored AS (
        |  SELECT doc_id, cnt,
-       |    CAST(-ln(CAST(c_xy + 1 AS DOUBLE) / CAST(c_px + v AS DOUBLE))
-       |      AS DECIMAL(18,6)) AS s
+       |    ${graft.functions.Determinism.decqSql(
+            """-ln(CAST(c_xy + 1 AS DOUBLE) / CAST(c_px + v AS DOUBLE))""", 6)} AS s
        |  FROM bgc JOIN bfreq USING (lang, x, y) JOIN pfx USING (lang, x)
        |    JOIN voc USING (lang)),
        |perdoc AS (
@@ -2551,8 +2564,10 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         greatest(qual, lit(0.001)).as("w"), h52.as("h52"))
       .select(col("doc_id"), col("source"),
-        (log((col("h52") + 1).cast("double") / lit(4503599627370496.0))
-          .cast("decimal(18,6)").cast("double") / col("w")).as("priority"))
+        // decq: floor-int64 quantization (round-10 lesson)
+        (graft.functions.Determinism.decq(
+          log((col("h52") + 1).cast("double") / lit(4503599627370496.0)), 6)
+          .cast("double") / col("w")).as("priority"))
     GroupTopK.rank(scored, Seq("source"),
         Seq(col("priority").desc, col("doc_id")), wsK, "rk")
       .select(col("source"), col("rk"), col("doc_id"), col("priority"))
@@ -2570,8 +2585,9 @@ object TextQueries {
        |  FROM documents),
        |scored AS (
        |  SELECT doc_id, source,
-       |    CAST(CAST(ln(CAST(h52 + 1 AS DOUBLE) / 4503599627370496.0)
-       |      AS DECIMAL(18,6)) AS DOUBLE) / w AS priority
+       |    CAST(${graft.functions.Determinism.decqSql(
+            "ln(CAST(h52 + 1 AS DOUBLE) / 4503599627370496.0)", 6)}
+       |      AS DOUBLE) / w AS priority
        |  FROM base),
        |ranked AS (
        |  SELECT source, doc_id, priority,
@@ -2816,9 +2832,11 @@ object TextQueries {
     * that census-style deployments block exactly this way). Block
     * member lists ride the loud cappedMembers guard; at 100 TB the
     * key extends (prefix-4 + length band) exactly like q90's bands —
-    * the plan shape is unchanged. Scores quantize to DECIMAL(18,6)
-    * (q91's rule) after the ≥ 0.88 gate, evaluated on doubles that
-    * are bit-identical in both engines.
+    * the plan shape is unchanged. Scores floor-quantize at 1e-4
+    * through an exact int64 after the ≥ 0.88 gate (the q173 idiom —
+    * beneath plausible library drift in the oracle's built-in
+    * jaro_winkler_similarity, and immune to double→DECIMAL cast
+    * rounding divergence across DuckDB versions).
     */
   private val jwThreshold = 0.88
   def q185_jaro_linkage(spark: SparkSession, dir: String): DataFrame = {
@@ -2847,7 +2865,13 @@ object TextQueries {
       .select(col("da"), explode(col("ids_b")).as("db"), col("jw"))
       .select(least(col("da"), col("db")).as("a_id"),
         greatest(col("da"), col("db")).as("b_id"),
-        col("jw").cast("decimal(18,6)").as("jw"))
+        // floor-quantize at 1e-4 through an exact int64 (the q173
+        // idiom): beneath any plausible jaro-winkler library drift,
+        // and immune to double→DECIMAL cast-rounding divergence
+        // across DuckDB versions (round-10 lesson). Schema stays
+        // DECIMAL(18,6); the value's scale is 4.
+        (floor(col("jw") * lit(10000.0)).cast("decimal(18,0)") *
+          lit(BigDecimal("0.0001"))).cast("decimal(18,6)").as("jw"))
     val within = cls
       .filter(size(col("ids")) > 1)
       .select(col("ids"), explode(col("ids")).as("a_id"))
@@ -2873,7 +2897,8 @@ object TextQueries {
        |  WHERE jaro_winkler_similarity(pa.title, pb.title) >= $jwThreshold),
        |cross_pairs AS (
        |  SELECT least(da, db) AS a_id, greatest(da, db) AS b_id,
-       |    CAST(jw AS DECIMAL(18,6)) AS jw
+       |    CAST(CAST(CAST(floor(jw * 10000.0) AS BIGINT) AS DECIMAL(18,0))
+       |      * 0.0001 AS DECIMAL(18,6)) AS jw
        |  FROM scored, unnest(ids_a) ua(da), unnest(ids_b) ub(db)),
        |within AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

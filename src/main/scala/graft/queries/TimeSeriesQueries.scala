@@ -293,7 +293,8 @@ object TimeSeriesQueries {
     * values by integer rank over the per-type value-sorted slope
     * frame (row_number ties among equal doubles are value-irrelevant)
     * and averages the lo/hi middle pair — (lo + hi) / 2.0 in fixed
-    * order, quantized DECIMAL(18,6) at the edge.
+    * order, floor-quantized through an exact int64 (the q173 idiom)
+    * before the DECIMAL edge — never a raw double→DECIMAL cast.
     *
     * Scale/shape: the corpus collapses FIRST to the (type, day)
     * daily frame (calendar-bounded); the pair expansion is
@@ -331,8 +332,15 @@ object TimeSeriesQueries {
         max(when(col("rn") === expr("n div 2 + 1"), col("s"))).as("hi"))
       .join(nDays, "event_type")
       .select(col("event_type"), col("n_days"), col("n_pairs"),
-        (((col("lo") + col("hi")) / 2.0) / 100.0).cast("decimal(18,6)")
-          .as("slope_dollars_per_day"))
+        // floor-int64 quantization (the q173 idiom): floor of a
+        // bit-identical double is portable; a double→DECIMAL CAST's
+        // rounding is engine/version-sensitive (observed: driver
+        // DuckDB ≠ local 1.0.0 on the last digit, round 10). The
+        // long→decimal multiply by an exact 1e-6 decimal is
+        // rounding-free in both engines.
+        (floor((((col("lo") + col("hi")) / 2.0) / 100.0) * lit(1000000.0))
+          .cast("decimal(18,0)") * lit(BigDecimal("0.000001")))
+          .cast("decimal(18,6)").as("slope_dollars_per_day"))
       .orderBy(col("event_type"))
   }
 
@@ -358,7 +366,8 @@ object TimeSeriesQueries {
       |  FROM rk GROUP BY 1),
       |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
       |SELECT m.event_type, nd.n_days, m.n_pairs,
-      |  CAST(((m.lo + m.hi) / 2.0) / 100.0 AS DECIMAL(18,6)) AS slope_dollars_per_day
+      |  CAST(CAST(CAST(floor((((m.lo + m.hi) / 2.0) / 100.0) * 1000000.0) AS BIGINT)
+      |    AS DECIMAL(18,0)) * 0.000001 AS DECIMAL(18,6)) AS slope_dollars_per_day
       |FROM med m JOIN nd USING (event_type)
       |ORDER BY m.event_type""".stripMargin
 

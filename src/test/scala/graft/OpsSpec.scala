@@ -254,7 +254,8 @@ class OpsSpec extends AnyFunSuite {
       val touches = tagged.filter(_._1 != "purchase")
       val k = touches.groupBy(_._2).map { case (s, v) => s -> v.size }
       touches.filter(t => purchaseSegs(t._2))
-        .map(t => t._1 -> BigDecimal(1.0 / k(t._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        // the query's decq edge: floor-int64 at scale 6 (round-11)
+        .map(t => t._1 -> BigDecimal(math.floor(1.0 / k(t._2) * 1e6).toLong, 6))
     }
     val want = credits.groupBy(_._1).map { case (ch, v) =>
       ch -> (v.size.toLong, v.map(_._2).sum.toDouble)

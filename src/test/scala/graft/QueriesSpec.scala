@@ -39,7 +39,8 @@ class QueriesSpec extends AnyFunSuite {
     // that overflows, not two rounds later in a driver artifact.
     // budget includes the aux sf0.01 rung's scalar (round 10) at its
     // widest plausible value
-    val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"aux_sf001_total":99999.99,"aux_failed":0,"queries":"""
+    // budget also carries the batch/streaming split scalars (round 11)
+    val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"aux_sf001_total":99999.99,"aux_failed":0,"batch_total":99999.99,"streaming_total":9999.99,"queries":"""
     // compact rungs carry the dir basename only (Bench sfTag)
     val tail = s""","sf":"sf0.1"}"""
     val short = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
@@ -228,8 +229,9 @@ class QueriesSpec extends AnyFunSuite {
     val n = deg.size
     val inc = sym.groupBy(_._2).map { case (v, es) =>
       v -> es.map { case (u, _) =>
-        java.math.BigDecimal.valueOf(1.0 / (n.toLong * deg(u)).toDouble)
-          .setScale(18, java.math.RoundingMode.HALF_UP)
+        // the query's decq edge: floor-int64 at scale 12 (round-11)
+        java.math.BigDecimal.valueOf(
+          math.floor(1.0 / (n.toLong * deg(u)).toDouble * 1e12).toLong, 12)
       }.reduce(_.add(_))
     }
     val got = SparkEntry.queries("q97_pagerank_step")(spark, dir).collect()
@@ -304,8 +306,9 @@ class QueriesSpec extends AnyFunSuite {
 
   test("q101 JS divergence matches brute force over union support and sits in [0, ln2]") {
     import org.apache.spark.sql.functions._
+    // the query's decq edge: floor through an exact int64 (round-11)
     def q(d: Double, s: Int): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(d).setScale(s, java.math.RoundingMode.HALF_UP)
+      java.math.BigDecimal.valueOf(math.floor(d * math.pow(10, s)).toLong, s)
     val docs = Tables.documents(spark, dir).select(col("source"), col("text")).collect()
       .map(r => (r.getString(0), r.getString(1)))
     val dist = docs.groupBy(_._1).map { case (src, ds) =>
@@ -365,7 +368,7 @@ class QueriesSpec extends AnyFunSuite {
   test("q100 zipf slope matches brute-force least squares and is negative") {
     import org.apache.spark.sql.functions._
     def q6(d: Double): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      java.math.BigDecimal.valueOf(math.floor(d * 1e6).toLong, 6)
     val docs = Tables.documents(spark, dir).select(col("lang"), col("text")).collect()
       .map(r => (r.getString(0), r.getString(1)))
     val expect = docs.groupBy(_._1).map { case (lang, ds) =>
@@ -399,7 +402,7 @@ class QueriesSpec extends AnyFunSuite {
   test("q104 PMI top collocations equal a brute-force recount") {
     import org.apache.spark.sql.functions._
     def q6(d: Double): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      java.math.BigDecimal.valueOf(math.floor(d * 1e6).toLong, 6)
     val toks = Tables.documents(spark, dir).select(col("text")).collect()
       .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
     val uni = toks.flatten.groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
@@ -425,8 +428,8 @@ class QueriesSpec extends AnyFunSuite {
 
   test("q105 tfidf cosine pairs equal a brute-force sparse dot product") {
     import org.apache.spark.sql.functions._
-    import java.math.{BigDecimal => JBD, RoundingMode}
-    def q6(d: Double): JBD = JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+    import java.math.{BigDecimal => JBD}
+    def q6(d: Double): JBD = JBD.valueOf(math.floor(d * 1e6).toLong, 6)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
     val n = docs.length.toLong
@@ -478,8 +481,8 @@ class QueriesSpec extends AnyFunSuite {
 
   test("q107 bigram surprisal equals a brute-force per-doc recount") {
     import org.apache.spark.sql.functions._
-    import java.math.{BigDecimal => JBD, RoundingMode}
-    def q6(d: Double): JBD = JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+    import java.math.{BigDecimal => JBD}
+    def q6(d: Double): JBD = JBD.valueOf(math.floor(d * 1e6).toLong, 6)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1),

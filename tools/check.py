@@ -118,7 +118,17 @@ def main():
         else:
             print(f"PASS {name} ({len(sp)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_fail} fail == (duckdb {duckdb.__version__})")
+    # stamp the replica's oracle engine version beside Verify's
+    # env.json — round 10's local-vs-driver split was undiagnosable
+    # from artifacts because neither side recorded what it ran
+    env_path = f"{outdir}/env.json"
+    try:
+        env = json.load(open(env_path)) if os.path.exists(env_path) else {}
+        env["duckdb_replica"] = duckdb.__version__
+        json.dump(env, open(env_path, "w"), indent=1)
+    except Exception as e:
+        print(f"(env.json stamp skipped: {e})")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
