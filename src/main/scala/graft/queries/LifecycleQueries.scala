@@ -83,10 +83,20 @@ object LifecycleQueries {
     */
   def q159_survival(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val life = ev.groupBy(col("user_id"))
-      .agg(min(to_date(col("ts"))).as("d0"),
-        min(when(col("event_type") === "error", to_date(col("ts")))).as("de"))
-    val mx = ev.agg(max(to_date(col("ts"))).as("mx"))
+    survivalFrom(
+      ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"),
+          min(when(col("event_type") === "error", to_date(col("ts")))).as("de")),
+      ev.agg(max(to_date(col("ts"))).as("mx")))
+  }
+
+  /** q159's pipeline from the per-user lifetimes frame (user_id, d0
+    * first-event day, de first-error day or null) + the 1-row corpus
+    * horizon — shared with the streaming twin q199, whose per-user
+    * state IS (d0, de, own-max-day) and whose horizon is the max of
+    * the per-user maxima.
+    */
+  private[queries] def survivalFrom(life: DataFrame, mx: DataFrame): DataFrame = {
     val users = life.crossJoin(broadcast(mx)).select(
       expr("datediff(d0, DATE '2024-01-01') div 7").as("cohort"),
       when(col("de").isNotNull, datediff(col("de"), col("d0")))

@@ -481,6 +481,15 @@ object ReportQueries {
       .join(fv, "user_id")
       .filter(col("us") > col("v_us"))
       .groupBy(col("user_id"), col("v_us")).agg(min(col("us")).as("p_us"))
+    lagQuantilesFrom(fp)
+  }
+
+  /** q146's histogram/percentile pipeline from the per-user
+    * conversion frame (v_us first-view µs, p_us first-later-purchase
+    * µs) — shared with the streaming twin q200, whose per-user state
+    * machine emits exactly one (v_us, p_us) fact per converting user.
+    */
+  private[queries] def lagQuantilesFrom(fp: DataFrame): DataFrame = {
     val hist = fp.select(
         (dayofweek(timestamp_micros(col("v_us"))) - 1).cast("long").as("dow"),
         ((col("p_us") - col("v_us")) / 1000000).cast("long").as("d_s"))

@@ -1377,7 +1377,101 @@ object StreamQueries {
   /** Same oracle as the batch skew profile — the point of the query. */
   val q198_stream_skew_sql: String = StatsQueries.q153_skew_profile_sql
 
+  /** q199 — STREAMING Kaplan–Meier survival: q159's per-cohort
+    * churn-signal curves maintained incrementally — the
+    * TWENTY-FIRST pairing. The sufficient statistic per user is
+    * THREE DAY-NUMBERS: first-event day (min — monotone), first
+    * `error` day (min over errors; sentinel when none), and the
+    * user's own max day; the corpus horizon that right-censors
+    * never-error users is just the max of the per-user maxima, so no
+    * global state exists at all. Emissions supersede by a monotone
+    * event count (max-by-seq compaction — q124's idiom); the
+    * projection rebuilds the lifetimes frame from the compacted
+    * state and reruns q159's survivalFrom verbatim — at-risk
+    * windows, survival-product fold and all (shared code, shared
+    * oracle). Continuous survival monitoring from 24 bytes of state
+    * per user; the corpus never re-scans.
+    */
+  def q199_stream_survival(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val none = Long.MaxValue
+    graft.streaming.Pairing.run[Long, (Long, Long, Long, Long), (Long, Long, Long, Long, Long)](
+      spark, dir, Seq("user_id", "seq", "d0", "de", "dmax"))(
+      _.user_id)((0L, none, none, Long.MinValue)) { (u, s0, ordered) =>
+        var (seq, d0, de, dmax) = s0
+        ordered.foreach { e =>
+          val day = math.floorDiv(e.ts.getTime, 86400000L)
+          seq += 1
+          if (day < d0) d0 = day
+          if (day > dmax) dmax = day
+          if (e.event_type == "error" && day < de) de = day
+        }
+        ((seq, d0, de, dmax),
+          if (ordered.isEmpty) Vector.empty else Vector((u, seq, d0, de, dmax)))
+      } { t =>
+        val cmp = t.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("d0"), col("de"), col("dmax"))).as("b"))
+          .select(col("user_id"), col("b.d0").as("d0"),
+            col("b.de").as("de"), col("b.dmax").as("dmax"))
+        val epoch = to_date(lit("1970-01-01"))
+        val life = cmp.select(col("user_id"),
+          date_add(epoch, col("d0").cast("int")).as("d0"),
+          when(col("de") =!= lit(none), date_add(epoch, col("de").cast("int"))).as("de"))
+        val mx = cmp.agg(date_add(epoch, max(col("dmax")).cast("int")).as("mx"))
+        LifecycleQueries.survivalFrom(life, mx)
+      }
+  }
+
+  /** Same oracle as the batch Kaplan–Meier — the point of the query. */
+  val q199_stream_survival_sql: String = LifecycleQueries.q159_survival_sql
+
+  /** q200 — STREAMING conversion-lag quantiles: q146's
+    * view→purchase latency report maintained incrementally — the
+    * TWENTY-SECOND pairing, and the APPEND-FACT pattern's cleanest
+    * form: the per-user state machine is (first-view µs, converted?)
+    * — nine bytes — and it emits exactly ONE (v_us, p_us) fact at the
+    * moment the first post-view purchase lands (the canonical replay
+    * order makes "first view" and "first later purchase" exact).
+    * Facts never supersede, so there is no compaction at all; the
+    * projection feeds the accumulated fact table to q146's
+    * lagQuantilesFrom verbatim — dow histogram, exact p50/p90/p99
+    * and all (shared code, shared oracle). This is the online
+    * conversion-latency dashboard: each conversion contributes the
+    * instant it happens.
+    */
+  def q200_stream_conversion_lag(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val noView = Long.MaxValue
+    graft.streaming.Pairing.run[Long, (Long, Boolean), (Long, Long, Long)](
+      spark, dir, Seq("user_id", "v_us", "p_us"))(
+      _.user_id)((noView, false)) { (u, s0, ordered) =>
+        var (vUs, done) = s0
+        val out = Vector.newBuilder[(Long, Long, Long)]
+        ordered.foreach { e =>
+          val us = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+          e.event_type match {
+            case "view" if us < vUs => vUs = us
+            case "purchase" if !done && us > vUs =>
+              done = true
+              out += ((u, vUs, us))
+            case _ => ()
+          }
+        }
+        ((vUs, done), out.result())
+      } { t =>
+        ReportQueries.lagQuantilesFrom(
+          t.select(col("user_id"), col("v_us"), col("p_us")))
+      }
+  }
+
+  /** Same oracle as the batch conversion-lag report — the point. */
+  val q200_stream_conversion_lag_sql: String = ReportQueries.q146_conversion_lag_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_stream_conversion_lag" -> (q200_stream_conversion_lag _),
+    "q199_stream_survival" -> (q199_stream_survival _),
     "q198_stream_skew" -> (q198_stream_skew _),
     "q197_stream_timed_conversion" -> (q197_stream_timed_conversion _),
     "q194_stream_overlap" -> (q194_stream_overlap _),
@@ -1410,6 +1504,8 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q200_stream_conversion_lag" -> q200_stream_conversion_lag_sql,
+    "q199_stream_survival" -> q199_stream_survival_sql,
     "q198_stream_skew" -> q198_stream_skew_sql,
     "q197_stream_timed_conversion" -> q197_stream_timed_conversion_sql,
     "q194_stream_overlap" -> q194_stream_overlap_sql,

@@ -49,6 +49,14 @@ class LifecycleSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("q199 streaming Kaplan-Meier is bit-identical to batch q159 (pairing #21)") {
+    val batch = LifecycleQueries.q159_survival(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q199_stream_survival(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q159 KM curve equals an imperative survival recomputation") {
     val rows = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))

@@ -121,6 +121,14 @@ class ReportSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("q200 streaming conversion lag is bit-identical to batch q146 (pairing #22)") {
+    val batch = ReportQueries.q146_conversion_lag(spark, dir).collect().toSeq
+    val stream = StreamQueries.q200_stream_conversion_lag(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q141 grouping sets equal recounts at each of the three levels") {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
