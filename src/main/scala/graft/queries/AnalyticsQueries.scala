@@ -986,7 +986,9 @@ object AnalyticsQueries {
     * The induction that makes 3 rounds of float math hash-stable:
     * per-edge contribution = pr_prev / deg is one double division of
     * a bit-identical double by an exact long (identical both
-    * engines), QUANTIZED to DECIMAL(28,18) (q97's move) so the
+    * engines), floor-quantized through decq at scale 12 (q97's
+    * move, re-edged in r11 — raw double→DECIMAL cast rounding is
+    * engine-version-sensitive) so the
     * per-node mass sum is an order-free exact decimal sum; the new
     * pr = 0.15/n + 0.85·(sum as double) is again fixed-order double
     * arithmetic — bit-identical input, bit-identical output, so the

@@ -732,9 +732,9 @@ object RelationalQueries {
     * groupBy (node-keyed shuffle). ZERO windows, zero driver state;
     * the rank vector never exists as one object, only as a
     * node-partitioned frame. Determinism: each edge's contribution
-    * 1/(N·deg) is a single exactly-rounded IEEE division quantized to
-    * DECIMAL(28,18) before the order-free exact decimal sum
-    * (Determinism's rule); the final damping arithmetic is a fixed
+    * 1/(N·deg) is a single exactly-rounded IEEE division floor-
+    * quantized through decq (scale 12, exact int64) before the
+    * order-free exact decimal sum (Determinism's rule); the final damping arithmetic is a fixed
     * double expression both engines evaluate identically.
     */
   def q97_pagerank_step(spark: SparkSession, dir: String): DataFrame = {

@@ -145,7 +145,8 @@ object StatsQueries {
     * a broadcast scalar. Each cell's contribution is the exact
     * integer identity (obs·N − rt·ct)² / (rt·ct·N) evaluated as one
     * mirrored double expression; the total is an exact decimal sum of
-    * 6-dp-quantized contributions, so cell order cannot move a bit.
+    * decq-floor-quantized (1e-6) contributions, so cell order
+    * cannot move a bit.
     */
   def q150_chi_square(spark: SparkSession, dir: String): DataFrame = {
     val joined = Tables.orders(spark, dir)
@@ -220,8 +221,8 @@ object StatsQueries {
     * rendering (first char of the int64 string — both engines print
     * integers identically; no log10 whose last ulp could flip a
     * boundary value), and the Benford expectations are shared decimal
-    * LITERALS, not engine libm calls. Per-digit contributions quantize
-    * to 6 dp before the exact total sum.
+    * LITERALS, not engine libm calls. Per-digit contributions floor-
+    * quantize (decq, 1e-6) before the exact total sum.
     *
     * Scale/shape: one aggregation to the 9-row digit frame; the
     * scalar N and chi2 ride broadcasts.

@@ -1319,8 +1319,8 @@ object TextQueries {
     *
     * Float portability, same contract as q89: −ln(c/total) has
     * integer-only inputs and an op-for-op identical rendering in
-    * both engines; each token's surprisal is quantized to
-    * DECIMAL(18,6) before the order-free exact decimal sum. The
+    * both engines; each token's surprisal is floor-quantized (decq)
+    * at 1e-6 before the order-free exact decimal sum. The
     * keep-flag threshold compares a double that is bit-identical on
     * both sides (exact decimal sum cast to double / exact long), so
     * the flag can't flip between engines.
@@ -1694,10 +1694,10 @@ object TextQueries {
     * Determinism (the JS-specific trap): per-term ln() runs through
     * libm, whose last bit differs across engines, and JS terms are
     * ~1e-4 — quantizing the TERM would put the grain inside libm's
-    * noise. Instead the ln factor alone is quantized at 1e-6 (its
-    * magnitude is ~1, so the grain is 10 orders above libm noise —
-    * q91's rule), p/q are exact single-division doubles cast to
-    * DECIMAL(18,12), and the term product D(18,12)×D(18,6) has
+    * noise. Instead the ln factor alone is floor-quantized (decq) at 1e-6
+    * (its magnitude is ~1, so the grain is 10 orders above libm
+    * noise — q91's rule), p/q are exact single-division doubles
+    * decq'd at scale 12, and the term product D(18,12)×D(18,6) has
     * precision 37 — inside BOTH engines' 38 cap, so no silent
     * precision clamp. ln 2 enters as a shared double LITERAL, never
     * as ln(2). Final combine is a fixed double expression over the
@@ -1860,9 +1860,9 @@ object TextQueries {
     * (vocab-sized, q79's precedent — the rank window partitions by
     * lang but its input is the vocabulary, not the corpus); the five
     * sufficient statistics (n, Σx, Σy, Σxy, Σx²) are one mergeable
-    * aggregation. Determinism: x and y are ln() doubles quantized to
-    * DECIMAL(18,6) (q91's rule — the quantization grain absorbs
-    * libm's last-bit disagreement), products/sums stay exact decimal,
+    * aggregation. Determinism: x and y are ln() doubles floor-quantized (decq) at
+    * 1e-6 (q91's rule — the quantization grain absorbs libm's
+    * last-bit disagreement), products/sums stay exact decimal,
     * and slope/intercept are a fixed double expression over the five
     * exactly-agreed statistics.
     */
@@ -2253,8 +2253,8 @@ object TextQueries {
     * vocab-bounded df agg, the capped self-join, one pair-keyed agg,
     * two doc-keyed norm joins.
     *
-    * Determinism: idf = ln(n/df) is the single libm call — quantized
-    * DECIMAL(18,6) (q91's rule); weights tf·idf_q are EXACT decimals
+    * Determinism: idf = ln(n/df) is the single libm call — floor-
+    * quantized through decq at 1e-6 (q91's rule); weights tf·idf_q are EXACT decimals
     * (scale stays 6, no rounding step at all), so numerator and
     * norms² are exact order-free decimal sums; cosine is then fixed
     * double arithmetic — IEEE sqrt is correctly rounded (unlike ln),
@@ -2540,7 +2540,7 @@ object TextQueries {
     * dyadic rational, EXACT in an IEEE double (dividing (0, 2^52]
     * integers by the power of two loses no bits; using the full 60
     * bits would round the numerator and invite last-bit divergence).
-    * The single libm ln(u) is quantized to DECIMAL(18,6) (q91's
+    * The single libm ln(u) is floor-quantized (decq) at 1e-6 (q91's
     * rule), and the priority lnq/w divides two bit-identical
     * doubles. Rank runs through GroupTopK (fifth verified regime: a
     * libm-DERIVED float sort key) with the ORACLE on the naive
