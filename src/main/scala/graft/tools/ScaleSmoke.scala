@@ -247,7 +247,15 @@ object ScaleSmoke {
       // Theil-Sen (calendar²-bounded pair frame at any N)
       "q185_jaro_linkage", "q186_clustering_coeff", "q187_kmv_overlap",
       "q189_pagerank_iter", "q190_journey_patterns",
-      "q192_correlated_sub", "q193_theil_sen")
+      "q192_correlated_sub", "q193_theil_sen",
+      // round 11: timed conversions (two per-user window carries at
+      // any N); the q198 skew-profile batch twin is q153 (already
+      // here); KM survival's at-risk frame is cohort×day-bounded at
+      // any N (q159 already here); conversion-lag (q146 already
+      // here). The streaming twins run micro-batch machinery, not ×N
+      // plan shapes — the batch pipelines they share are the scale
+      // surface, so the smoke exercises those.
+      "q196_timed_conversion")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")
