@@ -793,14 +793,21 @@ object EventQueries {
           unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(wRun))
-    sess.groupBy(col("user_id"), col("session_id"))
+    pathsFrom(sess.groupBy(col("user_id"), col("session_id"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
-      .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
-      .select(explode(graft.operators.TextAnalysis.shingles(col("types"), 3)).as("path"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("types")))
+  }
+
+  /** q132's path report from the per-session `types` array frame —
+    * trigram shingling, the label³-bounded count frame and the
+    * tie-broken top-20. Shared verbatim by the streaming twin q202
+    * so batch and stream cannot drift.
+    */
+  private[queries] def pathsFrom(seqs: DataFrame): DataFrame =
+    seqs.select(explode(graft.operators.TextAnalysis.shingles(col("types"), 3)).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path")).limit(20)
-  }
 
   val q132_top_paths_sql: String = {
     val tri = graft.operators.TextAnalysis.shinglesSql("types", 3)

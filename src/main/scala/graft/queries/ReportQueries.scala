@@ -50,6 +50,18 @@ object ReportQueries {
     val daily = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(sum(dec2(col("value"))).as("s"))
+    gapFillFrom(users, days, daily)
+  }
+
+  /** q137's spine join + LOCF windows from the three ingredient
+    * frames — users (`user_id`), the day spine (`day`, broadcast by
+    * the caller's construction: calendar-bounded), and the observed
+    * daily frame (`user_id`, `day`, exact-decimal `s`). Shared
+    * verbatim by the streaming twin q203 so batch and stream cannot
+    * drift.
+    */
+  private[queries] def gapFillFrom(users: DataFrame, days: DataFrame,
+      daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     users.crossJoin(broadcast(days))

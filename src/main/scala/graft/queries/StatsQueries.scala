@@ -52,6 +52,15 @@ object StatsQueries {
         max(when(col("event_type") === "purchase" && dec2(col("value")) >= 200,
           lit(1L)).otherwise(lit(0L))).as("conv"),
         sum(when(col("event_type") === "purchase", cents(col("value"))).otherwise(lit(0L))).as("c"))
+    abFrom(perUser)
+  }
+
+  /** q149's readout from the per-user (user_id, conv, c) frame — the
+    * arm assignment and both test statistics. Shared verbatim by the
+    * streaming twin q201 so batch and stream cannot drift.
+    */
+  private[queries] def abFrom(perUser0: DataFrame): DataFrame = {
+    val perUser = perUser0
       .withColumn("arm", pmod(hash60(col("user_id").cast("string")), lit(2L)))
     val g = perUser.agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),

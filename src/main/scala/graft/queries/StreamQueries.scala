@@ -1469,7 +1469,153 @@ object StreamQueries {
   /** Same oracle as the batch conversion-lag report — the point. */
   val q200_stream_conversion_lag_sql: String = ReportQueries.q146_conversion_lag_sql
 
+  /** q201 — STREAMING A/B readout: q149's experiment dashboard
+    * maintained incrementally — the TWENTY-THIRD pairing. The
+    * per-user sufficient statistic is THREE LONGS (event count for
+    * compaction, big-ticket-conversion flag, purchase cents total) —
+    * 24 bytes of state; the arm assignment is a pure hash of the key,
+    * so it lives in the projection, not the state. Emissions
+    * supersede by the monotone event count (max-by-seq compaction,
+    * q124's idiom); the projection reruns q149's abFrom verbatim —
+    * pooled z, Welch t and all (shared code, shared oracle). This is
+    * the live experiment monitor: every arriving purchase moves the
+    * readout, and the corpus never re-scans.
+    */
+  def q201_stream_ab_test(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Long, Long), (Long, Long, Long, Long)](
+      spark, dir, Seq("user_id", "seq", "conv", "c"))(
+      _.user_id)((0L, 0L, 0L)) { (u, s0, ordered) =>
+        var (seq, conv, c) = s0
+        ordered.foreach { e =>
+          seq += 1
+          if (e.event_type == "purchase") {
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            c += cents
+            if (cents >= 20000L) conv = 1L
+          }
+        }
+        ((seq, conv, c),
+          if (ordered.isEmpty) Vector.empty else Vector((u, seq, conv, c)))
+      } { t =>
+        StatsQueries.abFrom(t.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("conv"), col("c"))).as("b"))
+          .select(col("user_id"), col("b.conv").as("conv"), col("b.c").as("c")))
+      }
+  }
+
+  /** Same oracle as the batch A/B readout — the point of the query. */
+  val q201_stream_ab_test_sql: String = StatsQueries.q149_ab_test_sql
+
+  /** q202 — STREAMING session paths: q132's top trigram-path report
+    * maintained incrementally — the TWENTY-FOURTH pairing, and the
+    * online form of sessionization itself: per-user state is the
+    * OPEN session only (its index, last-event µs and its event-type
+    * sequence — session-bounded by the 30-minute gap rule, never
+    * corpus-bounded). Each batch advances the session machine in the
+    * canonical replay order; every session TOUCHED in the batch emits
+    * its latest snapshot keyed (user, session) with the monotone
+    * event count, so a session closed in an earlier batch is final
+    * the moment it stops being touched — no close/timeout machinery
+    * needed under compaction (max-by-seq per (user, session), q124's
+    * idiom). The projection shingles the compacted per-session type
+    * arrays through q132's pathsFrom verbatim (shared code, shared
+    * oracle).
+    */
+  def q202_stream_paths(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Long, Long, Seq[String]), (Long, Long, Long, Seq[String])](
+      spark, dir, Seq("user_id", "session_id", "seq", "types"))(
+      _.user_id)((0L, 0L, 0L, Vector.empty[String])) { (u, s0, ordered) =>
+        var (seq, lastUs, sess, cur) = s0
+        val touched = scala.collection.mutable.LinkedHashMap[Long, Seq[String]]()
+        ordered.foreach { e =>
+          val us = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+          seq += 1
+          if (sess == 0L || us - lastUs > 1800L * 1000000L) {
+            sess += 1; cur = Vector(e.event_type)
+          } else cur = cur :+ e.event_type
+          lastUs = us
+          touched(sess) = cur
+        }
+        ((seq, lastUs, sess, cur),
+          touched.iterator.map { case (sid, ts) => (u, sid, seq, ts) }.toVector)
+      } { t =>
+        EventQueries.pathsFrom(t.groupBy(col("user_id"), col("session_id"))
+          .agg(max(struct(col("seq"), col("types"))).as("b"))
+          .select(col("b.types").as("types")))
+      }
+  }
+
+  /** Same oracle as the batch path report — the point of the query. */
+  val q202_stream_paths_sql: String = EventQueries.q132_top_paths_sql
+
+  /** q203 — STREAMING gap-fill/LOCF: q137's calendar-regridded
+    * purchase series maintained incrementally — the TWENTY-FIFTH
+    * pairing. State per user is the purchase day→cents map
+    * (CALENDAR-bounded — exactly the daily frame the batch side
+    * collapses to first, q195's state shape) plus the user's own
+    * min/max event-day pair; the corpus day spine that the batch
+    * derives from a global min/max is just the min/max over the
+    * per-user bounds, so no global state exists (q199's horizon
+    * idiom). Max-seq compaction supersedes across batches; the
+    * projection rebuilds users/spine/daily and reruns q137's
+    * gapFillFrom verbatim — LOCF windows, staleness counters and all
+    * (shared code, shared oracle). The forward-fill itself never
+    * runs on the stream: it is a projection over the calendar-bounded
+    * state image, which is what makes LOCF streamable at all.
+    */
+  def q203_stream_gap_fill(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Long, Long, Map[Long, Long]), (Long, Long, Long, Long, Seq[Long], Seq[Long])](
+      spark, dir, Seq("user_id", "seq", "dmin", "dmax", "days", "cents"))(
+      _.user_id)((0L, Long.MaxValue, Long.MinValue, Map.empty[Long, Long])) { (u, s0, ordered) =>
+        var (seq, dmin, dmax, m) = s0
+        ordered.foreach { e =>
+          val day = math.floorDiv(e.ts.getTime, 86400000L)
+          seq += 1
+          if (day < dmin) dmin = day
+          if (day > dmax) dmax = day
+          if (e.event_type == "purchase") {
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            m = m.updated(day, m.getOrElse(day, 0L) + cents)
+          }
+        }
+        val days = m.keys.toSeq.sorted
+        ((seq, dmin, dmax, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((u, seq, dmin, dmax, days, days.map(m))))
+      } { t =>
+        val epoch = to_date(lit("1970-01-01"))
+        val cmp = t.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("dmin"), col("dmax"),
+            col("days"), col("cents"))).as("b"))
+          .select(col("user_id"), col("b.dmin").as("dmin"),
+            col("b.dmax").as("dmax"), col("b.days").as("days"),
+            col("b.cents").as("cents"))
+        val users = cmp.select(col("user_id"))
+        val days = cmp.agg(date_add(epoch, min(col("dmin")).cast("int")).as("d0"),
+            date_add(epoch, max(col("dmax")).cast("int")).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val daily = cmp
+          .select(col("user_id"), explode(arrays_zip(col("days"), col("cents"))).as("z"))
+          .select(col("user_id"),
+            date_add(epoch, col("z.days").cast("int")).as("day"),
+            (col("z.cents").cast("decimal(38,2)") / 100).as("s"))
+        ReportQueries.gapFillFrom(users, days, daily)
+      }
+  }
+
+  /** Same oracle as the batch gap-fill report — the point. */
+  val q203_stream_gap_fill_sql: String = ReportQueries.q137_gap_fill_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_stream_ab_test" -> (q201_stream_ab_test _),
+    "q202_stream_paths" -> (q202_stream_paths _),
+    "q203_stream_gap_fill" -> (q203_stream_gap_fill _),
     "q200_stream_conversion_lag" -> (q200_stream_conversion_lag _),
     "q199_stream_survival" -> (q199_stream_survival _),
     "q198_stream_skew" -> (q198_stream_skew _),
@@ -1504,6 +1650,9 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q201_stream_ab_test" -> q201_stream_ab_test_sql,
+    "q202_stream_paths" -> q202_stream_paths_sql,
+    "q203_stream_gap_fill" -> q203_stream_gap_fill_sql,
     "q200_stream_conversion_lag" -> q200_stream_conversion_lag_sql,
     "q199_stream_survival" -> q199_stream_survival_sql,
     "q198_stream_skew" -> q198_stream_skew_sql,

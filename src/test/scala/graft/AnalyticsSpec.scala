@@ -350,6 +350,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q201 streaming A/B readout is bit-identical to batch q149 (pairing #23)") {
+    val batch = graft.queries.StatsQueries.q149_ab_test(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q201_stream_ab_test(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q202 streaming session paths are bit-identical to batch q132 (pairing #24)") {
+    val batch = graft.queries.EventQueries.q132_top_paths(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q202_stream_paths(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q129 drift profile equals a two-pass replay, and halves partition the data") {
     val rows = AnalyticsQueriesSpecHelper.rows(
       AnalyticsQueries.q129_profile_drift(spark, dir),

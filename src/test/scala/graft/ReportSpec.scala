@@ -129,6 +129,14 @@ class ReportSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q203 streaming gap-fill is bit-identical to batch q137 (pairing #25)") {
+    val batch = ReportQueries.q137_gap_fill(spark, dir).collect().toSeq
+    val stream = StreamQueries.q203_stream_gap_fill(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q141 grouping sets equal recounts at each of the three levels") {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
