@@ -103,13 +103,15 @@ object Bench {
     val splitField =
       s""","batch_total":${roundN(2)(total(results) - streamingTotal)}""" +
       s""","streaming_total":${roundN(2)(streamingTotal)}"""
-    def mkKeyed(key: String => String, sf: String)(fmt: Double => String): String = {
+    def mkKeyed(key: String => String, sf: String, scalars: Boolean = true)(
+        fmt: Double => String): String = {
       val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // failed queries (sentinel -1.0) must not contribute to the
       // headline total — summing them would make breakage read as a
       // speedup in a total-vs-total comparison
-      s"""{"metric":"total","value":${fmt(total(results))},"unit":"sec","failed":${failed(results)}$auxField$splitField,"queries":$qs,"sf":"$sf"}"""
+      val extra = if (scalars) auxField + splitField else ""
+      s"""{"metric":"total","value":${fmt(total(results))},"unit":"sec","failed":${failed(results)}$extra,"queries":$qs,"sf":"$sf"}"""
     }
     def mkLine(fmt: Double => String, sf: String = sfDir): String = mkKeyed(identity, sf)(fmt)
     // full precision goes to the known file (and an early stdout line);
@@ -144,11 +146,17 @@ object Bench {
     // short rung: "q87"; NUM rung (added when short-key whole-seconds
     // itself outgrew the window at ~179 queries): bare "87" — still
     // unique (same prefix), still trivially mapped back to full names
+    // LEAN rung (added when num-key whole-seconds itself outgrew the
+    // window at ~200 queries): drop the three aux/split scalars —
+    // they are in bench_out.json and every earlier rung — keeping
+    // per-query data alive instead of falling to totals-only
     val mkShort = mkKeyed(_.takeWhile(_ != '_'), sfTag) _
     val mkNum = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag) _
+    val mkNumLean = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag, scalars = false) _
     println(
       Seq(mkLine(roundN(2), sfTag), mkLine(roundN(1), sfTag), mkLine(roundN(0), sfTag),
-          mkShort(roundN(1)), mkShort(roundN(0)), mkNum(roundN(1)), mkNum(roundN(0)))
+          mkShort(roundN(1)), mkShort(roundN(0)), mkNum(roundN(1)), mkNum(roundN(0)),
+          mkNumLean(roundN(0)))
         .find(_.length <= 1900).getOrElse(totalsOnly))
     spark.stop()
   }

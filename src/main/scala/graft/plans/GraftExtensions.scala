@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteArrayDot)
     ext.injectOptimizerRule(_ => RewriteHash60)
     ext.injectOptimizerRule(_ => RewriteCents)
+    // (r11 cont.) the natural word-shingling HOF fuses to the
+    // codegen'd Shingles kernel
+    ext.injectOptimizerRule(_ => RewriteShingles)
     ext.injectFunction((
       new FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
@@ -72,6 +75,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_rolling_hash window length must be an integer literal, got $other")
         }
         RollingWindowHash(children.head, w)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_shingles`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            cause = None)
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles width must be an integer literal, got $other")
+        }
+        Shingles(children.head, n)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cents"),

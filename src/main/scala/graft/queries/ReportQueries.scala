@@ -157,11 +157,17 @@ object ReportQueries {
     * it by re-keying — no second corpus pass, no row-level window,
     * no sort. The med/mad frames are type-sized and broadcast.
     */
-  def q139_mad_outliers(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.events(spark, dir)
+  def q139_mad_outliers(spark: SparkSession, dir: String): DataFrame =
+    madFrom(Tables.events(spark, dir)
       .groupBy(col("event_type"), cents(col("value")).as("c"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist()
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q139's med/MAD/outlier report from the (event_type, c, cnt)
+    * value histogram. Shared verbatim by the streaming twin q204 so
+    * batch and stream cannot drift.
+    */
+  private[queries] def madFrom(hist0: DataFrame): DataFrame = {
+    val hist = hist0.persist()
     hist.count() // eager: three consumers race a cold cache's partition locks otherwise (the q104 lesson)
     // med2 per type in ONE window + agg pass: the group total rides
     // the same exchange as the cumulative (an unbounded-frame sum —

@@ -1612,7 +1612,51 @@ object StreamQueries {
   /** Same oracle as the batch gap-fill report — the point. */
   val q203_stream_gap_fill_sql: String = ReportQueries.q137_gap_fill_sql
 
+  /** q204 — STREAMING MAD outliers: q139's robust outlier report
+    * maintained incrementally — the TWENTY-SIXTH pairing. State per
+    * event_type is the cents→count VALUE HISTOGRAM (value-domain
+    * bounded — exactly the frame batch q139 collapses to first, and
+    * the same state shape the exact-quantile pairing q170 carries);
+    * each batch folds its events' cents into the histogram and emits
+    * the whole image with a monotone event count. Max-seq compaction
+    * supersedes across batches; the projection replays q139's
+    * madFrom verbatim — integer med2/mad2 selection, the exact 2·d >
+    * 3·mad2 outlier test and all (shared code, shared oracle). The
+    * median-of-deviations never touches the stream: like q203's
+    * LOCF, it is a projection over the label×value-bounded state
+    * image — which is what makes a ROBUST statistic streamable
+    * without approximation.
+    */
+  def q204_stream_mad(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[String, (Long, Map[Long, Long]), (String, Long, Seq[Long], Seq[Long])](
+      spark, dir, Seq("event_type", "seq", "cs", "cnts"))(
+      _.event_type)((0L, Map.empty[Long, Long])) { (k, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { e =>
+          val cents = math.floor(e.value * 100 + 0.5).toLong
+          m = m.updated(cents, m.getOrElse(cents, 0L) + 1L)
+          seen += 1
+        }
+        val cs = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((k, seen, cs, cs.map(m))))
+      } { t =>
+        ReportQueries.madFrom(t.groupBy(col("event_type"))
+          .agg(max(struct(col("seq"), col("cs"), col("cnts"))).as("b"))
+          .select(col("event_type"),
+            explode(arrays_zip(col("b.cs"), col("b.cnts"))).as("z"))
+          .select(col("event_type"), col("z.cs").as("c"), col("z.cnts").as("cnt")))
+      }
+  }
+
+  /** Same oracle as the batch MAD report — the point of the query. */
+  val q204_stream_mad_sql: String = ReportQueries.q139_mad_outliers_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
     "q203_stream_gap_fill" -> (q203_stream_gap_fill _),
@@ -1650,6 +1694,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,
     "q203_stream_gap_fill" -> q203_stream_gap_fill_sql,

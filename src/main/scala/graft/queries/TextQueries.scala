@@ -1570,6 +1570,175 @@ object TextQueries {
        |  CAST(base + CASE WHEN n_ahead < short THEN 1 ELSE 0 END AS BIGINT) AS planned
        |FROM r ORDER BY source""".stripMargin
 
+  /** q205 — NEYMAN-ALLOCATION stratified sampling: size the
+    * per-source sample by n_h·σ_h (optimal allocation — variable
+    * strata get more budget, uniform strata less), then draw it with
+    * deterministic hash-threshold sampling and report the achieved
+    * sample's mean length against the stratum truth. The
+    * variance-AWARE step up from q82's sqrt-temperature mixing: q82
+    * budgets by size alone, this budgets by size × spread, which is
+    * what a curation run wants when sources differ wildly in
+    * homogeneity (deva: groupby + stats lambda + sample).
+    *
+    * Determinism: the Neyman weight collapses to ONE exact integer —
+    * n·σ = n·sqrt((n·Σy² − (Σy)²)/n²) = sqrt(n·Σy² − (Σy)²), so the
+    * weight is sqrt of the exact int64 variance numerator (n_chars ≤
+    * ~10⁴ keeps n·Σy² under 2⁶³ through sf0.1 ×100; a 100 TB run
+    * widens the two products to DECIMAL(38,0) — same plan shape),
+    * floor-quantized at 1e6 (the decq idiom) before the exact
+    * largest-remainder split of the 100-doc budget (q82's machinery
+    * verbatim: integer base/frac, shortfall by frac-rank). The draw
+    * is q98's zero-coordination hash threshold; sums stay integer to
+    * the final mirrored double divides.
+    *
+    * Scale/shape: one aggregation to the label-sized stratum frame
+    * (map-side partials), allocation arithmetic on broadcast
+    * label-sized frames, then ONE map-only pass where each row
+    * decides its own membership from its hash against the broadcast
+    * quota — no sort, no per-group top-k, no second shuffle.
+    */
+  def q205_neyman_sample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("y"))
+    val strata = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("ss"))
+      .withColumn("w_q",
+        floor(sqrt(expr("CAST(n * ss - s * s AS DOUBLE)")) * 1e6).cast("long"))
+    val based = strata
+      .crossJoin(broadcast(strata.agg(sum(col("w_q")).as("sum_w"))))
+      .withColumn("base", expr(s"$budget * w_q div sum_w"))
+      .withColumn("frac", expr(s"($budget * w_q) % sum_w"))
+    val withShort = based.crossJoin(broadcast(
+      based.agg((lit(budget) - sum(col("base"))).as("short"))))
+    val peers = based.select(col("source").as("peer"), col("frac").as("peer_frac"))
+    val planned = withShort
+      .join(broadcast(peers),
+        col("peer_frac") > col("frac") ||
+          (col("peer_frac") === col("frac") && col("peer") < col("source")),
+        "left")
+      .groupBy(col("source"), col("n"), col("s"), col("w_q"), col("short"), col("base"))
+      .agg(count(col("peer")).as("n_ahead"))
+      .select(col("source"), col("n"), col("s"), col("w_q"),
+        (col("base") + when(col("n_ahead") < col("short"), 1L).otherwise(0L)).as("planned"))
+    val keep = pmod(
+      graft.functions.Determinism.hash60(
+        concat(lit("ney:"), col("doc_id").cast("string"))),
+      lit(1000000L)) < col("thr")
+    val sampled = docs
+      .join(broadcast(planned.withColumn("thr",
+        least(lit(1000000L), expr("1000000 * planned div n")))), "source")
+      .filter(keep)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("achieved"), sum(col("y")).as("s_samp"))
+    planned.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n"), col("w_q"), col("planned"),
+        coalesce(col("achieved"), lit(0L)).as("achieved"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean_all"),
+        (col("s_samp").cast("double") / col("achieved").cast("double")).as("mean_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val q205_neyman_sample_sql: String = {
+    val h = graft.functions.Determinism.hash60Sql("'ney:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS y FROM documents),
+       |c AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+       |    CAST(SUM(y * y) AS BIGINT) AS ss
+       |  FROM d GROUP BY source),
+       |w AS (
+       |  SELECT source, n, s,
+       |    CAST(floor(sqrt(CAST(n * ss - s * s AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+       |  FROM c),
+       |t AS (SELECT CAST(SUM(w_q) AS BIGINT) AS sum_w FROM w),
+       |b AS (
+       |  SELECT source, n, s, w_q,
+       |    CAST(100 * w_q // sum_w AS BIGINT) AS base,
+       |    CAST((100 * w_q) % sum_w AS BIGINT) AS frac
+       |  FROM w, t),
+       |sh AS (SELECT CAST(100 - SUM(base) AS BIGINT) AS short FROM b),
+       |p AS (
+       |  SELECT source, n, s, w_q,
+       |    CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, source) - 1 < short
+       |      THEN 1 ELSE 0 END AS BIGINT) AS planned
+       |  FROM b, sh),
+       |k AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS achieved,
+       |    CAST(SUM(d.y) AS BIGINT) AS s_samp
+       |  FROM d JOIN p USING (source)
+       |  WHERE $h % 1000000 < LEAST(1000000, 1000000 * p.planned // p.n)
+       |  GROUP BY d.source)
+       |SELECT p.source, p.n, p.w_q, p.planned,
+       |  COALESCE(k.achieved, 0) AS achieved,
+       |  CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) AS mean_all,
+       |  CAST(k.s_samp AS DOUBLE) / CAST(k.achieved AS DOUBLE) AS mean_sampled
+       |FROM p LEFT JOIN k ON p.source = k.source
+       |ORDER BY p.source""".stripMargin
+  }
+
+  /** q206 — CROSS-SOURCE QUANTILE NORMALIZATION: re-grid each
+    * source's document-length distribution onto the GLOBAL length
+    * distribution — for every (source, length) the mapped value is
+    * the global length at the same rank fraction. The harmonization
+    * step a multi-source mixing run applies before length-balanced
+    * sampling, so no source's length profile skews the blend (the
+    * genomics-lineage quantile-normalization recipe on corpus
+    * metadata; deva: groupby + rank lambdas over paired pipes).
+    *
+    * Determinism: everything is exact integer rank arithmetic on
+    * value histograms — per-source CDF (cum, ns), target global rank
+    * g = ⌈cum·N / ns⌉ as (cum·N + ns − 1) div ns, and the lookup is
+    * "min global value whose cumulative count ≥ g". No doubles
+    * anywhere. (cum·N fits int64 through sf0.1 ×100; a 100 TB run
+    * widens the one product to DECIMAL(38,0) — same plan.)
+    *
+    * Scale/shape: the corpus collapses to value histograms FIRST
+    * (value-domain bounded — the q117/q139 idiom); the global CDF
+    * comes from [[graft.operators.Sequence.globalPrefixSum]] (never
+    * a partition-less window) and BROADCASTS into a non-equi
+    * min-lookup join whose cost is |per-source values| × |global
+    * values| — bounded by the value domain squared whatever the
+    * corpus size.
+    */
+  def q206_quantile_normalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("long").as("y"))
+    val sh = d.groupBy(col("source"), col("y")).agg(count(lit(1)).as("cnt"))
+    val s = sh
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col("source")).orderBy(col("y"))))
+      .withColumn("ns", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+    val g = graft.operators.Sequence.globalPrefixSum(
+      d.groupBy(col("y")).agg(count(lit(1)).as("gcnt")),
+      Seq(col("y")), "gcnt", "gcum")
+    val n = d.agg(count(lit(1)).as("nn"))
+    s.crossJoin(broadcast(n))
+      .withColumn("gr", expr("(cum * nn + ns - 1) div ns"))
+      .join(broadcast(g.select(col("y").as("gy"), col("gcum"))),
+        col("gcum") >= col("gr"))
+      .groupBy(col("source"), col("y"), col("cnt"))
+      .agg(min(col("gy")).as("qy"))
+      .orderBy(col("source"), col("y"))
+  }
+
+  val q206_quantile_normalize_sql: String =
+    """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS y FROM documents),
+      |sh AS (SELECT source, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+      |s AS (SELECT source, y, cnt,
+      |        SUM(cnt) OVER (PARTITION BY source ORDER BY y) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY source) AS ns
+      |      FROM sh),
+      |gh AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS gcnt FROM d GROUP BY 1),
+      |g AS (SELECT y AS gy, SUM(gcnt) OVER (ORDER BY y) AS gcum FROM gh),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+      |t AS (SELECT source, y, cnt, (cum * nn + ns - 1) // ns AS gr FROM s, nn)
+      |SELECT t.source, t.y, t.cnt, CAST(MIN(g.gy) AS BIGINT) AS qy
+      |FROM t JOIN g ON g.gcum >= t.gr
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2""".stripMargin
+
   /** q98 — mixture APPLICATION: turn q82's per-source integer quotas
     * into an actual row-level keep set via deterministic
     * hash-threshold sampling — the missing last step between "planned
@@ -2958,7 +3127,9 @@ object TextQueries {
     "q79_vocab_coverage" -> (q79_vocab_coverage _),
     "q80_token_rarity" -> (q80_token_rarity _),
     "q81_mix_temperature" -> (q81_mix_temperature _),
-    "q82_mix_largest_remainder" -> (q82_mix_largest_remainder _)
+    "q82_mix_largest_remainder" -> (q82_mix_largest_remainder _),
+    "q205_neyman_sample" -> (q205_neyman_sample _),
+    "q206_quantile_normalize" -> (q206_quantile_normalize _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3011,6 +3182,8 @@ object TextQueries {
     "q79_vocab_coverage" -> q79_vocab_coverage_sql,
     "q80_token_rarity" -> q80_token_rarity_sql,
     "q81_mix_temperature" -> q81_mix_temperature_sql,
-    "q82_mix_largest_remainder" -> q82_mix_largest_remainder_sql
+    "q82_mix_largest_remainder" -> q82_mix_largest_remainder_sql,
+    "q205_neyman_sample" -> q205_neyman_sample_sql,
+    "q206_quantile_normalize" -> q206_quantile_normalize_sql
   )
 }

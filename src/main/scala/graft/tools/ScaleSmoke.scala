@@ -255,7 +255,12 @@ object ScaleSmoke {
       // here). The streaming twins run micro-batch machinery, not ×N
       // plan shapes — the batch pipelines they share are the scale
       // surface, so the smoke exercises those.
-      "q196_timed_conversion")
+      "q196_timed_conversion",
+      // round 11 cont.: Neyman allocation (label-sized allocation
+      // frames + one map-only draw pass) and quantile normalization
+      // (value-domain-bounded histograms + broadcast non-equi
+      // lookup — the |values|² product is the term to watch at ×N)
+      "q205_neyman_sample", "q206_quantile_normalize")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

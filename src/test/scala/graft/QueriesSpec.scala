@@ -37,10 +37,10 @@ class QueriesSpec extends AnyFunSuite {
     // rung (short keys, worst case 3-digit values) must fit the
     // 1900-char guard — this fails AT THE COMMIT that adds the query
     // that overflows, not two rounds later in a driver artifact.
-    // budget includes the aux sf0.01 rung's scalar (round 10) at its
-    // widest plausible value
-    // budget also carries the batch/streaming split scalars (round 11)
-    val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"aux_sf001_total":99999.99,"aux_failed":0,"batch_total":99999.99,"streaming_total":9999.99,"queries":"""
+    // the LAST per-query rung (r11: num-key whole-seconds LEAN — the
+    // aux sf0.01 + batch/streaming split scalars drop off; they live
+    // in bench_out.json and every earlier rung)
+    val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"queries":"""
     // compact rungs carry the dir basename only (Bench sfTag)
     val tail = s""","sf":"sf0.1"}"""
     val short = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
@@ -48,15 +48,14 @@ class QueriesSpec extends AnyFunSuite {
     // silently merge two queries' timings
     assert(short.distinct.length == short.length,
       s"duplicate short bench keys: ${short.diff(short.distinct).mkString(",")}")
-    // the LAST per-query rung is bare numeric keys ("87") at whole
-    // seconds. Worst case assumes 2-digit values: a single ≥100 s
-    // query at sf0.1 would be a blown perf gate flagged by the
-    // driver artifact itself (slowest today ≤ 6 s), so 2 digits is
-    // the honest envelope the guard should budget for.
+    // Worst case assumes 2-digit values: a single ≥100 s query at
+    // sf0.1 would be a blown perf gate flagged by the driver artifact
+    // itself (slowest today ≤ 6 s), so 2 digits is the honest
+    // envelope the guard should budget for.
     val worst = short.map(k => s""""${k.drop(1)}":99""").mkString("{", ",", "}")
     val len = header.length + worst.length + tail.length
     assert(len <= 1900,
-      s"num-key bench line worst-case $len chars > 1900 — per-query data would drop to totals-only")
+      s"lean num-key bench line worst-case $len chars > 1900 — per-query data would drop to totals-only")
   }
 
   test("q82 largest-remainder split allocates the budget EXACTLY") {
@@ -71,6 +70,49 @@ class QueriesSpec extends AnyFunSuite {
     val nSources = q81.count()
     assert(floored <= 10000L && floored > 10000L - nSources,
       s"floor split must undershoot by < 1/source ($nSources sources), got $floored")
+  }
+
+  test("q205 Neyman allocation: budget exact, weights match a driver recount, draw matches the hash rule") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q205_neyman_sample")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("planned")).sum == 100L,
+      "largest-remainder split must allocate the 100-doc budget exactly")
+    // weights: w_q = floor(sqrt(n*ss - s*s) * 1e6) from collected raw lengths
+    val raw = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    out.foreach { r =>
+      val ys = raw(r.getAs[String]("source")).map(_._2)
+      val (n, s, ss) = (ys.length.toLong, ys.sum, ys.map(y => y * y).sum)
+      val w = math.floor(math.sqrt((n * ss - s * s).toDouble) * 1e6).toLong
+      assert(r.getAs[Long]("w_q") == w, s"w_q drift for ${r.getString(0)}")
+      assert(r.getAs[Long]("achieved") <= r.getAs[Long]("n"))
+    }
+    // more spread·size → more budget (monotone in w_q up to the ±1
+    // largest-remainder bonus)
+    val byW = out.sortBy(_.getAs[Long]("w_q"))
+    assert(byW.last.getAs[Long]("planned") >= byW.head.getAs[Long]("planned") - 1)
+  }
+
+  test("q206 quantile normalization: exact-rank properties hold") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q206_quantile_normalize")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // monotone: within a source, higher length never maps lower
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4, s"$src: qy not monotone")
+        case _ => ()
+      }
+      // top value per source maps to the global maximum
+      val gmax = out.map(_._2).max
+      assert(sorted.last._4 == gmax, s"$src: top rank must map to global max")
+    }
+    // every mapped value is a real global value
+    val globals = out.map(_._2).toSet
+    assert(out.forall(r => globals.contains(r._4)))
   }
 
   test("q88's rolling-hash candidates+verify equals q87's md5 formulation where they overlap") {

@@ -129,6 +129,14 @@ class ReportSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q204 streaming MAD outliers are bit-identical to batch q139 (pairing #26)") {
+    val batch = ReportQueries.q139_mad_outliers(spark, dir).collect().toSeq
+    val stream = StreamQueries.q204_stream_mad(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q203 streaming gap-fill is bit-identical to batch q137 (pairing #25)") {
     val batch = ReportQueries.q137_gap_fill(spark, dir).collect().toSeq
     val stream = StreamQueries.q203_stream_gap_fill(spark, dir).collect().toSeq
