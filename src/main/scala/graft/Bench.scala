@@ -6,6 +6,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the injected optimizer rules (RewriteArrayDot/Hash60/Cents/
+      // Shingles/SortedTrail) are part of the library — r12 found the
+      // bench session never loaded them, so every composed idiom ran
+      // its interpreted form in BENCH_r≤11 while ScaleSmoke (via
+      // Sessions.local) ran the kernels. Register them here so the
+      // driver artifact measures the library as shipped.
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // keep compute-heavy small shuffles wide — see Sessions.local
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
@@ -44,8 +51,16 @@ object Bench {
       * query failed — a flaky query must not hide behind its passing
       * reps' median.
       */
+    // the qNNNdM_* entries are TEMPORARY stage-decomposition
+    // diagnostics for the driver's correctness gate (VERDICT r11
+    // item 2) — instrumentation, not operators: benching them would
+    // shift the headline total against prior rounds and crowd the
+    // compact line's width budget. They still run in Verify (the
+    // gate) and in `sbt test`.
+    val benched = SparkEntry.queries.filterNot(_._1.matches("q\\d+d\\d+_.*"))
+
     def runSf(dir: String): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      benched.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, dir).count(); true }

@@ -12,6 +12,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // register the injected optimizer rules (r12): the gate then
+      // verifies the REWRITTEN plans against DuckDB — the strongest
+      // proof the rules are value-identical, and the same session
+      // shape Bench measures
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // keep compute-heavy small shuffles wide — see Sessions.local

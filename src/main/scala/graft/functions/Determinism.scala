@@ -69,6 +69,41 @@ object Determinism {
       .cast(s"decimal($precision,$scale)")
   }
 
+  /** Portable FLOOR division of int64 columns, b > 0 — the round-12
+    * exact-rational idiom (Theil–Sen's slope keys and quantized
+    * medians). Engines disagree on whether `div`/`//` truncates or
+    * floors for negative dividends, and on `%`'s sign convention —
+    * so neither is hashable raw. This form is convention-free:
+    * pmod(a, b) = ((a % b) + b) % b lands in [0, b) under EITHER
+    * remainder convention, (a − pmod(a, b)) is exactly divisible by
+    * b, and an exact quotient is identical under trunc and floor.
+    * DuckDB rendering: [[floorDivSql]] (keep in sync).
+    */
+  def floorDiv(a: Column, b: Column): Column = {
+    val exactNum = a - pmod(a, b)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(exactNum),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+  }
+
+  /** DuckDB SQL fragment mirroring [[floorDiv]] op for op. */
+  def floorDivSql(a: String, b: String): String =
+    s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+
+  /** Executor-side Scala mirror of the dec2→cents cast chain
+    * ([[graft.plans.Cents.centsOf]], ANSI mode): the ONE cents
+    * derivation stream-twin state machines may use, so batch ≡
+    * stream parity holds by construction rather than by data shape
+    * (ADVICE r11: the floor(x·100 + 0.5) spelling disagrees with
+    * dec2 on 3+-decimal inputs — 1.005 → 100 vs dec2's 101, because
+    * dec2 rounds the double's SHORTEST decimal rendering HALF_UP
+    * while the binary value sits just below the half; spec-pinned in
+    * RewriteCentsSpec).
+    */
+  def centsOfDouble(x: Double): Long =
+    graft.plans.Cents.centsOf(x, ansi = true).longValue
+
   /** DuckDB SQL fragment mirroring [[decq]] op for op. */
   def decqSql(e: String, scale: Int, precision: Int = 18): String = {
     require(scale >= 1 && scale <= 18 && precision >= scale)

@@ -19,10 +19,11 @@ import org.apache.spark.sql.types._
   *  - rounding follows Spark's double→DECIMAL cast exactly: the
   *    double's SHORTEST decimal representation (BigDecimal.valueOf =
   *    Double.toString) rounded HALF_UP at scale 2 — NOT numeric
-  *    rounding of the binary value (2.675 is stored as 2.67499…;
-  *    the cast yields 2.68 because "2.675" rounds up — a fused
-  *    Math.round-style kernel would give 267 cents, a silent
-  *    off-by-one on exactly the values money data is full of);
+  *    rounding of the binary value (1.005 is stored as 1.00499…, so
+  *    a fused floor(x·100 + 0.5) kernel says 100 cents, but the cast
+  *    yields 1.01 = 101 because the string "1.005" rounds up — a
+  *    silent off-by-one on exactly the values money data is full
+  *    of; spec-pinned in RewriteCentsSpec);
   *  - NaN/Infinity and DECIMAL(18,2) overflow (|x| ≥ 10^16) follow
   *    the cast chain's eval mode: ANSI (Spark 4's default) raises,
   *    LEGACY yields null. The `ansi` flag is captured from the Cast
@@ -55,11 +56,21 @@ case class Cents(child: Expression, ansi: Boolean) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val r = ctx.freshName("cents")
-      s"""
-         |java.lang.Long $r = graft.plans.Cents.centsOf($c, $ansi);
-         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
-         |""".stripMargin
+      // When this expression is non-nullable (ANSI with a
+      // non-nullable child — centsOf raises instead of returning
+      // null), nullSafeCodeGen pins ev.isNull to FalseLiteral and
+      // never DECLARES the variable, so referencing ev.isNull here
+      // would emit uncompilable Java and silently fall back to
+      // interpreted execution (ADVICE r11).
+      if (nullable) {
+        val r = ctx.freshName("cents")
+        s"""
+           |java.lang.Long $r = graft.plans.Cents.centsOf($c, $ansi);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+           |""".stripMargin
+      } else {
+        s"${ev.value} = graft.plans.Cents.centsOf($c, true).longValue();"
+      }
     })
 
   override protected def withNewChildInternal(newChild: Expression): Cents =

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (r11 cont.) the natural word-shingling HOF fuses to the
     // codegen'd Shingles kernel
     ext.injectOptimizerRule(_ => RewriteShingles)
+    // (r12) the journey/path idiom — transform(sort_array(
+    // collect_list(struct)), x -> x.f) — fuses to the codegen'd
+    // SortedTrail kernel (both steps were interpreter-bound)
+    ext.injectOptimizerRule(_ => RewriteSortedTrail)
     ext.injectFunction((
       new FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),

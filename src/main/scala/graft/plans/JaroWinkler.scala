@@ -69,8 +69,107 @@ object JaroWinklerSim {
     GraftColumnBridge.column(
       JaroWinklerSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** The greedy matcher's EXACT INTEGER sufficient statistics:
+    * (m, t, pfx) — matches, transpositions (already halved, the
+    * kernel's `t /= 2`), and the common byte prefix capped at 4
+    * (computed unconditionally; the boost decision consumes it only
+    * when the jaro rational clears 0.7). Identical matching loop to
+    * [[score]]; factored so the integer-exact scorer and the packed
+    * diagnostic cannot drift from the double scorer's matching.
+    */
+  private[plans] def statsOf(a: Array[Byte], b: Array[Byte]): (Int, Int, Int) = {
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return (0, 0, 0)
+    val win = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - win)
+      val hi = math.min(l2, i + win + 1)
+      var j = lo
+      var matched = false
+      while (j < hi && !matched) {
+        if (!m2(j) && b(j) == a(i)) {
+          m1(i) = true; m2(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var t = 0
+    if (m > 0) {
+      var j = 0
+      i = 0
+      while (i < l1) {
+        if (m1(i)) {
+          while (!m2(j)) j += 1
+          if (a(i) != b(j)) t += 1
+          j += 1
+        }
+        i += 1
+      }
+      t /= 2
+    }
+    var p = 0
+    val pmax = math.min(4, math.min(l1, l2))
+    while (p < pmax && a(p) == b(p)) p += 1
+    (m, t, p)
+  }
+
+  /** floor(jw · 10⁴) in PURE int64 arithmetic — the round-12
+    * determinism contract for hashed linkage scores. From the exact
+    * stats (m, t, pfx) and byte lengths (l1, l2):
+    *
+    *   jaro = N/D with N = m²·(l1+l2) + (m−t)·l1·l2, D = 3·m·l1·l2
+    *   boost iff 10·N ≥ 7·D  (exact rational jaro ≥ 0.7 — matches
+    *     the builtin's observed behavior at the exact-0.7 edge, where
+    *     its double sum rounds just above the 0.7 literal; for any
+    *     other rational the double and exact comparisons agree, the
+    *     nearest distinct rational being ≥ 1/(10·D) ≈ 1e-6 away)
+    *   jw = ((10−p)·N + p·D) / (10·D)   with p = pfx if boosted else 0
+    *   q4 = (10⁴·((10−p)·N + p·D)) / (10·D)   — integer division of
+    *     non-negative int64s, where trunc ≡ floor in every engine.
+    *
+    * No double exists anywhere in the value OR the threshold path:
+    * jw ≥ 0.88 ⟺ q4 ≥ 8800 exactly (8800 = 0.88·10⁴ is an integer).
+    * Max magnitude 10⁴·14·(3·32³·…) ≪ 2⁶³ for any realistic field
+    * width (exact up to ~50k-byte inputs).
+    */
+  def scoreQ4(a: Array[Byte], b: Array[Byte]): Long = {
+    val l1 = a.length.toLong
+    val l2 = b.length.toLong
+    if (l1 == 0 || l2 == 0) return 0L
+    val (m0, t0, pfx) = statsOf(a, b)
+    if (m0 == 0) return 0L
+    val m = m0.toLong
+    val t = t0.toLong
+    val n = m * m * (l1 + l2) + (m - t) * l1 * l2
+    val d = 3L * m * l1 * l2
+    val p = if (10L * n >= 7L * d) pfx.toLong else 0L
+    (10000L * ((10L - p) * n + p * d)) / (10L * d)
+  }
+
+  /** Diagnostic pack of the full stat vector into one long:
+    * ((((l1·64 + l2)·64 + m)·64 + t)·8 + pfx). Requires byte lengths
+    * ≤ 63 (the title-linkage fields are ≤ 32) — fails LOUDLY beyond,
+    * matching the oracle's 32-step unrolled matcher bound.
+    */
+  def statsPacked(a: Array[Byte], b: Array[Byte]): Long = {
+    val l1 = a.length
+    val l2 = b.length
+    require(l1 <= 63 && l2 <= 63,
+      s"graft_jaro_winkler_pack: inputs must be ≤ 63 bytes (got $l1, $l2) — " +
+        "the diagnostic pack and the oracle's unrolled matcher are 32/63-bounded")
+    val (m, t, p) = statsOf(a, b)
+    ((((l1.toLong * 64 + l2) * 64 + m) * 64 + t) * 8 + p)
+  }
+
   /** The scorer over UTF-8 bytes — see the class doc for the exact
-    * DuckDB-pinned semantics.
+    * DuckDB-pinned semantics. Kept for interactive scoring; hashed
+    * gate surfaces use [[scoreQ4]] (round-12 determinism contract).
     */
   def score(a: Array[Byte], b: Array[Byte]): Double = {
     val l1 = a.length
@@ -118,4 +217,89 @@ object JaroWinklerSim {
     }
     sim
   }
+}
+
+/** [[JaroWinklerSim.scoreQ4]] as a codegen'd expression: the exact
+  * integer floor(jw·10⁴) — the ONLY Jaro–Winkler form allowed on a
+  * hashed gate surface (PortabilitySpec bans the double scorer and
+  * the oracle builtin there). The matching loop is shared with
+  * [[JaroWinklerSim]]; only the arithmetic after it differs — pure
+  * int64, no rounding surface for any engine build to disagree on.
+  */
+case class JaroWinklerQ4(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jaro_winkler_q4 needs two strings, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  /** Public: invoked from whole-stage-generated code. */
+  def kernel(l: UTF8String, r: UTF8String): Long =
+    JaroWinklerSim.scoreQ4(l.getBytes, r.getBytes)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jaroWinklerQ4", this, classOf[JaroWinklerQ4].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $self.kernel($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinklerQ4 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_jaro_winkler_q4"
+}
+
+object JaroWinklerQ4 {
+  /** Column wrapper. */
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      JaroWinklerQ4(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** [[JaroWinklerSim.statsPacked]] as an expression — the q185d1
+  * DIAGNOSTIC surface (VERDICT r11 item 2): one long packing
+  * (l1, l2, m, t, pfx), so a driver-side hash mismatch pinpoints
+  * WHICH matcher stage its oracle computes differently. Inputs are
+  * ≤ 63 bytes by contract (loud require in the kernel).
+  */
+case class JaroWinklerPack(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jaro_winkler_pack needs two strings, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  /** Public: invoked from whole-stage-generated code. */
+  def kernel(l: UTF8String, r: UTF8String): Long =
+    JaroWinklerSim.statsPacked(l.getBytes, r.getBytes)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jaroWinklerPack", this, classOf[JaroWinklerPack].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $self.kernel($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinklerPack =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_jaro_winkler_pack"
+}
+
+object JaroWinklerPack {
+  /** Column wrapper. */
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      JaroWinklerPack(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

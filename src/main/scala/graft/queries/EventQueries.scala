@@ -44,7 +44,7 @@ object EventQueries {
       .groupBy(col("user_id"))
       .agg(
         array_join(
-          transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          transform(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
             x => x.getField("event_type")),
           ",").as("seq"),
         count(lit(1)).as("n"))
@@ -793,10 +793,12 @@ object EventQueries {
           unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(wRun))
+    // one expression tree (not agg-then-project): the composed chain
+    // is what RewriteSortedTrail fuses to the codegen'd kernel
     pathsFrom(sess.groupBy(col("user_id"), col("session_id"))
-      .agg(sort_array(collect_list(
-        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
-      .select(transform(col("evs"), e => e.getField("event_type")).as("types")))
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        e => e.getField("event_type")).as("types")))
   }
 
   /** q132's path report from the per-session `types` array frame —
@@ -843,13 +845,14 @@ object EventQueries {
     *
     * The oracle is VALUE-EXACT, not tolerance-pinned: the sketch is
     * hash-deterministic (bottom-64 of hash60), so DuckDB rebuilds
-    * the IDENTICAL sketch (distinct hashes → rank ≤ k per type) and
-    * replays the same estimate arithmetic — doubles from exact
-    * integers in fixed op order (÷64 is exact — k a power of two),
-    * floor-quantized through exact int64 before the DECIMAL edge
-    * (the q173 idiom — raw double→DECIMAL casts round differently
-    * across DuckDB versions; round-10 lesson). The accuracy flag is computed
-    * from the same values in both engines, never hardcoded.
+    * the IDENTICAL sketch (distinct hashes → rank ≤ k per type).
+    * Round 12 determinism contract (VERDICT r11 item 1): the hashed
+    * surface is the exact-integer sufficient statistics ONLY —
+    * mk_len, kth_min, mk_inter, exact_inter — because two rounds
+    * proved even floor-quantized estimate doubles can diverge in an
+    * unknown driver oracle build. The float estimates are pure
+    * functions of these integers and live in SketchesSpec (where the
+    * in-tolerance accuracy claim is asserted), not in the hash.
     *
     * Scale/shape: sketches are label-keyed k-longs aggregates
     * (map-side mergeable — the 100 TB distinct path); the pair frame
@@ -879,35 +882,28 @@ object EventQueries {
       .join(sk.select(col("event_type").as("tb"), col("bk").as("bb")),
         col("ta") < col("tb"))
       .withColumn("mk", slice(array_sort(array_union(col("ba"), col("bb"))), 1, k))
-      .withColumn("est_union",
-        when(size(col("mk")) < k, size(col("mk")).cast("double"))
-          // exact literal 2^60 (6 significant bits — exactly a double),
-          // not a libm power() call: one less portability hazard on
-          // the oracle side (round-10 lesson).
-          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0d) /
-            element_at(col("mk"), k).cast("double")))
-      .withColumn("jacc",
-        size(array_intersect(array_intersect(col("mk"), col("ba")), col("bb")))
-          .cast("double") / lit(k))
     val exact = du.select(col("event_type").as("ta"), col("user_id"))
       .join(du.select(col("event_type").as("tb"), col("user_id")), Seq("user_id"))
       .filter(col("ta") < col("tb"))
       .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("exact_inter"))
-    // floor-int64 quantization at every hashed DECIMAL edge (the
-    // q173 idiom): the estimate doubles are bit-identical in both
-    // engines, but a double→DECIMAL CAST's rounding is not — floor
-    // into an exact long, then a rounding-free decimal multiply.
-    def dec4(c: org.apache.spark.sql.Column) =
-      (floor(c * lit(10000.0)).cast("decimal(18,0)") *
-        lit(BigDecimal("0.0001"))).cast("decimal(18,4)")
+    // DETERMINISM CONTRACT (round 12 — VERDICT r11 item 1): the
+    // hashed surface carries ONLY the exact-integer sufficient
+    // statistics that determine the KMV estimates — mk_len (the
+    // merged-sketch size), kth_min (the kth smallest merged hash, a
+    // long) and mk_inter (|mk ∩ ba ∩ bb|) — never the float
+    // estimates themselves. Two rounds proved floor-quantizing the
+    // estimate edge is not enough against an unknown driver DuckDB
+    // build; the estimates (est_union = (k−1)·2⁶⁰/kth_min, jacc =
+    // mk_inter/k, est_inter = jacc·est_union) are pure functions of
+    // these integers and are spec-verified against exact_inter in
+    // SketchesSpec instead of hashed.
     pr.join(exact, Seq("ta", "tb"))
       .select(col("ta"), col("tb"), col("exact_inter"),
-        dec4(col("est_union")).as("est_union"),
-        dec4(col("jacc") * col("est_union")).as("est_inter"),
-        (floor(col("jacc") * lit(1000000.0)).cast("decimal(18,0)") *
-          lit(BigDecimal("0.000001"))).cast("decimal(18,6)").as("jacc_est"),
-        (abs(col("jacc") * col("est_union") - col("exact_inter").cast("double")) /
-          greatest(col("exact_inter").cast("double"), lit(1.0)) <= lit(0.5)).as("in_tol"))
+        size(col("mk")).cast("long").as("mk_len"),
+        when(size(col("mk")) >= k, element_at(col("mk"), k))
+          .otherwise(lit(0L)).as("kth_min"),
+        size(array_intersect(array_intersect(col("mk"), col("ba")), col("bb")))
+          .cast("long").as("mk_inter"))
       .orderBy(col("ta"), col("tb"))
   }
 
@@ -925,27 +921,95 @@ object EventQueries {
        |m AS (SELECT ta, tb, ba, bb,
        |        (list_sort(list_distinct(list_concat(ba, bb))))[1:64] AS mk
        |      FROM pr),
-       |calc AS (SELECT ta, tb,
-       |    CASE WHEN len(mk) < 64 THEN CAST(len(mk) AS DOUBLE)
-       |         ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(mk[64] AS DOUBLE)
-       |    END AS est_union,
-       |    CAST(len(list_intersect(list_intersect(mk, ba), bb)) AS DOUBLE) / 64 AS jacc
-       |  FROM m),
        |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
        |         CAST(COUNT(*) AS BIGINT) AS exact_inter
        |       FROM du a JOIN du b ON a.user_id = b.user_id
        |         AND a.event_type < b.event_type
        |       GROUP BY 1, 2)
        |SELECT ta, tb, exact_inter,
-       |  CAST(CAST(CAST(floor(est_union * 10000.0) AS BIGINT) AS DECIMAL(18,0))
-       |    * 0.0001 AS DECIMAL(18,4)) AS est_union,
-       |  CAST(CAST(CAST(floor(jacc * est_union * 10000.0) AS BIGINT) AS DECIMAL(18,0))
-       |    * 0.0001 AS DECIMAL(18,4)) AS est_inter,
-       |  CAST(CAST(CAST(floor(jacc * 1000000.0) AS BIGINT) AS DECIMAL(18,0))
-       |    * 0.000001 AS DECIMAL(18,6)) AS jacc_est,
-       |  (abs(jacc * est_union - CAST(exact_inter AS DOUBLE)) /
-       |    greatest(CAST(exact_inter AS DOUBLE), 1.0)) <= 0.5 AS in_tol
-       |FROM calc JOIN ex USING (ta, tb) ORDER BY ta, tb""".stripMargin
+       |  CAST(len(mk) AS BIGINT) AS mk_len,
+       |  CAST(CASE WHEN len(mk) >= 64 THEN mk[64] ELSE 0 END AS BIGINT) AS kth_min,
+       |  CAST(len(list_intersect(list_intersect(mk, ba), bb)) AS BIGINT) AS mk_inter
+       |FROM m JOIN ex USING (ta, tb) ORDER BY ta, tb""".stripMargin
+  }
+
+  /** q187d1 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2): the raw
+    * per-type bottom-64 sketch rows themselves — (event_type, rank,
+    * hash). Exercises exactly the stages UPSTREAM of q187's pair
+    * math in the driver's oracle engine: hash60 over user ids,
+    * DISTINCT, and per-type ranking. A mismatch here localizes the
+    * divergence to hashing/ingestion; a green d1 with a red q187
+    * localizes it to the list merge/intersect machinery (see
+    * q187d2). Delete once the five r10/r11 reds are two rounds green.
+    */
+  def q187d1_sketch(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), hash60(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 64)
+      .select(col("event_type"), col("rn"), col("h"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  val q187d1_sketch_sql: String = {
+    val h = graft.functions.Determinism.hash60Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH hs AS (SELECT DISTINCT event_type, $h AS h FROM events),
+       |rk AS (SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |       FROM hs)
+       |SELECT event_type, CAST(rn AS BIGINT) AS rn, h
+       |FROM rk WHERE rn <= 64 ORDER BY event_type, rn""".stripMargin
+  }
+
+  /** q187d2 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2): the merged
+    * bottom-64 sketch of every type pair, EXPLODED to (ta, tb,
+    * position, hash) rows. Exercises exactly the list machinery the
+    * driver's oracle runs between d1's sketches and q187's integers:
+    * list_concat → list_distinct → list_sort → [1:64] slicing. With
+    * d1 green and d2 red, the driver's list semantics diverge; with
+    * both green and q187 red, only list_intersect / the final
+    * projection remain. Delete once the five r10/r11 reds are two
+    * rounds green.
+    */
+  def q187d2_merge(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val bottomK = udaf(new graft.operators.Sketches.BottomK(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), hash60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type")).agg(bottomK(col("h")).as("bk"))
+    sk.select(col("event_type").as("ta"), col("bk").as("ba"))
+      .join(sk.select(col("event_type").as("tb"), col("bk").as("bb")),
+        col("ta") < col("tb"))
+      .select(col("ta"), col("tb"),
+        posexplode(slice(array_sort(array_union(col("ba"), col("bb"))), 1, k)))
+      .select(col("ta"), col("tb"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+      .orderBy(col("ta"), col("tb"), col("pos"))
+  }
+
+  val q187d2_merge_sql: String = {
+    val h = graft.functions.Determinism.hash60Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |hs AS (SELECT DISTINCT event_type, $h AS h FROM du),
+       |rk AS (SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |       FROM hs),
+       |bk AS (SELECT event_type, list(h ORDER BY h) AS bk
+       |       FROM rk WHERE rn <= 64 GROUP BY 1),
+       |pr AS (SELECT a.event_type AS ta, a.bk AS ba, b.event_type AS tb, b.bk AS bb
+       |       FROM bk a JOIN bk b ON a.event_type < b.event_type),
+       |m AS (SELECT ta, tb,
+       |        (list_sort(list_distinct(list_concat(ba, bb))))[1:64] AS mk
+       |      FROM pr)
+       |SELECT ta, tb, CAST(g.pos AS BIGINT) AS pos, mk[g.pos] AS h
+       |FROM m, generate_series(1, 64) g(pos)
+       |WHERE g.pos <= len(mk)
+       |ORDER BY ta, tb, pos""".stripMargin
   }
 
   /** q190 — JOURNEY PATTERN MATCHING (the MATCH_RECOGNIZE /
@@ -974,7 +1038,7 @@ object EventQueries {
     val j = Tables.events(spark, dir)
       .select(col("user_id"), struct(col("ts"), col("event_id"), sym.as("s")).as("r"))
       .groupBy(col("user_id"))
-      .agg(array_join(transform(array_sort(collect_list(col("r"))), x => x("s")), "")
+      .agg(array_join(transform(sort_array(collect_list(col("r"))), x => x("s")), "")
         .as("journey"))
     j.select(col("user_id"),
         length(col("journey")).cast("long").as("n_events"),
@@ -1056,6 +1120,8 @@ object EventQueries {
     "q196_timed_conversion" -> (q196_timed_conversion _),
     "q190_journey_patterns" -> (q190_journey_patterns _),
     "q187_kmv_overlap" -> (q187_kmv_overlap _),
+    "q187d1_sketch" -> (q187d1_sketch _),
+    "q187d2_merge" -> (q187d2_merge _),
     "q132_top_paths" -> (q132_top_paths _),
     "q126_ewma" -> (q126_ewma _),
     "q08_unique" -> (q08_unique _),
@@ -1088,6 +1154,8 @@ object EventQueries {
     "q196_timed_conversion" -> q196_timed_conversion_sql,
     "q190_journey_patterns" -> q190_journey_patterns_sql,
     "q187_kmv_overlap" -> q187_kmv_overlap_sql,
+    "q187d1_sketch" -> q187d1_sketch_sql,
+    "q187d2_merge" -> q187d2_merge_sql,
     "q126_ewma" -> q126_ewma_sql,
     "q132_top_paths" -> q132_top_paths_sql,
     "q08_unique" -> q08_unique_sql,

@@ -391,7 +391,7 @@ object StreamQueries {
                   Some((e.event_id, k, e.value, mean,
                     math.abs(e.value - mean) > 130.0))
                 } else None
-                window = (window :+ math.floor(e.value * 100 + 0.5).toLong).takeRight(5)
+                window = (window :+ graft.functions.Determinism.centsOfDouble(e.value)).takeRight(5)
                 res
               }
             state.update(window)
@@ -520,7 +520,7 @@ object StreamQueries {
             val outs = it.toVector
               .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
               .map { e =>
-                window = (window :+ math.floor(e.value * 100 + 0.5).toLong).takeRight(10)
+                window = (window :+ graft.functions.Determinism.centsOfDouble(e.value)).takeRight(10)
                 val len = window.length
                 var num = 0L; var den = 0L
                 var i = 0
@@ -575,7 +575,7 @@ object StreamQueries {
         var s = s0
         val base = mu(k)
         val outs = ordered.map { e =>
-          val cents = math.floor(e.value * 100 + 0.5).toLong
+          val cents = graft.functions.Determinism.centsOfDouble(e.value)
           s = math.max(0L, s + (cents - base - 100L))
           (k, e.event_id, e.ts, s.toDouble / 100.0, s > 50000L)
         }
@@ -607,7 +607,7 @@ object StreamQueries {
         var ch = ch0
         val outs = ordered.flatMap { e =>
           if (e.event_type != "purchase") { ch = e.event_type; None }
-          else Some((ch, math.floor(e.value * 100 + 0.5).toLong))
+          else Some((ch, graft.functions.Determinism.centsOfDouble(e.value)))
         }
         (ch, outs)
       } (_.groupBy(col("channel"))
@@ -1269,7 +1269,7 @@ object StreamQueries {
         var (seen, m) = s0
         ordered.foreach { e =>
           val day = math.floorDiv(e.ts.getTime, 86400000L)
-          val cents = math.floor(e.value * 100 + 0.5).toLong
+          val cents = graft.functions.Determinism.centsOfDouble(e.value)
           m = m.updated(day, m.getOrElse(day, 0L) + cents)
           seen += 1
         }
@@ -1491,7 +1491,7 @@ object StreamQueries {
         ordered.foreach { e =>
           seq += 1
           if (e.event_type == "purchase") {
-            val cents = math.floor(e.value * 100 + 0.5).toLong
+            val cents = graft.functions.Determinism.centsOfDouble(e.value)
             c += cents
             if (cents >= 20000L) conv = 1L
           }
@@ -1580,7 +1580,7 @@ object StreamQueries {
           if (day < dmin) dmin = day
           if (day > dmax) dmax = day
           if (e.event_type == "purchase") {
-            val cents = math.floor(e.value * 100 + 0.5).toLong
+            val cents = graft.functions.Determinism.centsOfDouble(e.value)
             m = m.updated(day, m.getOrElse(day, 0L) + cents)
           }
         }
@@ -1635,7 +1635,7 @@ object StreamQueries {
       _.event_type)((0L, Map.empty[Long, Long])) { (k, s0, ordered) =>
         var (seen, m) = s0
         ordered.foreach { e =>
-          val cents = math.floor(e.value * 100 + 0.5).toLong
+          val cents = graft.functions.Determinism.centsOfDouble(e.value)
           m = m.updated(cents, m.getOrElse(cents, 0L) + 1L)
           seen += 1
         }
@@ -1655,7 +1655,109 @@ object StreamQueries {
   /** Same oracle as the batch MAD report — the point of the query. */
   val q204_stream_mad_sql: String = ReportQueries.q139_mad_outliers_sql
 
+  /** q207 — STREAMING Neyman allocation: q205's variance-optimal
+    * stratified sampling report maintained incrementally over the
+    * DOCUMENTS stream — the TWENTY-SEVENTH pairing, and the first on
+    * the corpus side (Pairing.runDocs). State per source is the
+    * moment triple (n, Σy, Σy²) PLUS the hash-threshold histogram
+    * hm → (cnt, Σy, Σy²) where hm = hash60("ney:"+doc_id) mod 10⁶ —
+    * bounded by min(n_source, 10⁶) cells per label at ANY corpus
+    * size, because the draw rule's domain IS the 10⁶ threshold grid.
+    * Each batch folds its documents into the histogram and emits the
+    * whole image with a monotone doc count (max-seq compaction, the
+    * q124 idiom); the projection rebuilds both sufficient frames by
+    * summation and replays q205's allocation + draw tail verbatim
+    * (shared neymanReport, shared oracle). The allocation — a global
+    * optimization over ALL strata — re-derives from label-sized
+    * state at every moment; the corpus never re-scans.
+    */
+  def q207_stream_neyman(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.runDocs[String, (Long, Map[Long, (Long, Long, Long)]),
+        (String, Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])](
+      spark, dir, Seq("source", "seq", "hms", "cnts", "sys", "syys"))(
+      _.source)((0L, Map.empty[Long, (Long, Long, Long)])) { (src, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { d =>
+          val hm = graft.plans.Hash60.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              "ney:" + d.doc_id.toString)) % 1000000L
+          val (c, sy, syy) = m.getOrElse(hm, (0L, 0L, 0L))
+          m = m.updated(hm, (c + 1L, sy + d.n_chars, syy + d.n_chars * d.n_chars))
+          seen += 1
+        }
+        val hms = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((src, seen, hms,
+            hms.map(m(_)._1), hms.map(m(_)._2), hms.map(m(_)._3))))
+      } { t =>
+        val img = t.groupBy(col("source"))
+          .agg(max(struct(col("seq"), col("hms"), col("cnts"),
+            col("sys"), col("syys"))).as("b"))
+          .select(col("source"), explode(arrays_zip(col("b.hms"), col("b.cnts"),
+            col("b.sys"), col("b.syys"))).as("z"))
+          .select(col("source"), col("z.hms").as("hm"), col("z.cnts").as("cnt"),
+            col("z.sys").as("sy"), col("z.syys").as("syy"))
+        val strata = img.groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n"), sum(col("sy")).as("s"),
+            sum(col("syy")).as("ss"))
+        TextQueries.neymanReport(strata,
+          img.select(col("source"), col("hm"), col("cnt"), col("sy")))
+      }
+  }
+
+  /** Same oracle as the batch Neyman report — the point. */
+  val q207_stream_neyman_sql: String = TextQueries.q205_neyman_sample_sql
+
+  /** q208 — STREAMING quantile normalization: q206's cross-source
+    * length re-gridding maintained incrementally over the DOCUMENTS
+    * stream — the TWENTY-EIGHTH pairing. State per source is the
+    * length→count VALUE HISTOGRAM (value-domain bounded at any
+    * corpus size — the q170/q204 state shape on the corpus side);
+    * the GLOBAL length distribution and N are sums over the
+    * per-source histograms (every document carries a source), so one
+    * frame is the entire sufficient statistic. Each batch folds its
+    * documents' lengths and emits the whole image with a monotone
+    * doc count; max-seq compaction supersedes across batches, and
+    * the projection replays q206's exact-integer rank arithmetic
+    * verbatim (shared quantileNormalizeFrom, shared oracle) — the
+    * global CDF re-derives from label×value-bounded state, never
+    * from a corpus re-scan.
+    */
+  def q208_stream_quantile_normalize(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.runDocs[String, (Long, Map[Long, Long]),
+        (String, Long, Seq[Long], Seq[Long])](
+      spark, dir, Seq("source", "seq", "ys", "cnts"))(
+      _.source)((0L, Map.empty[Long, Long])) { (src, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { d =>
+          m = m.updated(d.n_chars, m.getOrElse(d.n_chars, 0L) + 1L)
+          seen += 1
+        }
+        val ys = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((src, seen, ys, ys.map(m))))
+      } { t =>
+        TextQueries.quantileNormalizeFrom(t.groupBy(col("source"))
+          .agg(max(struct(col("seq"), col("ys"), col("cnts"))).as("b"))
+          .select(col("source"),
+            explode(arrays_zip(col("b.ys"), col("b.cnts"))).as("z"))
+          .select(col("source"), col("z.ys").as("y"), col("z.cnts").as("cnt")))
+      }
+  }
+
+  /** Same oracle as the batch quantile normalization — the point. */
+  val q208_stream_quantile_normalize_sql: String =
+    TextQueries.q206_quantile_normalize_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_stream_neyman" -> (q207_stream_neyman _),
+    "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -1694,6 +1796,8 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q207_stream_neyman" -> q207_stream_neyman_sql,
+    "q208_stream_quantile_normalize" -> q208_stream_quantile_normalize_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

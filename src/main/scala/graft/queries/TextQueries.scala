@@ -1598,16 +1598,38 @@ object TextQueries {
     * quota — no sort, no per-group top-k, no second shuffle.
     */
   def q205_neyman_sample(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 100L
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("y"))
     val strata = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
         sum(col("y") * col("y")).as("ss"))
-      .withColumn("w_q",
-        floor(sqrt(expr("CAST(n * ss - s * s AS DOUBLE)")) * 1e6).cast("long"))
-    val based = strata
-      .crossJoin(broadcast(strata.agg(sum(col("w_q")).as("sum_w"))))
+    val cells = docs
+      .withColumn("hm", pmod(
+        graft.functions.Determinism.hash60(
+          concat(lit("ney:"), col("doc_id").cast("string"))),
+        lit(1000000L)))
+      .groupBy(col("source"), col("hm"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("sy"))
+    neymanReport(strata, cells)
+  }
+
+  /** q205's allocation + draw-summary tail from the two sufficient
+    * frames — shared with the streaming twin q207, whose per-source
+    * state maintains exactly these (moment triple + hash-threshold
+    * histogram; the histogram's domain is the 10⁶ threshold grid, so
+    * state is min(n_source, 10⁶)-bounded per label at ANY corpus
+    * size). `strata` = (source, n, s, ss); `cells` = (source, hm,
+    * cnt, sy) where hm = hash60("ney:"+doc_id) mod 10⁶ — grouping
+    * docs by their hash cell commutes with the per-doc keep rule
+    * (hm < thr), so the achieved summary is value-identical to the
+    * row-level draw.
+    */
+  private[queries] def neymanReport(strata: DataFrame, cells: DataFrame): DataFrame = {
+    val budget = 100L
+    val w = strata.withColumn("w_q",
+      floor(sqrt(expr("CAST(n * ss - s * s AS DOUBLE)")) * 1e6).cast("long"))
+    val based = w
+      .crossJoin(broadcast(w.agg(sum(col("w_q")).as("sum_w"))))
       .withColumn("base", expr(s"$budget * w_q div sum_w"))
       .withColumn("frac", expr(s"($budget * w_q) % sum_w"))
     val withShort = based.crossJoin(broadcast(
@@ -1622,16 +1644,12 @@ object TextQueries {
       .agg(count(col("peer")).as("n_ahead"))
       .select(col("source"), col("n"), col("s"), col("w_q"),
         (col("base") + when(col("n_ahead") < col("short"), 1L).otherwise(0L)).as("planned"))
-    val keep = pmod(
-      graft.functions.Determinism.hash60(
-        concat(lit("ney:"), col("doc_id").cast("string"))),
-      lit(1000000L)) < col("thr")
-    val sampled = docs
+    val sampled = cells
       .join(broadcast(planned.withColumn("thr",
         least(lit(1000000L), expr("1000000 * planned div n")))), "source")
-      .filter(keep)
+      .filter(col("hm") < col("thr"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("achieved"), sum(col("y")).as("s_samp"))
+      .agg(sum(col("cnt")).as("achieved"), sum(col("sy")).as("s_samp"))
     planned.join(sampled, Seq("source"), "left")
       .select(col("source"), col("n"), col("w_q"), col("planned"),
         coalesce(col("achieved"), lit(0L)).as("achieved"),
@@ -1702,18 +1720,27 @@ object TextQueries {
     * values| — bounded by the value domain squared whatever the
     * corpus size.
     */
-  def q206_quantile_normalize(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def q206_quantile_normalize(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalizeFrom(Tables.documents(spark, dir)
       .select(col("source"), col("n_chars").cast("long").as("y"))
-    val sh = d.groupBy(col("source"), col("y")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"), col("y")).agg(count(lit(1)).as("cnt")))
+
+  /** q206's re-gridding tail from the (source, y, cnt) value
+    * histogram — shared with the streaming twin q208, whose
+    * per-source state maintains exactly this histogram (value-domain
+    * bounded at any corpus size). The global histogram and N derive
+    * from the per-source one by summation (every document carries a
+    * source), so ONE frame is the whole sufficient statistic.
+    */
+  private[queries] def quantileNormalizeFrom(sh: DataFrame): DataFrame = {
     val s = sh
       .withColumn("cum", sum(col("cnt"))
         .over(Window.partitionBy(col("source")).orderBy(col("y"))))
       .withColumn("ns", sum(col("cnt")).over(Window.partitionBy(col("source"))))
     val g = graft.operators.Sequence.globalPrefixSum(
-      d.groupBy(col("y")).agg(count(lit(1)).as("gcnt")),
+      sh.groupBy(col("y")).agg(sum(col("cnt")).as("gcnt")),
       Seq(col("y")), "gcnt", "gcum")
-    val n = d.agg(count(lit(1)).as("nn"))
+    val n = sh.agg(sum(col("cnt")).as("nn"))
     s.crossJoin(broadcast(n))
       .withColumn("gr", expr("(cum * nn + ns - 1) div ns"))
       .join(broadcast(g.select(col("y").as("gy"), col("gcum"))),
@@ -2984,16 +3011,28 @@ object TextQueries {
     * name/title matcher record-linkage systems run beside token
     * (q45/q47) and edit-distance (q90) similarity: transposition-
     * tolerant and prefix-weighted, which neither shingles nor
-    * banded Levenshtein give. Scored by the codegen'd
-    * [[graft.plans.JaroWinklerSim]] expression, whose semantics are
-    * pinned bit-for-bit to DuckDB's jaro_winkler_similarity — the
-    * oracle therefore verifies the custom kernel value-exactly on
-    * every candidate pair, not just the survivor set.
+    * banded Levenshtein give.
+    *
+    * DETERMINISM CONTRACT (round 12 — VERDICT r11 item 1): the hashed
+    * surface carries NO double and NO version-sensitive builtin.
+    * Scores are the EXACT INTEGER floor(jw·10⁴) from the codegen'd
+    * [[graft.plans.JaroWinklerQ4]] kernel — pure int64 arithmetic
+    * over the matcher's sufficient statistics (m, t, l1, l2, pfx) —
+    * and the ≥ 0.88 gate is the same integers (q4 ≥ 8800, an exact
+    * equivalence since 8800 = 0.88·10⁴). The ORACLE computes the
+    * identical integers from plain SQL: a 32-step UNROLLED greedy
+    * matcher ([[jwMatcherSql]]) instead of the builtin
+    * jaro_winkler_similarity, whose implementation drifts across
+    * DuckDB releases (two rounds of driver-side hash mismatches with
+    * locally-green floor-quantized doubles — guard bands are
+    * infeasible, the candidate score distribution is dense within
+    * ±0.002 of the threshold at sf0.01). PortabilitySpec now bans
+    * the builtin from oracle SQL outright.
     *
     * Shape (the q127/q90 dedup discipline): EXACT-CLASS COLLAPSE
     * first (identical titles → one representative; under crawl-grade
     * duplication dup classes multiply candidates quadratically —
-    * within-class pairs are emitted arithmetically at jw = 1);
+    * within-class pairs are emitted arithmetically at q4 = 10000);
     * blocking key is the 2-byte title prefix — the canonical
     * Winkler blocking, aligned with the boost's own prefix weight (a
     * high-JW pair with different first bytes earns no boost and
@@ -3001,13 +3040,8 @@ object TextQueries {
     * that census-style deployments block exactly this way). Block
     * member lists ride the loud cappedMembers guard; at 100 TB the
     * key extends (prefix-4 + length band) exactly like q90's bands —
-    * the plan shape is unchanged. Scores floor-quantize at 1e-4
-    * through an exact int64 after the ≥ 0.88 gate (the q173 idiom —
-    * beneath plausible library drift in the oracle's built-in
-    * jaro_winkler_similarity, and immune to double→DECIMAL cast
-    * rounding divergence across DuckDB versions).
+    * the plan shape is unchanged.
     */
-  private val jwThreshold = 0.88
   def q185_jaro_linkage(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), lower(substring(col("text"), 1, 32)).as("title"))
@@ -3028,26 +3062,102 @@ object TextQueries {
     val cross = candReps
       .join(byRep.select(col("rep_id").as("ra"), col("title").as("ta"), col("ids").as("ids_a")), Seq("ra"))
       .join(byRep.select(col("rep_id").as("rb"), col("title").as("tb"), col("ids").as("ids_b")), Seq("rb"))
-      .withColumn("jw", graft.plans.JaroWinklerSim(col("ta"), col("tb")))
-      .filter(col("jw") >= lit(jwThreshold))
-      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jw"))
-      .select(col("da"), explode(col("ids_b")).as("db"), col("jw"))
+      .withColumn("jwq4", graft.plans.JaroWinklerQ4(col("ta"), col("tb")))
+      .filter(col("jwq4") >= lit(8800L))
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("jwq4"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("jwq4"))
       .select(least(col("da"), col("db")).as("a_id"),
         greatest(col("da"), col("db")).as("b_id"),
-        // floor-quantize at 1e-4 through an exact int64 (the q173
-        // idiom): beneath any plausible jaro-winkler library drift,
-        // and immune to double→DECIMAL cast-rounding divergence
-        // across DuckDB versions (round-10 lesson). Schema stays
-        // DECIMAL(18,6); the value's scale is 4.
-        (floor(col("jw") * lit(10000.0)).cast("decimal(18,0)") *
-          lit(BigDecimal("0.0001"))).cast("decimal(18,6)").as("jw"))
+        col("jwq4").as("jw_q4"),
+        // rendering only: an exact long → decimal multiply is
+        // rounding-free in both engines (the decq-safe class)
+        (col("jwq4").cast("decimal(18,0)") * lit(BigDecimal("0.0001")))
+          .cast("decimal(18,4)").as("jw"))
     val within = cls
       .filter(size(col("ids")) > 1)
       .select(col("ids"), explode(col("ids")).as("a_id"))
       .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(1.0).cast("decimal(18,6)").as("jw"))
+      .select(col("a_id"), col("b_id"), lit(10000L).as("jw_q4"),
+        lit(BigDecimal("1.0000")).cast("decimal(18,4)").as("jw"))
     cross.unionByName(within).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Engine-portable Jaro–Winkler in PLAIN SQL: an unrolled 32-step
+    * greedy matcher producing the exact integer stats (l1, l2, m, t,
+    * pfx) — the replacement for DuckDB's version-sensitive
+    * jaro_winkler_similarity builtin on gate oracles (round-12
+    * determinism contract; validated cell-exact against the builtin
+    * on all 377k sf0.1 candidate pairs under the pinned replica).
+    *
+    * `src` must provide columns `keys..., ta, tb` (strings ≤ 32
+    * chars — the title fields). Emits CTEs `jw_s0..jw_s32, jw_ma,
+    * jw_mb, jw_t, jw_final(keys..., ta, tb, l1, l2, m, t, pfx)`.
+    * Each step k consumes the previous state EXACTLY ONCE (CTE
+    * inlining is exponential otherwise) and finds the smallest
+    * unmatched in-window position of char k via a correlated scalar
+    * subquery over generate_series; matched positions ride two
+    * int64 bitmasks. Byte-wise semantics match the Spark kernel on
+    * this corpus (ASCII titles; both substr() and the kernel agree).
+    */
+  private[queries] def jwMatcherSql(src: String, keys: Seq[String]): String = {
+    val K = keys.mkString(", ")
+    val KS = keys.map("s." + _).mkString(", ")
+    val s0 =
+      s"""jw_s0 AS (
+         |  SELECT $K, ta, tb, strlen(ta) AS l1, strlen(tb) AS l2,
+         |    GREATEST(GREATEST(strlen(ta), strlen(tb)) // 2 - 1, 0) AS w,
+         |    CAST(0 AS BIGINT) AS k1, CAST(0 AS BIGINT) AS k2, 0 AS m
+         |  FROM $src)""".stripMargin
+    val steps = (1 to 32).map { i =>
+      s"""jw_s$i AS (
+         |  SELECT $K, ta, tb, l1, l2, w,
+         |    k1 | CASE WHEN j IS NULL THEN 0 ELSE (CAST(1 AS BIGINT) << $i) END AS k1,
+         |    k2 | CASE WHEN j IS NULL THEN 0 ELSE (CAST(1 AS BIGINT) << j) END AS k2,
+         |    m + CASE WHEN j IS NULL THEN 0 ELSE 1 END AS m
+         |  FROM (
+         |    SELECT $KS, s.ta, s.tb, s.l1, s.l2, s.w, s.k1, s.k2, s.m,
+         |      (SELECT MIN(u.j) FROM generate_series(1, 32) u(j)
+         |       WHERE $i <= s.l1
+         |         AND u.j >= GREATEST(1, $i - s.w) AND u.j <= LEAST(s.l2, $i + s.w)
+         |         AND substr(s.tb, u.j, 1) = substr(s.ta, $i, 1)
+         |         AND ((s.k2 >> u.j) & 1) = 0) AS j
+         |    FROM jw_s${i - 1} s))""".stripMargin
+    }
+    val tail =
+      s"""jw_ma AS (
+         |  SELECT $K, ROW_NUMBER() OVER (PARTITION BY $K ORDER BY u.j) AS rk,
+         |    substr(ta, u.j, 1) AS ch
+         |  FROM jw_s32, generate_series(1, 32) u(j) WHERE ((k1 >> u.j) & 1) = 1),
+         |jw_mb AS (
+         |  SELECT $K, ROW_NUMBER() OVER (PARTITION BY $K ORDER BY u.j) AS rk,
+         |    substr(tb, u.j, 1) AS ch
+         |  FROM jw_s32, generate_series(1, 32) u(j) WHERE ((k2 >> u.j) & 1) = 1),
+         |jw_t AS (
+         |  SELECT $K, CAST(SUM(CASE WHEN a.ch <> b.ch THEN 1 ELSE 0 END) AS BIGINT) AS t2
+         |  FROM jw_ma a JOIN jw_mb b USING ($K, rk) GROUP BY $K),
+         |jw_final AS (
+         |  SELECT $K, ta, tb, CAST(l1 AS BIGINT) AS l1, CAST(l2 AS BIGINT) AS l2,
+         |    CAST(m AS BIGINT) AS m, CAST(COALESCE(t2, 0) // 2 AS BIGINT) AS t,
+         |    CAST(CASE WHEN substr(ta,1,4) = substr(tb,1,4) THEN 4
+         |         WHEN substr(ta,1,3) = substr(tb,1,3) THEN 3
+         |         WHEN substr(ta,1,2) = substr(tb,1,2) THEN 2
+         |         WHEN substr(ta,1,1) = substr(tb,1,1) THEN 1 ELSE 0 END AS BIGINT) AS pfx
+         |  FROM jw_s32 LEFT JOIN jw_t USING ($K))""".stripMargin
+    (s0 +: steps :+ tail).mkString(",\n")
+  }
+
+  /** floor(jw·10⁴) over jw_final's integer stats — mirrors
+    * [[graft.plans.JaroWinklerSim.scoreQ4]] op for op: boost iff
+    * 10·N ≥ 7·D; every term non-negative int64, so `//` (trunc) is
+    * floor in any engine.
+    */
+  private[queries] val jwQ4Sql: String = {
+    val n = "(m*m*(l1+l2) + (m-t)*l1*l2)"
+    val d = "(3*m*l1*l2)"
+    val p = s"(CASE WHEN 10*$n >= 7*$d THEN pfx ELSE 0 END)"
+    s"CAST(CASE WHEN l1 = 0 OR l2 = 0 OR m = 0 THEN 0 ELSE " +
+      s"(10000 * ((10 - $p) * $n + $p * $d)) // (10 * $d) END AS BIGINT)"
   }
 
   val q185_jaro_linkage_sql: String =
@@ -3055,30 +3165,68 @@ object TextQueries {
        |cls AS (SELECT title, MIN(doc_id) AS rep_id, list(doc_id) AS ids
        |  FROM t GROUP BY title),
        |cand AS (
-       |  SELECT a.rep_id AS ra, b.rep_id AS rb
+       |  SELECT a.rep_id AS ra, b.rep_id AS rb, a.title AS ta, b.title AS tb,
+       |    a.ids AS ids_a, b.ids AS ids_b
        |  FROM cls a JOIN cls b
        |    ON substr(a.title, 1, 2) = substr(b.title, 1, 2)
        |    AND a.rep_id < b.rep_id),
+       |${jwMatcherSql("cand", Seq("ra", "rb"))},
        |scored AS (
-       |  SELECT pa.ids AS ids_a, pb.ids AS ids_b,
-       |    jaro_winkler_similarity(pa.title, pb.title) AS jw
-       |  FROM cand JOIN cls pa ON pa.rep_id = ra JOIN cls pb ON pb.rep_id = rb
-       |  WHERE jaro_winkler_similarity(pa.title, pb.title) >= $jwThreshold),
+       |  SELECT c.ids_a, c.ids_b, $jwQ4Sql AS jwq4
+       |  FROM jw_final f JOIN cand c USING (ra, rb)),
        |cross_pairs AS (
-       |  SELECT least(da, db) AS a_id, greatest(da, db) AS b_id,
-       |    CAST(CAST(CAST(floor(jw * 10000.0) AS BIGINT) AS DECIMAL(18,0))
-       |      * 0.0001 AS DECIMAL(18,6)) AS jw
-       |  FROM scored, unnest(ids_a) ua(da), unnest(ids_b) ub(db)),
+       |  SELECT least(da, db) AS a_id, greatest(da, db) AS b_id, jwq4
+       |  FROM scored, unnest(ids_a) ua(da), unnest(ids_b) ub(db)
+       |  WHERE jwq4 >= 8800),
        |within AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    CAST(1.0 AS DECIMAL(18,6)) AS jw
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(10000 AS BIGINT) AS jwq4
        |  FROM t a JOIN t b ON a.title = b.title AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id, jw FROM cross_pairs
-       |UNION ALL SELECT a_id, b_id, jw FROM within
+       |SELECT a_id, b_id, jwq4 AS jw_q4,
+       |  CAST(CAST(jwq4 AS DECIMAL(18,0)) * 0.0001 AS DECIMAL(18,4)) AS jw
+       |FROM (SELECT a_id, b_id, jwq4 FROM cross_pairs
+       |      UNION ALL SELECT a_id, b_id, jwq4 FROM within)
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** q185d1 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2, remote
+    * root-cause search): every candidate rep pair's full matcher
+    * stat vector, packed into one exact int64
+    * (((((l1·64+l2)·64+m)·64+t)·8+pfx) — [[graft.plans.JaroWinklerPack]]).
+    * If the driver ever disagrees with q185 again, this row set says
+    * WHICH stage diverges: a jwpack mismatch means the matcher
+    * itself; a green q185d1 with red q185 means the scoring/threshold
+    * arithmetic. Delete once the five r10/r11 reds are two rounds
+    * green.
+    */
+  def q185d1_jw_stats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(substring(col("text"), 1, 32)).as("title"))
+    val cls = t.groupBy(col("title")).agg(min(col("doc_id")).as("rep_id"))
+    val a = cls.select(col("rep_id").as("ra"), col("title").as("ta"),
+      substring(col("title"), 1, 2).as("pfx2"))
+    val b = cls.select(col("rep_id").as("rb"), col("title").as("tb"),
+      substring(col("title"), 1, 2).as("pfx2"))
+    a.join(b, Seq("pfx2")).filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"),
+        graft.plans.JaroWinklerPack(col("ta"), col("tb")).as("jwpack"))
+      .orderBy(col("ra"), col("rb"))
+  }
+
+  val q185d1_jw_stats_sql: String =
+    s"""WITH t AS (SELECT doc_id, lower(substr(text, 1, 32)) AS title FROM documents),
+       |cls AS (SELECT title, MIN(doc_id) AS rep_id FROM t GROUP BY title),
+       |cand AS (
+       |  SELECT a.rep_id AS ra, b.rep_id AS rb, a.title AS ta, b.title AS tb
+       |  FROM cls a JOIN cls b
+       |    ON substr(a.title, 1, 2) = substr(b.title, 1, 2)
+       |    AND a.rep_id < b.rep_id),
+       |${jwMatcherSql("cand", Seq("ra", "rb"))}
+       |SELECT ra, rb,
+       |  CAST(((((l1 * 64 + l2) * 64 + m) * 64 + t) * 8 + pfx) AS BIGINT) AS jwpack
+       |FROM jw_final ORDER BY ra, rb""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_jaro_linkage" -> (q185_jaro_linkage _),
+    "q185d1_jw_stats" -> (q185d1_jw_stats _),
     "q167_rag_chunks" -> (q167_rag_chunks _),
     "q179_hybrid_rrf" -> (q179_hybrid_rrf _),
     "q127_prefix_join" -> (q127_prefix_join _),
@@ -3134,6 +3282,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q185_jaro_linkage" -> q185_jaro_linkage_sql,
+    "q185d1_jw_stats" -> q185d1_jw_stats_sql,
     "q167_rag_chunks" -> q167_rag_chunks_sql,
     "q179_hybrid_rrf" -> q179_hybrid_rrf_sql,
     "q123_weighted_sample" -> q123_weighted_sample_sql,

@@ -164,7 +164,7 @@ object TimeSeriesQueries {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("double").as("x"))
       .groupBy(col("event_type"))
-      .agg(expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)").as("xs"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, x))), s -> s.x)").as("xs"))
       .filter(size(col("xs")) >= 2)
       .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
         expr(
@@ -214,7 +214,7 @@ object TimeSeriesQueries {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("double").as("x"))
       .groupBy(col("event_type"))
-      .agg(expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)").as("xs"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, x))), s -> s.x)").as("xs"))
       .filter(size(col("xs")) >= 2)
       .select(col("event_type"), col("xs"),
         expr(
@@ -288,13 +288,12 @@ object TimeSeriesQueries {
     * the robust TREND estimator a single corrupted day cannot drag —
     * 29% breakdown point vs OLS's zero).
     *
-    * Determinism: each slope is ONE double division of exact cent /
-    * day-index longs (bit-identical both engines); the median picks
-    * values by integer rank over the per-type value-sorted slope
-    * frame (row_number ties among equal doubles are value-irrelevant)
-    * and averages the lo/hi middle pair — (lo + hi) / 2.0 in fixed
-    * order, floor-quantized through an exact int64 (the q173 idiom)
-    * before the DECIMAL edge — never a raw double→DECIMAL cast.
+    * Determinism: fully integer-exact end to end — slopes stay the
+    * exact rationals (Δcents, Δdays), ranking uses the exact integer
+    * key floorDiv(num·2²⁰, den) with (num, den) tie-breaks, and the
+    * hashed output is the selected rationals plus a median quantized
+    * by ONE exact integer floor-division (see [[theilSenFrom]] —
+    * round-12 contract; no IEEE double survives anywhere).
     *
     * Scale/shape: the corpus collapses FIRST to the (type, day)
     * daily frame (calendar-bounded); the pair expansion is
@@ -312,67 +311,178 @@ object TimeSeriesQueries {
   /** q193's pipeline from the collapsed (event_type, day-index d,
     * cents y) frame — shared with the streaming twin q195, whose
     * per-type state maintains exactly this calendar-bounded frame.
+    *
+    * DETERMINISM CONTRACT (round 12 — VERDICT r11 item 1): no IEEE
+    * double exists anywhere in this pipeline — not even in the sort.
+    * Each pair's slope is the exact rational num/den (Δcents/Δdays,
+    * both int64); the rank order uses the exact integer key
+    * floorDiv(num·2²⁰, den), which is order-faithful because two
+    * DISTINCT slope rationals with day-denominators ≤ calendar size
+    * differ by ≥ 1/den² ≫ 2⁻²⁰ (so equal keys ⟺ equal values), with
+    * (num, den) tie-breaks making the lo/hi pair selection unique in
+    * both engines. The hashed output is the selected pairs' exact
+    * rationals (lo_num/lo_den/hi_num/hi_den) plus the quantized
+    * median slope_q6 = floor(10⁶·(lo+hi)/200) computed ENTIRELY in
+    * integer arithmetic via the floor-div identity — there is
+    * nothing left an engine build can compute differently.
+    * Magnitudes: |num| ≤ Σcents per type-day ≈ 2⁴⁰ at petabyte rates,
+    * ·2²⁰ ≈ 2⁶⁰ < 2⁶³; the slope_q6 numerator ≤ 10⁶·2·|num|·den — a
+    * 100 TB deployment widens these two products to DECIMAL(38,0),
+    * same shape.
     */
   private[queries] def theilSenFrom(daily: DataFrame): DataFrame = {
+    import graft.functions.Determinism.floorDiv
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
     val pairs = daily.select(col("event_type"), col("d").as("da"), col("y").as("ya"))
       .join(daily.select(col("event_type"), col("d").as("db"), col("y").as("yb")),
         Seq("event_type"))
       .filter(col("da") < col("db"))
       .select(col("event_type"),
-        ((col("yb") - col("ya")).cast("double") /
-          (col("db") - col("da")).cast("double")).as("s"))
+        (col("yb") - col("ya")).as("num"),
+        (col("db") - col("da")).as("den"))
+      .withColumn("kq", floorDiv(col("num") * lit(1048576L), col("den")))
     val ranked = pairs
-      .withColumn("rn", row_number().over(w.orderBy(col("s"))))
+      .withColumn("rn", row_number().over(w.orderBy(col("kq"), col("num"), col("den"))))
       .withColumn("n", count(lit(1)).over(w))
     val nDays = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
     ranked.groupBy(col("event_type"))
       .agg(first(col("n")).as("n_pairs"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("s"))).as("lo"),
-        max(when(col("rn") === expr("n div 2 + 1"), col("s"))).as("hi"))
+        max(when(col("rn") === expr("(n + 1) div 2"), col("num"))).as("lo_num"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("den"))).as("lo_den"),
+        max(when(col("rn") === expr("n div 2 + 1"), col("num"))).as("hi_num"),
+        max(when(col("rn") === expr("n div 2 + 1"), col("den"))).as("hi_den"))
       .join(nDays, "event_type")
+      // median slope in dollars/day, quantized at 1e-6: (lo + hi)/2
+      // over cents = (lo_num·hi_den + hi_num·lo_den)/(2·lo_den·hi_den)
+      // /100 dollars — floor(10⁶·x) of that rational is ONE exact
+      // floor division of int64s.
+      .withColumn("slope_q6", floorDiv(
+        (col("lo_num") * col("hi_den") + col("hi_num") * col("lo_den")) * lit(1000000L),
+        col("lo_den") * col("hi_den") * lit(200L)))
       .select(col("event_type"), col("n_days"), col("n_pairs"),
-        // floor-int64 quantization (the q173 idiom): floor of a
-        // bit-identical double is portable; a double→DECIMAL CAST's
-        // rounding is engine/version-sensitive (observed: driver
-        // DuckDB ≠ local 1.0.0 on the last digit, round 10). The
-        // long→decimal multiply by an exact 1e-6 decimal is
-        // rounding-free in both engines.
-        (floor((((col("lo") + col("hi")) / 2.0) / 100.0) * lit(1000000.0))
-          .cast("decimal(18,0)") * lit(BigDecimal("0.000001")))
+        col("lo_num"), col("lo_den"), col("hi_num"), col("hi_den"),
+        col("slope_q6"),
+        // rendering only: exact long → decimal multiply (decq-safe)
+        (col("slope_q6").cast("decimal(18,0)") * lit(BigDecimal("0.000001")))
           .cast("decimal(18,6)").as("slope_dollars_per_day"))
       .orderBy(col("event_type"))
   }
 
-  val q193_theil_sen_sql: String =
-    """WITH daily AS (
+  val q193_theil_sen_sql: String = {
+    import graft.functions.Determinism.floorDivSql
+    s"""WITH daily AS (
       |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
       |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
       |  FROM events GROUP BY 1, 2),
       |dd AS (SELECT event_type, CAST(day - DATE '2024-01-01' AS BIGINT) AS d, y
       |       FROM daily),
       |pr AS (
-      |  SELECT a.event_type, CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+      |  SELECT a.event_type, CAST(b.y - a.y AS BIGINT) AS num,
+      |    CAST(b.d - a.d AS BIGINT) AS den
       |  FROM dd a JOIN dd b ON a.event_type = b.event_type AND a.d < b.d),
-      |rk AS (
-      |  SELECT event_type, s,
-      |    row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
-      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |kq AS (
+      |  SELECT event_type, num, den,
+      |    ${floorDivSql("num * 1048576", "den")} AS kq
       |  FROM pr),
+      |rk AS (
+      |  SELECT event_type, num, den,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY kq, num, den) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM kq),
       |med AS (
       |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
-      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN s END) AS lo,
-      |    MAX(CASE WHEN rn = n // 2 + 1 THEN s END) AS hi
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN num END) AS lo_num,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN den END) AS lo_den,
+      |    MAX(CASE WHEN rn = n // 2 + 1 THEN num END) AS hi_num,
+      |    MAX(CASE WHEN rn = n // 2 + 1 THEN den END) AS hi_den
       |  FROM rk GROUP BY 1),
-      |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+      |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+      |sl AS (
+      |  SELECT event_type, n_pairs, lo_num, lo_den, hi_num, hi_den,
+      |    ${floorDivSql("(lo_num * hi_den + hi_num * lo_den) * 1000000",
+                         "lo_den * hi_den * 200")} AS slope_q6
+      |  FROM med)
       |SELECT m.event_type, nd.n_days, m.n_pairs,
-      |  CAST(CAST(CAST(floor((((m.lo + m.hi) / 2.0) / 100.0) * 1000000.0) AS BIGINT)
-      |    AS DECIMAL(18,0)) * 0.000001 AS DECIMAL(18,6)) AS slope_dollars_per_day
-      |FROM med m JOIN nd USING (event_type)
+      |  m.lo_num, m.lo_den, m.hi_num, m.hi_den,
+      |  CAST(m.slope_q6 AS BIGINT) AS slope_q6,
+      |  CAST(CAST(m.slope_q6 AS DECIMAL(18,0)) * 0.000001 AS DECIMAL(18,6))
+      |    AS slope_dollars_per_day
+      |FROM sl m JOIN nd USING (event_type)
       |ORDER BY m.event_type""".stripMargin
+  }
+
+  /** q193d1 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2): the
+    * collapsed (event_type, day-index, cents) daily frame q193's
+    * pair expansion consumes — pure integers, exercising exactly the
+    * stages upstream of the pair math in the driver's oracle:
+    * parquet timestamp/double ingestion, the dec2 cents cast, the
+    * date arithmetic. A mismatch here means the driver's DuckDB
+    * ingests or casts these shapes differently; green d1 with red
+    * q193 localizes to windows/rank/selection. Delete once the five
+    * r10/r11 reds are two rounds green.
+    */
+  def q193d1_daily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("d"),
+        col("y"))
+      .orderBy(col("event_type"), col("d"))
+
+  val q193d1_daily_sql: String =
+    """SELECT event_type,
+      |  CAST(date_trunc('day', ts)::DATE - DATE '2024-01-01' AS BIGINT) AS d,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q193d2 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2): the slope
+    * pair frame AGGREGATED per (event_type, den) to exact-integer
+    * marginals — count, sum/min/max of numerators. Bounded at
+    * labels × calendar rows, it fingerprints the whole pair
+    * expansion without shipping days² rows: with d1 green and d2
+    * red, the driver's join/pair construction diverges; with both
+    * green and q193 red, only the rank window and median selection
+    * remain. Delete once the five r10/r11 reds are two rounds green.
+    */
+  def q193d2_pairstats(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("d"),
+        col("y"))
+    daily.select(col("event_type"), col("d").as("da"), col("y").as("ya"))
+      .join(daily.select(col("event_type"), col("d").as("db"), col("y").as("yb")),
+        Seq("event_type"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("event_type"), (col("db") - col("da")).as("den"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("yb") - col("ya")).as("sum_num"),
+        min(col("yb") - col("ya")).as("min_num"),
+        max(col("yb") - col("ya")).as("max_num"))
+      .orderBy(col("event_type"), col("den"))
+  }
+
+  val q193d2_pairstats_sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT event_type, CAST(day - DATE '2024-01-01' AS BIGINT) AS d, y
+      |       FROM daily)
+      |SELECT a.event_type, CAST(b.d - a.d AS BIGINT) AS den,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(b.y - a.y) AS BIGINT) AS sum_num,
+      |  CAST(MIN(b.y - a.y) AS BIGINT) AS min_num,
+      |  CAST(MAX(b.y - a.y) AS BIGINT) AS max_num
+      |FROM dd a JOIN dd b ON a.event_type = b.event_type AND a.d < b.d
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_theil_sen" -> (q193_theil_sen _),
+    "q193d1_daily" -> (q193d1_daily _),
+    "q193d2_pairstats" -> (q193d2_pairstats _),
     "q154_acf" -> (q154_acf _),
     "q155_seasonal" -> (q155_seasonal _),
     "q156_holt" -> (q156_holt _),
@@ -380,6 +490,8 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "q193_theil_sen" -> q193_theil_sen_sql,
+    "q193d1_daily" -> q193d1_daily_sql,
+    "q193d2_pairstats" -> q193d2_pairstats_sql,
     "q154_acf" -> q154_acf_sql,
     "q155_seasonal" -> q155_seasonal_sql,
     "q156_holt" -> q156_holt_sql,

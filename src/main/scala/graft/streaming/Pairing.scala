@@ -34,8 +34,17 @@ object Pairing {
   case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
+  /** The documents-table row as the corpus-side pairings (#27/#28)
+    * consume it — the text payload is deliberately absent: those
+    * pairings' states are metadata histograms and moment triples,
+    * and dropping `text` at the stream scan keeps the shuffle a few
+    * dozen bytes per document.
+    */
+  case class DocRow(doc_id: Long, source: String, n_chars: Long)
+
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]
+  private implicit val docEnc: Encoder[DocRow] = Encoders.product[DocRow]
 
   /** Stateful streaming allocates ONE state-store instance per shuffle
     * partition per stateful operator, and every micro-batch pays a
@@ -94,6 +103,49 @@ object Pairing {
     // in a LogicalRDD with fresh attribute ids on the standard dedup
     // path. The sink is emission-sized, so the materialization is
     // trivial.
+    project(spark.table(name).localCheckpoint(true))
+  }
+
+  /** [[run]] over the DOCUMENTS table — the corpus-side pairing
+    * source (#27 streaming Neyman, #28 streaming quantile
+    * normalization). Same contract; the canonical per-key replay
+    * order is doc_id (unique and stable — documents carry no event
+    * time). Reads both testdata layouts the events source handles
+    * (single parquet FILE via glob filter; directory of part files).
+    */
+  def runDocs[K, S, O](spark: SparkSession, dir: String, cols: Seq[String])
+      (key: DocRow => K)(init: => S)
+      (step: (K, S, Vector[DocRow]) => (S, Vector[O]))
+      (project: DataFrame => DataFrame)
+      (implicit ek: Encoder[K], es: Encoder[S], eo: Encoder[O]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val name = s"pairing_mem_${runId.incrementAndGet()}"
+    withStreamShuffle(spark) {
+      val docPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val fs = docPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val isDir = fs.exists(docPath) && fs.getFileStatus(docPath).isDirectory
+      val schema =
+        if (isDir) spark.read.parquet(docPath.toString).schema
+        else spark.read.option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+      val st =
+        if (isDir) spark.readStream.schema(schema).parquet(docPath.toString)
+        else spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val ds = st
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        .as[DocRow]
+      val out = ds.groupByKey(key)(ek)
+        .flatMapGroupsWithState[S, O](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (k: K, it: Iterator[DocRow], state: GroupState[S]) =>
+            val ordered = it.toVector.sortBy(_.doc_id)
+            val (s1, outs) = step(k, state.getOption.getOrElse(init), ordered)
+            state.update(s1)
+            outs.iterator
+        }(es, eo)
+      val q = out.toDF(cols: _*).writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     project(spark.table(name).localCheckpoint(true))
   }
 }

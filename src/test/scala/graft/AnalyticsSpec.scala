@@ -342,6 +342,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q207 streaming Neyman allocation is bit-identical to batch q205 (pairing #27)") {
+    val batch = graft.queries.TextQueries.q205_neyman_sample(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q207_stream_neyman(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q208 streaming quantile normalization is bit-identical to batch q206 (pairing #28)") {
+    val batch = graft.queries.TextQueries.q206_quantile_normalize(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q208_stream_quantile_normalize(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q198 streaming skew profile is bit-identical to batch q153 (pairing #20)") {
     val batch = graft.queries.StatsQueries.q153_skew_profile(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q198_stream_skew(spark, dir).collect().toSeq

@@ -52,6 +52,96 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(jw("aaab", "aaac") > jw("baaa", "caaa"))
   }
 
+  private def q4(a: String, b: String): Long =
+    JaroWinklerSim.scoreQ4(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
+  test("scoreQ4 pins: exact integer floor(jw·10⁴) on the reference pairs") {
+    assert(q4("martha", "marhta") == 9611L)
+    assert(q4("dixon", "dicksonx") == 8133L)
+    assert(q4("jellyfish", "smellyfish") == 8962L)
+    assert(q4("dwayne", "duane") == 8400L)
+    assert(q4("hello world", "hello wrld") == 9818L)
+    assert(q4("crate", "trace") == 7333L)
+    assert(q4("arnab", "raanb") == 8666L)
+    assert(q4("", "") == 0L)
+    assert(q4("", "abc") == 0L)
+    assert(q4("abc", "abc") == 10000L)
+    assert(q4("a", "b") == 0L)
+    // the exact-0.7 boost edge (round-12 rule 10N ≥ 7D): jaro is
+    // EXACTLY 7/10 here (m=4, t=1, l=6/5) and the boost applies,
+    // matching the builtin's observed behavior (its double sum
+    // rounds just above the 0.7 literal; duckdb 1.0.0 returns 0.76
+    // = 0.7 + 2·0.1·0.3 for this pair)
+    assert(q4("cdddab", "cdcaa") == 7600L)
+  }
+
+  test("scoreQ4 equals an independent exact-rational rendering on fuzzed pairs") {
+    // independent oracle: BigInt arithmetic straight from the packed
+    // stats — any divergence is a bug in scoreQ4's int64 sequence
+    def oracle(a: String, b: String): Long = {
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      val pk = JaroWinklerSim.statsPacked(ab, bb)
+      val pfx = pk % 8; val t = (pk / 8) % 64; val m = (pk / 512) % 64
+      val l2 = (pk / (512 * 64)) % 64; val l1 = pk / (512 * 64 * 64)
+      if (l1 == 0 || l2 == 0 || m == 0) 0L
+      else {
+        val n = BigInt(m) * m * (l1 + l2) + BigInt(m - t) * l1 * l2
+        val d = BigInt(3) * m * l1 * l2
+        val p = if (n * 10 >= d * 7) BigInt(pfx) else BigInt(0)
+        ((BigInt(10000) * ((10 - p) * n + p * d)) / (10 * d)).toLong
+      }
+    }
+    val rnd = new scala.util.Random(12)
+    def s() = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (1 to 5000).foreach { _ =>
+      val (a, b) = (s(), s())
+      assert(q4(a, b) == oracle(a, b), s"scoreQ4 drift on ($a, $b)")
+      // and the quantized score never strays more than one grid cell
+      // from the double scorer (boundary cells may differ by design —
+      // the int64 form is the contract, the double is convenience)
+      assert(math.abs(q4(a, b) - math.floor(jw(a, b) * 10000).toLong) <= 1)
+    }
+  }
+
+  test("threshold equivalence: q4 ≥ 8800 ⟺ exact jw ≥ 0.88 on corpus candidates") {
+    import spark.implicits._
+    val titles = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(lower(substring(col("text"), 1, 32)).as("t"))
+      .distinct().as[String].collect()
+    val byPfx = titles.groupBy(_.take(2)).values.filter(_.length > 1)
+    var n = 0
+    byPfx.foreach { g =>
+      for (i <- g.indices; j <- (i + 1) until g.length) {
+        val v4 = q4(g(i), g(j))
+        val vd = jw(g(i), g(j))
+        // double-vs-exact disagreement is only possible within one
+        // 1e-4 grid cell of the threshold; corpus candidates near
+        // 0.88 must agree (this is the q185 row-set contract)
+        if (math.abs(vd - 0.88) > 1e-3)
+          assert((v4 >= 8800) == (vd >= 0.88), s"(${g(i)}, ${g(j)}): $v4 vs $vd")
+        n += 1
+      }
+    }
+    assert(n > 1000, s"candidate fuzz too small: $n")
+  }
+
+  test("JaroWinklerQ4/Pack columns agree with the kernel and run in codegen") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(lower(substring(col("text"), 1, 32)).as("t"))
+      .limit(500)
+      .select(col("t"),
+        graft.plans.JaroWinklerQ4(col("t"), lit("key agg row scan")).as("v4"),
+        graft.plans.JaroWinklerPack(col("t"), lit("key agg row scan")).as("pk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"), s"no codegen span:\n$plan")
+    df.collect().foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == q4(t, "key agg row scan"))
+      assert(r.getLong(2) ==
+        JaroWinklerSim.statsPacked(t.getBytes("UTF-8"), "key agg row scan".getBytes("UTF-8")))
+    }
+  }
+
   test("codegen and interpreted modes agree bit-for-bit on corpus titles") {
     val titles = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(lower(substring(col("text"), 1, 32)).as("t"))

@@ -229,12 +229,18 @@ class PlanAuditSpec extends AnyFunSuite {
     import graft.operators.Sequence
     val sp = spark
     import sp.implicits._
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // compare ID SETS, not sizes: other suites' clearCache/unpersist
+    // calls release their RDDs ASYNCHRONOUSLY, so a size snapshot
+    // races the context cleaner (flaked in r12 when neighboring
+    // suites grew). Stale ids can only DISAPPEAR between the two
+    // reads; a leak from globalRowNumber itself is a NEW id.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = (0 until 1000).map(i => ((i * 31) % 5, i.toLong)).toDF("v", "id")
     val out = Sequence.globalRowNumber(df, Seq(col("v"), col("id")), "idx")
     assert(out.count() == 1000) // consume downstream (recomputes from the shuffle)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "the count-pass persist must be released by the time globalRowNumber returns")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"the count-pass persist must be released by the time globalRowNumber returns (leaked ids: $leaked)")
   }
 
   test("GroupTopK.rank equals the naive window rank across sizes/skew/k/partition counts (property)") {

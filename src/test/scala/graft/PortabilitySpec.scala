@@ -87,9 +87,16 @@ class PortabilitySpec extends AnyFunSuite {
   private def oracleViolations(sql: String): Seq[String] = {
     val noPower =
       if (sql.contains("power(")) Seq("libm power() — use an exact literal") else Nil
+    // round-12 hardening (VERDICT r11 item 3): version-sensitive
+    // builtins are banned from oracle SQL OUTRIGHT — round 11 proved
+    // empirically that floor-quantizing the edge does NOT neutralize
+    // a builtin whose VALUE differs across engine builds (q185 stayed
+    // driver-red through two quantization rounds). Render the scorer
+    // from portable SQL instead (the q185 unrolled matcher).
     val jw =
-      if (sql.contains("jaro_winkler_similarity") && !sql.contains("floor("))
-        Seq("jaro_winkler_similarity without a floor-quantized hashed edge")
+      if (sql.contains("jaro_winkler_similarity"))
+        Seq("version-sensitive builtin jaro_winkler_similarity — render the " +
+          "scorer from portable integer SQL (the q185 matcher idiom)")
       else Nil
     val cleaned = literalCast.replaceAllIn(
       decqIdiom.replaceAllIn(sql, "DECQ_OK"), "LIT_OK")
@@ -128,9 +135,39 @@ class PortabilitySpec extends AnyFunSuite {
     assert(oracleViolations("SELECT 63.0 * power(2.0, 60) FROM t").nonEmpty)
     assert(oracleViolations(
       "SELECT jaro_winkler_similarity(a, b) AS jw FROM t").nonEmpty)
+    // floor-quantization no longer launders a version-sensitive
+    // builtin (the round-11 lesson, mechanized)
+    assert(oracleViolations(
+      "SELECT floor(jaro_winkler_similarity(a, b) * 10000.0) AS q FROM t").nonEmpty)
     assert(oracleViolations(
       s"SELECT ${graft.functions.Determinism.decqSql("x", 6)} FROM t").isEmpty)
     assert(oracleViolations("SELECT CAST(0.30103 AS DECIMAL(14,12)) FROM t").isEmpty)
+  }
+
+  /** Round-12 inverse arm (VERDICT r11 item 3): the five formerly
+    * driver-red queries (and their diagnostics) must hash NOTHING an
+    * engine build can compute differently — their output schemas
+    * carry no floating-point column at all; every decimal is fed by
+    * an exact long (the plan lint above rejects any double→decimal
+    * feed). Streaming twins q194/q195 share these projections
+    * verbatim (Pairing parity specs pin bit-equality), so the batch
+    * schemas cover them.
+    */
+  test("ex-red queries hash only exact-integer surfaces (no float columns)") {
+    val exRed = Seq("q185_jaro_linkage", "q187_kmv_overlap", "q193_theil_sen",
+      "q185d1_jw_stats", "q187d1_sketch", "q187d2_merge",
+      "q193d1_daily", "q193d2_pairstats")
+    val bad = exRed.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, dir).schema
+      spark.catalog.clearCache()
+      schema.fields.collect {
+        case f if f.dataType == DoubleType ||
+            f.dataType == org.apache.spark.sql.types.FloatType =>
+          s"$name.${f.name}: ${f.dataType.catalogString}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"floating-point columns on an exact-integer gate surface:\n${bad.mkString("\n")}")
   }
 
   test("decq and decqSql agree value-for-value (the two renderings cannot drift)") {

@@ -43,7 +43,10 @@ class QueriesSpec extends AnyFunSuite {
     val header = """{"metric":"total","value":99999,"unit":"sec","failed":0,"queries":"""
     // compact rungs carry the dir basename only (Bench sfTag)
     val tail = s""","sf":"sf0.1"}"""
-    val short = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
+    // diagnostics (qNNNdM_*) are excluded from Bench (instrumentation,
+    // not operators — see Bench.benched), so they don't spend width
+    val short = SparkEntry.queries.keys.filterNot(_.matches("q\\d+d\\d+_.*"))
+      .map(_.takeWhile(_ != '_')).toSeq
     // short keys must map 1:1 back to full names or the rung would
     // silently merge two queries' timings
     assert(short.distinct.length == short.length,

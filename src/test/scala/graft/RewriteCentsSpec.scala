@@ -74,6 +74,56 @@ class RewriteCentsSpec extends AnyFunSuite {
     assert(on(1L) == -268L)
   }
 
+  test("codegen compiles with a NON-NULLABLE child under ANSI (ADVICE r11)") {
+    // nullable = !ansi || child.nullable = false here: nullSafeCodeGen
+    // pins isNull to FalseLiteral without declaring it, so the null
+    // branch must not be emitted — before the r12 fix this silently
+    // fell back to interpreted execution on a Janino compile error.
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    // parquet-backed (ConvertToLocalRelation would fold a local frame
+    // before any codegen exists); coalesce(col, lit) is non-nullable
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val df = ev.select(
+      graft.plans.Cents(coalesce(col("value"), lit(0.0d))).as("c"),
+      (coalesce(col("value"), lit(0.0d)).cast("decimal(18,2)") * 100)
+        .cast("long").as("want"))
+    val centsExpr = df.queryExecution.analyzed.expressions
+      .flatMap(_.collect { case c: graft.plans.Cents => c }).head
+    assert(!centsExpr.child.nullable && !centsExpr.nullable,
+      "test premise broke: the child must be non-nullable under ANSI")
+    // the generated Java must COMPILE (a fallback would still be
+    // value-correct, so assert on the codegen source itself)
+    val codegen = df.queryExecution.executedPlan.collectFirst {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.getOrElse(fail(s"no codegen span:\n${df.queryExecution.executedPlan}"))
+    val (_, source) = codegen.doCodeGen()
+    org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compile(source)
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("centsOfDouble (stream-twin state cents) replays dec2 semantics exactly (ADVICE r11)") {
+    import graft.functions.Determinism.centsOfDouble
+    assert(centsOfDouble(2.675) == 268L)
+    assert(centsOfDouble(-2.675) == -268L)
+    assert(centsOfDouble(0.005) == 1L)
+    assert(centsOfDouble(0.0) == 0L)
+    // the divergence class the helper kills (values found by exhaustive
+    // search over 3-decimal inputs): 1.005's binary value is 1.00499…,
+    // so floor(x·100 + 0.5) lands at 100 — but dec2 rounds the SHORTEST
+    // string "1.005" HALF_UP to 1.01 → 101 cents. Same for 0.145, 2.135.
+    Seq(1.005 -> (100L, 101L), 0.145 -> (14L, 15L), 2.135 -> (213L, 214L))
+      .foreach { case (x, (fl, dc)) =>
+        assert(math.floor(x * 100 + 0.5).toLong == fl, s"floor form at $x")
+        assert(centsOfDouble(x) == dc, s"dec2 form at $x")
+      }
+    // and it is the SAME function as the batch kernel, not a copy
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val x = (rnd.nextInt(2000001) - 1000000) / 1000.0
+      assert(centsOfDouble(x) == graft.plans.Cents.centsOf(x, ansi = true).longValue)
+    }
+  }
+
   test("NaN/overflow domain replays the chain's eval mode: ANSI raises, LEGACY nulls") {
     val sp = spark
     import sp.implicits._

@@ -43,6 +43,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact < 0.25, s"exact=$exact est=$est")
   }
 
+  /** Round 12 (VERDICT r11 item 1): q187's gate frame now hashes
+    * ONLY exact-integer sufficient statistics (mk_len, kth_min,
+    * mk_inter, exact_inter) — the float KMV set-operation estimates
+    * moved HERE: they are pure functions of those integers, and this
+    * is where the accuracy claim (estimated intersection within 50%
+    * of exact) is asserted.
+    */
+  test("q187 KMV set-operation estimates derive from the hashed integers and hold tolerance") {
+    val k = 64
+    val rows = graft.queries.EventQueries.q187_kmv_overlap(spark, dir).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == 10) // 5 labels choose 2
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_inter")
+      val mkLen = r.getAs[Long]("mk_len")
+      val kthMin = r.getAs[Long]("kth_min")
+      val mkInter = r.getAs[Long]("mk_inter")
+      // the estimate arithmetic q187 used to hash, replayed from the
+      // integer surface (2^60 as the exact literal, the r10 lesson)
+      val estUnion =
+        if (mkLen < k) mkLen.toDouble
+        else (k - 1).toDouble * 1152921504606846976.0d / kthMin.toDouble
+      val jacc = mkInter.toDouble / k
+      val estInter = jacc * estUnion
+      assert(mkLen <= k && mkInter <= mkLen)
+      assert(math.abs(estInter - exact.toDouble) / math.max(exact.toDouble, 1.0) <= 0.5,
+        s"(${r.get(0)}, ${r.get(1)}): est=$estInter exact=$exact")
+    }
+  }
+
   test("HLL sketch REAGGREGATION: stored daily sketches union to the weekly answer without rescanning") {
     // the 100 TB pattern: a recurring ingest stores one tiny sketch
     // per (day, segment); ANY later rollup (weekly, monthly, all-time,

@@ -12,6 +12,14 @@ by name and rows by value, compare cell-by-cell.
 import sys, os, json, glob, re, tempfile
 import duckdb
 
+# The replica oracle build every local certification is pinned to.
+# Round 11 lesson: all five driver-red queries passed BYTE-LEVEL
+# against the local replica — a version string in each artifact is
+# the only way to tell "our bug" from "their build". Certifying
+# against an unpinned duckdb is meaningless; fail LOUDLY instead of
+# silently blessing whatever is installed (VERDICT r11 item 5).
+_PINNED_DUCKDB = "1.0.0"
+
 # Parquet round-trippable types only. Anything outside this list (most
 # notably HUGEINT, which DuckDB's SUM(BIGINT) returns and which the
 # parquet writer degrades to DOUBLE) silently changes representation
@@ -46,6 +54,13 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 def main():
+    if duckdb.__version__ != _PINNED_DUCKDB and \
+            not os.environ.get("GRAFT_ALLOW_DUCKDB_DRIFT"):
+        print(f"ABORT: local duckdb {duckdb.__version__} != pinned replica "
+              f"{_PINNED_DUCKDB} — a local pass against an unpinned oracle "
+              f"build certifies nothing (round-11 lesson). Set "
+              f"GRAFT_ALLOW_DUCKDB_DRIFT=1 to probe other builds explicitly.")
+        sys.exit(2)
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
