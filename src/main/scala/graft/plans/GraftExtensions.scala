@@ -118,6 +118,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler_q4"),
+      new ExpressionInfo(classOf[JaroWinklerQ4].getName, "graft_jaro_winkler_q4"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_jaro_winkler_q4`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            cause = None)
+        JaroWinklerQ4(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_trail"),
+      new ExpressionInfo(classOf[SortedTrail].getName, "graft_sorted_trail"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_sorted_trail`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            cause = None)
+        val idx = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_sorted_trail field ordinal must be an integer literal, got $other")
+        }
+        SortedTrail(children.head, idx)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_deflate_size"),
       new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
       (children: Seq[Expression]) => {

@@ -142,6 +142,12 @@ class JaroWinklerSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL registration: graft_jaro_winkler_q4 works from spark.sql") {
+    val r = spark.sql("SELECT graft_jaro_winkler_q4('martha', 'marhta') AS q")
+      .collect()(0).getLong(0)
+    assert(r == 9611L)
+  }
+
   test("codegen and interpreted modes agree bit-for-bit on corpus titles") {
     val titles = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(lower(substring(col("text"), 1, 32)).as("t"))

@@ -85,6 +85,16 @@ class RewriteSortedTrailSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("SQL registration: graft_sorted_trail works from spark.sql") {
+    rows(spark).createOrReplaceTempView("st_probe")
+    val r = spark.sql(
+      """SELECT g, graft_sorted_trail(collect_list(struct(k1, k2, v)), 2) AS vs
+        |FROM st_probe GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r(1L) == Seq("a", "tie", "b", "c"))
+    assert(r(3L) == Seq("only"))
+  }
+
   test("near-miss shapes are left alone") {
     // descending sort: different order — must not fuse
     val desc = rows(spark).groupBy(col("g"))
