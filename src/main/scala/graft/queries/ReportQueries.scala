@@ -380,6 +380,16 @@ object ReportQueries {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), cents(col("o_totalprice")).as("c"))
     val hist = ords.groupBy(col("r_name"), col("c")).agg(count(lit(1)).as("cnt"))
+    giniFrom(hist)
+  }
+
+  /** The Gini tail over a (r_name, c, cnt) cents-value histogram —
+    * shared verbatim by batch q144 and its streaming twin q211
+    * (pairing #31): the cumulative-count window runs over the
+    * value-domain-bounded histogram (never per row), and the final
+    * coefficient is one IEEE division of exact decimals.
+    */
+  private[queries] def giniFrom(hist: DataFrame): DataFrame = {
     val cum = hist.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("r_name")).orderBy(col("c"))))
     cum.groupBy(col("r_name"))

@@ -164,6 +164,17 @@ object StatsQueries {
     val cells = joined.groupBy(col("c_mktsegment").as("segment"),
         col("o_orderpriority").as("priority"))
       .agg(count(lit(1)).as("obs"))
+    chiSquareFrom(cells)
+  }
+
+  /** The chi-square tail over a (segment, priority, obs) cell frame —
+    * shared verbatim by batch q150 and its streaming twin q209
+    * (pairing #29), so the two CANNOT diverge: margins, expected
+    * counts, decq-quantized contributions, and the broadcast
+    * (chi2, dof) scalar all derive from the same label²-bounded
+    * frame.
+    */
+  private[queries] def chiSquareFrom(cells: DataFrame): DataFrame = {
     val n = cells.agg(sum(col("obs")).as("n"))
     val margins = cells
       .withColumn("rt", sum(col("obs")).over(Window.partitionBy(col("segment"))))
@@ -241,6 +252,15 @@ object StatsQueries {
       .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    benfordFrom(digits)
+  }
+
+  /** The Benford tail over a (digit, obs) frame — shared verbatim by
+    * batch q151 and its streaming twin q210 (pairing #30): expected
+    * shares from the fixed decimal literals, decq-quantized per-digit
+    * contributions, broadcast chi2 scalar.
+    */
+  private[queries] def benfordFrom(digits: DataFrame): DataFrame = {
     val n = digits.agg(sum(col("obs")).as("n"))
     val expShare = expr(s"element_at(array(${benfordLits.mkString(", ")}), digit)")
     val cells = digits.crossJoin(broadcast(n))

@@ -1755,9 +1755,134 @@ object StreamQueries {
   val q208_stream_quantile_normalize_sql: String =
     TextQueries.q206_quantile_normalize_sql
 
+  /** q209 — STREAMING chi-square independence: q150's
+    * segment×priority contingency audit maintained incrementally
+    * over the ORDERS stream — the TWENTY-NINTH pairing, and the
+    * first on the fact-table side (Pairing.runStream): each arriving
+    * order is enriched by a broadcast stream-static join to the
+    * customer dimension (the q109 idiom) BEFORE keying, so the
+    * state key is the star-schema label pair (segment, priority) —
+    * at most |segments|×|priorities| = 25 keys with ONE long of
+    * state each, at any order count. Each batch emits the key's
+    * monotone running count; max-obs compaction supersedes across
+    * batches, and the projection replays q150's margins/expected/
+    * chi2 tail verbatim (shared chiSquareFrom, shared oracle).
+    */
+  def q209_stream_chi_square(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "orders")
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("ok"), col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"))
+      .as[graft.streaming.Pairing.OrdSeg]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.OrdSeg,
+        (String, String), Long, (String, String, Long)](
+      spark, st, Seq("segment", "priority", "obs"), r => (r.ok, 0L))(
+      r => (r.seg, r.pri))(0L) { (k, s0, ordered) =>
+        val s1 = s0 + ordered.size
+        (s1, if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2, s1)))
+      } { t =>
+        StatsQueries.chiSquareFrom(t.groupBy(col("segment"), col("priority"))
+          .agg(max(col("obs")).as("obs")))
+      }
+  }
+
+  /** Same oracle as the batch chi-square audit — the point. */
+  val q209_stream_chi_square_sql: String = StatsQueries.q150_chi_square_sql
+
+  /** q210 — STREAMING Benford audit: q151's first-digit screen over
+    * the LINEITEM stream — the THIRTIETH pairing. The leading digit
+    * derives at the scan projection with the batch side's exact
+    * expression (first char of the DECIMAL-cents int64 rendering —
+    * no log10), so the state key is the digit itself: NINE keys, one
+    * long of running count each, at any corpus size. Monotone
+    * emissions, max-obs compaction, and the projection replays
+    * q151's expected-share/chi2 tail verbatim (shared benfordFrom,
+    * shared oracle with the fixed decimal Benford literals).
+    */
+  def q210_stream_benford(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+        substring((dec2(col("l_extendedprice")) * 100).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      .as[graft.streaming.Pairing.LiDigit]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiDigit,
+        Int, Long, (Int, Long)](
+      spark, st, Seq("digit", "obs"), r => (r.ok, r.ln))(
+      _.digit)(0L) { (d, s0, ordered) =>
+        val s1 = s0 + ordered.size
+        (s1, if (ordered.isEmpty) Vector.empty else Vector((d, s1)))
+      } { t =>
+        StatsQueries.benfordFrom(t.groupBy(col("digit"))
+          .agg(max(col("obs")).as("obs")))
+      }
+  }
+
+  /** Same oracle as the batch Benford audit — the point. */
+  val q210_stream_benford_sql: String = StatsQueries.q151_benford_sql
+
+  /** q211 — STREAMING Gini per region: q144's inequality report over
+    * the ORDERS stream — the THIRTY-FIRST pairing. Each order is
+    * enriched to its region by ONE broadcast stream-static join
+    * (customer⋈nation⋈region collapses to a c_custkey→r_name map,
+    * dim-sized), then keyed by region — FIVE keys whose state is the
+    * order-total cents→count VALUE HISTOGRAM (bounded by the price
+    * domain, not the order count — the q170/q204/q208 state shape on
+    * the fact side). Each batch folds its orders and emits the whole
+    * image with a monotone order count; max-seq compaction
+    * supersedes, and the projection replays q144's cumulative-
+    * histogram Gini tail verbatim (shared giniFrom, shared oracle) —
+    * the Lorenz sum re-derives from value-bounded state, never from
+    * an order re-scan.
+    */
+  def q211_stream_gini(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val dim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "orders")
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("ok"), col("r_name"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("c"))
+      .as[graft.streaming.Pairing.OrdRegion]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.OrdRegion,
+        String, (Long, Map[Long, Long]), (String, Long, Seq[Long], Seq[Long])](
+      spark, st, Seq("r_name", "seq", "cs", "cnts"), r => (r.ok, 0L))(
+      _.r_name)((0L, Map.empty[Long, Long])) { (rn, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { r =>
+          m = m.updated(r.c, m.getOrElse(r.c, 0L) + 1L)
+          seen += 1
+        }
+        val cs = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((rn, seen, cs, cs.map(m))))
+      } { t =>
+        ReportQueries.giniFrom(t.groupBy(col("r_name"))
+          .agg(max(struct(col("seq"), col("cs"), col("cnts"))).as("b"))
+          .select(col("r_name"),
+            explode(arrays_zip(col("b.cs"), col("b.cnts"))).as("z"))
+          .select(col("r_name"), col("z.cs").as("c"), col("z.cnts").as("cnt")))
+      }
+  }
+
+  /** Same oracle as the batch Gini report — the point. */
+  val q211_stream_gini_sql: String = ReportQueries.q144_gini_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
+    "q209_stream_chi_square" -> (q209_stream_chi_square _),
+    "q210_stream_benford" -> (q210_stream_benford _),
+    "q211_stream_gini" -> (q211_stream_gini _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -1798,6 +1923,9 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     "q207_stream_neyman" -> q207_stream_neyman_sql,
     "q208_stream_quantile_normalize" -> q208_stream_quantile_normalize_sql,
+    "q209_stream_chi_square" -> q209_stream_chi_square_sql,
+    "q210_stream_benford" -> q210_stream_benford_sql,
+    "q211_stream_gini" -> q211_stream_gini_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** The batch≡stream pairing harness (VERDICT r9 stretch 7): the
@@ -41,6 +41,16 @@ object Pairing {
     * dozen bytes per document.
     */
   case class DocRow(doc_id: Long, source: String, n_chars: Long)
+
+  /** Fact-table row types for the star-schema pairings (#29–#31),
+    * each already enriched by its broadcast stream-static dimension
+    * join and carrying only the replay key(s) + state key + value —
+    * the shuffle into the state operator is a few dozen bytes per
+    * fact row regardless of the fact table's width.
+    */
+  case class OrdSeg(ok: Long, seg: String, pri: String)
+  case class OrdRegion(ok: Long, r_name: String, c: Long)
+  case class LiDigit(ok: Long, ln: Long, digit: Int)
 
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]
@@ -106,38 +116,49 @@ object Pairing {
     project(spark.table(name).localCheckpoint(true))
   }
 
-  /** [[run]] over the DOCUMENTS table — the corpus-side pairing
-    * source (#27 streaming Neyman, #28 streaming quantile
-    * normalization). Same contract; the canonical per-key replay
-    * order is doc_id (unique and stable — documents carry no event
-    * time). Reads both testdata layouts the events source handles
-    * (single parquet FILE via glob filter; directory of part files).
+  /** Open any parquet table of the test schema as a file STREAM,
+    * handling both physical layouts the events source handles
+    * (single parquet FILE via glob filter — the driver's testdata;
+    * DIRECTORY of part files — Spark-written copies). Schema comes
+    * from a footer read; callers project/enrich/type the frame
+    * before handing it to [[runStream]].
     */
-  def runDocs[K, S, O](spark: SparkSession, dir: String, cols: Seq[String])
-      (key: DocRow => K)(init: => S)
-      (step: (K, S, Vector[DocRow]) => (S, Vector[O]))
+  def tableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
+    val schema =
+      if (isDir) spark.read.parquet(p.toString).schema
+      else spark.read.option("pathGlobFilter", s"$table.parquet").parquet(dir).schema
+    if (isDir) spark.readStream.schema(schema).parquet(p.toString)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
+  /** The generic core: run a per-key stateful pairing over a
+    * caller-prepared typed stream with a caller-declared canonical
+    * replay order (a two-long sort key — (doc_id, 0) for documents,
+    * (o_orderkey, 0) for orders, (l_orderkey, l_linenumber) for
+    * lineitem). Callers may enrich the stream with broadcast
+    * stream-static dimension joins before typing it (the q109
+    * idiom) — that is how the fact-table pairings (#29–#31) key
+    * their state by star-schema labels. Everything else matches
+    * [[run]]'s contract: state must be label/value-domain bounded,
+    * emissions land in an append memory sink, `project` shapes the
+    * gate frame.
+    */
+  def runStream[R, K, S, O](spark: SparkSession, stream: Dataset[R],
+      cols: Seq[String], order: R => (Long, Long))
+      (key: R => K)(init: => S)
+      (step: (K, S, Vector[R]) => (S, Vector[O]))
       (project: DataFrame => DataFrame)
       (implicit ek: Encoder[K], es: Encoder[S], eo: Encoder[O]): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val name = s"pairing_mem_${runId.incrementAndGet()}"
     withStreamShuffle(spark) {
-      val docPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-      val fs = docPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val isDir = fs.exists(docPath) && fs.getFileStatus(docPath).isDirectory
-      val schema =
-        if (isDir) spark.read.parquet(docPath.toString).schema
-        else spark.read.option("pathGlobFilter", "documents.parquet").parquet(dir).schema
-      val st =
-        if (isDir) spark.readStream.schema(schema).parquet(docPath.toString)
-        else spark.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val ds = st
-        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
-        .as[DocRow]
-      val out = ds.groupByKey(key)(ek)
+      val out = stream.groupByKey(key)(ek)
         .flatMapGroupsWithState[S, O](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (k: K, it: Iterator[DocRow], state: GroupState[S]) =>
-            val ordered = it.toVector.sortBy(_.doc_id)
+          (k: K, it: Iterator[R], state: GroupState[S]) =>
+            val ordered = it.toVector.sortBy(order)
             val (s1, outs) = step(k, state.getOption.getOrElse(init), ordered)
             state.update(s1)
             outs.iterator
@@ -146,6 +167,27 @@ object Pairing {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    // localCheckpoint: see [[run]] — MemoryPlan attributes break
+    // self-joining projections without it; the sink is emission-sized.
     project(spark.table(name).localCheckpoint(true))
+  }
+
+  /** [[run]] over the DOCUMENTS table — the corpus-side pairing
+    * source (#27 streaming Neyman, #28 streaming quantile
+    * normalization). Same contract; the canonical per-key replay
+    * order is doc_id (unique and stable — documents carry no event
+    * time).
+    */
+  def runDocs[K, S, O](spark: SparkSession, dir: String, cols: Seq[String])
+      (key: DocRow => K)(init: => S)
+      (step: (K, S, Vector[DocRow]) => (S, Vector[O]))
+      (project: DataFrame => DataFrame)
+      (implicit ek: Encoder[K], es: Encoder[S], eo: Encoder[O]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ds = tableStream(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      .as[DocRow]
+    runStream[DocRow, K, S, O](spark, ds, cols, d => (d.doc_id, 0L))(
+      key)(init)(step)(project)
   }
 }

@@ -278,4 +278,12 @@ class ReportSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == want)
   }
+
+  test("q211 streaming Gini is bit-identical to batch q144 (pairing #31)") {
+    val batch = ReportQueries.q144_gini(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q211_stream_gini(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
 }

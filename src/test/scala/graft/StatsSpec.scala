@@ -137,4 +137,20 @@ class StatsSpec extends AnyFunSuite {
     val avg = counts.sum.toDouble / nKeys
     assert(math.abs(r.getAs[Double]("max_over_avg") - counts.max / avg) < 1e-9)
   }
+
+  test("q209 streaming chi-square is bit-identical to batch q150 (pairing #29)") {
+    val batch = StatsQueries.q150_chi_square(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q209_stream_chi_square(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q210 streaming Benford is bit-identical to batch q151 (pairing #30)") {
+    val batch = StatsQueries.q151_benford(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q210_stream_benford(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
 }
