@@ -728,7 +728,16 @@ object AnalyticsQueries {
       vars.map(a => dsum38(col(a)).as(s"s_$a")) ++
       (for (a <- vars; b <- vars if a <= b)
         yield dsum38(col(a) * col(b)).as(s"s_$a$b"))
-    val m = v.agg(count(lit(1)).as("n"), sums: _*)
+    corrMatrixFrom(v.agg(count(lit(1)).as("n"), sums: _*))
+  }
+
+  /** The correlation-matrix tail over the ONE-ROW moment frame
+    * (n plus the 4 linear and 10 canonical-pair product sums, each
+    * DECIMAL(38,0)) — shared verbatim by batch q169 and its
+    * streaming twin q213 (pairing #33): every cell is exact integer
+    * algebra until the final double division.
+    */
+  private[queries] def corrMatrixFrom(m: DataFrame): DataFrame = {
     val label = Map("q" -> "quantity", "p" -> "price", "d" -> "discount", "t" -> "tax")
     def cell(a: String, b: String) = {
       val (x, y) = if (a <= b) (a, b) else (b, a)

@@ -302,6 +302,16 @@ object LifecycleQueries {
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum((dec2(col("l_extendedprice")) * 100).cast("long")).as("cents"))
+    abcFrom(rev)
+  }
+
+  /** The Pareto/ABC tail over a (l_partkey, cents) per-part revenue
+    * frame — shared verbatim by batch q161 and its streaming twin
+    * q214 (pairing #34): the range-partitioned global prefix sum,
+    * the broadcast total, and the 70/90 class cuts all replay over
+    * the entity-bounded frame.
+    */
+  private[queries] def abcFrom(rev: DataFrame): DataFrame = {
     val cum = graft.operators.Sequence.globalPrefixSum(
       rev, Seq(col("cents").desc, col("l_partkey")), "cents", "cum")
     val tot = rev.agg(sum(col("cents")).as("tot"))

@@ -567,11 +567,21 @@ object ReportQueries {
     * pyramid); conditional mins in one agg.
     */
   def q147_weighted_median(spark: SparkSession, dir: String): DataFrame = {
-    val wc = Window.partitionBy(col("rf")).orderBy(col("v"))
-    val wt = Window.partitionBy(col("rf"))
-    Tables.lineitem(spark, dir)
+    val hist = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("rf"), cents(col("l_extendedprice")).as("v"))
       .agg(sum(cents(col("l_quantity"))).cast("long").as("w"))
+    weightedMedianFrom(hist)
+  }
+
+  /** The weighted-median tail over a (rf, v, w) value-weight
+    * histogram — shared verbatim by batch q147 and its streaming
+    * twin q212 (pairing #32): both rank targets resolve by one
+    * cumulative window over the value-domain-bounded histogram.
+    */
+  private[queries] def weightedMedianFrom(hist: DataFrame): DataFrame = {
+    val wc = Window.partitionBy(col("rf")).orderBy(col("v"))
+    val wt = Window.partitionBy(col("rf"))
+    hist
       .withColumn("cum", sum(col("w")).over(wc))
       .withColumn("tw", sum(col("w")).over(wt))
       .groupBy(col("rf"))

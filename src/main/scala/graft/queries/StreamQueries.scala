@@ -1877,12 +1877,161 @@ object StreamQueries {
   /** Same oracle as the batch Gini report — the point. */
   val q211_stream_gini_sql: String = ReportQueries.q144_gini_sql
 
+  /** q212 — STREAMING weighted median: q147's per-returnflag
+    * quantity-weighted price median over the LINEITEM stream — the
+    * THIRTY-SECOND pairing. State per returnflag (THREE keys) is the
+    * price-cents → total-quantity-cents VALUE-WEIGHT HISTOGRAM —
+    * price-domain bounded at any corpus size, the q211 state shape
+    * with weights instead of counts. Each batch folds its rows and
+    * emits the whole image with a monotone row count; max-seq
+    * compaction supersedes, and the projection replays q147's
+    * cumulative rank-target tail verbatim (shared weightedMedianFrom,
+    * shared oracle) — an exact weighted order statistic online
+    * without approximation.
+    */
+  def q212_stream_weighted_median(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+        col("l_returnflag").as("rf"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("v"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("w"))
+      .as[graft.streaming.Pairing.LiWm]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiWm,
+        String, (Long, Map[Long, Long]), (String, Long, Seq[Long], Seq[Long])](
+      spark, st, Seq("rf", "seq", "vs", "ws"), r => (r.ok, r.ln))(
+      _.rf)((0L, Map.empty[Long, Long])) { (rf, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { r =>
+          m = m.updated(r.v, m.getOrElse(r.v, 0L) + r.w)
+          seen += 1
+        }
+        val vs = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((rf, seen, vs, vs.map(m))))
+      } { t =>
+        ReportQueries.weightedMedianFrom(t.groupBy(col("rf"))
+          .agg(max(struct(col("seq"), col("vs"), col("ws"))).as("b"))
+          .select(col("rf"),
+            explode(arrays_zip(col("b.vs"), col("b.ws"))).as("z"))
+          .select(col("rf"), col("z.vs").as("v"), col("z.ws").as("w")))
+      }
+  }
+
+  /** Same oracle as the batch weighted median — the point. */
+  val q212_stream_weighted_median_sql: String =
+    ReportQueries.q147_weighted_median_sql
+
+  /** q213 — STREAMING correlation matrix: q169's corpus-wide
+    * quantity/price/discount/tax Pearson matrix over the LINEITEM
+    * stream — the THIRTY-THIRD pairing. The sufficient statistic is
+    * the 15-number moment frame (n, four linear sums, ten canonical
+    * product sums), which is ASSOCIATIVE — so the state shards by
+    * l_orderkey mod 32 rather than funnelling every row through one
+    * key (32 independent state cells; a cluster deployment sizes the
+    * shard count to cores, exactly like a map-side partial
+    * aggregation). Products of two cent values overflow int64 under
+    * corpus-scale sums, so each shard accumulates in BigInt and
+    * emits decimal STRINGS; the projection re-sums the shard images
+    * as DECIMAL(38,0) — the batch side's exact type — and replays
+    * q169's cell algebra verbatim (shared corrMatrixFrom, shared
+    * oracle).
+    */
+  def q213_stream_corr_matrix(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val vars = Seq("q", "p", "d", "t")
+    val names = vars.map(a => s"s_$a") ++
+      (for (a <- vars; b <- vars if a <= b) yield s"s_$a$b")
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+        (col("l_orderkey") % 32).cast("int").as("shard"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("q"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("p"),
+        (dec2(col("l_discount")) * 100).cast("long").as("d"),
+        (dec2(col("l_tax")) * 100).cast("long").as("t"))
+      .as[graft.streaming.Pairing.LiMom]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiMom,
+        Int, (Long, Map[String, String]), (Int, Long, Seq[String], Seq[String])](
+      spark, st, Seq("shard", "seq", "ks", "vs"), r => (r.ok, r.ln))(
+      _.shard)((0L, Map.empty[String, String])) { (sh, s0, ordered) =>
+        var (seen, img) = s0
+        var acc = names.map(k => k -> BigInt(img.getOrElse(k, "0"))).toMap
+        ordered.foreach { r =>
+          val v = Map("q" -> BigInt(r.q), "p" -> BigInt(r.p),
+            "d" -> BigInt(r.d), "t" -> BigInt(r.t))
+          vars.foreach(a => acc = acc.updated(s"s_$a", acc(s"s_$a") + v(a)))
+          for (a <- vars; b <- vars if a <= b)
+            acc = acc.updated(s"s_$a$b", acc(s"s_$a$b") + v(a) * v(b))
+          seen += 1
+        }
+        img = acc.map { case (k, x) => k -> x.toString }
+        ((seen, img),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((sh, seen, names, names.map(img))))
+      } { t =>
+        val perShard = t.groupBy(col("shard"))
+          .agg(max(struct(col("seq"), col("ks"), col("vs"))).as("b"))
+        val nRow = perShard.agg(sum(col("b.seq")).as("n"))
+        val sums = perShard
+          .select(explode(arrays_zip(col("b.ks"), col("b.vs"))).as("z"))
+          .select(col("z.ks").as("k"), col("z.vs").cast("decimal(38,0)").as("v"))
+          .groupBy(col("k")).agg(sum(col("v")).cast("decimal(38,0)").as("s"))
+        val wide = sums.agg(
+          max(when(col("k") === names.head, col("s"))).as(names.head),
+          names.tail.map(nm => max(when(col("k") === nm, col("s"))).as(nm)): _*)
+        AnalyticsQueries.corrMatrixFrom(broadcast(nRow).crossJoin(wide))
+      }
+  }
+
+  /** Same oracle as the batch correlation matrix — the point. */
+  val q213_stream_corr_matrix_sql: String = AnalyticsQueries.q169_corr_matrix_sql
+
+  /** q214 — STREAMING Pareto/ABC: q161's cumulative revenue-share
+    * classification over the LINEITEM stream — the THIRTY-FOURTH
+    * pairing. State per part (entity-bounded, one long each) is the
+    * running revenue-cents total; each batch emits only the parts it
+    * touched, with the monotone total as its own compaction sequence
+    * (max-obs, the q209 idiom — never a whole-corpus image). The
+    * global Lorenz ordering never touches the stream: the projection
+    * replays q161's range-partitioned prefix-sum + broadcast-total
+    * tail verbatim over the compacted per-part frame (shared
+    * abcFrom, shared oracle).
+    */
+  def q214_stream_abc(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+        col("l_partkey").as("pk"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("c"))
+      .as[graft.streaming.Pairing.LiRev]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiRev,
+        Long, Long, (Long, Long)](
+      spark, st, Seq("l_partkey", "cents"), r => (r.ok, r.ln))(
+      _.pk)(0L) { (pk, s0, ordered) =>
+        val s1 = s0 + ordered.map(_.c).sum
+        (s1, if (ordered.isEmpty) Vector.empty else Vector((pk, s1)))
+      } { t =>
+        graft.queries.LifecycleQueries.abcFrom(t.groupBy(col("l_partkey"))
+          .agg(max(col("cents")).as("cents")))
+      }
+  }
+
+  /** Same oracle as the batch Pareto/ABC report — the point. */
+  val q214_stream_abc_sql: String = LifecycleQueries.q161_abc_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
     "q209_stream_chi_square" -> (q209_stream_chi_square _),
     "q210_stream_benford" -> (q210_stream_benford _),
     "q211_stream_gini" -> (q211_stream_gini _),
+    "q212_stream_weighted_median" -> (q212_stream_weighted_median _),
+    "q213_stream_corr_matrix" -> (q213_stream_corr_matrix _),
+    "q214_stream_abc" -> (q214_stream_abc _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -1926,6 +2075,9 @@ object StreamQueries {
     "q209_stream_chi_square" -> q209_stream_chi_square_sql,
     "q210_stream_benford" -> q210_stream_benford_sql,
     "q211_stream_gini" -> q211_stream_gini_sql,
+    "q212_stream_weighted_median" -> q212_stream_weighted_median_sql,
+    "q213_stream_corr_matrix" -> q213_stream_corr_matrix_sql,
+    "q214_stream_abc" -> q214_stream_abc_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

@@ -51,6 +51,9 @@ object Pairing {
   case class OrdSeg(ok: Long, seg: String, pri: String)
   case class OrdRegion(ok: Long, r_name: String, c: Long)
   case class LiDigit(ok: Long, ln: Long, digit: Int)
+  case class LiWm(ok: Long, ln: Long, rf: String, v: Long, w: Long)
+  case class LiMom(ok: Long, ln: Long, shard: Int, q: Long, p: Long, d: Long, t: Long)
+  case class LiRev(ok: Long, ln: Long, pk: Long, c: Long)
 
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]

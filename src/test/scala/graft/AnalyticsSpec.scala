@@ -358,6 +358,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q213 streaming correlation matrix is bit-identical to batch q169 (pairing #33)") {
+    val batch = graft.queries.AnalyticsQueries.q169_corr_matrix(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q213_stream_corr_matrix(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q198 streaming skew profile is bit-identical to batch q153 (pairing #20)") {
     val batch = graft.queries.StatsQueries.q153_skew_profile(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q198_stream_skew(spark, dir).collect().toSeq

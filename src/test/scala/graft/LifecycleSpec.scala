@@ -161,4 +161,12 @@ class LifecycleSpec extends AnyFunSuite {
     // and the operator parallelizes: more than one partition fed the pass
     assert(viaOp.size > 0)
   }
+
+  test("q214 streaming Pareto/ABC is bit-identical to batch q161 (pairing #34)") {
+    val batch = LifecycleQueries.q161_abc(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q214_stream_abc(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
 }

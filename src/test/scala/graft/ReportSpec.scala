@@ -279,6 +279,14 @@ class ReportSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q212 streaming weighted median is bit-identical to batch q147 (pairing #32)") {
+    val batch = ReportQueries.q147_weighted_median(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q212_stream_weighted_median(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q211 streaming Gini is bit-identical to batch q144 (pairing #31)") {
     val batch = ReportQueries.q144_gini(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q211_stream_gini(spark, dir).collect().toSeq
