@@ -35,6 +35,16 @@ object OpsQueries {
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .cast("long").as("lat"))
     val hist = j.groupBy(col("priority"), col("lat")).agg(count(lit(1)).as("c"))
+    slaFrom(hist)
+  }
+
+  /** The SLA tail over a (priority, lat, c) latency histogram —
+    * shared verbatim by batch q162 and its streaming twin q215
+    * (pairing #35): the threshold shares, the cumulative window, and
+    * the exact rank-target percentile selection all replay over the
+    * day-domain-bounded frame.
+    */
+  private[queries] def slaFrom(hist: DataFrame): DataFrame = {
     val shares = hist.groupBy(col("priority")).agg(
       sum(col("c")).as("n_items"),
       expr("CAST(SUM(CASE WHEN lat <= 30 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)")
@@ -102,7 +112,7 @@ object OpsQueries {
     * class by a float rounding. The brand rollup is label-bounded.
     */
   def q163_part_trend(spark: SparkSession, dir: String): DataFrame = {
-    val thr = 100L // |slope| ≤ $1/month in cents ⇒ flat
+    // thr (in partTrendFrom): |slope| ≤ $1/month in cents ⇒ flat
     val monthly = Tables.lineitem(spark, dir)
       .select(col("l_partkey"),
         ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
@@ -110,6 +120,18 @@ object OpsQueries {
         (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
       .groupBy(col("l_partkey"), col("x"))
       .agg(sum(col("cents")).as("y"))
+    partTrendFrom(spark, dir, monthly)
+  }
+
+  /** The trend-classification tail over a (l_partkey, x, y) monthly
+    * revenue frame — shared verbatim by batch q163 and its streaming
+    * twin q217 (pairing #37): five integer moments per part, exact
+    * cross-multiplied sign tests (no slope double), broadcast brand
+    * rollup.
+    */
+  private[queries] def partTrendFrom(spark: SparkSession, dir: String,
+      monthly: DataFrame): DataFrame = {
+    val thr = 100L
     val moments = monthly.groupBy(col("l_partkey")).agg(
       count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))

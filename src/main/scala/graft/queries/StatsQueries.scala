@@ -560,11 +560,25 @@ object StatsQueries {
     * at_risk is an exact integer comparison.
     */
   def q177_k_anonymity(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir)
+    val cells = Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    kAnonFrom(cells)
+  }
+
+  /** The k-anonymity tail over a (n_name, c_mktsegment, n) leaf-cell
+    * frame — shared verbatim by batch q177 and its streaming twin
+    * q216 (pairing #36): counts are additive, so the three rollup
+    * levels re-derive exactly from the label-bounded leaf cells
+    * (which is also the better batch plan — pre-aggregate, then
+    * Expand ×3 over ≤ nations×segments rows instead of the corpus).
+    */
+  private[queries] def kAnonFrom(cells: DataFrame): DataFrame = {
+    cells
       .rollup(col("n_name"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("n")).as("n"),
         (grouping(col("n_name")) + grouping(col("c_mktsegment")))
           .cast("long").as("level"))
       .select(col("level"), col("n_name"),

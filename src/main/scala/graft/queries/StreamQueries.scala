@@ -2023,6 +2023,140 @@ object StreamQueries {
   /** Same oracle as the batch Pareto/ABC report — the point. */
   val q214_stream_abc_sql: String = LifecycleQueries.q161_abc_sql
 
+  /** q215 — STREAMING SLA report: q162's ship-latency threshold
+    * shares and exact percentiles over the LINEITEM stream — the
+    * THIRTY-FIFTH pairing. Each line item resolves its order date
+    * and priority through a stream-static join to the ORDERS table
+    * (NOT broadcast — orders is fact-sized; the per-batch join lets
+    * Spark pick its strategy, and a production deployment buckets
+    * both sides on the order key). State per priority (5 keys) is
+    * the latency-days → count histogram — day-domain bounded (TPC-H
+    * ship latencies span ~122 days) at any corpus size. Max-seq
+    * image compaction; the projection replays q162's shares +
+    * cumulative rank-target tail verbatim (shared slaFrom, shared
+    * oracle).
+    */
+  def q215_stream_sla(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("ln"),
+        col("o_orderpriority").as("pri"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lat"))
+      .as[graft.streaming.Pairing.LiSla]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiSla,
+        String, (Long, Map[Long, Long]), (String, Long, Seq[Long], Seq[Long])](
+      spark, st, Seq("priority", "seq", "lats", "cs"), r => (r.ok, r.ln))(
+      _.pri)((0L, Map.empty[Long, Long])) { (pri, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { r =>
+          m = m.updated(r.lat, m.getOrElse(r.lat, 0L) + 1L)
+          seen += 1
+        }
+        val lats = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((pri, seen, lats, lats.map(m))))
+      } { t =>
+        OpsQueries.slaFrom(t.groupBy(col("priority"))
+          .agg(max(struct(col("seq"), col("lats"), col("cs"))).as("b"))
+          .select(col("priority"),
+            explode(arrays_zip(col("b.lats"), col("b.cs"))).as("z"))
+          .select(col("priority"), col("z.lats").as("lat"), col("z.cs").as("c")))
+      }
+  }
+
+  /** Same oracle as the batch SLA report — the point. */
+  val q215_stream_sla_sql: String = OpsQueries.q162_sla_sql
+
+  /** q216 — STREAMING k-anonymity audit: q177's quasi-identifier
+    * risk rollup over the CUSTOMER stream — the THIRTY-SIXTH
+    * pairing, proving the pairing harness covers DIMENSION tables
+    * too (replay order = c_custkey). Each arriving customer resolves
+    * its nation through the broadcast nation dimension, then keys by
+    * the quasi-identifier leaf cell (n_name, segment) — label²-
+    * bounded state, one long each. Counts are additive, so the three
+    * rollup levels re-derive exactly from the compacted leaf cells
+    * in the projection (shared kAnonFrom, shared oracle).
+    */
+  def q216_stream_k_anonymity(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val dim = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "customer")
+      .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("ck"), col("n_name"),
+        col("c_mktsegment").as("seg"))
+      .as[graft.streaming.Pairing.CustAnon]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.CustAnon,
+        (String, String), Long, (String, String, Long)](
+      spark, st, Seq("n_name", "c_mktsegment", "n"), r => (r.ck, 0L))(
+      r => (r.n_name, r.seg))(0L) { (k, s0, ordered) =>
+        val s1 = s0 + ordered.size
+        (s1, if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2, s1)))
+      } { t =>
+        StatsQueries.kAnonFrom(t.groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(max(col("n")).as("n")))
+      }
+  }
+
+  /** Same oracle as the batch k-anonymity audit — the point. */
+  val q216_stream_k_anonymity_sql: String = StatsQueries.q177_k_anonymity_sql
+
+  /** q217 — STREAMING per-part trend classes: q163's catalog-wide
+    * growth screen over the LINEITEM stream — the THIRTY-SEVENTH
+    * pairing. State per part is the month-index → revenue-cents map
+    * (calendar-bounded — the shipping window spans ~84 months
+    * regardless of corpus size); each batch folds its rows and emits
+    * the part's monthly image with a monotone row count. Max-seq
+    * compaction; the projection rebuilds the monthly frame and
+    * replays q163's exact-moment regression + sign tests + broadcast
+    * brand rollup verbatim (shared partTrendFrom, shared oracle) —
+    * no slope double anywhere, so stream and batch classes cannot
+    * diverge.
+    */
+  def q217_stream_part_trend(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+        col("l_partkey").as("pk"),
+        ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("x"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("c"))
+      .as[graft.streaming.Pairing.LiTrend]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiTrend,
+        Long, (Long, Map[Long, Long]), (Long, Long, Seq[Long], Seq[Long])](
+      spark, st, Seq("l_partkey", "seq", "xs", "ys"), r => (r.ok, r.ln))(
+      _.pk)((0L, Map.empty[Long, Long])) { (pk, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { r =>
+          m = m.updated(r.x, m.getOrElse(r.x, 0L) + r.c)
+          seen += 1
+        }
+        val xs = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((pk, seen, xs, xs.map(m))))
+      } { t =>
+        OpsQueries.partTrendFrom(spark, dir,
+          t.groupBy(col("l_partkey"))
+            .agg(max(struct(col("seq"), col("xs"), col("ys"))).as("b"))
+            .select(col("l_partkey"),
+              explode(arrays_zip(col("b.xs"), col("b.ys"))).as("z"))
+            .select(col("l_partkey"), col("z.xs").as("x"), col("z.ys").as("y")))
+      }
+  }
+
+  /** Same oracle as the batch trend screen — the point. */
+  val q217_stream_part_trend_sql: String = OpsQueries.q163_part_trend_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2032,6 +2166,9 @@ object StreamQueries {
     "q212_stream_weighted_median" -> (q212_stream_weighted_median _),
     "q213_stream_corr_matrix" -> (q213_stream_corr_matrix _),
     "q214_stream_abc" -> (q214_stream_abc _),
+    "q215_stream_sla" -> (q215_stream_sla _),
+    "q216_stream_k_anonymity" -> (q216_stream_k_anonymity _),
+    "q217_stream_part_trend" -> (q217_stream_part_trend _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2078,6 +2215,9 @@ object StreamQueries {
     "q212_stream_weighted_median" -> q212_stream_weighted_median_sql,
     "q213_stream_corr_matrix" -> q213_stream_corr_matrix_sql,
     "q214_stream_abc" -> q214_stream_abc_sql,
+    "q215_stream_sla" -> q215_stream_sla_sql,
+    "q216_stream_k_anonymity" -> q216_stream_k_anonymity_sql,
+    "q217_stream_part_trend" -> q217_stream_part_trend_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

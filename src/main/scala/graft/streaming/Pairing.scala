@@ -54,6 +54,9 @@ object Pairing {
   case class LiWm(ok: Long, ln: Long, rf: String, v: Long, w: Long)
   case class LiMom(ok: Long, ln: Long, shard: Int, q: Long, p: Long, d: Long, t: Long)
   case class LiRev(ok: Long, ln: Long, pk: Long, c: Long)
+  case class LiSla(ok: Long, ln: Long, pri: String, lat: Long)
+  case class CustAnon(ck: Long, n_name: String, seg: String)
+  case class LiTrend(ok: Long, ln: Long, pk: Long, x: Long, c: Long)
 
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]

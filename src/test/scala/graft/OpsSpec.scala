@@ -427,4 +427,20 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(3) == n)
     }
   }
+
+  test("q215 streaming SLA report is bit-identical to batch q162 (pairing #35)") {
+    val batch = graft.queries.OpsQueries.q162_sla(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q215_stream_sla(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q217 streaming part trend is bit-identical to batch q163 (pairing #37)") {
+    val batch = graft.queries.OpsQueries.q163_part_trend(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q217_stream_part_trend(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
 }

@@ -153,4 +153,12 @@ class StatsSpec extends AnyFunSuite {
     assert(stream == batch,
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
+
+  test("q216 streaming k-anonymity is bit-identical to batch q177 (pairing #36)") {
+    val batch = StatsQueries.q177_k_anonymity(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q216_stream_k_anonymity(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
 }
