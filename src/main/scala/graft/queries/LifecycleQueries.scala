@@ -186,6 +186,16 @@ object LifecycleQueries {
       .select(col("o_custkey"),
         datediff(col("mx"), col("last_day")).cast("long").as("rec"),
         col("freq"), col("mon"))
+    rfmFrom(per)
+  }
+
+  /** The RFM tail over a (o_custkey, rec, freq, mon) per-customer
+    * frame — shared verbatim by batch q160 and its streaming twin
+    * q220 (pairing #40): the three value histograms, exact
+    * rank-target quintile breaks, broadcast score cuts, and the
+    * segment rollup all replay identically.
+    */
+  private[queries] def rfmFrom(per: DataFrame): DataFrame = {
     val vals = per.select(lit("rec").as("metric"), col("rec").as("v"))
       .unionByName(per.select(lit("freq").as("metric"), col("freq").as("v")))
       .unionByName(per.select(lit("mon").as("metric"), col("mon").as("v")))

@@ -195,6 +195,16 @@ object OpsQueries {
       .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("cents"),
         count(lit(1)).as("n"))
       .withColumn("epd", datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+    trailingFrom(daily)
+  }
+
+  /** The trailing-run-rate tail over a per-customer daily frame
+    * (o_custkey, day, cents, n, epd) — shared verbatim by batch q164
+    * and its streaming twin q219 (pairing #39): the RANGE-frame
+    * window runs over the calendar-bounded daily grid, partitioned
+    * by customer.
+    */
+  private[queries] def trailingFrom(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("epd"))
       .rangeBetween(-29, Window.currentRow)
     daily.select(col("o_custkey"), col("day"),

@@ -2157,6 +2157,139 @@ object StreamQueries {
   /** Same oracle as the batch trend screen — the point. */
   val q217_stream_part_trend_sql: String = OpsQueries.q163_part_trend_sql
 
+  /** q218 — STREAMING autocorrelation: q154's lag-1..7 dependence
+    * screen of daily order revenue over the ORDERS stream — the
+    * THIRTY-EIGHTH pairing. State keys by EPOCH DAY (calendar-
+    * bounded — ~2.4k distinct order days at any corpus size), one
+    * monotone cents total each; max-obs compaction rebuilds the
+    * daily series, and the projection replays q154's half-up mean,
+    * exact deviation products, and 7-lag day-offset self-join
+    * verbatim (shared acfFrom, shared oracle). The global statistic
+    * never touches the stream — only the calendar-bounded series
+    * image does.
+    */
+  def q218_stream_acf(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("epd"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("c"))
+      .as[graft.streaming.Pairing.OrdDay]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.OrdDay,
+        Long, Long, (Long, Long)](
+      spark, st, Seq("epd", "cents"), r => (r.ok, 0L))(
+      _.epd)(0L) { (epd, s0, ordered) =>
+        val s1 = s0 + ordered.map(_.c).sum
+        (s1, if (ordered.isEmpty) Vector.empty else Vector((epd, s1)))
+      } { t =>
+        TimeSeriesQueries.acfFrom(t.groupBy(col("epd"))
+          .agg(max(col("cents")).as("cents"))
+          .select(date_add(lit("1970-01-01").cast("date"),
+            col("epd").cast("int")).as("day"), col("cents")))
+      }
+  }
+
+  /** Same oracle as the batch autocorrelation screen — the point. */
+  val q218_stream_acf_sql: String = TimeSeriesQueries.q154_acf_sql
+
+  /** q219 — STREAMING trailing run rates: q164's per-customer
+    * 30-day RANGE-frame revenue/order report over the ORDERS
+    * stream — the THIRTY-NINTH pairing. State per customer is the
+    * epoch-day → (cents, orders) daily map (calendar-bounded per
+    * key); each batch folds its orders and emits the customer's
+    * daily image with a monotone row count. Max-seq compaction; the
+    * projection rebuilds the daily grid and replays q164's
+    * RANGE-window tail verbatim (shared trailingFrom, shared
+    * oracle) — the value-frame window never runs on the stream.
+    */
+  def q219_stream_trailing(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("epd"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("c"))
+      .as[graft.streaming.Pairing.OrdCust]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.OrdCust,
+        Long, (Long, Map[Long, (Long, Long)]),
+        (Long, Long, Seq[Long], Seq[Long], Seq[Long])](
+      spark, st, Seq("o_custkey", "seq", "epds", "cs", "ns"), r => (r.ok, 0L))(
+      _.ck)((0L, Map.empty[Long, (Long, Long)])) { (ck, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { r =>
+          val (c0, n0) = m.getOrElse(r.epd, (0L, 0L))
+          m = m.updated(r.epd, (c0 + r.c, n0 + 1L))
+          seen += 1
+        }
+        val epds = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((ck, seen, epds, epds.map(m(_)._1), epds.map(m(_)._2))))
+      } { t =>
+        OpsQueries.trailingFrom(t.groupBy(col("o_custkey"))
+          .agg(max(struct(col("seq"), col("epds"), col("cs"), col("ns"))).as("b"))
+          .select(col("o_custkey"), explode(arrays_zip(col("b.epds"),
+            col("b.cs"), col("b.ns"))).as("z"))
+          .select(col("o_custkey"),
+            date_add(lit("1995-01-01").cast("date"),
+              col("z.epds").cast("int")).as("day"),
+            col("z.cs").as("cents"), col("z.ns").as("n"),
+            col("z.epds").as("epd")))
+      }
+  }
+
+  /** Same oracle as the batch trailing run-rate report — the point. */
+  val q219_stream_trailing_sql: String = OpsQueries.q164_trailing_sql
+
+  /** q220 — STREAMING RFM segmentation: q160's recency/frequency/
+    * monetary quintile grid over the ORDERS stream — the FORTIETH
+    * pairing. State per customer is the (freq, last-order epoch day,
+    * revenue cents) triple — O(1) per key, every component MONOTONE
+    * under appends, so the triple is its own compaction sequence
+    * (max-struct with freq leading). The projection derives recency
+    * against the global max order day (itself the max of the
+    * compacted last-day column), then replays q160's histogram
+    * quintile breaks, score cuts, and segment rollup verbatim
+    * (shared rfmFrom, shared oracle).
+    */
+  def q220_stream_rfm(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("epd"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("c"))
+      .as[graft.streaming.Pairing.OrdCust]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.OrdCust,
+        Long, (Long, Long, Long), (Long, Long, Long, Long)](
+      spark, st, Seq("o_custkey", "freq", "last_epd", "mon"), r => (r.ok, 0L))(
+      _.ck)((0L, Long.MinValue, 0L)) { (ck, s0, ordered) =>
+        var (freq, last, mon) = s0
+        ordered.foreach { r =>
+          freq += 1; mon += r.c
+          if (r.epd > last) last = r.epd
+        }
+        ((freq, last, mon),
+          if (ordered.isEmpty) Vector.empty else Vector((ck, freq, last, mon)))
+      } { t =>
+        val per0 = t.groupBy(col("o_custkey"))
+          .agg(max(struct(col("freq"), col("last_epd"), col("mon"))).as("b"))
+          .select(col("o_custkey"), col("b.freq").as("freq"),
+            col("b.last_epd").as("last_epd"), col("b.mon").as("mon"))
+        val mx = per0.agg(max(col("last_epd")).as("mx"))
+        LifecycleQueries.rfmFrom(per0.crossJoin(broadcast(mx))
+          .select(col("o_custkey"), (col("mx") - col("last_epd")).as("rec"),
+            col("freq"), col("mon")))
+      }
+  }
+
+  /** Same oracle as the batch RFM segmentation — the point. */
+  val q220_stream_rfm_sql: String = LifecycleQueries.q160_rfm_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2169,6 +2302,9 @@ object StreamQueries {
     "q215_stream_sla" -> (q215_stream_sla _),
     "q216_stream_k_anonymity" -> (q216_stream_k_anonymity _),
     "q217_stream_part_trend" -> (q217_stream_part_trend _),
+    "q218_stream_acf" -> (q218_stream_acf _),
+    "q219_stream_trailing" -> (q219_stream_trailing _),
+    "q220_stream_rfm" -> (q220_stream_rfm _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2218,6 +2354,9 @@ object StreamQueries {
     "q215_stream_sla" -> q215_stream_sla_sql,
     "q216_stream_k_anonymity" -> q216_stream_k_anonymity_sql,
     "q217_stream_part_trend" -> q217_stream_part_trend_sql,
+    "q218_stream_acf" -> q218_stream_acf_sql,
+    "q219_stream_trailing" -> q219_stream_trailing_sql,
+    "q220_stream_rfm" -> q220_stream_rfm_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

@@ -51,8 +51,16 @@ object TimeSeriesQueries {
     * one final double division (the standard biased estimator
     * n-normalized via the shared denominator).
     */
-  def q154_acf(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenue(spark, dir)
+  def q154_acf(spark: SparkSession, dir: String): DataFrame =
+    acfFrom(dailyRevenue(spark, dir))
+
+  /** The autocorrelation tail over a (day, cents) daily-revenue
+    * frame — shared verbatim by batch q154 and its streaming twin
+    * q218 (pairing #38): half-up integer mean, exact decimal
+    * deviation products, the 7-lag day-offset self-join, and one
+    * final IEEE division.
+    */
+  private[queries] def acfFrom(daily: DataFrame): DataFrame = {
     val mu = daily.agg(expr("(2 * sum(cents) + count(1)) div (2 * count(1))").as("mu"))
     val dx = daily.crossJoin(broadcast(mu))
       .select(col("day"), (col("cents") - col("mu")).as("dx"))

@@ -57,6 +57,8 @@ object Pairing {
   case class LiSla(ok: Long, ln: Long, pri: String, lat: Long)
   case class CustAnon(ck: Long, n_name: String, seg: String)
   case class LiTrend(ok: Long, ln: Long, pk: Long, x: Long, c: Long)
+  case class OrdDay(ok: Long, epd: Long, c: Long)
+  case class OrdCust(ok: Long, ck: Long, epd: Long, c: Long)
 
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]

@@ -162,6 +162,14 @@ class LifecycleSpec extends AnyFunSuite {
     assert(viaOp.size > 0)
   }
 
+  test("q220 streaming RFM segmentation is bit-identical to batch q160 (pairing #40)") {
+    val batch = LifecycleQueries.q160_rfm(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q220_stream_rfm(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q214 streaming Pareto/ABC is bit-identical to batch q161 (pairing #34)") {
     val batch = LifecycleQueries.q161_abc(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q214_stream_abc(spark, dir).collect().toSeq

@@ -443,4 +443,12 @@ class OpsSpec extends AnyFunSuite {
     assert(stream == batch,
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
+
+  test("q219 streaming trailing run rates are bit-identical to batch q164 (pairing #39)") {
+    val batch = graft.queries.OpsQueries.q164_trailing(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q219_stream_trailing(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
 }

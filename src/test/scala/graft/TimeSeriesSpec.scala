@@ -11,6 +11,14 @@ import graft.queries.{StreamQueries, TimeSeriesQueries}
   * imperatively so a same-formula-both-sides oracle slip can't hide.
   */
 class TimeSeriesSpec extends AnyFunSuite {
+
+  test("q218 streaming autocorrelation is bit-identical to batch q154 (pairing #38)") {
+    val batch = graft.queries.TimeSeriesQueries.q154_acf(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q218_stream_acf(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
   lazy val spark = Sessions.local(cores = 4, shufflePartitions = 8)
   val dir = "/root/testdata/sf0.001"
 
