@@ -781,6 +781,16 @@ object ReportQueries {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("n_name"), col("ncents"))
       .persist()
+    shareOfParentFrom(nat)
+  }
+
+  /** The share-of-parent tail over a (r_name, n_name, ncents
+    * DECIMAL(38,0)) per-nation revenue frame — shared verbatim by
+    * batch q176 and its streaming twin q223 (pairing #43): region
+    * and world totals are sums over the label-bounded frame, and
+    * every share is one IEEE division of exact decimals.
+    */
+  private[queries] def shareOfParentFrom(nat: DataFrame): DataFrame = {
     val reg = nat.groupBy(col("r_name")).agg(sum(col("ncents")).as("rcents"))
     val glob = reg.agg(sum(col("rcents")).as("gcents"))
     val nationRows = nat.join(broadcast(reg), "r_name")

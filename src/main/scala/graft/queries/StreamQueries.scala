@@ -2290,6 +2290,131 @@ object StreamQueries {
   /** Same oracle as the batch RFM segmentation — the point. */
   val q220_stream_rfm_sql: String = LifecycleQueries.q160_rfm_sql
 
+  /** q221 — STREAMING seasonal decomposition: q155's weekday index
+    * of daily revenue over the ORDERS stream — the FORTY-FIRST
+    * pairing. Identical state to q218 (epoch-day keys, monotone
+    * cents totals, calendar-bounded); the projection rebuilds the
+    * daily series and replays q155's ±3 moving-average join + exact
+    * ×7 detrending + weekday mean verbatim (shared seasonalFrom,
+    * shared oracle).
+    */
+  def q221_stream_seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("epd"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("c"))
+      .as[graft.streaming.Pairing.OrdDay]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.OrdDay,
+        Long, Long, (Long, Long)](
+      spark, st, Seq("epd", "cents"), r => (r.ok, 0L))(
+      _.epd)(0L) { (epd, s0, ordered) =>
+        val s1 = s0 + ordered.map(_.c).sum
+        (s1, if (ordered.isEmpty) Vector.empty else Vector((epd, s1)))
+      } { t =>
+        TimeSeriesQueries.seasonalFrom(t.groupBy(col("epd"))
+          .agg(max(col("cents")).as("cents"))
+          .select(date_add(lit("1970-01-01").cast("date"),
+            col("epd").cast("int")).as("day"), col("cents")))
+      }
+  }
+
+  /** Same oracle as the batch seasonal decomposition — the point. */
+  val q221_stream_seasonal_sql: String = TimeSeriesQueries.q155_seasonal_sql
+
+  /** q222 — STREAMING Holt backtest: q173's rolling-origin forecast
+    * evaluation over the EVENTS stream — the FORTY-SECOND pairing.
+    * State per event type is the epoch-day → count map
+    * (calendar-bounded per key); the inherently sequential Holt
+    * recursion never runs on the stream — the projection rebuilds
+    * the daily count series and replays q173's day-sorted array
+    * fold + horizon scoring verbatim (shared holtBacktestFrom,
+    * shared RECURSIVE-CTE oracle), so all three shapes — fold,
+    * state machine, recursive SQL — still meet at one bit-exact
+    * answer.
+    */
+  def q222_stream_holt_backtest(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[String, (Long, Map[Long, Long]),
+        (String, Long, Seq[Long], Seq[Long])](
+      spark, dir, Seq("event_type", "seq", "epds", "cs"))(
+      _.event_type)((0L, Map.empty[Long, Long])) { (et, s0, ordered) =>
+        var (seen, m) = s0
+        ordered.foreach { e =>
+          val epd = Math.floorDiv(e.ts.getTime, 86400000L)
+          m = m.updated(epd, m.getOrElse(epd, 0L) + 1L)
+          seen += 1
+        }
+        val epds = m.keys.toSeq.sorted
+        ((seen, m),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((et, seen, epds, epds.map(m))))
+      } { t =>
+        TimeSeriesQueries.holtBacktestFrom(t.groupBy(col("event_type"))
+          .agg(max(struct(col("seq"), col("epds"), col("cs"))).as("b"))
+          .select(col("event_type"),
+            explode(arrays_zip(col("b.epds"), col("b.cs"))).as("z"))
+          .select(col("event_type"),
+            date_add(lit("1970-01-01").cast("date"),
+              col("z.epds").cast("int")).as("day"),
+            col("z.cs").cast("double").as("x")))
+      }
+  }
+
+  /** Same oracle as the batch Holt backtest — the point. */
+  val q222_stream_holt_backtest_sql: String =
+    TimeSeriesQueries.q173_holt_backtest_sql
+
+  /** q223 — STREAMING share-of-parent: q176's nation→region→world
+    * revenue hierarchy over the ORDERS stream — the FORTY-THIRD
+    * pairing. Each order resolves its nation through the broadcast
+    * customer→nation map before keying, so state is one running
+    * total per nation (25 keys) — accumulated in BigInt and emitted
+    * as decimal STRINGS because per-nation cent totals brush the
+    * int64 ceiling at 100 TB (the q213 discipline); the projection
+    * casts back to DECIMAL(38,0) — the batch side's exact type —
+    * joins the dimension names, and replays q176's two-level share
+    * tail verbatim (shared shareOfParentFrom, shared oracle).
+    */
+  def q223_stream_share_of_parent(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "orders")
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("ok"), col("c_nationkey").as("nk"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("c"))
+      .as[graft.streaming.Pairing.OrdNat]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.OrdNat,
+        Int, (Long, String), (Int, Long, String)](
+      spark, st, Seq("nk", "seq", "ncents"), r => (r.ok, 0L))(
+      _.nk)((0L, "0")) { (nk, s0, ordered) =>
+        var (seen, acc) = (s0._1, BigInt(s0._2))
+        ordered.foreach { r => acc += r.c; seen += 1 }
+        ((seen, acc.toString),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((nk, seen, acc.toString)))
+      } { t =>
+        val nat = t.groupBy(col("nk"))
+          .agg(max(struct(col("seq"), col("ncents"))).as("b"))
+          .select(col("nk"), col("b.ncents").cast("decimal(38,0)").as("ncents"))
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("nk") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"), col("ncents"))
+        ReportQueries.shareOfParentFrom(nat)
+      }
+  }
+
+  /** Same oracle as the batch share-of-parent report — the point. */
+  val q223_stream_share_of_parent_sql: String =
+    ReportQueries.q176_share_of_parent_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2305,6 +2430,9 @@ object StreamQueries {
     "q218_stream_acf" -> (q218_stream_acf _),
     "q219_stream_trailing" -> (q219_stream_trailing _),
     "q220_stream_rfm" -> (q220_stream_rfm _),
+    "q221_stream_seasonal" -> (q221_stream_seasonal _),
+    "q222_stream_holt_backtest" -> (q222_stream_holt_backtest _),
+    "q223_stream_share_of_parent" -> (q223_stream_share_of_parent _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2357,6 +2485,9 @@ object StreamQueries {
     "q218_stream_acf" -> q218_stream_acf_sql,
     "q219_stream_trailing" -> q219_stream_trailing_sql,
     "q220_stream_rfm" -> q220_stream_rfm_sql,
+    "q221_stream_seasonal" -> q221_stream_seasonal_sql,
+    "q222_stream_holt_backtest" -> q222_stream_holt_backtest_sql,
+    "q223_stream_share_of_parent" -> q223_stream_share_of_parent_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

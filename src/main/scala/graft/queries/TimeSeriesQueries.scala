@@ -111,8 +111,15 @@ object TimeSeriesQueries {
     * mod 7, identical in both engines (no locale-dependent dayofweek
     * numbering).
     */
-  def q155_seasonal(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenue(spark, dir)
+  def q155_seasonal(spark: SparkSession, dir: String): DataFrame =
+    seasonalFrom(dailyRevenue(spark, dir))
+
+  /** The seasonal-decomposition tail over a (day, cents) daily
+    * frame — shared verbatim by batch q155 and its streaming twin
+    * q221 (pairing #41): the ±3 day-offset moving-average join, the
+    * exact ×7 detrending, and the weekday mean.
+    */
+  private[queries] def seasonalFrom(daily: DataFrame): DataFrame = {
     val win = daily.select(col("day").as("center"), col("cents"))
       .withColumn("off", explode(sequence(lit(-3), lit(3))))
       .withColumn("day_b", date_add(col("center"), col("off")))
@@ -217,10 +224,19 @@ object TimeSeriesQueries {
     * (type, day) frame; the history array and the states×7 explode
     * are day²-bounded per type — independent of corpus row count.
     */
-  def q173_holt_backtest(spark: SparkSession, dir: String): DataFrame = {
-    val states = Tables.events(spark, dir)
+  def q173_holt_backtest(spark: SparkSession, dir: String): DataFrame =
+    holtBacktestFrom(Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).cast("double").as("x"))
+      .agg(count(lit(1)).cast("double").as("x")))
+
+  /** The Holt-backtest tail over a (event_type, day, x) daily-count
+    * frame — shared verbatim by batch q173 and its streaming twin
+    * q222 (pairing #42): the day-sorted array fold replays the exact
+    * IEEE recursion at every cutoff, and the horizon join scores
+    * each forecast against the actual.
+    */
+  private[queries] def holtBacktestFrom(cnts: DataFrame): DataFrame = {
+    val states = cnts
       .groupBy(col("event_type"))
       .agg(expr("transform(sort_array(collect_list(struct(day, x))), s -> s.x)").as("xs"))
       .filter(size(col("xs")) >= 2)

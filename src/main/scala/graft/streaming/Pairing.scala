@@ -59,6 +59,7 @@ object Pairing {
   case class LiTrend(ok: Long, ln: Long, pk: Long, x: Long, c: Long)
   case class OrdDay(ok: Long, epd: Long, c: Long)
   case class OrdCust(ok: Long, ck: Long, epd: Long, c: Long)
+  case class OrdNat(ok: Long, nk: Int, c: Long)
 
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]

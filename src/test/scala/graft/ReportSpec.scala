@@ -279,6 +279,14 @@ class ReportSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q223 streaming share-of-parent is bit-identical to batch q176 (pairing #43)") {
+    val batch = ReportQueries.q176_share_of_parent(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q223_stream_share_of_parent(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q212 streaming weighted median is bit-identical to batch q147 (pairing #32)") {
     val batch = ReportQueries.q147_weighted_median(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q212_stream_weighted_median(spark, dir).collect().toSeq

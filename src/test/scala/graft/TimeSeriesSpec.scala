@@ -19,6 +19,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(stream == batch,
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
+
+  test("q221 streaming seasonal decomposition is bit-identical to batch q155 (pairing #41)") {
+    val batch = graft.queries.TimeSeriesQueries.q155_seasonal(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q221_stream_seasonal(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q222 streaming Holt backtest is bit-identical to batch q173 (pairing #42)") {
+    val batch = graft.queries.TimeSeriesQueries.q173_holt_backtest(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q222_stream_holt_backtest(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
   lazy val spark = Sessions.local(cores = 4, shufflePartitions = 8)
   val dir = "/root/testdata/sf0.001"
 
