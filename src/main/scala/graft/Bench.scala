@@ -118,9 +118,16 @@ object Bench {
     val splitField =
       s""","batch_total":${roundN(2)(total(results) - streamingTotal)}""" +
       s""","streaming_total":${roundN(2)(streamingTotal)}"""
-    def mkKeyed(key: String => String, sf: String, scalars: Boolean = true)(
-        fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
+    def mkKeyed(key: String => String, sf: String, scalars: Boolean = true,
+        sparse: Boolean = false)(fmt: Double => String): String = {
+      // sparse: omit entries whose formatted value is "0" — an absent
+      // key under whole-second formatting means exactly "rounds to
+      // 0 s", so nothing is lost, and the line width scales with the
+      // number of SLOW queries instead of the gate size. Failed
+      // queries format as "-1" and are always kept visible.
+      val qs = results
+        .filter { case (_, v) => !sparse || fmt(v) != "0" }
+        .map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // failed queries (sentinel -1.0) must not contribute to the
       // headline total — summing them would make breakage read as a
@@ -168,10 +175,18 @@ object Bench {
     val mkShort = mkKeyed(_.takeWhile(_ != '_'), sfTag) _
     val mkNum = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag) _
     val mkNumLean = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag, scalars = false) _
+    // SPARSE rung (added when the num-key whole-seconds LEAN rung's
+    // 2-digit worst case outgrew the window at ~226 queries): num
+    // keys, whole seconds, no scalars, zero-valued entries omitted —
+    // width scales with the count of ≥0.5 s queries (92 of 226 at
+    // sf0.1 today), not the gate size, so per-query data survives any
+    // realistic growth; QueriesSpec pins the capacity envelope
+    val mkNumSparse = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag,
+      scalars = false, sparse = true) _
     println(
       Seq(mkLine(roundN(2), sfTag), mkLine(roundN(1), sfTag), mkLine(roundN(0), sfTag),
           mkShort(roundN(1)), mkShort(roundN(0)), mkNum(roundN(1)), mkNum(roundN(0)),
-          mkNumLean(roundN(0)))
+          mkNumLean(roundN(0)), mkNumSparse(roundN(0)))
         .find(_.length <= 1900).getOrElse(totalsOnly))
     spark.stop()
   }
