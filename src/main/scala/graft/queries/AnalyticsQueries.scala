@@ -927,11 +927,20 @@ object AnalyticsQueries {
     * are edge-keyed aggs (never collected); the rollup is
     * label-bounded.
     */
-  def q186_clustering_coeff(spark: SparkSession, dir: String): DataFrame = {
+  def q186_clustering_coeff(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoeffFrom(spark, dir, Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")))
+
+  /** The clustering-coefficient tail over an (o, s) order-membership
+    * frame — shared verbatim by batch q186 and its streaming twin
+    * q225 (pairing #45): co-occurrence edges (min-support 5),
+    * degree-oriented triangle enumeration, per-node coefficients,
+    * nation rollup.
+    */
+  private[queries] def clusteringCoeffFrom(spark: SparkSession, dir: String,
+      os: DataFrame): DataFrame = {
     val edges = graft.operators.Triangles.cooccurrenceEdges(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")),
-      "o", "s", minSupport = 5).persist()
+      os, "o", "s", minSupport = 5).persist()
     val tri = graft.operators.Triangles.triangles(edges)
     val triPerNode = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
@@ -1019,6 +1028,15 @@ object AnalyticsQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+    pagerankIterFrom(edges)
+  }
+
+  /** The multi-iteration PageRank tail over a distinct encoded
+    * (a, b) bipartite edge frame — shared verbatim by batch q189 and
+    * its streaming twin q226 (pairing #46): symmetrization, degree
+    * build, three decq-quantized power iterations, node decode.
+    */
+  private[queries] def pagerankIterFrom(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist()

@@ -841,11 +841,18 @@ object ReportQueries {
     * label-bounded aggs over the (node, label) frame. Oracle proves
     * the fixed point against DuckDB's recursive transitive closure.
     */
-  def q180_component_census(spark: SparkSession, dir: String): DataFrame = {
+  def q180_component_census(spark: SparkSession, dir: String): DataFrame =
+    componentCensusFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** The component-census tail over an (o, p) order-membership
+    * frame — shared verbatim by batch q180 and its streaming twin
+    * q224 (pairing #44): co-occurrence edge build (min-support 2,
+    * capped groups), distributed connected components, size census.
+    */
+  private[queries] def componentCensusFrom(op: DataFrame): DataFrame = {
     val edges = graft.operators.Triangles.cooccurrenceEdges(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
-      "o", "p", minSupport = 2)
+      op, "o", "p", minSupport = 2)
     graft.operators.Dedup.connectedComponents(edges, "a", "b")
       .groupBy(col("label")).agg(count(lit(1)).as("csize"))
       .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))

@@ -2415,6 +2415,116 @@ object StreamQueries {
   val q223_stream_share_of_parent_sql: String =
     ReportQueries.q176_share_of_parent_sql
 
+  /** q224 — STREAMING component census: q180's co-purchase
+    * connected-components report over the LINEITEM stream — the
+    * FORTY-FOURTH pairing, and the first STREAMING GRAPH pairing.
+    * Pairs cannot form from a single row, so state keys by ORDER:
+    * each order's distinct part set (order-size bounded — the same
+    * cap the batch edge build enforces) grows monotonically and is
+    * its own compaction sequence (max-by-row-count image). The
+    * graph algorithm never runs on the stream: the projection
+    * rebuilds the (o, p) membership frame and replays q180's edge
+    * build + distributed connected components + census verbatim
+    * (shared componentCensusFrom, shared RECURSIVE-CTE oracle).
+    */
+  def q224_stream_component_census(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+        col("l_partkey").as("m"))
+      .as[graft.streaming.Pairing.LiPair]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiPair,
+        Long, (Long, Seq[Long]), (Long, Long, Seq[Long])](
+      spark, st, Seq("o", "seq", "ms"), r => (r.ok, r.ln))(
+      _.ok)((0L, Seq.empty[Long])) { (o, s0, ordered) =>
+        val seen = s0._1 + ordered.size
+        val ms = (s0._2 ++ ordered.map(_.m)).distinct.sorted
+        ((seen, ms),
+          if (ordered.isEmpty) Vector.empty else Vector((o, seen, ms)))
+      } { t =>
+        ReportQueries.componentCensusFrom(t.groupBy(col("o"))
+          .agg(max(struct(col("seq"), col("ms"))).as("b"))
+          .select(col("o"), explode(col("b.ms")).as("p")))
+      }
+  }
+
+  /** Same oracle as the batch component census — the point. */
+  val q224_stream_component_census_sql: String =
+    ReportQueries.q180_component_census_sql
+
+  /** q225 — STREAMING clustering coefficient: q186's supplier
+    * co-occurrence triangle report over the LINEITEM stream — the
+    * FORTY-FIFTH pairing. Same per-order membership state as q224
+    * (supplier sets, order-size bounded); the projection rebuilds
+    * the (o, s) frame and replays q186's edge build + degree-
+    * oriented triangle enumeration + per-node coefficients + nation
+    * rollup verbatim (shared clusteringCoeffFrom, shared oracle).
+    */
+  def q225_stream_clustering_coeff(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+        col("l_suppkey").as("m"))
+      .as[graft.streaming.Pairing.LiPair]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiPair,
+        Long, (Long, Seq[Long]), (Long, Long, Seq[Long])](
+      spark, st, Seq("o", "seq", "ms"), r => (r.ok, r.ln))(
+      _.ok)((0L, Seq.empty[Long])) { (o, s0, ordered) =>
+        val seen = s0._1 + ordered.size
+        val ms = (s0._2 ++ ordered.map(_.m)).distinct.sorted
+        ((seen, ms),
+          if (ordered.isEmpty) Vector.empty else Vector((o, seen, ms)))
+      } { t =>
+        AnalyticsQueries.clusteringCoeffFrom(spark, dir, t.groupBy(col("o"))
+          .agg(max(struct(col("seq"), col("ms"))).as("b"))
+          .select(col("o"), explode(col("b.ms")).as("s")))
+      }
+  }
+
+  /** Same oracle as the batch clustering coefficient — the point. */
+  val q225_stream_clustering_coeff_sql: String =
+    AnalyticsQueries.q186_clustering_coeff_sql
+
+  /** q226 — STREAMING multi-iteration PageRank: q189's
+    * customer↔supplier rank over the LINEITEM stream — the
+    * FORTY-SIXTH pairing. Each line item resolves its customer
+    * through a stream-static join to ORDERS (fact-sized, not
+    * broadcast — the q215 discipline), then keys by the encoded
+    * (customer, supplier) EDGE with one long of presence state;
+    * re-observed edges re-emit and the projection's distinct absorbs
+    * them. The power iteration never runs on the stream: the
+    * projection replays q189's symmetrize + degree + three
+    * decq-quantized rounds verbatim over the compacted edge set
+    * (shared pagerankIterFrom, shared oracle).
+    */
+  def q226_stream_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        col("l_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("ln"),
+        (col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .as[graft.streaming.Pairing.LiEdge]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiEdge,
+        (Long, Long), Long, (Long, Long)](
+      spark, st, Seq("a", "b"), r => (r.ok, r.ln))(
+      r => (r.a, r.b))(0L) { (k, s0, ordered) =>
+        (s0 + ordered.size,
+          if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2)))
+      } { t =>
+        AnalyticsQueries.pagerankIterFrom(t.select(col("a"), col("b")).distinct())
+      }
+  }
+
+  /** Same oracle as the batch multi-iteration PageRank — the point. */
+  val q226_stream_pagerank_sql: String = AnalyticsQueries.q189_pagerank_iter_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2433,6 +2543,9 @@ object StreamQueries {
     "q221_stream_seasonal" -> (q221_stream_seasonal _),
     "q222_stream_holt_backtest" -> (q222_stream_holt_backtest _),
     "q223_stream_share_of_parent" -> (q223_stream_share_of_parent _),
+    "q224_stream_component_census" -> (q224_stream_component_census _),
+    "q225_stream_clustering_coeff" -> (q225_stream_clustering_coeff _),
+    "q226_stream_pagerank" -> (q226_stream_pagerank _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2488,6 +2601,9 @@ object StreamQueries {
     "q221_stream_seasonal" -> q221_stream_seasonal_sql,
     "q222_stream_holt_backtest" -> q222_stream_holt_backtest_sql,
     "q223_stream_share_of_parent" -> q223_stream_share_of_parent_sql,
+    "q224_stream_component_census" -> q224_stream_component_census_sql,
+    "q225_stream_clustering_coeff" -> q225_stream_clustering_coeff_sql,
+    "q226_stream_pagerank" -> q226_stream_pagerank_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

@@ -60,6 +60,8 @@ object Pairing {
   case class OrdDay(ok: Long, epd: Long, c: Long)
   case class OrdCust(ok: Long, ck: Long, epd: Long, c: Long)
   case class OrdNat(ok: Long, nk: Int, c: Long)
+  case class LiPair(ok: Long, ln: Long, m: Long)
+  case class LiEdge(ok: Long, ln: Long, a: Long, b: Long)
 
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]

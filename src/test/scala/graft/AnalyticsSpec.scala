@@ -358,6 +358,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q225 streaming clustering coefficient is bit-identical to batch q186 (pairing #45)") {
+    val batch = graft.queries.AnalyticsQueries.q186_clustering_coeff(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q225_stream_clustering_coeff(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q226 streaming PageRank is bit-identical to batch q189 (pairing #46)") {
+    val batch = graft.queries.AnalyticsQueries.q189_pagerank_iter(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q226_stream_pagerank(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q213 streaming correlation matrix is bit-identical to batch q169 (pairing #33)") {
     val batch = graft.queries.AnalyticsQueries.q169_corr_matrix(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q213_stream_corr_matrix(spark, dir).collect().toSeq

@@ -279,6 +279,14 @@ class ReportSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q224 streaming component census is bit-identical to batch q180 (pairing #44)") {
+    val batch = ReportQueries.q180_component_census(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q224_stream_component_census(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q223 streaming share-of-parent is bit-identical to batch q176 (pairing #43)") {
     val batch = ReportQueries.q176_share_of_parent(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q223_stream_share_of_parent(spark, dir).collect().toSeq
