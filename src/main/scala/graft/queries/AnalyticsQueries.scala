@@ -84,15 +84,21 @@ object AnalyticsQueries {
     * joins edge-keyed (never collected); triangles attribute to their
     * least supplier id, whose nation gives a label-sized final agg.
     */
-  def q118_triangles(spark: SparkSession, dir: String): DataFrame = {
-    // co-occurrence edge build via the one-shuffle collect_set idiom
-    // (VERDICT r8: the distinct + self-join form paid two exchanges
-    // for the same graph); kernel in operators/Triangles — spec'd on
-    // a planted graph in TrianglesSpec
+  def q118_triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesFrom(spark, dir, Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")))
+
+  /** The triangle-count tail over an (o, s) order-membership frame —
+    * shared verbatim by batch q118 and its streaming twin q230
+    * (pairing #50): one-shuffle co-occurrence edge build (VERDICT
+    * r8: the distinct + self-join form paid two exchanges for the
+    * same graph; kernel in operators/Triangles, spec'd on a planted
+    * graph), degree-oriented enumeration, nation rollup.
+    */
+  private[queries] def trianglesFrom(spark: SparkSession, dir: String,
+      os: DataFrame): DataFrame = {
     val edges = graft.operators.Triangles.cooccurrenceEdges(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")),
-      "o", "s", minSupport = 5)
+      os, "o", "s", minSupport = 5)
     val tri = graft.operators.Triangles.triangles(edges)
       .select(least(col("u"), col("v"), col("w")).as("m"))
     tri.join(Tables.supplier(spark, dir), col("m") === col("s_suppkey"))

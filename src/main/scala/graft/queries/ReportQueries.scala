@@ -113,11 +113,19 @@ object ReportQueries {
     * tasks; the r9 literal coalesce(1) is gone). The oracle proves
     * the 4-round fixed point against DuckDB's recursive CTE.
     */
-  def q138_khop(spark: SparkSession, dir: String): DataFrame = {
+  def q138_khop(spark: SparkSession, dir: String): DataFrame =
+    khopFrom(spark, dir, Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** The k-hop BFS tail over an (o, p) order-membership frame —
+    * shared verbatim by batch q138 and its streaming twin q229
+    * (pairing #49): co-occurrence edge build, symmetrization,
+    * 4-hop frontier expansion from the sampled part sources.
+    */
+  private[queries] def khopFrom(spark: SparkSession, dir: String,
+      op: DataFrame): DataFrame = {
     val edges = graft.operators.Triangles.cooccurrenceEdges(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
-      "o", "p", minSupport = 2)
+      op, "o", "p", minSupport = 2)
     val bidir = edges.select(col("a").as("x"), col("b").as("y"))
       .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
       .persist()
@@ -435,9 +443,17 @@ object ReportQueries {
     * no global sort. Confidence/lift are single IEEE ops over exact
     * int64 counts, identically associated in both engines.
     */
-  def q145_assoc_rules(spark: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+  def q145_assoc_rules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** The association-rules tail over an (o, p) order-membership
+    * frame — shared verbatim by batch q145 and its streaming twin
+    * q227 (pairing #47): basket build, support counts, pair
+    * expansion (capped), confidence/lift scoring, top-20.
+    */
+  private[queries] def assocRulesFrom(op: DataFrame): DataFrame = {
+    val sets = op
       .groupBy(col("o")).agg(collect_set(col("p")).as("ms"))
       .persist()
     sets.count() // eager: three consumers race a cold cache's partition locks otherwise (the q104 lesson)
@@ -657,9 +673,17 @@ object ReportQueries {
     * of exact integer counts, identical IEEE both engines; min
     * co-support 3 keeps the candidate frame support-bounded.
     */
-  def q174_item_cf(spark: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+  def q174_item_cf(spark: SparkSession, dir: String): DataFrame =
+    itemCfFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** The item-item collaborative-filtering tail over an (o, p)
+    * order-membership frame — shared verbatim by batch q174 and its
+    * streaming twin q228 (pairing #48): co-occurrence counts,
+    * cosine scoring against item frequencies, per-item top-5.
+    */
+  private[queries] def itemCfFrom(op: DataFrame): DataFrame = {
+    val sets = op
       .groupBy(col("o")).agg(collect_set(col("p")).as("ms"))
       .persist()
     sets.count() // eager: two consumers race a cold cache otherwise (q104 lesson)

@@ -3,7 +3,7 @@ package graft.queries
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -2427,12 +2427,27 @@ object StreamQueries {
     * build + distributed connected components + census verbatim
     * (shared componentCensusFrom, shared RECURSIVE-CTE oracle).
     */
-  def q224_stream_component_census(spark: SparkSession, dir: String): DataFrame = {
+  def q224_stream_component_census(spark: SparkSession, dir: String): DataFrame =
+    orderMembers(spark, dir, col("l_partkey")) { op =>
+      ReportQueries.componentCensusFrom(op.select(col("o"), col("m").as("p")))
+    }
+
+  /** Shared prelude for the per-order membership pairings (#44/#45
+    * and the #47–#50 basket/graph family): pairs and edges cannot
+    * form from one row, so state keys by ORDER — each order's
+    * distinct member set (order-size bounded, the batch edge/basket
+    * builds' own cap) grows monotonically and is its own compaction
+    * sequence (max-by-row-count image). The graph/basket algorithm
+    * never runs on the stream: the projection receives the rebuilt
+    * (o, m) membership frame and replays the batch tail verbatim.
+    */
+  private def orderMembers(spark: SparkSession, dir: String, member: Column)(
+      project: DataFrame => DataFrame): DataFrame = {
     val sp = spark
     import sp.implicits._
     val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
-        col("l_partkey").as("m"))
+        member.as("m"))
       .as[graft.streaming.Pairing.LiPair]
     graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiPair,
         Long, (Long, Seq[Long]), (Long, Long, Seq[Long])](
@@ -2443,9 +2458,9 @@ object StreamQueries {
         ((seen, ms),
           if (ordered.isEmpty) Vector.empty else Vector((o, seen, ms)))
       } { t =>
-        ReportQueries.componentCensusFrom(t.groupBy(col("o"))
+        project(t.groupBy(col("o"))
           .agg(max(struct(col("seq"), col("ms"))).as("b"))
-          .select(col("o"), explode(col("b.ms")).as("p")))
+          .select(col("o"), explode(col("b.ms")).as("m")))
       }
   }
 
@@ -2461,27 +2476,11 @@ object StreamQueries {
     * oriented triangle enumeration + per-node coefficients + nation
     * rollup verbatim (shared clusteringCoeffFrom, shared oracle).
     */
-  def q225_stream_clustering_coeff(spark: SparkSession, dir: String): DataFrame = {
-    val sp = spark
-    import sp.implicits._
-    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
-        col("l_suppkey").as("m"))
-      .as[graft.streaming.Pairing.LiPair]
-    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiPair,
-        Long, (Long, Seq[Long]), (Long, Long, Seq[Long])](
-      spark, st, Seq("o", "seq", "ms"), r => (r.ok, r.ln))(
-      _.ok)((0L, Seq.empty[Long])) { (o, s0, ordered) =>
-        val seen = s0._1 + ordered.size
-        val ms = (s0._2 ++ ordered.map(_.m)).distinct.sorted
-        ((seen, ms),
-          if (ordered.isEmpty) Vector.empty else Vector((o, seen, ms)))
-      } { t =>
-        AnalyticsQueries.clusteringCoeffFrom(spark, dir, t.groupBy(col("o"))
-          .agg(max(struct(col("seq"), col("ms"))).as("b"))
-          .select(col("o"), explode(col("b.ms")).as("s")))
-      }
-  }
+  def q225_stream_clustering_coeff(spark: SparkSession, dir: String): DataFrame =
+    orderMembers(spark, dir, col("l_suppkey")) { os =>
+      AnalyticsQueries.clusteringCoeffFrom(spark, dir,
+        os.select(col("o"), col("m").as("s")))
+    }
 
   /** Same oracle as the batch clustering coefficient — the point. */
   val q225_stream_clustering_coeff_sql: String =
@@ -2525,6 +2524,69 @@ object StreamQueries {
   /** Same oracle as the batch multi-iteration PageRank — the point. */
   val q226_stream_pagerank_sql: String = AnalyticsQueries.q189_pagerank_iter_sql
 
+  /** q227 — STREAMING association rules: q145's market-basket
+    * confidence/lift report over the LINEITEM stream — the
+    * FORTY-SEVENTH pairing. Baskets ARE per-order membership sets,
+    * so the state is exactly the #44 prelude (parts per order); the
+    * mining never runs on the stream — the projection rebuilds the
+    * (o, p) frame and replays q145's basket build + support counts +
+    * capped pair expansion + confidence/lift top-20 verbatim (shared
+    * assocRulesFrom, shared oracle).
+    */
+  def q227_stream_assoc_rules(spark: SparkSession, dir: String): DataFrame =
+    orderMembers(spark, dir, col("l_partkey")) { op =>
+      ReportQueries.assocRulesFrom(op.select(col("o"), col("m").as("p")))
+    }
+
+  /** Same oracle as the batch association rules — the point. */
+  val q227_stream_assoc_rules_sql: String = ReportQueries.q145_assoc_rules_sql
+
+  /** q228 — STREAMING item-item CF: q174's co-occurrence cosine
+    * recommender over the LINEITEM stream — the FORTY-EIGHTH
+    * pairing. Same per-order basket state as q227; the projection
+    * replays q174's co-occurrence counts + cosine scoring + per-item
+    * top-5 verbatim (shared itemCfFrom, shared oracle).
+    */
+  def q228_stream_item_cf(spark: SparkSession, dir: String): DataFrame =
+    orderMembers(spark, dir, col("l_partkey")) { op =>
+      ReportQueries.itemCfFrom(op.select(col("o"), col("m").as("p")))
+    }
+
+  /** Same oracle as the batch item-item CF — the point. */
+  val q228_stream_item_cf_sql: String = ReportQueries.q174_item_cf_sql
+
+  /** q229 — STREAMING k-hop reachability: q138's 4-hop BFS from the
+    * sampled part sources over the LINEITEM stream — the
+    * FORTY-NINTH pairing. Same per-order membership state (parts per
+    * order — the co-purchase graph's generator); the BFS never runs
+    * on the stream — the projection rebuilds the (o, p) frame and
+    * replays q138's edge build + symmetrize + frontier expansion
+    * verbatim (shared khopFrom, shared RECURSIVE-CTE oracle).
+    */
+  def q229_stream_khop(spark: SparkSession, dir: String): DataFrame =
+    orderMembers(spark, dir, col("l_partkey")) { op =>
+      ReportQueries.khopFrom(spark, dir, op.select(col("o"), col("m").as("p")))
+    }
+
+  /** Same oracle as the batch k-hop BFS — the point. */
+  val q229_stream_khop_sql: String = ReportQueries.q138_khop_sql
+
+  /** q230 — STREAMING triangle counting: q118's supplier
+    * co-occurrence triangle census over the LINEITEM stream — the
+    * FIFTIETH pairing. Same per-order membership state as q225
+    * (supplier sets); the projection replays q118's one-shuffle edge
+    * build + degree-oriented enumeration + nation rollup verbatim
+    * (shared trianglesFrom, shared oracle).
+    */
+  def q230_stream_triangles(spark: SparkSession, dir: String): DataFrame =
+    orderMembers(spark, dir, col("l_suppkey")) { os =>
+      AnalyticsQueries.trianglesFrom(spark, dir,
+        os.select(col("o"), col("m").as("s")))
+    }
+
+  /** Same oracle as the batch triangle count — the point. */
+  val q230_stream_triangles_sql: String = AnalyticsQueries.q118_triangles_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2546,6 +2608,10 @@ object StreamQueries {
     "q224_stream_component_census" -> (q224_stream_component_census _),
     "q225_stream_clustering_coeff" -> (q225_stream_clustering_coeff _),
     "q226_stream_pagerank" -> (q226_stream_pagerank _),
+    "q227_stream_assoc_rules" -> (q227_stream_assoc_rules _),
+    "q228_stream_item_cf" -> (q228_stream_item_cf _),
+    "q229_stream_khop" -> (q229_stream_khop _),
+    "q230_stream_triangles" -> (q230_stream_triangles _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2604,6 +2670,10 @@ object StreamQueries {
     "q224_stream_component_census" -> q224_stream_component_census_sql,
     "q225_stream_clustering_coeff" -> q225_stream_clustering_coeff_sql,
     "q226_stream_pagerank" -> q226_stream_pagerank_sql,
+    "q227_stream_assoc_rules" -> q227_stream_assoc_rules_sql,
+    "q228_stream_item_cf" -> q228_stream_item_cf_sql,
+    "q229_stream_khop" -> q229_stream_khop_sql,
+    "q230_stream_triangles" -> q230_stream_triangles_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

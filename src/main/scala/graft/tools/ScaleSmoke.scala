@@ -248,6 +248,12 @@ object ScaleSmoke {
       "q185_jaro_linkage", "q186_clustering_coeff", "q187_kmv_overlap",
       "q189_pagerank_iter", "q190_journey_patterns",
       "q192_correlated_sub", "q193_theil_sen",
+      // round 12: component census — the iterative distributed-CC
+      // loop is the one graph fixpoint not already covered by the
+      // pagerank/triangle rows; ×N key-shifts replicate the graph so
+      // the label-propagation round count (log-diameter) must not
+      // grow with N, only the edge frame each round folds
+      "q180_component_census",
       // round 11: timed conversions (two per-user window carries at
       // any N); the q198 skew-profile batch twin is q153 (already
       // here); KM survival's at-risk frame is cohort×day-bounded at

@@ -366,6 +366,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q230 streaming triangle count is bit-identical to batch q118 (pairing #50)") {
+    val batch = graft.queries.AnalyticsQueries.q118_triangles(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q230_stream_triangles(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q226 streaming PageRank is bit-identical to batch q189 (pairing #46)") {
     val batch = graft.queries.AnalyticsQueries.q189_pagerank_iter(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q226_stream_pagerank(spark, dir).collect().toSeq

@@ -279,6 +279,30 @@ class ReportSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q227 streaming association rules are bit-identical to batch q145 (pairing #47)") {
+    val batch = ReportQueries.q145_assoc_rules(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q227_stream_assoc_rules(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q228 streaming item-item CF is bit-identical to batch q174 (pairing #48)") {
+    val batch = ReportQueries.q174_item_cf(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q228_stream_item_cf(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q229 streaming k-hop BFS is bit-identical to batch q138 (pairing #49)") {
+    val batch = ReportQueries.q138_khop(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q229_stream_khop(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q224 streaming component census is bit-identical to batch q180 (pairing #44)") {
     val batch = ReportQueries.q180_component_census(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q224_stream_component_census(spark, dir).collect().toSeq
