@@ -1048,10 +1048,21 @@ object AnalyticsQueries {
       .persist()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val n = deg.count() // 1-row scalar (node count), the q104-audited class
+    // The deg join is loop-INVARIANT: hoist it out of the power
+    // iterations and cache the joined edge frame pre-partitioned by
+    // dst (REPARTITION_BY_NUM — an explicit count, or AQE would
+    // coalesce it and the cached HashPartitioning would stop matching
+    // the aggs below). Each iteration's node-sized pr join broadcasts
+    // and preserves that partitioning, so the groupBy(dst) needs NO
+    // exchange — the 3 per-iteration edge-sized shuffles become 0.
+    // At a scale where pr outgrows broadcast and the join turns SMJ,
+    // the src shuffle reappears and this is no worse than the
+    // unpartitioned cache.
+    val shuffleN = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val symDeg = sym.join(deg, "src").repartition(shuffleN, col("dst")).persist()
     var pr = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to 3) {
-      val contrib = sym
-        .join(deg, "src")
+      val contrib = symDeg
         .join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst"),
           // floor-int64 quantization (decq): scale 12 keeps the
@@ -1063,6 +1074,13 @@ object AnalyticsQueries {
         .agg(sum(col("c")).as("m"))
         .select(col("dst").as("id"),
           (lit(0.15 / n) + lit(0.85) * col("m").cast("double")).as("pr"))
+        // eager lineage cut per iteration (node-sized): without it the
+        // round-k pr carries k joined-agg layers of plan — size stats
+        // vanish, the NEXT pr join falls back to SMJ and re-shuffles
+        // the edge frame by src, defeating the dst pre-partitioning.
+        // LogicalRDD also sidesteps the cache-on-cache trap a persist
+        // here would create over symDeg (PLANS r10).
+        .localCheckpoint(true)
     }
     pr.join(deg, pr("id") === deg("src"))
       .select(
