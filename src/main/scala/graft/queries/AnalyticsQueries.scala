@@ -324,11 +324,23 @@ object AnalyticsQueries {
   def q125_scd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
-    val changes = Tables.events(spark, dir)
+    scd2From(Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         dec2(col("value")).as("v"), col("ts"), col("event_id"))
       .withColumn("prev_v", lag(col("v"), 1).over(w))
-      .filter(col("prev_v").isNull || col("v") =!= col("prev_v"))
+      .filter(col("prev_v").isNull || col("v") =!= col("prev_v")))
+  }
+
+  /** The SCD2 interval-build tail over a CHANGE-POINT frame
+    * (user_id, event_type, v, ts, event_id) — shared verbatim by
+    * batch q125 and its streaming twin q232 (pairing #52). The
+    * valid_to window runs over change points only, never raw
+    * events — which is exactly why the streaming twin's per-key
+    * change-log state makes the online build cheap.
+    */
+  private[queries] def scd2From(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
     changes
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("event_type"),

@@ -381,14 +381,23 @@ object EventQueries {
     * the KMV ESTIMATION path (not the exact small-set path) is what's
     * being graded; tolerances are ~3σ for k=64 / rsd=0.05.
     */
-  def q58_sketch_distinct(spark: SparkSession, dir: String): DataFrame = {
+  def q58_sketch_distinct(spark: SparkSession, dir: String): DataFrame =
+    sketchDistinctFrom(Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")))
+
+  /** The sketch-vs-exact distinct audit tail over an
+    * (event_type, user_id) frame — shared verbatim by batch q58 and
+    * its streaming twin q231 (pairing #51): KMV bottom-64 and HLL
+    * estimates graded against the exact distinct count.
+    */
+  private[queries] def sketchDistinctFrom(eu: DataFrame): DataFrame = {
     val k = 64
     val bottomK = udaf(new graft.operators.Sketches.BottomK(k),
       org.apache.spark.sql.Encoders.scalaLong)
     val est = when(size(col("bk")) < k, size(col("bk")).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
         element_at(col("bk"), k).cast("double"))
-    Tables.events(spark, dir)
+    eu
       .select(col("event_type"), col("user_id"),
         hash60(col("user_id").cast("string")).as("h"))
       .groupBy(col("event_type"))

@@ -2587,6 +2587,85 @@ object StreamQueries {
   /** Same oracle as the batch triangle count — the point. */
   val q230_stream_triangles_sql: String = AnalyticsQueries.q118_triangles_sql
 
+  /** q231 — STREAMING sketch-distinct audit: q58's KMV/HLL-vs-exact
+    * report over the EVENTS stream — the FIFTY-FIRST pairing, and
+    * the sketch family's online form. Per event type the state holds
+    * the distinct user set; the projection rebuilds the
+    * (event_type, user_id) frame and replays q58's sketch build +
+    * tolerance grading verbatim (shared sketchDistinctFrom, shared
+    * oracle). The exact set is the AUDIT state — it exists because
+    * the batch report grades sketches against truth (the q187
+    * discipline: the exact column is what a production run drops);
+    * a production stream keeps only the mergeable 64-long KMV
+    * bottom-k and HLL registers, O(1) per key.
+    */
+  def q231_stream_sketch_distinct(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[String, (Long, Seq[Long]), (String, Long, Seq[Long])](
+      spark, dir, Seq("et", "seq", "us"))(
+      _.event_type)((0L, Seq.empty[Long])) { (et, s0, ordered) =>
+        val seen = s0._1 + ordered.size
+        val us = (s0._2 ++ ordered.map(_.user_id)).distinct.sorted
+        ((seen, us),
+          if (ordered.isEmpty) Vector.empty else Vector((et, seen, us)))
+      } { t =>
+        EventQueries.sketchDistinctFrom(t.groupBy(col("et"))
+          .agg(max(struct(col("seq"), col("us"))).as("b"))
+          .select(col("et").as("event_type"), explode(col("b.us")).as("user_id")))
+      }
+  }
+
+  /** Same oracle as the batch sketch-distinct audit — the point. */
+  val q231_stream_sketch_distinct_sql: String =
+    EventQueries.q58_sketch_distinct_sql
+
+  /** q232 — STREAMING SCD2 history build: q125's slowly-changing
+    * dimension over the EVENTS stream — the FIFTY-SECOND pairing,
+    * the CDC pattern SCD2 exists for, maintained online. State per
+    * (user, type) is the CHANGE LOG — (ts, event_id, cents) rows
+    * appended only when the 2-dp value actually changes (cents via
+    * the shared centsOfDouble, replaying the batch dec2 edge
+    * exactly) — so state is interval-table-sized, never
+    * event-history-sized. The projection explodes the compacted log
+    * and replays q125's valid_to window over CHANGE POINTS only
+    * (shared scd2From, shared oracle); cents/100 in exact double
+    * division reproduces the batch's decimal→double cast bit-for-bit
+    * (both are the correctly-rounded double of the same 2-dp value).
+    */
+  def q232_stream_scd2(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[(Long, String),
+        (Long, Seq[graft.streaming.Pairing.ScdChange]),
+        (Long, String, Long, Seq[graft.streaming.Pairing.ScdChange])](
+      spark, dir, Seq("u", "et", "seq", "chs"))(
+      e => (e.user_id, e.event_type))(
+      (0L, Seq.empty[graft.streaming.Pairing.ScdChange])) { (k, s0, ordered) =>
+        var chs = s0._2
+        ordered.foreach { e =>
+          val c = centsOfDouble(e.value)
+          if (chs.isEmpty || chs.last.c != c)
+            chs = chs :+ graft.streaming.Pairing.ScdChange(e.ts, e.event_id, c)
+        }
+        val seen = s0._1 + ordered.size
+        ((seen, chs),
+          if (ordered.isEmpty) Vector.empty
+          else Vector((k._1, k._2, seen, chs)))
+      } { t =>
+        AnalyticsQueries.scd2From(t.groupBy(col("u"), col("et"))
+          .agg(max(struct(col("seq"), col("chs"))).as("b"))
+          .select(col("u").as("user_id"), col("et").as("event_type"),
+            explode(col("b.chs")).as("ch"))
+          .select(col("user_id"), col("event_type"),
+            (col("ch.c").cast("double") / lit(100.0)).as("v"),
+            col("ch.ts").as("ts"), col("ch.eid").as("event_id")))
+      }
+  }
+
+  /** Same oracle as the batch SCD2 build — the point. */
+  val q232_stream_scd2_sql: String = AnalyticsQueries.q125_scd2_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2612,6 +2691,8 @@ object StreamQueries {
     "q228_stream_item_cf" -> (q228_stream_item_cf _),
     "q229_stream_khop" -> (q229_stream_khop _),
     "q230_stream_triangles" -> (q230_stream_triangles _),
+    "q231_stream_sketch_distinct" -> (q231_stream_sketch_distinct _),
+    "q232_stream_scd2" -> (q232_stream_scd2 _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2674,6 +2755,8 @@ object StreamQueries {
     "q228_stream_item_cf" -> q228_stream_item_cf_sql,
     "q229_stream_khop" -> q229_stream_khop_sql,
     "q230_stream_triangles" -> q230_stream_triangles_sql,
+    "q231_stream_sketch_distinct" -> q231_stream_sketch_distinct_sql,
+    "q232_stream_scd2" -> q232_stream_scd2_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

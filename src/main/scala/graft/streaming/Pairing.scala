@@ -62,6 +62,7 @@ object Pairing {
   case class OrdNat(ok: Long, nk: Int, c: Long)
   case class LiPair(ok: Long, ln: Long, m: Long)
   case class LiEdge(ok: Long, ln: Long, a: Long, b: Long)
+  case class ScdChange(ts: Timestamp, eid: Long, c: Long)
 
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]

@@ -366,6 +366,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q231 streaming sketch-distinct audit is bit-identical to batch q58 (pairing #51)") {
+    val batch = graft.queries.EventQueries.q58_sketch_distinct(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q231_stream_sketch_distinct(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q232 streaming SCD2 build is bit-identical to batch q125 (pairing #52)") {
+    val batch = graft.queries.AnalyticsQueries.q125_scd2(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q232_stream_scd2(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q230 streaming triangle count is bit-identical to batch q118 (pairing #50)") {
     val batch = graft.queries.AnalyticsQueries.q118_triangles(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q230_stream_triangles(spark, dir).collect().toSeq
