@@ -199,13 +199,25 @@ object AnalyticsQueries {
     * distinct-collect job first and embed an unbounded label set in
     * the schema — never that form at scale.)
     */
-  def q120_pivot_wide(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
-    val piv = Tables.events(spark, dir)
+  def q120_pivot_wide(spark: SparkSession, dir: String): DataFrame =
+    pivotWideFrom(Tables.events(spark, dir)
       .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("s")))
+
+  /** The wide-pivot tail over pre-aggregated (day, event_type, n, s)
+    * CELLS — shared verbatim by batch q120 and its streaming twin
+    * q234 (pairing #54). The cell split is free for the batch (the
+    * pivot's partial aggregation computed the cells anyway) and is
+    * exactly the label-bounded state the twin maintains online; the
+    * sums here are identities over one row per cell.
+    */
+  private[queries] def pivotWideFrom(cells: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val piv = cells
       .groupBy(col("day"))
       .pivot("event_type", types)
-      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("amt"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).cast("double").as("amt"))
     // pivot leaves empty cells null; counts must read 0 like the
     // oracle's FILTER form (sums stay NULL in both engines)
     val fixed = types.foldLeft(piv) { (df, t) =>
@@ -684,9 +696,19 @@ object AnalyticsQueries {
     * the distinct frames — the same shuffle economics as q28, with
     * set semantics (dedup) guaranteed by the operator.
     */
-  def q136_set_reconcile(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+  def q136_set_reconcile(spark: SparkSession, dir: String): DataFrame =
+    setReconcileFrom(Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")))
+
+  /** The INTERSECT/EXCEPT reconcile tail over a (user_id, us) event
+    * frame — shared verbatim by batch q136 and its streaming twin
+    * q233 (pairing #53): global time midpoint, old/new halves,
+    * retained/churned/new segments. The midpoint is a property of
+    * the WHOLE history (min+max over all events), which is exactly
+    * why the twin's per-user timestamp state replays here instead of
+    * segmenting on the stream.
+    */
+  private[queries] def setReconcileFrom(ev: DataFrame): DataFrame = {
     val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
     val tagged = ev.crossJoin(broadcast(mid))
     val olds = tagged.filter(col("us") < col("mid")).select(col("user_id")).distinct()

@@ -2666,6 +2666,69 @@ object StreamQueries {
   /** Same oracle as the batch SCD2 build — the point. */
   val q232_stream_scd2_sql: String = AnalyticsQueries.q125_scd2_sql
 
+  /** q233 — STREAMING set reconcile: q136's retained/churned/new
+    * audience segmentation over the EVENTS stream — the FIFTY-THIRD
+    * pairing. The segment split point is a property of the WHOLE
+    * history ((min+max)/2 of event time), unknowable mid-stream, so
+    * per-user state holds the distinct event-micros list (per-user
+    * history, the q190/q202 journey-state discipline) and the
+    * projection replays q136's midpoint + INTERSECT/EXCEPT tail
+    * verbatim (shared setReconcileFrom, shared oracle).
+    */
+  def q233_stream_set_reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Seq[Long]), (Long, Long, Seq[Long])](
+      spark, dir, Seq("u", "seq", "uss"))(
+      _.user_id)((0L, Seq.empty[Long])) { (u, s0, ordered) =>
+        val seen = s0._1 + ordered.size
+        val uss = (s0._2 ++ ordered.map(e =>
+          Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000))
+          .distinct.sorted
+        ((seen, uss),
+          if (ordered.isEmpty) Vector.empty else Vector((u, seen, uss)))
+      } { t =>
+        AnalyticsQueries.setReconcileFrom(t.groupBy(col("u"))
+          .agg(max(struct(col("seq"), col("uss"))).as("b"))
+          .select(col("u").as("user_id"), explode(col("b.uss")).as("us")))
+      }
+  }
+
+  /** Same oracle as the batch set reconcile — the point. */
+  val q233_stream_set_reconcile_sql: String =
+    AnalyticsQueries.q136_set_reconcile_sql
+
+  /** q234 — STREAMING wide pivot: q120's per-day event-type matrix
+    * over the EVENTS stream — the FIFTY-FOURTH pairing. State per
+    * (day, type) cell is ONE (count, cent-total) pair — the
+    * label-bounded shape the batch pivot's own partial aggregation
+    * computes — and the projection rebuilds the cell frame (cents
+    * back to DECIMAL exactly) and replays q120's pivot tail verbatim
+    * (shared pivotWideFrom, shared oracle).
+    */
+  def q234_stream_pivot_wide(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[(Long, String), (Long, Long), (Long, String, Long, Long)](
+      spark, dir, Seq("d", "et", "n", "c"))(
+      e => (Math.floorDiv(e.ts.getTime, 86400000L), e.event_type))(
+      (0L, 0L)) { (k, s0, ordered) =>
+        val n = s0._1 + ordered.size
+        val c = s0._2 + ordered.map(e => centsOfDouble(e.value)).sum
+        ((n, c),
+          if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2, n, c)))
+      } { t =>
+        AnalyticsQueries.pivotWideFrom(t.groupBy(col("d"), col("et"))
+          .agg(max(struct(col("n"), col("c"))).as("b"))
+          .select(expr("date_from_unix_date(cast(d as int))").as("day"),
+            col("et").as("event_type"), col("b.n").as("n"),
+            (col("b.c").cast("decimal(38,4)") / 100).cast("decimal(28,2)").as("s")))
+      }
+  }
+
+  /** Same oracle as the batch wide pivot — the point. */
+  val q234_stream_pivot_wide_sql: String = AnalyticsQueries.q120_pivot_wide_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2693,6 +2756,8 @@ object StreamQueries {
     "q230_stream_triangles" -> (q230_stream_triangles _),
     "q231_stream_sketch_distinct" -> (q231_stream_sketch_distinct _),
     "q232_stream_scd2" -> (q232_stream_scd2 _),
+    "q233_stream_set_reconcile" -> (q233_stream_set_reconcile _),
+    "q234_stream_pivot_wide" -> (q234_stream_pivot_wide _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2757,6 +2822,8 @@ object StreamQueries {
     "q230_stream_triangles" -> q230_stream_triangles_sql,
     "q231_stream_sketch_distinct" -> q231_stream_sketch_distinct_sql,
     "q232_stream_scd2" -> q232_stream_scd2_sql,
+    "q233_stream_set_reconcile" -> q233_stream_set_reconcile_sql,
+    "q234_stream_pivot_wide" -> q234_stream_pivot_wide_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

@@ -366,6 +366,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q233 streaming set reconcile is bit-identical to batch q136 (pairing #53)") {
+    val batch = graft.queries.AnalyticsQueries.q136_set_reconcile(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q233_stream_set_reconcile(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q234 streaming wide pivot is bit-identical to batch q120 (pairing #54)") {
+    val batch = graft.queries.AnalyticsQueries.q120_pivot_wide(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q234_stream_pivot_wide(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q231 streaming sketch-distinct audit is bit-identical to batch q58 (pairing #51)") {
     val batch = graft.queries.EventQueries.q58_sketch_distinct(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q231_stream_sketch_distinct(spark, dir).collect().toSeq
