@@ -554,9 +554,20 @@ object RelationalQueries {
     * deva applications assemble by hand loops; one pass here.
     */
   def q33_rollup(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    rollupFrom(Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("sc")))
+
+  /** The ROLLUP tail over pre-aggregated (priority, status, n, sc)
+    * CELLS — shared verbatim by batch q33 and its streaming twin
+    * q235 (pairing #55). Decimal addition is exact and associative,
+    * so subtotaling cells equals subtotaling rows; the cell split is
+    * the batch rollup's own partial-aggregate shape.
+    */
+  private[queries] def rollupFrom(cells: DataFrame): DataFrame =
+    cells
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .agg(sum(col("n")).as("n"), sum(col("sc")).cast("double").as("total"))
       .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
   val q33_rollup_sql: String =
@@ -578,13 +589,23 @@ object RelationalQueries {
     * emitted so the oracle's GROUPING() arithmetic must agree too.
     */
   def q96_cube(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    cubeFrom(Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("sc")))
+
+  /** The CUBE tail over pre-aggregated (segment, priority, n, sc)
+    * CELLS — shared verbatim by batch q96 and its streaming twin
+    * q236 (pairing #56); same exact-decimal cell argument as
+    * [[rollupFrom]].
+    */
+  private[queries] def cubeFrom(cells: DataFrame): DataFrame =
+    cells
       .cube(col("c_mktsegment"), col("o_orderpriority"))
       .agg(grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        dsum(col("o_totalprice")).as("total"))
+        sum(col("n")).as("n"),
+        sum(col("sc")).cast("double").as("total"))
       .orderBy(col("gid"),
         col("c_mktsegment").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)

@@ -285,15 +285,25 @@ object ReportQueries {
     * exactly the plan rollup/cube lower to; grouping() flags are
     * computed from the expand's gid, costing nothing extra.
     */
-  def q141_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
+  def q141_grouping_sets(spark: SparkSession, dir: String): DataFrame =
+    groupingSetsFrom(Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).as("sc")))
+
+  /** The GROUPING SETS tail over pre-aggregated
+    * (returnflag, linestatus, n, sc) CELLS — shared verbatim by
+    * batch q141 and its streaming twin q237 (pairing #57); same
+    * exact-decimal cell argument as RelationalQueries.rollupFrom.
+    */
+  private[queries] def groupingSetsFrom(cells: DataFrame): DataFrame = {
+    cells
       .groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
         col("l_returnflag"), col("l_linestatus"))
       .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
         grouping(col("l_linestatus")).cast("long").as("g_ls"),
-        count(lit(1)).as("n"),
-        dsum(col("l_extendedprice")).as("rev"))
+        sum(col("n")).as("n"),
+        sum(col("sc")).cast("double").as("rev"))
       .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
   }
 

@@ -2729,6 +2729,118 @@ object StreamQueries {
   /** Same oracle as the batch wide pivot — the point. */
   val q234_stream_pivot_wide_sql: String = AnalyticsQueries.q120_pivot_wide_sql
 
+  /** q235 — STREAMING ROLLUP: q33's priority×status subtotal ladder
+    * over the ORDERS stream — the FIFTY-FIFTH pairing, opening the
+    * multi-level aggregation family online. State per finest
+    * (priority, status) cell is ONE (count, cent-total) pair; the
+    * subtotal levels never run on the stream — the projection
+    * rebuilds the cell frame and replays q33's rollup verbatim
+    * (shared rollupFrom — decimal addition over cells is exactly the
+    * batch's partial aggregation; shared oracle).
+    */
+  def q235_stream_rollup(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_orderpriority").as("pri"),
+        col("o_orderstatus").as("st"),
+        graft.plans.Cents(col("o_totalprice")).as("c"))
+      .as[graft.streaming.Pairing.OrdPrSt]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.OrdPrSt,
+        (String, String), (Long, Long), (String, String, Long, Long)](
+      spark, st, Seq("pri", "st", "n", "c"), r => (r.ok, 0L))(
+      r => (r.pri, r.st))((0L, 0L)) { (k, s0, ordered) =>
+        val n = s0._1 + ordered.size
+        val c = s0._2 + ordered.map(_.c).sum
+        ((n, c),
+          if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2, n, c)))
+      } { t =>
+        RelationalQueries.rollupFrom(t.groupBy(col("pri"), col("st"))
+          .agg(max(struct(col("n"), col("c"))).as("b"))
+          .select(col("pri").as("o_orderpriority"), col("st").as("o_orderstatus"),
+            col("b.n").as("n"),
+            (col("b.c").cast("decimal(38,4)") / 100).cast("decimal(28,2)").as("sc")))
+      }
+  }
+
+  /** Same oracle as the batch rollup — the point. */
+  val q235_stream_rollup_sql: String = RelationalQueries.q33_rollup_sql
+
+  /** q236 — STREAMING CUBE: q96's segment×priority all-subtotals
+    * matrix over the ORDERS stream — the FIFTY-SIXTH pairing. Orders
+    * resolve their market segment through the stream-static customer
+    * join before typing (the #29–#31 fact-pairing idiom); state per
+    * finest (segment, priority) cell is ONE (count, cent-total)
+    * pair, and the projection replays q96's cube + grouping_id tail
+    * verbatim (shared cubeFrom, shared oracle).
+    */
+  def q236_stream_cube(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("ok"), col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"),
+        graft.plans.Cents(col("o_totalprice")).as("c"))
+      .as[graft.streaming.Pairing.OrdSegPri]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.OrdSegPri,
+        (String, String), (Long, Long), (String, String, Long, Long)](
+      spark, st, Seq("seg", "pri", "n", "c"), r => (r.ok, 0L))(
+      r => (r.seg, r.pri))((0L, 0L)) { (k, s0, ordered) =>
+        val n = s0._1 + ordered.size
+        val c = s0._2 + ordered.map(_.c).sum
+        ((n, c),
+          if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2, n, c)))
+      } { t =>
+        RelationalQueries.cubeFrom(t.groupBy(col("seg"), col("pri"))
+          .agg(max(struct(col("n"), col("c"))).as("b"))
+          .select(col("seg").as("c_mktsegment"), col("pri").as("o_orderpriority"),
+            col("b.n").as("n"),
+            (col("b.c").cast("decimal(38,4)") / 100).cast("decimal(28,2)").as("sc")))
+      }
+  }
+
+  /** Same oracle as the batch cube — the point. */
+  val q236_stream_cube_sql: String = RelationalQueries.q96_cube_sql
+
+  /** q237 — STREAMING GROUPING SETS: q141's returnflag/linestatus
+    * subtotal report over the LINEITEM stream — the FIFTY-SEVENTH
+    * pairing, closing the multi-level family (rollup/cube/sets all
+    * online). Same one-(count, cent-total)-per-cell state as q235;
+    * projection replays q141's grouping-sets tail verbatim (shared
+    * groupingSetsFrom, shared oracle).
+    */
+  def q237_stream_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        graft.plans.Cents(col("l_extendedprice")).as("c"))
+      .as[graft.streaming.Pairing.LiRfLs]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiRfLs,
+        (String, String), (Long, Long), (String, String, Long, Long)](
+      spark, st, Seq("rf", "ls", "n", "c"), r => (r.ok, r.ln))(
+      r => (r.rf, r.ls))((0L, 0L)) { (k, s0, ordered) =>
+        val n = s0._1 + ordered.size
+        val c = s0._2 + ordered.map(_.c).sum
+        ((n, c),
+          if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2, n, c)))
+      } { t =>
+        ReportQueries.groupingSetsFrom(t.groupBy(col("rf"), col("ls"))
+          .agg(max(struct(col("n"), col("c"))).as("b"))
+          .select(col("rf").as("l_returnflag"), col("ls").as("l_linestatus"),
+            col("b.n").as("n"),
+            (col("b.c").cast("decimal(38,4)") / 100).cast("decimal(28,2)").as("sc")))
+      }
+  }
+
+  /** Same oracle as the batch grouping sets — the point. */
+  val q237_stream_grouping_sets_sql: String =
+    ReportQueries.q141_grouping_sets_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2758,6 +2870,9 @@ object StreamQueries {
     "q232_stream_scd2" -> (q232_stream_scd2 _),
     "q233_stream_set_reconcile" -> (q233_stream_set_reconcile _),
     "q234_stream_pivot_wide" -> (q234_stream_pivot_wide _),
+    "q235_stream_rollup" -> (q235_stream_rollup _),
+    "q236_stream_cube" -> (q236_stream_cube _),
+    "q237_stream_grouping_sets" -> (q237_stream_grouping_sets _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2824,6 +2939,9 @@ object StreamQueries {
     "q232_stream_scd2" -> q232_stream_scd2_sql,
     "q233_stream_set_reconcile" -> q233_stream_set_reconcile_sql,
     "q234_stream_pivot_wide" -> q234_stream_pivot_wide_sql,
+    "q235_stream_rollup" -> q235_stream_rollup_sql,
+    "q236_stream_cube" -> q236_stream_cube_sql,
+    "q237_stream_grouping_sets" -> q237_stream_grouping_sets_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

@@ -63,6 +63,9 @@ object Pairing {
   case class LiPair(ok: Long, ln: Long, m: Long)
   case class LiEdge(ok: Long, ln: Long, a: Long, b: Long)
   case class ScdChange(ts: Timestamp, eid: Long, c: Long)
+  case class OrdPrSt(ok: Long, pri: String, st: String, c: Long)
+  case class OrdSegPri(ok: Long, seg: String, pri: String, c: Long)
+  case class LiRfLs(ok: Long, ln: Long, rf: String, ls: String, c: Long)
 
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]

@@ -366,6 +366,30 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q235 streaming rollup is bit-identical to batch q33 (pairing #55)") {
+    val batch = graft.queries.RelationalQueries.q33_rollup(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q235_stream_rollup(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q236 streaming cube is bit-identical to batch q96 (pairing #56)") {
+    val batch = graft.queries.RelationalQueries.q96_cube(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q236_stream_cube(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q237 streaming grouping sets are bit-identical to batch q141 (pairing #57)") {
+    val batch = graft.queries.ReportQueries.q141_grouping_sets(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q237_stream_grouping_sets(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q233 streaming set reconcile is bit-identical to batch q136 (pairing #53)") {
     val batch = graft.queries.AnalyticsQueries.q136_set_reconcile(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q233_stream_set_reconcile(spark, dir).collect().toSeq
