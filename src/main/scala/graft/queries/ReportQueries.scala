@@ -337,24 +337,40 @@ object ReportQueries {
     * joins the 64-row summaries. Differing buckets then bound the
     * row-level re-sync to 1/64 of the key space per hit.
     */
-  def q142_bucket_diff(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(
+  def q142_bucket_diff(spark: SparkSession, dir: String): DataFrame =
+    bucketDiffFrom(bucketDiffRows(Tables.lineitem(spark, dir))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_primary"),
+        sum(col("fp")).as("fp_primary"),
+        sum(when(col("r"), 1L).otherwise(0L)).as("n_replica"),
+        sum(when(col("r"), col("fp")).otherwise(0L)).as("fp_replica")))
+
+  /** Per-row fingerprint prep shared by batch q142 and its streaming
+    * twin q238 (pairing #58): the deterministic hash60 row
+    * fingerprint, the 64-way bucket, and the simulated-replica-gap
+    * flag, computed IN PLAN on both sides so the folded sums cannot
+    * drift.
+    */
+  private[queries] def bucketDiffRows(li0: DataFrame): DataFrame = {
+    val li = li0.select(
       col("l_orderkey").as("okey"), col("l_linenumber").as("lineno"),
       cents(col("l_quantity")).as("qc"), cents(col("l_extendedprice")).as("pc"))
     val fp = pmod(hash60(concat_ws("|", col("okey"), col("lineno"), col("qc"), col("pc"))),
       lit(1000000007L))
     val inReplica = !(pmod(col("okey"), lit(997L)) === 13)
-    li.select(pmod(col("okey"), lit(64L)).as("bucket"), fp.as("fp"), inReplica.as("r"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_primary"),
-        sum(col("fp")).as("fp_primary"),
-        sum(when(col("r"), 1L).otherwise(0L)).as("n_replica"),
-        sum(when(col("r"), col("fp")).otherwise(0L)).as("fp_replica"))
+    li.select(col("okey"), col("lineno"),
+      pmod(col("okey"), lit(64L)).as("bucket"), fp.as("fp"), inReplica.as("r"))
+  }
+
+  /** The diff-report tail over per-bucket (n/fingerprint-sum) CELLS —
+    * shared verbatim by batch q142 and its streaming twin q238.
+    */
+  private[queries] def bucketDiffFrom(cells: DataFrame): DataFrame =
+    cells
       .withColumn("diff",
         (col("n_primary") =!= col("n_replica") || col("fp_primary") =!= col("fp_replica"))
           .cast("int"))
       .orderBy(col("bucket"))
-  }
 
   val q142_bucket_diff_sql: String =
     """WITH li AS (SELECT l_orderkey AS okey, l_linenumber AS lineno,

@@ -2841,6 +2841,46 @@ object StreamQueries {
   val q237_stream_grouping_sets_sql: String =
     ReportQueries.q141_grouping_sets_sql
 
+  /** q238 — STREAMING bucket fingerprint diff: q142's
+    * replica-reconciliation report over the LINEITEM stream — the
+    * FIFTY-EIGHTH pairing, the online form of the cross-cluster
+    * consistency check. The row fingerprints come from the SHARED
+    * in-plan prep (bucketDiffRows — hash60 + cents, so the folded
+    * sums cannot drift from the batch's); state per bucket is FOUR
+    * longs (n/fp-sum × primary/replica, 64 buckets total), and the
+    * projection applies q142's diff tail verbatim (shared
+    * bucketDiffFrom, shared oracle).
+    */
+  def q238_stream_bucket_diff(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = ReportQueries.bucketDiffRows(
+        graft.streaming.Pairing.tableStream(spark, dir, "lineitem"))
+      .select(col("okey").as("ok"), col("lineno").cast("long").as("ln"),
+        col("bucket"), col("fp"), col("r"))
+      .as[graft.streaming.Pairing.LiFp]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiFp,
+        Long, (Long, Long, Long, Long), (Long, Long, Long, Long, Long)](
+      spark, st, Seq("bucket", "n", "fps", "nr", "fprs"), r => (r.ok, r.ln))(
+      _.bucket)((0L, 0L, 0L, 0L)) { (b, s0, ordered) =>
+        val n = s0._1 + ordered.size
+        val fps = s0._2 + ordered.map(_.fp).sum
+        val nr = s0._3 + ordered.count(_.r)
+        val fprs = s0._4 + ordered.filter(_.r).map(_.fp).sum
+        ((n, fps, nr, fprs),
+          if (ordered.isEmpty) Vector.empty else Vector((b, n, fps, nr, fprs)))
+      } { t =>
+        ReportQueries.bucketDiffFrom(t.groupBy(col("bucket"))
+          .agg(max(struct(col("n"), col("fps"), col("nr"), col("fprs"))).as("b"))
+          .select(col("bucket"), col("b.n").as("n_primary"),
+            col("b.fps").as("fp_primary"), col("b.nr").as("n_replica"),
+            col("b.fprs").as("fp_replica")))
+      }
+  }
+
+  /** Same oracle as the batch bucket diff — the point. */
+  val q238_stream_bucket_diff_sql: String = ReportQueries.q142_bucket_diff_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2873,6 +2913,7 @@ object StreamQueries {
     "q235_stream_rollup" -> (q235_stream_rollup _),
     "q236_stream_cube" -> (q236_stream_cube _),
     "q237_stream_grouping_sets" -> (q237_stream_grouping_sets _),
+    "q238_stream_bucket_diff" -> (q238_stream_bucket_diff _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2942,6 +2983,7 @@ object StreamQueries {
     "q235_stream_rollup" -> q235_stream_rollup_sql,
     "q236_stream_cube" -> q236_stream_cube_sql,
     "q237_stream_grouping_sets" -> q237_stream_grouping_sets_sql,
+    "q238_stream_bucket_diff" -> q238_stream_bucket_diff_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

@@ -279,6 +279,14 @@ class ReportSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q238 streaming bucket diff is bit-identical to batch q142 (pairing #58)") {
+    val batch = ReportQueries.q142_bucket_diff(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q238_stream_bucket_diff(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q227 streaming association rules are bit-identical to batch q145 (pairing #47)") {
     val batch = ReportQueries.q145_assoc_rules(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q227_stream_assoc_rules(spark, dir).collect().toSeq
