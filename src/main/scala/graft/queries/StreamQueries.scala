@@ -2881,6 +2881,43 @@ object StreamQueries {
   /** Same oracle as the batch bucket diff — the point. */
   val q238_stream_bucket_diff_sql: String = ReportQueries.q142_bucket_diff_sql
 
+  /** q239 — STREAMING exact corpus dedup: q43's survivor report over
+    * the DOCUMENTS stream — the FIFTY-NINTH pairing, and the
+    * LLM-dedup stack's online GATE form (the spec-only
+    * IncrementalDedup's claim, now oracle-verified). The normalized
+    * content key comes from the SHARED in-plan prep (dedupExactRows —
+    * sorted-token md5 on both sides); state per content key is
+    * exactly production streaming dedup's: (min doc_id, copy count),
+    * two longs per distinct content. Projection applies q43's
+    * survivor tail verbatim (shared dedupExactFrom, shared oracle).
+    */
+  def q239_stream_dedup_exact(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = TextQueries.dedupExactRows(
+        graft.streaming.Pairing.tableStream(spark, dir, "documents"))
+      .select(col("doc_id").as("id"), col("norm_key").as("k"))
+      .as[graft.streaming.Pairing.DocKey]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.DocKey,
+        String, (Long, Long), (String, Long, Long)](
+      spark, st, Seq("k", "keep", "n"), r => (r.id, 0L))(
+      _.k)((Long.MaxValue, 0L)) { (k, s0, ordered) =>
+        val keep =
+          if (ordered.isEmpty) s0._1 else math.min(s0._1, ordered.map(_.id).min)
+        val n = s0._2 + ordered.size
+        ((keep, n),
+          if (ordered.isEmpty) Vector.empty else Vector((k, keep, n)))
+      } { t =>
+        TextQueries.dedupExactFrom(t.groupBy(col("k"))
+          .agg(max(struct(col("n"), col("keep"))).as("b"))
+          .select(col("k").as("norm_key"), col("b.keep").as("keep_id"),
+            col("b.n").as("n_copies")))
+      }
+  }
+
+  /** Same oracle as the batch exact dedup — the point. */
+  val q239_stream_dedup_exact_sql: String = TextQueries.q43_dedup_exact_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2914,6 +2951,7 @@ object StreamQueries {
     "q236_stream_cube" -> (q236_stream_cube _),
     "q237_stream_grouping_sets" -> (q237_stream_grouping_sets _),
     "q238_stream_bucket_diff" -> (q238_stream_bucket_diff _),
+    "q239_stream_dedup_exact" -> (q239_stream_dedup_exact _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -2984,6 +3022,7 @@ object StreamQueries {
     "q236_stream_cube" -> q236_stream_cube_sql,
     "q237_stream_grouping_sets" -> q237_stream_grouping_sets_sql,
     "q238_stream_bucket_diff" -> q238_stream_bucket_diff_sql,
+    "q239_stream_dedup_exact" -> q239_stream_dedup_exact_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

@@ -142,10 +142,22 @@ object TextQueries {
     * the 100 TB path (never compares texts pairwise).
     */
   def q43_dedup_exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(concat_ws(" ", array_sort(toks))).as("norm_key"))
+    dedupExactFrom(dedupExactRows(Tables.documents(spark, dir))
       .groupBy(col("norm_key"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")))
+
+  /** The normalized content key shared by batch q43 and its
+    * streaming twin q239 (pairing #59): sorted-token md5, computed
+    * IN PLAN on both sides so the dedup keys cannot drift.
+    */
+  private[queries] def dedupExactRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(concat_ws(" ", array_sort(toks))).as("norm_key"))
+
+  /** The survivor-report tail over per-key (keep_id, n_copies)
+    * CELLS — shared verbatim by batch q43 and its streaming twin.
+    */
+  private[queries] def dedupExactFrom(cells: DataFrame): DataFrame =
+    cells
       .select(col("keep_id"), col("n_copies"), col("norm_key"))
       .orderBy(col("keep_id"))
 

@@ -67,6 +67,7 @@ object Pairing {
   case class OrdSegPri(ok: Long, seg: String, pri: String, c: Long)
   case class LiRfLs(ok: Long, ln: Long, rf: String, ls: String, c: Long)
   case class LiFp(ok: Long, ln: Long, bucket: Long, fp: Long, r: Boolean)
+  case class DocKey(id: Long, k: String)
 
   private val runId = new AtomicInteger(0)
   private implicit val evEnc: Encoder[EvRow] = Encoders.product[EvRow]
