@@ -2918,6 +2918,37 @@ object StreamQueries {
   /** Same oracle as the batch exact dedup — the point. */
   val q239_stream_dedup_exact_sql: String = TextQueries.q43_dedup_exact_sql
 
+  /** q240 — STREAMING train/val/test split census: q71's per-language
+    * split monitor over the DOCUMENTS stream — the SIXTIETH pairing,
+    * the ingest-time view of dataset splitting (is val staying ~5%
+    * per language as the corpus grows?). Split assignment from the
+    * SHARED in-plan prep (trainSplitRows — the deterministic hash60
+    * rule both sides); state per (lang, split) cell is ONE count;
+    * projection applies q71's census tail verbatim (shared
+    * trainSplitFrom, shared oracle).
+    */
+  def q240_stream_train_split(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = TextQueries.trainSplitRows(
+        graft.streaming.Pairing.tableStream(spark, dir, "documents"))
+      .select(col("doc_id").as("id"), col("lang"), col("split"))
+      .as[graft.streaming.Pairing.DocSplit]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.DocSplit,
+        (String, String), Long, (String, String, Long)](
+      spark, st, Seq("lang", "split", "n"), r => (r.id, 0L))(
+      r => (r.lang, r.split))(0L) { (k, s0, ordered) =>
+        val n = s0 + ordered.size
+        (n, if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2, n)))
+      } { t =>
+        TextQueries.trainSplitFrom(t.groupBy(col("lang"), col("split"))
+          .agg(max(col("n")).as("n_docs")))
+      }
+  }
+
+  /** Same oracle as the batch split census — the point. */
+  val q240_stream_train_split_sql: String = TextQueries.q71_train_split_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2952,6 +2983,7 @@ object StreamQueries {
     "q237_stream_grouping_sets" -> (q237_stream_grouping_sets _),
     "q238_stream_bucket_diff" -> (q238_stream_bucket_diff _),
     "q239_stream_dedup_exact" -> (q239_stream_dedup_exact _),
+    "q240_stream_train_split" -> (q240_stream_train_split _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -3023,6 +3055,7 @@ object StreamQueries {
     "q237_stream_grouping_sets" -> q237_stream_grouping_sets_sql,
     "q238_stream_bucket_diff" -> q238_stream_bucket_diff_sql,
     "q239_stream_dedup_exact" -> q239_stream_dedup_exact_sql,
+    "q240_stream_train_split" -> q240_stream_train_split_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

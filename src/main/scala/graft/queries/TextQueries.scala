@@ -701,15 +701,26 @@ object TextQueries {
     * partition: per lang × split counts, which the oracle recomputes
     * from the same hash.
     */
-  def q71_train_split(spark: SparkSession, dir: String): DataFrame = {
+  def q71_train_split(spark: SparkSession, dir: String): DataFrame =
+    trainSplitFrom(trainSplitRows(Tables.documents(spark, dir))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs")))
+
+  /** The deterministic hash split assignment shared by batch q71 and
+    * its streaming twin q240 (pairing #60), computed IN PLAN on both
+    * sides so assignments cannot drift.
+    */
+  private[queries] def trainSplitRows(docs: DataFrame): DataFrame = {
     val h = pmod(graft.functions.Determinism.hash60(col("doc_id").cast("string")), lit(100L))
     val split = when(h < 90, "train").when(h < 95, "val").otherwise("test")
-    Tables.documents(spark, dir)
-      .select(col("lang"), split.as("split"))
-      .groupBy(col("lang"), col("split"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("split"))
+    docs.select(col("doc_id"), col("lang"), split.as("split"))
   }
+
+  /** The split-census tail over (lang, split, n_docs) CELLS — shared
+    * verbatim by batch q71 and its streaming twin.
+    */
+  private[queries] def trainSplitFrom(cells: DataFrame): DataFrame =
+    cells.orderBy(col("lang"), col("split"))
 
   val q71_train_split_sql: String = {
     val h = s"${graft.functions.Determinism.hash60Sql("CAST(doc_id AS VARCHAR)")} % 100"

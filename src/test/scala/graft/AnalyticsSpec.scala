@@ -366,6 +366,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q240 streaming split census is bit-identical to batch q71 (pairing #60)") {
+    val batch = graft.queries.TextQueries.q71_train_split(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q240_stream_train_split(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q239 streaming exact dedup is bit-identical to batch q43 (pairing #59)") {
     val batch = graft.queries.TextQueries.q43_dedup_exact(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q239_stream_dedup_exact(spark, dir).collect().toSeq
