@@ -897,18 +897,28 @@ object AnalyticsQueries {
     * by the join key and the diff never materializes matched rows —
     * only the class counts.
     */
-  def q183_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), dec2(col("value")).as("v"))
-    val base = Tables.events(spark, dir)
+  def q183_snapshot_diff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffFrom(Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), dec2(col("value")).as("v")))
+
+  /** The CDC classification tail over the compacted
+    * (event_id, event_type, v) snapshot image — shared verbatim by
+    * batch q183 and its streaming twin q242 (pairing #62). Both
+    * compared snapshots derive from the image inside the tail, so
+    * the twin only has to maintain the image online (the q124
+    * changelog-compaction state).
+    */
+  private[queries] def snapshotDiffFrom(ev: DataFrame): DataFrame = {
+    val a = ev
+    val base = ev
       .filter(pmod(col("event_id"), lit(97L)) =!= 0)
       .select(col("event_id"), col("event_type"),
-        when(pmod(col("event_id"), lit(101L)) === 0, dec2(col("value")) + lit(1).cast("decimal(18,2)"))
-          .otherwise(dec2(col("value"))).as("v"))
-    val inserts = Tables.events(spark, dir)
+        when(pmod(col("event_id"), lit(101L)) === 0, col("v") + lit(1).cast("decimal(18,2)"))
+          .otherwise(col("v")).as("v"))
+    val inserts = ev
       .filter(pmod(col("event_id"), lit(103L)) === 0)
       .select((col("event_id") + lit(1000000000L)).as("event_id"),
-        col("event_type"), dec2(col("value")).as("v"))
+        col("event_type"), col("v"))
     val b = base.unionByName(inserts)
     a.select(col("event_id"), col("event_type").as("ta"), col("v").as("va"))
       .join(b.select(col("event_id"), col("event_type").as("tb"), col("v").as("vb")),

@@ -657,12 +657,22 @@ object ReportQueries {
     * user-sized frame — no shuffle, no UDF; exact decimals cast to
     * double only at the output edge.
     */
-  def q148_unpivot(spark: SparkSession, dir: String): DataFrame = {
+  def q148_unpivot(spark: SparkSession, dir: String): DataFrame =
+    unpivotFrom(Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(dec2(col("value"))).as("sc")))
+
+  /** The widen-then-melt tail over pre-aggregated
+    * (user_id, event_type, sc) CELLS — shared verbatim by batch q148
+    * and its streaming twin q241 (pairing #61); the conditional sums
+    * over cells are exact-decimal identities of the row-level sums.
+    */
+  private[queries] def unpivotFrom(cells: DataFrame): DataFrame = {
     val types = Seq("click", "view", "purchase", "signup", "error")
     val aggs = types.map(t =>
-      sum(when(col("event_type") === t, dec2(col("value"))).otherwise(lit(0).cast("decimal(18,2)")))
+      sum(when(col("event_type") === t, col("sc")).otherwise(lit(0).cast("decimal(28,2)")))
         .as(t))
-    val wide = Tables.events(spark, dir)
+    val wide = cells
       .groupBy(col("user_id"))
       .agg(aggs.head, aggs.tail: _*)
     wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "total")

@@ -2949,6 +2949,65 @@ object StreamQueries {
   /** Same oracle as the batch split census — the point. */
   val q240_stream_train_split_sql: String = TextQueries.q71_train_split_sql
 
+  /** q241 — STREAMING unpivot/melt: q148's per-user long-form
+    * spending report over the EVENTS stream — the SIXTY-FIRST
+    * pairing. State per (user, type) cell is ONE (count, cent-total)
+    * pair (the q234 shape on a finer key); the projection rebuilds
+    * the cell frame and replays q148's widen-then-melt tail verbatim
+    * (shared unpivotFrom, shared oracle).
+    */
+  def q241_stream_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[(Long, String), (Long, Long), (Long, String, Long, Long)](
+      spark, dir, Seq("u", "et", "n", "c"))(
+      e => (e.user_id, e.event_type))((0L, 0L)) { (k, s0, ordered) =>
+        val n = s0._1 + ordered.size
+        val c = s0._2 + ordered.map(e => centsOfDouble(e.value)).sum
+        ((n, c),
+          if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2, n, c)))
+      } { t =>
+        ReportQueries.unpivotFrom(t.groupBy(col("u"), col("et"))
+          .agg(max(struct(col("n"), col("c"))).as("b"))
+          .select(col("u").as("user_id"), col("et").as("event_type"),
+            (col("b.c").cast("decimal(38,4)") / 100).cast("decimal(28,2)").as("sc")))
+      }
+  }
+
+  /** Same oracle as the batch unpivot — the point. */
+  val q241_stream_unpivot_sql: String = ReportQueries.q148_unpivot_sql
+
+  /** q242 — STREAMING CDC snapshot diff: q183's added/deleted/
+    * updated/unchanged census over the EVENTS stream — the
+    * SIXTY-SECOND pairing. State per event_id is the compacted
+    * (type, cents) image (the q124 changelog-compaction state);
+    * BOTH compared snapshots derive from that image inside the
+    * shared tail, so maintaining the image online IS maintaining the
+    * diff (shared snapshotDiffFrom, shared oracle; cents back to
+    * DECIMAL(18,2) exactly).
+    */
+  def q242_stream_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (String, Long), (Long, String, Long)](
+      spark, dir, Seq("id", "et", "c"))(
+      _.event_id)(("", 0L)) { (id, s0, ordered) =>
+        val s1 = ordered.lastOption
+          .map(e => (e.event_type, centsOfDouble(e.value))).getOrElse(s0)
+        (s1,
+          if (ordered.isEmpty) Vector.empty else Vector((id, s1._1, s1._2)))
+      } { t =>
+        AnalyticsQueries.snapshotDiffFrom(t.groupBy(col("id"))
+          .agg(max(struct(col("et"), col("c"))).as("b"))
+          .select(col("id").as("event_id"), col("b.et").as("event_type"),
+            (col("b.c").cast("decimal(38,4)") / 100).cast("decimal(18,2)").as("v")))
+      }
+  }
+
+  /** Same oracle as the batch snapshot diff — the point. */
+  val q242_stream_snapshot_diff_sql: String =
+    AnalyticsQueries.q183_snapshot_diff_sql
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
     "q208_stream_quantile_normalize" -> (q208_stream_quantile_normalize _),
@@ -2984,6 +3043,8 @@ object StreamQueries {
     "q238_stream_bucket_diff" -> (q238_stream_bucket_diff _),
     "q239_stream_dedup_exact" -> (q239_stream_dedup_exact _),
     "q240_stream_train_split" -> (q240_stream_train_split _),
+    "q241_stream_unpivot" -> (q241_stream_unpivot _),
+    "q242_stream_snapshot_diff" -> (q242_stream_snapshot_diff _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -3056,6 +3117,8 @@ object StreamQueries {
     "q238_stream_bucket_diff" -> q238_stream_bucket_diff_sql,
     "q239_stream_dedup_exact" -> q239_stream_dedup_exact_sql,
     "q240_stream_train_split" -> q240_stream_train_split_sql,
+    "q241_stream_unpivot" -> q241_stream_unpivot_sql,
+    "q242_stream_snapshot_diff" -> q242_stream_snapshot_diff_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

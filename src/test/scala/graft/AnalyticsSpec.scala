@@ -366,6 +366,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q241 streaming unpivot is bit-identical to batch q148 (pairing #61)") {
+    val batch = graft.queries.ReportQueries.q148_unpivot(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q241_stream_unpivot(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q242 streaming snapshot diff is bit-identical to batch q183 (pairing #62)") {
+    val batch = graft.queries.AnalyticsQueries.q183_snapshot_diff(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q242_stream_snapshot_diff(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q240 streaming split census is bit-identical to batch q71 (pairing #60)") {
     val batch = graft.queries.TextQueries.q71_train_split(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q240_stream_train_split(spark, dir).collect().toSeq
