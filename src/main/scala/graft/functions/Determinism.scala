@@ -87,8 +87,31 @@ object Determinism {
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
   }
 
-  /** DuckDB SQL fragment mirroring [[floorDiv]] op for op. */
+  /** DuckDB SQL fragment computing the same VALUE as [[floorDiv]],
+    * b > 0, |a| < 2⁶² — via the round-13 NON-NEGATIVE-OPERAND
+    * decomposition. The r12 pmod identity was already convention-free
+    * on paper, yet q193/q195 stayed driver-red for a third round while
+    * every green floorDiv/`//` use in the gate divides NON-NEGATIVE
+    * values — negative-dividend division was the gate's only
+    * unexonerated integer-op class (r13 cross-tab of oracle constructs
+    * vs CORRECTNESS_r12). This form never hands the engine a negative
+    * operand: floor(a/b) for a<0 is −(−a)//b, minus one when b∤a —
+    * every `//` and `%` sees non-negative ints, where trunc, floor and
+    * Euclidean conventions all coincide (the op class with 44 green
+    * gate exonerations). Value-identical to the r12 form under the
+    * pinned replica (byte-level certified both SFs).
+    */
   def floorDivSql(a: String, b: String): String =
+    s"(CAST(CASE WHEN ($a) >= 0 THEN ($a) // ($b) " +
+      s"ELSE -((-($a)) // ($b)) - (CASE WHEN (-($a)) % ($b) <> 0 THEN 1 ELSE 0 END) " +
+      s"END AS BIGINT))"
+
+  /** The round-12 pmod-identity rendering of floor division — kept
+    * ONLY for the q300d1 engine-conformance probe, which tests both
+    * renderings data-free against [[floorDiv]] so the driver's oracle
+    * build convicts or exonerates each form explicitly.
+    */
+  def floorDivPmodSql(a: String, b: String): String =
     s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
 
   /** Executor-side Scala mirror of the dec2→cents cast chain

@@ -135,12 +135,17 @@ object JaroWinklerSim {
     *
     * No double exists anywhere in the value OR the threshold path:
     * jw ≥ 0.88 ⟺ q4 ≥ 8800 exactly (8800 = 0.88·10⁴ is an integer).
-    * Max magnitude 10⁴·14·(3·32³·…) ≪ 2⁶³ for any realistic field
-    * width (exact up to ~50k-byte inputs).
+    * Overflow envelope (ADVICE r12 corrected the earlier ~50k claim):
+    * the worst numerator is 10⁵·N with N ≤ m²(l1+l2) + m·l1·l2 ≈
+    * 3L³ at l1 = l2 = m = L, which crosses 2⁶³ near L ≈ 31k bytes —
+    * enforced by a loud require rather than silent int64 wrap. The
+    * linkage call sites feed ≤ 32 bytes.
     */
   def scoreQ4(a: Array[Byte], b: Array[Byte]): Long = {
     val l1 = a.length.toLong
     val l2 = b.length.toLong
+    require(l1 <= 31000 && l2 <= 31000,
+      s"scoreQ4 int64 arithmetic is exact only to ~31k-byte inputs; got ($l1, $l2)")
     if (l1 == 0 || l2 == 0) return 0L
     val (m0, t0, pfx) = statsOf(a, b)
     if (m0 == 0) return 0L

@@ -1126,6 +1126,14 @@ object AnalyticsQueries {
         // here would create over symDeg (PLANS r10).
         .localCheckpoint(true)
     }
+    // Release the loop-only caches (ADVICE r12): pr is an eager
+    // LogicalRDD after the last localCheckpoint, so neither sym nor
+    // symDeg can be re-read — only deg stays cached for the final
+    // decode join (callers' clearCache releases it). Without this the
+    // three stacked persists (sym, deg, symDeg) outlive every
+    // invocation in a many-query session.
+    sym.unpersist(false)
+    symDeg.unpersist(false)
     pr.join(deg, pr("id") === deg("src"))
       .select(
         when(col("id") % 2 === 0,

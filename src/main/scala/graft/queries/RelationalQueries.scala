@@ -436,7 +436,7 @@ object RelationalQueries {
       scratchRoots.keySet().forEach(p => rm(new java.io.File(p)))
     }))
   }
-  private def scratch(name: String): String = {
+  private[queries] def scratch(name: String): String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_p${ProcessHandle.current().pid()}"
     scratchRoots.put(p, true)
     p

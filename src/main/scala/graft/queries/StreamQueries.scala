@@ -2441,17 +2441,25 @@ object StreamQueries {
     * never runs on the stream: the projection receives the rebuilt
     * (o, m) membership frame and replays the batch tail verbatim.
     */
-  private def orderMembers(spark: SparkSession, dir: String, member: Column)(
+  private[queries] def orderMembers(spark: SparkSession, dir: String,
+      member: Column, expireHorizonMs: Option[Long] = None)(
       project: DataFrame => DataFrame): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+    val base = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
         member.as("m"))
+    // expiry mode (VERDICT r12 item 6): fact rows carry no event
+    // time, so the TTL clock derives one from the replay key —
+    // orderkey-as-hours — and watermarks it; a production fact
+    // stream uses its ingestion/commit timestamp here.
+    val st = expireHorizonMs.fold(base)(_ =>
+        base.withColumn("evt", timestamp_millis(col("ok") * 3600000L))
+          .withWatermark("evt", "0 milliseconds"))
       .as[graft.streaming.Pairing.LiPair]
     graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiPair,
         Long, (Long, Seq[Long]), (Long, Long, Seq[Long])](
-      spark, st, Seq("o", "seq", "ms"), r => (r.ok, r.ln))(
+      spark, st, Seq("o", "seq", "ms"), r => (r.ok, r.ln), expireHorizonMs)(
       _.ok)((0L, Seq.empty[Long])) { (o, s0, ordered) =>
         val seen = s0._1 + ordered.size
         val ms = (s0._2 ++ ordered.map(_.m)).distinct.sorted
@@ -2463,6 +2471,16 @@ object StreamQueries {
           .select(col("o"), explode(col("b.ms")).as("m")))
       }
   }
+
+  /** q224 in state-expiry mode — spec-only (PairingLifecycleSpec):
+    * identical output to the gate entry, with order states armed to
+    * expire once the watermark passes their horizon.
+    */
+  private[graft] def q224_with_expiry(spark: SparkSession, dir: String,
+      horizonMs: Long): DataFrame =
+    orderMembers(spark, dir, col("l_partkey"), Some(horizonMs)) { op =>
+      ReportQueries.componentCensusFrom(op.select(col("o"), col("m").as("p")))
+    }
 
   /** Same oracle as the batch component census — the point. */
   val q224_stream_component_census_sql: String =
@@ -2989,16 +3007,23 @@ object StreamQueries {
   def q242_stream_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
-    graft.streaming.Pairing.run[Long, (String, Long), (Long, String, Long)](
-      spark, dir, Seq("id", "et", "c"))(
-      _.event_id)(("", 0L)) { (id, s0, ordered) =>
+    // State carries a per-key monotone seq (rows seen) alongside the
+    // image, and the sink compacts on max(struct(seq, et, c)) — the
+    // q124/q234 idiom (ADVICE r12): compacting on the image alone
+    // keeps the lexicographically-largest (et, c) rather than the
+    // LATEST if one key's rows ever span micro-batches, which is the
+    // stated premise of a CDC update stream.
+    graft.streaming.Pairing.run[Long, (Long, String, Long), (Long, Long, String, Long)](
+      spark, dir, Seq("id", "seq", "et", "c"))(
+      _.event_id)((0L, "", 0L)) { (id, s0, ordered) =>
         val s1 = ordered.lastOption
-          .map(e => (e.event_type, centsOfDouble(e.value))).getOrElse(s0)
+          .map(e => (s0._1 + ordered.size, e.event_type, centsOfDouble(e.value)))
+          .getOrElse(s0)
         (s1,
-          if (ordered.isEmpty) Vector.empty else Vector((id, s1._1, s1._2)))
+          if (ordered.isEmpty) Vector.empty else Vector((id, s1._1, s1._2, s1._3)))
       } { t =>
         AnalyticsQueries.snapshotDiffFrom(t.groupBy(col("id"))
-          .agg(max(struct(col("et"), col("c"))).as("b"))
+          .agg(max(struct(col("seq"), col("et"), col("c"))).as("b"))
           .select(col("id").as("event_id"), col("b.et").as("event_type"),
             (col("b.c").cast("decimal(38,4)") / 100).cast("decimal(18,2)").as("v")))
       }
@@ -3007,6 +3032,53 @@ object StreamQueries {
   /** Same oracle as the batch snapshot diff — the point. */
   val q242_stream_snapshot_diff_sql: String =
     AnalyticsQueries.q183_snapshot_diff_sql
+
+  /** q243 — INCREMENTALLY-MAINTAINED rollup: q33's priority×status
+    * ROLLUP report kept fresh through [[graft.streaming.IncrementalAgg]]
+    * — the SIXTY-THIRD pairing, and the first maintained by the
+    * BASE+DELTA materialized-view channel instead of
+    * flatMapGroupsWithState (VERDICT r12 item 8: the last spec-only
+    * streaming claim promoted to a driver-verified gate row). The
+    * orders table is spilled into four part files and replayed as
+    * four genuine micro-batches (maxFilesPerTrigger=1); each batch
+    * appends one per-key (count, exact decimal sum) delta —
+    * idempotent under batch replay (delta/batch=<id> OVERWRITE), so
+    * a crashed tick re-converges. compact() then folds deltas into a
+    * base version and drops them, serve() reads the view, and the
+    * batch rollup tail subtotals the cells — decimal addition over
+    * associative partials is exact, so four-batch maintenance ≡ one
+    * whole-table aggregation bit for bit (oracle: q33's SQL
+    * verbatim). At 100 TB each tick costs the NEW data plus a
+    * key-sized merge; history is never re-read.
+    */
+  def q243_stream_mv_rollup(spark: SparkSession, dir: String): DataFrame = {
+    val root = RelationalQueries.scratch("q243_mv")
+    // fresh lifecycle per invocation: a bench rep must redo the
+    // maintenance, not serve a previous rep's base
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val keys = Seq("o_orderpriority", "o_orderstatus")
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/src")
+    val schema = spark.read.parquet(s"$root/src").schema
+    graft.streaming.Schedule.runOnceForeach(spark, s"$root/src", schema,
+      s"$root/ck", Map("maxFilesPerTrigger" -> "1"))(identity) { (batch, id) =>
+      graft.streaming.IncrementalAgg.processBatch(
+        batch, id, s"$root/view", keys, "o_totalprice")
+    }
+    graft.streaming.IncrementalAgg.compact(spark, s"$root/view", keys)
+    RelationalQueries.rollupFrom(
+      graft.streaming.IncrementalAgg.serve(spark, s"$root/view", keys)
+        .withColumnRenamed("s", "sc"))
+  }
+
+  /** Same oracle as the batch rollup — the point. */
+  val q243_stream_mv_rollup_sql: String = RelationalQueries.q33_rollup_sql
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_stream_neyman" -> (q207_stream_neyman _),
@@ -3045,6 +3117,7 @@ object StreamQueries {
     "q240_stream_train_split" -> (q240_stream_train_split _),
     "q241_stream_unpivot" -> (q241_stream_unpivot _),
     "q242_stream_snapshot_diff" -> (q242_stream_snapshot_diff _),
+    "q243_stream_mv_rollup" -> (q243_stream_mv_rollup _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
@@ -3119,6 +3192,7 @@ object StreamQueries {
     "q240_stream_train_split" -> q240_stream_train_split_sql,
     "q241_stream_unpivot" -> q241_stream_unpivot_sql,
     "q242_stream_snapshot_diff" -> q242_stream_snapshot_diff_sql,
+    "q243_stream_mv_rollup" -> q243_stream_mv_rollup_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,

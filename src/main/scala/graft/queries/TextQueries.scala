@@ -3091,18 +3091,20 @@ object TextQueries {
       .select(col("da"), explode(col("ids_b")).as("db"), col("jwq4"))
       .select(least(col("da"), col("db")).as("a_id"),
         greatest(col("da"), col("db")).as("b_id"),
-        col("jwq4").as("jw_q4"),
-        // rendering only: an exact long → decimal multiply is
-        // rounding-free in both engines (the decq-safe class)
-        (col("jwq4").cast("decimal(18,0)") * lit(BigDecimal("0.0001")))
-          .cast("decimal(18,4)").as("jw"))
+        col("jwq4").as("jw_q4"))
+    // r13: the convenience jw DECIMAL(18,4) column is dropped from
+    // the hashed surface (VERDICT r12 item 5 allows it): the r13
+    // cross-tab showed q185 was the gate's ONLY query hashing a
+    // DECIMAL(18,4) / `· 0.0001` render — an entirely unexonerated
+    // class, unlike every other op this query uses. jw_q4 carries the
+    // full information (jw = jw_q4 · 10⁻⁴); the q300d4 render probe
+    // tests the dropped class data-free.
     val within = cls
       .filter(size(col("ids")) > 1)
       .select(col("ids"), explode(col("ids")).as("a_id"))
       .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(10000L).as("jw_q4"),
-        lit(BigDecimal("1.0000")).cast("decimal(18,4)").as("jw"))
+      .select(col("a_id"), col("b_id"), lit(10000L).as("jw_q4"))
     cross.unionByName(within).orderBy(col("a_id"), col("b_id"))
   }
 
@@ -3204,8 +3206,7 @@ object TextQueries {
        |within AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(10000 AS BIGINT) AS jwq4
        |  FROM t a JOIN t b ON a.title = b.title AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id, jwq4 AS jw_q4,
-       |  CAST(CAST(jwq4 AS DECIMAL(18,0)) * 0.0001 AS DECIMAL(18,4)) AS jw
+       |SELECT a_id, b_id, jwq4 AS jw_q4
        |FROM (SELECT a_id, b_id, jwq4 FROM cross_pairs
        |      UNION ALL SELECT a_id, b_id, jwq4 FROM within)
        |ORDER BY a_id, b_id""".stripMargin
@@ -3247,8 +3248,45 @@ object TextQueries {
        |  CAST(((((l1 * 64 + l2) * 64 + m) * 64 + t) * 8 + pfx) AS BIGINT) AS jwpack
        |FROM jw_final ORDER BY ra, rb""".stripMargin
 
+  /** q185d2 — TEMPORARY DIAGNOSTIC (VERDICT r12 item 1): the scored
+    * rep-pair frame (ra, rb, jwq4) straight off jw_final + the
+    * jwQ4Sql arithmetic — BIGINT only, NO threshold, NO unnest, NO
+    * render. The one stage past the driver-green d1: d2 red convicts
+    * the `//`-CASE scoring arithmetic itself; d2 green + q185 red
+    * convicts the assembly (threshold/unnest/least/greatest/union) —
+    * and since r13 also dropped q185's unexonerated DECIMAL(18,4)
+    * render, a green d2 + green q185 retroactively convicts that
+    * render. Delete with the diagnostic family.
+    */
+  def q185d2_scored(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(substring(col("text"), 1, 32)).as("title"))
+    val cls = t.groupBy(col("title")).agg(min(col("doc_id")).as("rep_id"))
+    val a = cls.select(col("rep_id").as("ra"), col("title").as("ta"),
+      substring(col("title"), 1, 2).as("pfx2"))
+    val b = cls.select(col("rep_id").as("rb"), col("title").as("tb"),
+      substring(col("title"), 1, 2).as("pfx2"))
+    a.join(b, Seq("pfx2")).filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"),
+        graft.plans.JaroWinklerQ4(col("ta"), col("tb")).as("jwq4"))
+      .orderBy(col("ra"), col("rb"))
+  }
+
+  val q185d2_scored_sql: String =
+    s"""WITH t AS (SELECT doc_id, lower(substr(text, 1, 32)) AS title FROM documents),
+       |cls AS (SELECT title, MIN(doc_id) AS rep_id FROM t GROUP BY title),
+       |cand AS (
+       |  SELECT a.rep_id AS ra, b.rep_id AS rb, a.title AS ta, b.title AS tb
+       |  FROM cls a JOIN cls b
+       |    ON substr(a.title, 1, 2) = substr(b.title, 1, 2)
+       |    AND a.rep_id < b.rep_id),
+       |${jwMatcherSql("cand", Seq("ra", "rb"))}
+       |SELECT ra, rb, $jwQ4Sql AS jwq4
+       |FROM jw_final ORDER BY ra, rb""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_jaro_linkage" -> (q185_jaro_linkage _),
+    "q185d2_scored" -> (q185d2_scored _),
     "q185d1_jw_stats" -> (q185d1_jw_stats _),
     "q167_rag_chunks" -> (q167_rag_chunks _),
     "q179_hybrid_rrf" -> (q179_hybrid_rrf _),
@@ -3306,6 +3344,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q185_jaro_linkage" -> q185_jaro_linkage_sql,
     "q185d1_jw_stats" -> q185d1_jw_stats_sql,
+    "q185d2_scored" -> q185d2_scored_sql,
     "q167_rag_chunks" -> q167_rag_chunks_sql,
     "q179_hybrid_rrf" -> q179_hybrid_rrf_sql,
     "q123_weighted_sample" -> q123_weighted_sample_sql,

@@ -40,9 +40,11 @@ object Schedule {
     * the hook for KvStore upserts or external deliveries.
     */
   def runOnceForeach(spark: SparkSession, sourceDir: String, schema: StructType,
-      checkpoint: String)(transform: DataFrame => DataFrame)(
+      checkpoint: String, sourceOptions: Map[String, String] = Map.empty)(
+      transform: DataFrame => DataFrame)(
       action: (DataFrame, Long) => Unit): Unit = {
-    val q = transform(spark.readStream.schema(schema).parquet(sourceDir))
+    val q = transform(spark.readStream.schema(schema).options(sourceOptions)
+        .parquet(sourceDir))
       .writeStream
       .foreachBatch(action)
       .option("checkpointLocation", checkpoint)

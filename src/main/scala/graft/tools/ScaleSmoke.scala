@@ -266,7 +266,16 @@ object ScaleSmoke {
       // frames + one map-only draw pass) and quantile normalization
       // (value-domain-bounded histograms + broadcast non-equi
       // lookup — the |values|² product is the term to watch at ×N)
-      "q205_neyman_sample", "q206_quantile_normalize")
+      "q205_neyman_sample", "q206_quantile_normalize",
+      // round 13 (VERDICT r12 item 7): the two heaviest streaming
+      // pairings — per-trigger replay of the k-hop and PageRank
+      // batch tails over state-rebuilt graphs. Their ×10 cost curve
+      // is the replay economics Pairing.scala documents (production
+      // amortizes on a refresh cadence); measuring them keeps that
+      // claim a number, not an assumption. The micro-batch state
+      // maintenance itself is N-linear; the replayed tails follow
+      // the q138/q189 width laws already smoked above.
+      "q226_stream_pagerank", "q229_stream_khop")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

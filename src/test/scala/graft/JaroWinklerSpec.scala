@@ -164,6 +164,62 @@ class JaroWinklerSpec extends AnyFunSuite {
     } finally conf.setConfString("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("kernel ≡ the unrolled 32-step SQL matcher on the ≤32-byte ASCII domain") {
+    // ADVICE r12: the oracle's jwMatcherSql is character-based and
+    // unrolled to exactly 32 steps; the Spark kernel is byte-based
+    // and unbounded. This transliteration of the SQL matcher — same
+    // greedy i-order, same min-j window selection, same two bitmask
+    // registers, same rank-aligned transposition count and //2, same
+    // ≤4 prefix — pins the two semantics equal on the domain every
+    // call site constructs (lower(substr(text,1,32)), ASCII): a
+    // divergence here means the invariant the oracle relies on broke.
+    def sqlMatcherRef(ta: String, tb: String): Long = {
+      val l1 = ta.length; val l2 = tb.length
+      val w = math.max(math.max(l1, l2) / 2 - 1, 0)
+      var k1 = 0L; var k2 = 0L; var m = 0
+      for (i <- 1 to 32) {
+        // smallest unmatched in-window position of char i of ta in tb
+        val j = (math.max(1, i - w) to math.min(l2, i + w)).find { jj =>
+          i <= l1 && tb(jj - 1) == ta(i - 1) && ((k2 >> jj) & 1L) == 0L
+        }
+        j.foreach { jj => k1 |= 1L << i; k2 |= 1L << jj; m += 1 }
+      }
+      val ma = (1 to 32).filter(j => ((k1 >> j) & 1L) == 1L).map(j => ta(j - 1))
+      val mb = (1 to 32).filter(j => ((k2 >> j) & 1L) == 1L).map(j => tb(j - 1))
+      val t2 = ma.zip(mb).count { case (x, y) => x != y }
+      val t = t2 / 2
+      // substr-equality exactly as the SQL writes it: substr past the
+      // end truncates, so EQUAL sub-4-char strings would read pfx=4
+      // where the kernel reads min(len, 4) — the one place the two
+      // matchers disagree, reachable only by ta = tb, which the
+      // call site's exact-class collapse excludes (hence the a ≠ b
+      // restriction below; that exclusion is the tested invariant).
+      val pfx =
+        if (ta.take(4) == tb.take(4)) 4
+        else if (ta.take(3) == tb.take(3)) 3
+        else if (ta.take(2) == tb.take(2)) 2
+        else if (ta.take(1) == tb.take(1)) 1
+        else 0
+      ((((l1.toLong * 64 + l2) * 64 + m) * 64 + t) * 8 + pfx)
+    }
+    val rnd = new scala.util.Random(13)
+    def s(maxLen: Int, alpha: Int) =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+    // dense-collision short strings AND boundary-length 32-char pairs
+    var tested = 0
+    (1 to 6000).foreach { k =>
+      val (a, b) =
+        if (k % 4 == 0) (s(32, 3), s(32, 3)) else (s(12, 4), s(12, 4))
+      if (a != b) {
+        val ref = sqlMatcherRef(a, b)
+        val got = JaroWinklerSim.statsPacked(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        assert(got == ref, s"matcher drift on ($a, $b): kernel=$got sql=$ref")
+        tested += 1
+      }
+    }
+    assert(tested > 4000, s"fuzz domain too small: $tested")
+  }
+
   test("expression runs inside a WholeStageCodegen span") {
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(JaroWinklerSim(substring(col("text"), 1, 16), lit("key agg row scan")).as("v"))
