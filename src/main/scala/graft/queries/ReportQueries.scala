@@ -147,6 +147,120 @@ object ReportQueries {
       |SELECT n AS p_partkey, CAST(MIN(hop) AS BIGINT) AS hops
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q244 — bounded WEIGHTED shortest paths (Bellman–Ford, 4
+    * relaxation rounds) over the part co-purchase graph: edge cost
+    * is INVERSE tie strength (1000 div shared-order count), so the
+    * answer is each part's cheapest affinity path from the sampled
+    * sources — the weighted generalization of q138's hop count
+    * ("within N degrees" → "within N relaxations, preferring strong
+    * ties"; deva: bounded recursive traverse, pipe.py:1013). A
+    * 2-edge path through two strong ties can beat a 1-edge weak tie,
+    * which is exactly what the hop metric cannot express.
+    *
+    * Scale/shape: the traversal is [[graft.operators.Sssp.relax]] —
+    * exactly 4 plan iterations; each round one hash join against the
+    * cached weighted edge frame + one min-agg shuffle, the dist
+    * frame node-bounded, persisted + counted (exact AQE stats →
+    * dist side broadcasts), width-capped, previous round unpersisted
+    * (rounds never stack storage). Every cost is an int64 (div of
+    * positive ints); the oracle unrolls the same 4 rounds as CTEs —
+    * same fixed point, no convergence test on either side.
+    */
+  def q244_sssp(spark: SparkSession, dir: String): DataFrame =
+    ssspFrom(spark, dir, Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** The bounded-SSSP tail over an (o, p) order-membership frame —
+    * shared verbatim by batch q244 and its streaming twin q245
+    * (pairing #64): support-weighted co-occurrence edge build,
+    * inverse-strength costs, symmetrization, 4 Bellman–Ford rounds
+    * from the sampled part sources.
+    */
+  private[queries] def ssspFrom(spark: SparkSession, dir: String,
+      op: DataFrame): DataFrame = {
+    val sup = graft.operators.Triangles.cooccurrenceSupport(
+        op, "o", "p", minSupport = 2)
+      .withColumn("w", expr("1000 div support"))
+    val bidir = sup.select(col("a").as("x"), col("b").as("y"), col("w"))
+      .unionByName(sup.select(col("b").as("x"), col("a").as("y"), col("w")))
+      .persist()
+    val src = Tables.part(spark, dir)
+      .filter(pmod(col("p_partkey"), lit(100L)) === 0)
+      .select(col("p_partkey").as("n"))
+    graft.operators.Sssp.relax(bidir, src, rounds = 4)
+      .select(col("n").as("p_partkey"), col("d").as("dist"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q244_sssp_sql: String =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+      |e0 AS (SELECT a, b, c FROM (SELECT x.s AS a, y.s AS b, COUNT(*) AS c
+      |        FROM os x JOIN os y ON x.o = y.o AND x.s < y.s GROUP BY 1, 2) WHERE c >= 2),
+      |e AS (SELECT a AS x, b AS y, 1000 // c AS w FROM e0 UNION ALL SELECT b, a, 1000 // c FROM e0),
+      |d0 AS (SELECT DISTINCT p_partkey AS n, CAST(0 AS BIGINT) AS d FROM part WHERE p_partkey % 100 = 0),
+      |d1 AS (SELECT n, MIN(d) AS d FROM (SELECT n, d FROM d0 UNION ALL
+      |        SELECT e.y AS n, d0.d + e.w AS d FROM d0 JOIN e ON e.x = d0.n) GROUP BY 1),
+      |d2 AS (SELECT n, MIN(d) AS d FROM (SELECT n, d FROM d1 UNION ALL
+      |        SELECT e.y AS n, d1.d + e.w AS d FROM d1 JOIN e ON e.x = d1.n) GROUP BY 1),
+      |d3 AS (SELECT n, MIN(d) AS d FROM (SELECT n, d FROM d2 UNION ALL
+      |        SELECT e.y AS n, d2.d + e.w AS d FROM d2 JOIN e ON e.x = d2.n) GROUP BY 1),
+      |d4 AS (SELECT n, MIN(d) AS d FROM (SELECT n, d FROM d3 UNION ALL
+      |        SELECT e.y AS n, d3.d + e.w AS d FROM d3 JOIN e ON e.x = d3.n) GROUP BY 1)
+      |SELECT n AS p_partkey, d AS dist FROM d4 ORDER BY 1""".stripMargin
+
+  /** q249 — k-CORE survivors (k=3, 4 peeling rounds) of the part
+    * co-purchase graph: repeatedly remove parts with fewer than 3
+    * qualifying co-purchase ties among survivors; what remains is
+    * the structurally DENSE cluster set — the screen that separates
+    * a genuinely dense community from a big-but-stringy component
+    * (q180 counts components; this asks which of their nodes are
+    * core). The dedup/curation layer's density question: q122's
+    * contamination cliques require complete subgraphs, cores catch
+    * the near-cliques spam/bot rings actually form.
+    *
+    * Scale/shape: the traversal is [[graft.operators.KCore.peel]] —
+    * exactly 4 plan iterations; each round two hash joins of the
+    * cached edge frame against the node-bounded survivor set
+    * (persisted + counted → exact AQE stats → survivors broadcast)
+    * plus one count-agg shuffle; previous round unpersisted. Output
+    * is each final survivor with the integer degree the final filter
+    * judged; the oracle unrolls the same 4 peels as CTEs.
+    */
+  def q249_kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** The k-core tail over an (o, p) order-membership frame — shared
+    * verbatim by batch q249 and its streaming twin q250 (pairing
+    * #67): co-occurrence edge build, symmetrization, 4 peeling
+    * rounds at k=3.
+    */
+  private[queries] def kcoreFrom(op: DataFrame): DataFrame = {
+    val edges = graft.operators.Triangles.cooccurrenceEdges(
+      op, "o", "p", minSupport = 2)
+    val bidir = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
+      .persist()
+    graft.operators.KCore.peel(bidir, k = 3L, rounds = 4)
+      .select(col("n").as("p_partkey"), col("d").as("core_deg"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q249_kcore_sql: String =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+      |e0 AS (SELECT a, b FROM (SELECT x.s AS a, y.s AS b, COUNT(*) AS c
+      |        FROM os x JOIN os y ON x.o = y.o AND x.s < y.s GROUP BY 1, 2) WHERE c >= 2),
+      |e AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+      |s0 AS (SELECT DISTINCT x AS n FROM e),
+      |d1 AS (SELECT e.x AS n, COUNT(*) AS d FROM e JOIN s0 a ON e.x = a.n JOIN s0 b ON e.y = b.n GROUP BY 1),
+      |s1 AS (SELECT n FROM d1 WHERE d >= 3),
+      |d2 AS (SELECT e.x AS n, COUNT(*) AS d FROM e JOIN s1 a ON e.x = a.n JOIN s1 b ON e.y = b.n GROUP BY 1),
+      |s2 AS (SELECT n FROM d2 WHERE d >= 3),
+      |d3 AS (SELECT e.x AS n, COUNT(*) AS d FROM e JOIN s2 a ON e.x = a.n JOIN s2 b ON e.y = b.n GROUP BY 1),
+      |s3 AS (SELECT n FROM d3 WHERE d >= 3),
+      |d4 AS (SELECT e.x AS n, COUNT(*) AS d FROM e JOIN s3 a ON e.x = a.n JOIN s3 b ON e.y = b.n GROUP BY 1)
+      |SELECT n AS p_partkey, d AS core_deg FROM d4 WHERE d >= 3 ORDER BY 1""".stripMargin
+
   /** q139 — ROBUST outlier counts per event type: median / MAD
     * (median absolute deviation) with the |x − med| > 3·MAD rule —
     * the outlier detector that, unlike q108's mean/stddev z-score,
@@ -944,6 +1058,8 @@ object ReportQueries {
     "q146_conversion_lag" -> (q146_conversion_lag _),
     "q137_gap_fill" -> (q137_gap_fill _),
     "q138_khop" -> (q138_khop _),
+    "q244_sssp" -> (q244_sssp _),
+    "q249_kcore" -> (q249_kcore _),
     "q139_mad_outliers" -> (q139_mad_outliers _),
     "q140_attribution" -> (q140_attribution _),
     "q141_grouping_sets" -> (q141_grouping_sets _),
@@ -962,6 +1078,8 @@ object ReportQueries {
     "q146_conversion_lag" -> q146_conversion_lag_sql,
     "q137_gap_fill" -> q137_gap_fill_sql,
     "q138_khop" -> q138_khop_sql,
+    "q244_sssp" -> q244_sssp_sql,
+    "q249_kcore" -> q249_kcore_sql,
     "q139_mad_outliers" -> q139_mad_outliers_sql,
     "q140_attribution" -> q140_attribution_sql,
     "q141_grouping_sets" -> q141_grouping_sets_sql,

@@ -141,6 +141,105 @@ object StatsQueries {
        |            / CAST(n1 AS DOUBLE))) AS t_welch
        |FROM g""".stripMargin
 
+  /** q246 — Mann–Whitney U (Wilcoxon rank-sum) readout over the same
+    * hash-split arms as q149: are arm-1 per-user revenues
+    * stochastically larger than arm-0's? The ROBUST two-sample test
+    * completing the robustness family (q139 robust location, q193
+    * robust trend): q149's Welch t compares means — one whale user
+    * drags it; ranks have a 50% breakdown point and need no
+    * normality. Reported as the tie-corrected normal z plus the
+    * rank-biserial effect size AUC = U/(n0·n1) (the probability a
+    * random arm-1 user out-spends a random arm-0 user). deva:
+    * groupby + custom stats lambda over the user pipe.
+    *
+    * Exactness: ranks never materialize per row — the corpus
+    * collapses to the per-user frame, then to the (c, m0, m1) value
+    * HISTOGRAM; a tied run at value c with t = m0+m1 members
+    * contributes m1·(2·cumBefore + t + 1) to the DOUBLED arm-1
+    * midrank sum (2·midrank is always integer — the q139 med2
+    * doctrine), so 2R₁, 2U₁ and the tie term Σ(t³−t) are exact; the
+    * rank-weighted partials run in DECIMAL(38,0) (q144 discipline —
+    * int64 overflows near 2⁶³ at ~3e9 users) and the only floats are
+    * the final mirrored casts/sqrt/divisions of those exact sums.
+    *
+    * Scale/shape: ONE corpus aggregation to the per-user frame
+    * (map-side partials), one histogram aggregation, the global
+    * cumulative from [[graft.operators.Sequence.globalPrefixSum]]
+    * (range exchange + map pass — never a single-task global
+    * window), and a 1-row final agg.
+    */
+  def q246_mann_whitney(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(lit(0L))).as("c"))
+    mannWhitneyFrom(perUser)
+  }
+
+  /** q246's readout from the per-user (user_id, c) frame — arm
+    * assignment, value histogram, doubled rank sums, z and AUC.
+    * Shared verbatim by the streaming twin q247 so batch and stream
+    * cannot drift.
+    */
+  private[queries] def mannWhitneyFrom(perUser0: DataFrame): DataFrame = {
+    val hist = perUser0
+      .withColumn("arm", pmod(hash60(col("user_id").cast("string")), lit(2L)))
+      .groupBy(col("c"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("m0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("m1"))
+      .withColumn("t", col("m0") + col("m1"))
+    val cum = graft.operators.Sequence.globalPrefixSum(
+      hist, Seq(col("c")), "t", "cum")
+    val g = cum.agg(
+      sum(col("m0")).as("n0"),
+      sum(col("m1")).as("n1"),
+      sum(col("m1").cast("decimal(38,0)")
+        * (lit(2) * (col("cum") - col("t")) + col("t") + 1)).as("r2"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t")).as("tie3"))
+    val n0d = col("n0").cast("double")
+    val n1d = col("n1").cast("double")
+    val nd = (col("n0") + col("n1")).cast("double")
+    val u2 = col("r2") - col("n1").cast("decimal(38,0)") * (col("n1") + 1)
+    g.select(col("n0"), col("n1"),
+      ((u2 - col("n0").cast("decimal(38,0)") * col("n1")).cast("double")
+        / (lit(2.0) * sqrt(n0d * n1d
+          * (nd * nd * nd - nd - col("tie3").cast("double"))
+          / (lit(12.0) * nd * (nd - lit(1.0)))))).as("z_u"),
+      (u2.cast("double") / (lit(2.0) * n0d * n1d)).as("auc"))
+  }
+
+  val q246_mann_whitney_sql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS c
+       |  FROM events GROUP BY user_id),
+       |armd AS (
+       |  SELECT ${hash60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm, c FROM pu),
+       |hist AS (
+       |  SELECT c,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1
+       |  FROM armd GROUP BY c),
+       |cum AS (SELECT c, m0, m1, m0 + m1 AS t,
+       |    SUM(m0 + m1) OVER (ORDER BY c) AS cum FROM hist),
+       |g AS (SELECT
+       |    CAST(SUM(m0) AS BIGINT) AS n0,
+       |    CAST(SUM(m1) AS BIGINT) AS n1,
+       |    SUM(CAST(m1 AS DECIMAL(38,0)) * (2 * (cum - t) + t + 1)) AS r2,
+       |    SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3
+       |  FROM cum)
+       |SELECT n0, n1,
+       |  CAST(r2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+       |       - CAST(n0 AS DECIMAL(38,0)) * n1 AS DOUBLE)
+       |  / (2.0 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+       |       * (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 AS DOUBLE)
+       |          - CAST(n0 + n1 AS DOUBLE) - CAST(tie3 AS DOUBLE))
+       |       / (12.0 * CAST(n0 + n1 AS DOUBLE) * (CAST(n0 + n1 AS DOUBLE) - 1.0)))) AS z_u,
+       |  CAST(r2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DOUBLE)
+       |  / (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS auc
+       |FROM g""".stripMargin
+
   /** q150 — chi-square test of independence over the (market
     * segment × order priority) contingency table: is order priority
     * distributed independently of customer segment? The categorical
@@ -600,6 +699,7 @@ object StatsQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_k_anonymity" -> (q177_k_anonymity _),
     "q149_ab_test" -> (q149_ab_test _),
+    "q246_mann_whitney" -> (q246_mann_whitney _),
     "q150_chi_square" -> (q150_chi_square _),
     "q151_benford" -> (q151_benford _),
     "q152_expectations" -> (q152_expectations _),
@@ -608,6 +708,7 @@ object StatsQueries {
   val oracles: Map[String, String] = Map(
     "q177_k_anonymity" -> q177_k_anonymity_sql,
     "q149_ab_test" -> q149_ab_test_sql,
+    "q246_mann_whitney" -> q246_mann_whitney_sql,
     "q150_chi_square" -> q150_chi_square_sql,
     "q151_benford" -> q151_benford_sql,
     "q152_expectations" -> q152_expectations_sql,

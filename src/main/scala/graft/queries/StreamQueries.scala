@@ -1508,6 +1508,109 @@ object StreamQueries {
   /** Same oracle as the batch A/B readout — the point of the query. */
   val q201_stream_ab_test_sql: String = StatsQueries.q149_ab_test_sql
 
+  /** q247 — STREAMING Mann–Whitney U: q246's rank-sum readout
+    * maintained online — the SIXTY-FIFTH pairing, giving the robust
+    * two-sample test the same online form its parametric sibling
+    * q201 has. Per-user state is (rows seen, exact purchase cents) —
+    * two longs, user-bounded like q201's; ranks never touch the
+    * stream: the projection compacts the per-user revenue image and
+    * replays q246's histogram + doubled-rank-sum tail verbatim
+    * (shared mannWhitneyFrom, shared oracle).
+    */
+  def q247_stream_mann_whitney(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Long), (Long, Long, Long)](
+      spark, dir, Seq("user_id", "seq", "c"))(
+      _.user_id)((0L, 0L)) { (u, s0, ordered) =>
+        var (seq, c) = s0
+        ordered.foreach { e =>
+          seq += 1
+          if (e.event_type == "purchase")
+            c += graft.functions.Determinism.centsOfDouble(e.value)
+        }
+        ((seq, c),
+          if (ordered.isEmpty) Vector.empty else Vector((u, seq, c)))
+      } { t =>
+        StatsQueries.mannWhitneyFrom(t.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("c"))).as("b"))
+          .select(col("user_id"), col("b.c").as("c")))
+      }
+  }
+
+  /** Same oracle as the batch rank-sum readout — the point. */
+  val q247_stream_mann_whitney_sql: String = StatsQueries.q246_mann_whitney_sql
+
+  /** q248 — STREAMING brute-force cosine top-k: q50's exact ANN
+    * baseline over the EMBEDDINGS stream — the SIXTY-SIXTH pairing,
+    * and the vector family's first online form: an ingest-time
+    * index whose serve answers are bit-identical to the batch
+    * baseline. State per vec_id is the compacted (rows seen, latest
+    * vector) image — exactly what a production online vector index
+    * maintains per id (re-ingested ids re-emit; the compaction keeps
+    * the latest image, the q124 idiom). The scoring never runs on
+    * the stream: the projection rebuilds the (vec_id, embedding)
+    * frame and replays q50's broadcast-probe + per-probe top-5 tail
+    * verbatim (shared annTopkFrom, shared oracle — the sink
+    * self-joins through runStream's localCheckpoint).
+    */
+  def q248_stream_ann_topk(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[graft.streaming.Pairing.VecRow]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.VecRow,
+        Long, (Long, Seq[Float]), (Long, Long, Seq[Float])](
+      spark, st, Seq("vec_id", "seq", "emb"), r => (r.vec_id, 0L))(
+      _.vec_id)((0L, Seq.empty[Float])) { (id, s0, ordered) =>
+        val seq = s0._1 + ordered.size
+        val emb = if (ordered.isEmpty) s0._2 else ordered.last.embedding
+        ((seq, emb),
+          if (ordered.isEmpty) Vector.empty else Vector((id, seq, emb)))
+      } { t =>
+        VectorQueries.annTopkFrom(t.groupBy(col("vec_id"))
+          .agg(max(struct(col("seq"), col("emb"))).as("b"))
+          .select(col("vec_id"), col("b.emb").as("embedding")))
+      }
+  }
+
+  /** Same oracle as the batch brute-force top-k — the point. */
+  val q248_stream_ann_topk_sql: String = VectorQueries.q50_ann_topk_sql
+
+  /** q251 — STREAMING IVF top-k: q51's cell-pruned serve over the
+    * EMBEDDINGS stream — the SIXTY-EIGHTH pairing, the SCALE path of
+    * the online vector index q248 baselines (a probe touches ~2/k of
+    * the corpus, not all of it). Same per-vec_id compacted state;
+    * the projection rebuilds the corpus, re-derives the count-pinned
+    * centroid set from the REBUILT frame (same count → same modulus
+    * → same centroids as batch), re-assigns cells and serves the
+    * 2-probe top-3 verbatim (shared ivfTopkFrom, shared oracle).
+    */
+  def q251_stream_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[graft.streaming.Pairing.VecRow]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.VecRow,
+        Long, (Long, Seq[Float]), (Long, Long, Seq[Float])](
+      spark, st, Seq("vec_id", "seq", "emb"), r => (r.vec_id, 0L))(
+      _.vec_id)((0L, Seq.empty[Float])) { (id, s0, ordered) =>
+        val seq = s0._1 + ordered.size
+        val emb = if (ordered.isEmpty) s0._2 else ordered.last.embedding
+        ((seq, emb),
+          if (ordered.isEmpty) Vector.empty else Vector((id, seq, emb)))
+      } { t =>
+        VectorQueries.ivfTopkFrom(t.groupBy(col("vec_id"))
+          .agg(max(struct(col("seq"), col("emb"))).as("b"))
+          .select(col("vec_id"), col("b.emb").as("embedding")))
+      }
+  }
+
+  /** Same oracle as the batch IVF serve — the point. */
+  val q251_stream_ivf_topk_sql: String = VectorQueries.q51_ivf_topk_sql
+
   /** q202 — STREAMING session paths: q132's top trigram-path report
     * maintained incrementally — the TWENTY-FOURTH pairing, and the
     * online form of sessionization itself: per-user state is the
@@ -2589,6 +2692,40 @@ object StreamQueries {
   /** Same oracle as the batch k-hop BFS — the point. */
   val q229_stream_khop_sql: String = ReportQueries.q138_khop_sql
 
+  /** q245 — STREAMING bounded weighted shortest paths: q244's
+    * 4-round Bellman–Ford over the LINEITEM stream — the
+    * SIXTY-FOURTH pairing. Same per-order membership state as q229
+    * (parts per order — the weighted co-purchase graph's generator);
+    * the relaxation never runs on the stream — the projection
+    * rebuilds the (o, p) frame and replays q244's support-weighted
+    * edge build + 4 relaxation rounds verbatim (shared ssspFrom,
+    * shared unrolled-CTE oracle).
+    */
+  def q245_stream_sssp(spark: SparkSession, dir: String): DataFrame =
+    orderMembers(spark, dir, col("l_partkey")) { op =>
+      ReportQueries.ssspFrom(spark, dir, op.select(col("o"), col("m").as("p")))
+    }
+
+  /** Same oracle as the batch bounded SSSP — the point. */
+  val q245_stream_sssp_sql: String = ReportQueries.q244_sssp_sql
+
+  /** q250 — STREAMING k-core: q249's 4-round density peel over the
+    * LINEITEM stream — the SIXTY-SEVENTH pairing, completing the
+    * online graph family (census q224, coefficients q225, PageRank
+    * q226, k-hop q229, triangles q230, SSSP q245 — and now core
+    * extraction). Same per-order membership state; the peel never
+    * runs on the stream — the projection rebuilds the (o, p) frame
+    * and replays q249's edge build + 4 peeling rounds verbatim
+    * (shared kcoreFrom, shared unrolled-CTE oracle).
+    */
+  def q250_stream_kcore(spark: SparkSession, dir: String): DataFrame =
+    orderMembers(spark, dir, col("l_partkey")) { op =>
+      ReportQueries.kcoreFrom(op.select(col("o"), col("m").as("p")))
+    }
+
+  /** Same oracle as the batch k-core — the point. */
+  val q250_stream_kcore_sql: String = ReportQueries.q249_kcore_sql
+
   /** q230 — STREAMING triangle counting: q118's supplier
     * co-occurrence triangle census over the LINEITEM stream — the
     * FIFTIETH pairing. Same per-order membership state as q225
@@ -3104,6 +3241,8 @@ object StreamQueries {
     "q227_stream_assoc_rules" -> (q227_stream_assoc_rules _),
     "q228_stream_item_cf" -> (q228_stream_item_cf _),
     "q229_stream_khop" -> (q229_stream_khop _),
+    "q245_stream_sssp" -> (q245_stream_sssp _),
+    "q250_stream_kcore" -> (q250_stream_kcore _),
     "q230_stream_triangles" -> (q230_stream_triangles _),
     "q231_stream_sketch_distinct" -> (q231_stream_sketch_distinct _),
     "q232_stream_scd2" -> (q232_stream_scd2 _),
@@ -3120,6 +3259,9 @@ object StreamQueries {
     "q243_stream_mv_rollup" -> (q243_stream_mv_rollup _),
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
+    "q247_stream_mann_whitney" -> (q247_stream_mann_whitney _),
+    "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
+    "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
     "q202_stream_paths" -> (q202_stream_paths _),
     "q203_stream_gap_fill" -> (q203_stream_gap_fill _),
     "q200_stream_conversion_lag" -> (q200_stream_conversion_lag _),
@@ -3179,6 +3321,8 @@ object StreamQueries {
     "q227_stream_assoc_rules" -> q227_stream_assoc_rules_sql,
     "q228_stream_item_cf" -> q228_stream_item_cf_sql,
     "q229_stream_khop" -> q229_stream_khop_sql,
+    "q245_stream_sssp" -> q245_stream_sssp_sql,
+    "q250_stream_kcore" -> q250_stream_kcore_sql,
     "q230_stream_triangles" -> q230_stream_triangles_sql,
     "q231_stream_sketch_distinct" -> q231_stream_sketch_distinct_sql,
     "q232_stream_scd2" -> q232_stream_scd2_sql,
@@ -3195,6 +3339,9 @@ object StreamQueries {
     "q243_stream_mv_rollup" -> q243_stream_mv_rollup_sql,
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
+    "q247_stream_mann_whitney" -> q247_stream_mann_whitney_sql,
+    "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
+    "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,
     "q203_stream_gap_fill" -> q203_stream_gap_fill_sql,
     "q200_stream_conversion_lag" -> q200_stream_conversion_lag_sql,

@@ -22,8 +22,17 @@ object VectorQueries {
   /** q50 — brute-force cosine top-k: probes (vec_id % 50 = 0) are
     * broadcast against the corpus; per-partition top-k then merge.
     */
-  def q50_ann_topk(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  def q50_ann_topk(spark: SparkSession, dir: String): DataFrame =
+    annTopkFrom(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** The brute-force top-k tail over a (vec_id, embedding) frame —
+    * shared verbatim by batch q50 and its streaming twin q248
+    * (pairing #66), so the online index serve cannot drift from the
+    * batch baseline.
+    */
+  private[queries] def annTopkFrom(emb: DataFrame): DataFrame = {
+    val e = emb
       .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"), col("nrm").as("pnrm"))
@@ -77,10 +86,19 @@ object VectorQueries {
     */
   /** Norm-projected embeddings and the deterministic seed centroids
     * shared by q51 (serving) and q78 (training). */
-  private def embWithCents(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, dir)
+  private def embWithCents(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    embCentsFrom(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** As [[embWithCents]] but from an arbitrary (vec_id, embedding)
+    * frame — the q251 streaming twin rebuilds the corpus from
+    * compacted state and must derive the SAME count-pinned centroid
+    * set, so the modulus comes from the frame, not the table. */
+  private def embCentsFrom(emb: DataFrame): (DataFrame, DataFrame) = {
+    val e = emb
       .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
-    val cent = e.filter(col("vec_id") % seedModulus(spark, dir) === 0)
+    val mod = math.max(1L, emb.count() / seedK)
+    val cent = e.filter(col("vec_id") % mod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
     (e, cent)
   }
@@ -103,8 +121,17 @@ object VectorQueries {
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.embedding").as("embedding"), col("best.nrm").as("nrm"))
 
-  def q51_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
-    val (e, cent) = embWithCents(spark, dir)
+  def q51_ivf_topk(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkFrom(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** The IVF serve tail over a (vec_id, embedding) frame — shared
+    * verbatim by batch q51 and its streaming twin q251 (pairing
+    * #68), so the cell-pruned online serve cannot drift from the
+    * batch index.
+    */
+  private[queries] def ivfTopkFrom(emb: DataFrame): DataFrame = {
+    val (e, cent) = embCentsFrom(emb)
     val assigned = assignToCells(e, cent)
     // probes: 2 nearest cells each
     val probes = e.filter(col("vec_id") % 50 === 0)

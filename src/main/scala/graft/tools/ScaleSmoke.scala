@@ -275,7 +275,16 @@ object ScaleSmoke {
       // claim a number, not an assumption. The micro-batch state
       // maintenance itself is N-linear; the replayed tails follow
       // the q138/q189 width laws already smoked above.
-      "q226_stream_pagerank", "q229_stream_khop")
+      "q226_stream_pagerank", "q229_stream_khop",
+      // round 13 continuation: bounded weighted SSSP — ×N key-shifts
+      // replicate the weighted graph, so per-round relaxation cost is
+      // edge-linear and the dist frame node-linear (no reached-set
+      // anti-join to degrade); Mann–Whitney folds the per-user frame
+      // to a value histogram whose rank partials are DECIMAL(38,0) —
+      // the globalPrefixSum range exchange is the one total order;
+      // k-core's per-round degree recount is edge-linear with a
+      // node-bounded broadcast survivor set
+      "q244_sssp", "q246_mann_whitney", "q249_kcore")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

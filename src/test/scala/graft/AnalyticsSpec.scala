@@ -494,6 +494,30 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q247 streaming Mann–Whitney is bit-identical to batch q246 (pairing #65)") {
+    val batch = graft.queries.StatsQueries.q246_mann_whitney(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q247_stream_mann_whitney(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q248 streaming cosine top-k is bit-identical to batch q50 (pairing #66)") {
+    val batch = graft.queries.VectorQueries.q50_ann_topk(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q248_stream_ann_topk(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q251 streaming IVF top-k is bit-identical to batch q51 (pairing #68)") {
+    val batch = graft.queries.VectorQueries.q51_ivf_topk(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q251_stream_ivf_topk(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q202 streaming session paths are bit-identical to batch q132 (pairing #24)") {
     val batch = graft.queries.EventQueries.q132_top_paths(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q202_stream_paths(spark, dir).collect().toSeq

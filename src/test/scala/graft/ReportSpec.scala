@@ -303,6 +303,22 @@ class ReportSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q245 streaming bounded SSSP is bit-identical to batch q244 (pairing #64)") {
+    val batch = ReportQueries.q244_sssp(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q245_stream_sssp(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q250 streaming k-core is bit-identical to batch q249 (pairing #67)") {
+    val batch = ReportQueries.q249_kcore(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q250_stream_kcore(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q229 streaming k-hop BFS is bit-identical to batch q138 (pairing #49)") {
     val batch = ReportQueries.q138_khop(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q229_stream_khop(spark, dir).collect().toSeq

@@ -57,6 +57,46 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("t_welch") - t) < 1e-9, s"t: got ${r.getAs[Double]("t_welch")} want $t")
   }
 
+  test("q246 Mann–Whitney z and AUC equal a brute-force all-pairs recount") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.filter(_._2 == "purchase").map(e => centsOf(e._3)).sum)
+    }.toVector
+    val arms = {
+      val sp = spark
+      import sp.implicits._
+      perUser.map(_._1).toDF("user_id")
+        .select(col("user_id"),
+          graft.functions.Determinism.hash60(col("user_id").cast("string")).as("h"))
+        .collect().map(r => r.getLong(0) -> (((r.getLong(1) % 2) + 2) % 2)).toMap
+    }
+    val a0 = perUser.filter(p => arms(p._1) == 0L).map(_._2)
+    val a1 = perUser.filter(p => arms(p._1) == 1L).map(_._2)
+    // the DEFINITION, not the rank identity: doubled U over all pairs
+    var u2 = 0L
+    for (x <- a1; y <- a0) u2 += (if (x > y) 2L else if (x == y) 1L else 0L)
+    val n0 = a0.size.toLong
+    val n1 = a1.size.toLong
+    val tie3 = (a0 ++ a1).groupBy(identity).values
+      .map { g => val t = g.size.toLong; t * t * t - t }.sum
+    val nd = (n0 + n1).toDouble
+    val z = (u2 - n0 * n1).toDouble /
+      (2.0 * math.sqrt(n0.toDouble * n1.toDouble
+        * (nd * nd * nd - nd - tie3.toDouble)
+        / (12.0 * nd * (nd - 1.0))))
+    val auc = u2.toDouble / (2.0 * n0.toDouble * n1.toDouble)
+    val r = StatsQueries.q246_mann_whitney(spark, dir).collect().head
+    assert(r.getLong(0) == n0 && r.getLong(1) == n1)
+    assert(math.abs(r.getAs[Double]("z_u") - z) < 1e-12,
+      s"z_u: got ${r.getAs[Double]("z_u")} want $z")
+    assert(math.abs(r.getAs[Double]("auc") - auc) < 1e-12,
+      s"auc: got ${r.getAs[Double]("auc")} want $auc")
+    // sanity: AUC is a probability, and its complement mirrors a swap of arms
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
   test("q150 chi-square equals the naive contingency recomputation; margins consistent") {
     val rows = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
