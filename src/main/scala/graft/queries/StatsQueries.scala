@@ -24,7 +24,7 @@ import graft.functions.Determinism._
   */
 object StatsQueries {
 
-  private def cents(c: org.apache.spark.sql.Column) =
+  private[queries] def cents(c: org.apache.spark.sql.Column) =
     (dec2(c) * 100).cast("long")
 
   /** q149 — two-arm A/B test readout: users hash-split 50/50 (the
@@ -239,6 +239,93 @@ object StatsQueries {
        |  CAST(r2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DOUBLE)
        |  / (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS auc
        |FROM g""".stripMargin
+
+  /** q252 — Mood's MEDIAN TEST across event types: do the k event
+    * types share a common value median? Each type's counts above /
+    * below the POOLED median form a k×2 contingency table judged by
+    * the q150 chi-square tail — the k-sample robust location test
+    * completing the rank family (q246 two-sample rank-sum, q139
+    * robust location, q193 robust trend), and a pure COMPOSITION of
+    * proven exact machinery: the q117/q139 med2 cumulative idiom
+    * (2·median = lo + hi, always int64 — no .5 decision anywhere)
+    * feeds chiSquareFrom verbatim. Values tied with the pooled
+    * median (2c = med2) are EXCLUDED, the standard Mood's
+    * convention. deva: groupby + stats lambda composition.
+    *
+    * Scale/shape: corpus collapses FIRST to the (type, cents)
+    * histogram (ONE aggregation, map-side partials); the global
+    * cumulative rides Sequence.globalPrefixSum (never a single-task
+    * window); med2 is a 1-row broadcast; cells are label×2-bounded;
+    * every hashed number is int64 or the q150 decq/mirrored-double
+    * class.
+    */
+  def q252_median_test(spark: SparkSession, dir: String): DataFrame =
+    medianTestFrom(Tables.events(spark, dir)
+      .groupBy(col("event_type"), cents(col("value")).as("c"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q252's readout from the (event_type, c, cnt) value histogram —
+    * pooled med2, above/below cells, chi-square tail. Shared
+    * verbatim by the streaming twin q253 so batch and stream cannot
+    * drift.
+    */
+  private[queries] def medianTestFrom(histT0: DataFrame): DataFrame = {
+    val histT = histT0.persist()
+    histT.count() // eager: two consumers race a cold cache otherwise (the q104 lesson)
+    val histC = histT.groupBy(col("c")).agg(sum(col("cnt")).as("cnt"))
+    val cum = graft.operators.Sequence.globalPrefixSum(
+      histC, Seq(col("c")), "cnt", "cum")
+    val tot = histC.agg(sum(col("cnt")).as("n"))
+    val med = cum.crossJoin(broadcast(tot))
+      .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("c")))
+        + min(when(col("cum") >= expr("(n + 2) div 2"), col("c")))).as("med2"))
+    val cells = histT.crossJoin(broadcast(med))
+      .filter(lit(2) * col("c") =!= col("med2"))
+      .groupBy(col("event_type").as("segment"),
+        when(lit(2) * col("c") > col("med2"), lit("above"))
+          .otherwise(lit("below")).as("priority"))
+      .agg(sum(col("cnt")).as("obs"))
+    chiSquareFrom(cells)
+      .select(col("segment").as("event_type"), col("priority").as("side"),
+        col("obs"), col("expected"), col("contrib"), col("chi2"), col("dof"))
+  }
+
+  val q252_median_test_sql: String =
+    s"""WITH ht AS (
+       |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |hc AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS cnt FROM ht GROUP BY 1),
+       |cum AS (SELECT c, cnt, SUM(cnt) OVER (ORDER BY c) AS cum FROM hc),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hc),
+       |lo AS (SELECT MIN(c) AS lo FROM cum, tot WHERE cum >= (n + 1) // 2),
+       |hi AS (SELECT MIN(c) AS hi FROM cum, tot WHERE cum >= (n + 2) // 2),
+       |med AS (SELECT lo + hi AS med2 FROM lo, hi),
+       |cells AS (
+       |  SELECT event_type,
+       |    CASE WHEN 2 * c > med2 THEN 'above' ELSE 'below' END AS side,
+       |    CAST(SUM(cnt) AS BIGINT) AS obs
+       |  FROM ht, med WHERE 2 * c <> med2 GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, side, obs,
+       |    SUM(obs) OVER (PARTITION BY event_type) AS rt,
+       |    SUM(obs) OVER (PARTITION BY side) AS ct,
+       |    (SELECT SUM(obs) FROM cells) AS n
+       |  FROM cells),
+       |contrib AS (
+       |  SELECT event_type, side, obs, rt, ct, n,
+       |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+       |    ${decqSql(
+      """CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE)
+              / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE))""", 6)} AS contrib_q
+       |  FROM m),
+       |g AS (
+       |  SELECT CAST(SUM(contrib_q) AS DOUBLE) AS chi2,
+       |    CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT side) - 1) AS BIGINT) AS dof
+       |  FROM contrib)
+       |SELECT c.event_type, c.side, c.obs, c.expected,
+       |  CAST(c.contrib_q AS DOUBLE) AS contrib, g.chi2, g.dof
+       |FROM contrib c, g ORDER BY 1, 2""".stripMargin
 
   /** q150 — chi-square test of independence over the (market
     * segment × order priority) contingency table: is order priority
@@ -700,6 +787,7 @@ object StatsQueries {
     "q177_k_anonymity" -> (q177_k_anonymity _),
     "q149_ab_test" -> (q149_ab_test _),
     "q246_mann_whitney" -> (q246_mann_whitney _),
+    "q252_median_test" -> (q252_median_test _),
     "q150_chi_square" -> (q150_chi_square _),
     "q151_benford" -> (q151_benford _),
     "q152_expectations" -> (q152_expectations _),
@@ -709,6 +797,7 @@ object StatsQueries {
     "q177_k_anonymity" -> q177_k_anonymity_sql,
     "q149_ab_test" -> q149_ab_test_sql,
     "q246_mann_whitney" -> q246_mann_whitney_sql,
+    "q252_median_test" -> q252_median_test_sql,
     "q150_chi_square" -> q150_chi_square_sql,
     "q151_benford" -> q151_benford_sql,
     "q152_expectations" -> q152_expectations_sql,

@@ -1611,6 +1611,31 @@ object StreamQueries {
   /** Same oracle as the batch IVF serve — the point. */
   val q251_stream_ivf_topk_sql: String = VectorQueries.q51_ivf_topk_sql
 
+  /** q253 — STREAMING Mood's median test: q252's k-sample robust
+    * location test maintained online — the SIXTY-NINTH pairing,
+    * joining the online robust-stats family (q247 rank-sum, q204
+    * MAD, q195 Theil–Sen). The streaming aggregation maintains the
+    * same (type, cents) value histogram the batch query collapses to
+    * (label×value-domain-bounded state — the q170 complete-mode
+    * idiom); the pooled-median + chi-square tail replays verbatim
+    * over the compacted histogram (shared medianTestFrom, shared
+    * oracle; the sink's multiple derivations ride a localCheckpoint
+    * — the memory-sink self-join hazard).
+    */
+  def q253_stream_median_test(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q253_mem_${runId.incrementAndGet()}"
+    val hist = withStreamShuffle(spark) {
+      EventFlow(EventFlow.fromEvents(spark, dir).df
+          .groupBy(col("event_type"), StatsQueries.cents(col("value")).as("c"))
+          .agg(count(lit(1)).as("cnt")))
+        .toMemory(spark, name, "complete")
+    }
+    StatsQueries.medianTestFrom(hist.localCheckpoint(true))
+  }
+
+  /** Same oracle as the batch median test — the point. */
+  val q253_stream_median_test_sql: String = StatsQueries.q252_median_test_sql
+
   /** q202 — STREAMING session paths: q132's top trigram-path report
     * maintained incrementally — the TWENTY-FOURTH pairing, and the
     * online form of sessionization itself: per-user state is the
@@ -3262,6 +3287,7 @@ object StreamQueries {
     "q247_stream_mann_whitney" -> (q247_stream_mann_whitney _),
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
+    "q253_stream_median_test" -> (q253_stream_median_test _),
     "q202_stream_paths" -> (q202_stream_paths _),
     "q203_stream_gap_fill" -> (q203_stream_gap_fill _),
     "q200_stream_conversion_lag" -> (q200_stream_conversion_lag _),
@@ -3342,6 +3368,7 @@ object StreamQueries {
     "q247_stream_mann_whitney" -> q247_stream_mann_whitney_sql,
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
+    "q253_stream_median_test" -> q253_stream_median_test_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,
     "q203_stream_gap_fill" -> q203_stream_gap_fill_sql,
     "q200_stream_conversion_lag" -> q200_stream_conversion_lag_sql,

@@ -97,6 +97,43 @@ class StatsSpec extends AnyFunSuite {
     assert(auc >= 0.0 && auc <= 1.0)
   }
 
+  test("q252 median-test cells equal a sorted-values recount; chi2 consistent") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), centsOf(r.getDouble(1))))
+    val sorted = ev.map(_._2).sorted
+    val n = sorted.length
+    val med2 = sorted((n - 1) / 2) + sorted(n / 2) // lo + hi middle elements
+    val cells = ev.filter(e => 2 * e._2 != med2)
+      .groupBy(e => (e._1, if (2 * e._2 > med2) "above" else "below"))
+      .map { case (k, v) => k -> v.size.toLong }
+    val rows = StatsQueries.q252_median_test(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == cells(key), s"obs mismatch at $key")
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == cells.keySet)
+    // chi2 equals the textbook recount over the same cells
+    val tot = cells.values.sum.toDouble
+    val rts = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum.toDouble }
+    val cts = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum.toDouble }
+    val chi2 = cells.map { case ((s, b), o) =>
+      val e = rts(s) * cts(b) / tot
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(rows.head.getAs[Double]("chi2") - chi2) < 1e-5,
+      s"chi2: got ${rows.head.getAs[Double]("chi2")} want $chi2")
+  }
+
+  test("q253 streaming median test is bit-identical to batch q252 (pairing #69)") {
+    val batch = StatsQueries.q252_median_test(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q253_stream_median_test(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q150 chi-square equals the naive contingency recomputation; margins consistent") {
     val rows = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
