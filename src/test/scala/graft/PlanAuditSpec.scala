@@ -325,6 +325,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q78's aggregation must stay hash-based (no struct-ordered max_by sort):\n$p")
   }
 
+  test("q244/q249 iterate with broadcast frontier joins, never a sort-merge of the edge frame") {
+    // relax()/peel() materialize each round eagerly, so the returned
+    // frame's lineage is the FINAL round — the representative one:
+    // earlier rounds ran the identical shape. The dist/survivor side
+    // is node-bounded with exact post-count stats, so it must
+    // broadcast; an SMJ here would re-sort the edge frame per round.
+    val sssp = plan("q244_sssp")
+    assert(sssp.contains("BroadcastHashJoin"), "SSSP round join should broadcast dist")
+    assert(!sssp.contains("SortMergeJoin"), "SSSP must not sort-merge the edge frame")
+    val kcore = plan("q249_kcore")
+    assert(kcore.contains("BroadcastHashJoin"), "k-core round joins should broadcast survivors")
+    assert(!kcore.contains("SortMergeJoin"), "k-core must not sort-merge the edge frame")
+  }
+
   test("projection pruning: q02 reads only needed lineitem columns") {
     val p = plan("q02_map")
     val read = p.split("ReadSchema:").last.split("\n").head
