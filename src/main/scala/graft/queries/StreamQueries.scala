@@ -1636,6 +1636,83 @@ object StreamQueries {
   /** Same oracle as the batch median test — the point. */
   val q253_stream_median_test_sql: String = StatsQueries.q252_median_test_sql
 
+  /** q254 — STREAMING Zipf monitor: q100's per-language rank-
+    * frequency slope over the DOCUMENTS stream — the SEVENTIETH
+    * pairing, the ingest-time "is this crawl's token distribution
+    * still natural-language-shaped" check (a Zipf slope drifting
+    * from ≈−1 flags boilerplate floods or spam injection before
+    * they hit training). The streaming aggregation maintains the
+    * (lang, tok, c) vocabulary histogram — the state any online LM
+    * stats pipeline keeps; tokenization is stateless in-plan prep
+    * (the SHARED TA.tokens expression, so counts cannot drift). The
+    * rank window + decq log fit replays verbatim over the compacted
+    * histogram (shared zipfFrom, shared oracle).
+    */
+  def q254_stream_zipf(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q254_mem_${runId.incrementAndGet()}"
+    val freq = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("lang"),
+            explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")))
+        .toMemory(spark, name, "complete")
+    }
+    TextQueries.zipfFrom(freq.localCheckpoint(true))
+  }
+
+  /** Same oracle as the batch Zipf fit — the point. */
+  val q254_stream_zipf_sql: String = TextQueries.q100_zipf_slope_sql
+
+  /** q255 — STREAMING count-min heavy hitters: q59's sketch-vs-exact
+    * audit over the DOCUMENTS stream — the SEVENTY-FIRST pairing,
+    * the sketch family's second online form (q231 audits KMV/HLL
+    * distinct; this audits CMS point frequency). The streaming
+    * aggregation maintains the (tok, h, exact_n) count state; the
+    * projection rebuilds the d×w COUNTER MATRIX from that state by
+    * CMS LINEARITY — the sketch of a token stream is exactly the
+    * sketch of its aggregated counts, cell for cell what the batch
+    * UDAF folds (same perms, same mod-P bucket arithmetic, Long
+    * wrap included) — then takes each heavy token's min cell and
+    * applies q59's shared threshold + tolerance expressions
+    * (hhIsHeavy / hhCmsInTol, shared oracle).
+    */
+  def q255_stream_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    val depth = 5; val width = 2048
+    val name = s"q255_mem_${runId.incrementAndGet()}"
+    val counts = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(col("tok"),
+            pmod(hash60(col("tok")), lit(graft.operators.Dedup.P)).as("h"))
+          .groupBy(col("tok"), col("h")).agg(count(lit(1)).as("exact_n")))
+        .toMemory(spark, name, "complete")
+    }.localCheckpoint(true)
+    def cellKeys = (0 until depth).map { j =>
+      val (a, c) = graft.operators.Dedup.perms(j)
+      struct(lit(j).as("j"),
+        pmod(pmod(lit(a) * col("h") + lit(c), lit(graft.operators.Dedup.P)),
+          lit(width)).as("b"))
+    }
+    val cells = counts.select(col("exact_n"), explode(array(cellKeys: _*)).as("rb"))
+      .groupBy(col("rb.j").as("j"), col("rb.b").as("b"))
+      .agg(sum(col("exact_n")).as("cell"))
+    val global = counts.agg(sum(col("exact_n")).as("n_total"))
+    counts.join(broadcast(global))
+      .filter(TextQueries.hhIsHeavy(col("exact_n"), col("n_total")))
+      .select(col("tok"), col("exact_n"), col("n_total"),
+        explode(array(cellKeys: _*)).as("rb"))
+      .join(cells, col("rb.j") === cells("j") && col("rb.b") === cells("b"))
+      .groupBy(col("tok"), col("exact_n"), col("n_total"))
+      .agg(min(col("cell")).as("est"))
+      .select(col("tok"), col("exact_n"),
+        TextQueries.hhCmsInTol(col("est"), col("exact_n"), col("n_total"), width)
+          .as("cms_in_tol"))
+      .orderBy(col("tok"))
+  }
+
+  /** Same oracle as the batch heavy-hitter audit — the point. */
+  val q255_stream_heavy_hitters_sql: String = TextQueries.q59_heavy_hitters_sql
+
   /** q202 — STREAMING session paths: q132's top trigram-path report
     * maintained incrementally — the TWENTY-FOURTH pairing, and the
     * online form of sessionization itself: per-user state is the
@@ -3288,6 +3365,8 @@ object StreamQueries {
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
     "q253_stream_median_test" -> (q253_stream_median_test _),
+    "q254_stream_zipf" -> (q254_stream_zipf _),
+    "q255_stream_heavy_hitters" -> (q255_stream_heavy_hitters _),
     "q202_stream_paths" -> (q202_stream_paths _),
     "q203_stream_gap_fill" -> (q203_stream_gap_fill _),
     "q200_stream_conversion_lag" -> (q200_stream_conversion_lag _),
@@ -3369,6 +3448,8 @@ object StreamQueries {
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
     "q253_stream_median_test" -> q253_stream_median_test_sql,
+    "q254_stream_zipf" -> q254_stream_zipf_sql,
+    "q255_stream_heavy_hitters" -> q255_stream_heavy_hitters_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,
     "q203_stream_gap_fill" -> q203_stream_gap_fill_sql,
     "q200_stream_conversion_lag" -> q200_stream_conversion_lag_sql,

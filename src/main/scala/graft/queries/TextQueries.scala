@@ -538,15 +538,26 @@ object TextQueries {
     val global = toksDf.agg(cmsAgg(col("h")).as("cms"), count(lit(1)).as("n_total"))
     toksDf.groupBy(col("tok"), col("h")).agg(count(lit(1)).as("exact_n"))
       .join(broadcast(global))
-      .filter(col("exact_n").cast("double") >= col("n_total").cast("double") / 200.0)
+      .filter(hhIsHeavy(col("exact_n"), col("n_total")))
       .withColumn("est", graft.operators.Sketches.cmsEstimate(col("cms"), col("h"), depth, width))
       .select(col("tok"), col("exact_n"),
-        (col("est") >= col("exact_n") &&
-          (col("est") - col("exact_n")).cast("double") <=
-            greatest(lit(8.0), lit(4.0) * col("n_total").cast("double") / width))
-          .as("cms_in_tol"))
+        hhCmsInTol(col("est"), col("exact_n"), col("n_total"), width).as("cms_in_tol"))
       .orderBy(col("tok"))
   }
+
+  /** q59's heavy-hitter threshold (≥ 0.5% of the corpus) — shared
+    * verbatim by the streaming twin q255 so the report's population
+    * cannot drift. */
+  private[queries] def hhIsHeavy(exactN: Column, nTotal: Column): Column =
+    exactN.cast("double") >= nTotal.cast("double") / 200.0
+
+  /** q59's CMS tolerance check (overestimate-only, within the
+    * standard εN envelope) — shared verbatim by q255. */
+  private[queries] def hhCmsInTol(est: Column, exactN: Column,
+      nTotal: Column, width: Int): Column =
+    est >= exactN &&
+      (est - exactN).cast("double") <=
+        greatest(lit(8.0), lit(4.0) * nTotal.cast("double") / width)
 
   val q59_heavy_hitters_sql: String =
     """WITH tkt AS (SELECT doc_id, list_filter(str_split(text, ' '), t -> t <> '') AS tk FROM documents),
@@ -2085,11 +2096,18 @@ object TextQueries {
     * and slope/intercept are a fixed double expression over the five
     * exactly-agreed statistics.
     */
-  def q100_zipf_slope(spark: SparkSession, dir: String): DataFrame = {
-    val freq = tokenized(spark, dir)
+  def q100_zipf_slope(spark: SparkSession, dir: String): DataFrame =
+    zipfFrom(tokenized(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("lang"), explode(col("tk")).as("tok"))
-      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")))
+
+  /** The Zipf-fit tail over a (lang, tok, c) vocabulary histogram —
+    * shared verbatim by batch q100 and its streaming twin q254
+    * (pairing #70), so the online vocabulary monitor cannot drift
+    * from the batch fit.
+    */
+  private[queries] def zipfFrom(freq: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))
     val xy = freq
       .withColumn("rank", row_number().over(w))

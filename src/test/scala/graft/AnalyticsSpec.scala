@@ -518,6 +518,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q254 streaming Zipf monitor is bit-identical to batch q100 (pairing #70)") {
+    val batch = graft.queries.TextQueries.q100_zipf_slope(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q254_stream_zipf(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q255 streaming CMS heavy hitters are bit-identical to batch q59 (pairing #71)") {
+    val batch = graft.queries.TextQueries.q59_heavy_hitters(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q255_stream_heavy_hitters(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q202 streaming session paths are bit-identical to batch q132 (pairing #24)") {
     val batch = graft.queries.EventQueries.q132_top_paths(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q202_stream_paths(spark, dir).collect().toSeq
