@@ -1713,6 +1713,42 @@ object StreamQueries {
   /** Same oracle as the batch heavy-hitter audit — the point. */
   val q255_stream_heavy_hitters_sql: String = TextQueries.q59_heavy_hitters_sql
 
+  /** q256 — STREAMING PMI collocations: q104's top-scoring adjacent
+    * pairs over the DOCUMENTS stream — the SEVENTY-SECOND pairing,
+    * the online collocation monitor (tokenizer-merge candidates and
+    * boilerplate phrases surface as they enter the corpus, not at
+    * the next batch rebuild). TWO complete-mode aggregations
+    * maintain the unigram and bigram count histograms — exactly the
+    * state an online collocation/tokenizer-training pipeline keeps,
+    * vocab- and observed-bigram-bounded; both use the SHARED token
+    * and adjacent-pair expressions so counts cannot drift. The
+    * scoring join + decq log PMI + top-k replay verbatim (shared
+    * pmiFrom, shared oracle).
+    */
+  def q256_stream_pmi(spark: SparkSession, dir: String): DataFrame = {
+    val TA = graft.operators.TextAnalysis
+    val tk = TA.tokens(col("text"))
+    val n1 = s"q256u_mem_${runId.incrementAndGet()}"
+    val n2 = s"q256b_mem_${runId.incrementAndGet()}"
+    val uni = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(explode(tk).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+        .toMemory(spark, n1, "complete")
+    }.localCheckpoint(true)
+    val bi = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(explode(TA.adjacentPairs(tk)).as("bg"))
+          .select(col("bg.x").as("x"), col("bg.y").as("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy")))
+        .toMemory(spark, n2, "complete")
+    }.localCheckpoint(true)
+    TextQueries.pmiFrom(uni, bi)
+  }
+
+  /** Same oracle as the batch PMI collocations — the point. */
+  val q256_stream_pmi_sql: String = TextQueries.q104_pmi_collocations_sql
+
   /** q202 — STREAMING session paths: q132's top trigram-path report
     * maintained incrementally — the TWENTY-FOURTH pairing, and the
     * online form of sessionization itself: per-user state is the
@@ -3367,6 +3403,7 @@ object StreamQueries {
     "q253_stream_median_test" -> (q253_stream_median_test _),
     "q254_stream_zipf" -> (q254_stream_zipf _),
     "q255_stream_heavy_hitters" -> (q255_stream_heavy_hitters _),
+    "q256_stream_pmi" -> (q256_stream_pmi _),
     "q202_stream_paths" -> (q202_stream_paths _),
     "q203_stream_gap_fill" -> (q203_stream_gap_fill _),
     "q200_stream_conversion_lag" -> (q200_stream_conversion_lag _),
@@ -3450,6 +3487,7 @@ object StreamQueries {
     "q253_stream_median_test" -> q253_stream_median_test_sql,
     "q254_stream_zipf" -> q254_stream_zipf_sql,
     "q255_stream_heavy_hitters" -> q255_stream_heavy_hitters_sql,
+    "q256_stream_pmi" -> q256_stream_pmi_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,
     "q203_stream_gap_fill" -> q203_stream_gap_fill_sql,
     "q200_stream_conversion_lag" -> q200_stream_conversion_lag_sql,

@@ -2418,25 +2418,33 @@ object TextQueries {
   private val pmiTopK = 100
   def q104_pmi_collocations(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // both count frames are PERSISTED (q65's precedent): each feeds the
-    // corpus total plus the scoring join, and without the pin Catalyst
-    // re-derives every consumer from the corpus scan — five scans for a
-    // two-scan query. The pinned frames are vocab-bounded, not
-    // corpus-bounded. The totals are 1-row scalar collects taken
-    // SEQUENTIALLY — each materializes its cold cache exactly once
-    // before the scoring job runs; the previous crossJoin(broadcast(agg))
-    // form let four broadcast threads race to compute the cold caches
-    // concurrently (measured 3.6 s cold → ~1 s with the zip bigram
-    // build below and the sequential pin).
-    val uni = docs.select(explode(toks).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .persist()
+    pmiFrom(
+      docs.select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c")),
+      docs.select(explode(TA.adjacentPairs(toks)).as("bg"))
+        .select(col("bg.x").as("x"), col("bg.y").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy")))
+  }
+
+  /** The PMI scoring tail over (tok, c) unigram and (x, y, c_xy)
+    * bigram count frames — shared verbatim by batch q104 and its
+    * streaming twin q256 (pairing #72).
+    *
+    * Both count frames are PERSISTED (q65's precedent): each feeds
+    * the corpus total plus the scoring join, and without the pin
+    * Catalyst re-derives every consumer from the corpus scan — five
+    * scans for a two-scan query. The pinned frames are
+    * vocab-bounded, not corpus-bounded. The totals are 1-row scalar
+    * collects taken SEQUENTIALLY — each materializes its cold cache
+    * exactly once before the scoring job runs; the previous
+    * crossJoin(broadcast(agg)) form let four broadcast threads race
+    * to compute the cold caches concurrently (measured 3.6 s cold →
+    * ~1 s with the zip bigram build and the sequential pin).
+    */
+  private[queries] def pmiFrom(uni0: DataFrame, bi0: DataFrame): DataFrame = {
+    val uni = uni0.persist()
     val nUni = uni.agg(sum(col("c"))).collect()(0).getLong(0)
-    val bi = docs
-      .select(explode(TA.adjacentPairs(toks)).as("bg"))
-      .select(col("bg.x").as("x"), col("bg.y").as("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
-      .persist()
+    val bi = bi0.persist()
     val nBi = bi.agg(sum(col("c_xy"))).collect()(0).getLong(0)
     bi.filter(col("c_xy") >= pmiMinCount)
       .join(broadcast(uni.select(col("tok").as("x"), col("c").as("cx"))), "x")

@@ -534,6 +534,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q256 streaming PMI collocations are bit-identical to batch q104 (pairing #72)") {
+    val batch = graft.queries.TextQueries.q104_pmi_collocations(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q256_stream_pmi(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q202 streaming session paths are bit-identical to batch q132 (pairing #24)") {
     val batch = graft.queries.EventQueries.q132_top_paths(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q202_stream_paths(spark, dir).collect().toSeq
