@@ -1749,6 +1749,30 @@ object StreamQueries {
   /** Same oracle as the batch PMI collocations — the point. */
   val q256_stream_pmi_sql: String = TextQueries.q104_pmi_collocations_sql
 
+  /** q257 — STREAMING vocabulary coverage: q79's "how many ranked
+    * types cover 90/95/99% of tokens" curve over the DOCUMENTS
+    * stream — the SEVENTY-THIRD pairing, the tokenizer-sizing
+    * monitor maintained at ingest over the SAME (lang, tok, c)
+    * histogram state as q254's Zipf fit (one online vocabulary
+    * histogram serves both reports — exactly how a production LM
+    * stats pipeline amortizes its state). Coverage ranks + cutoffs
+    * replay verbatim (shared vocabCoverageFrom, shared oracle).
+    */
+  def q257_stream_vocab_coverage(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q257_mem_${runId.incrementAndGet()}"
+    val freq = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("lang"),
+            explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")))
+        .toMemory(spark, name, "complete")
+    }
+    TextQueries.vocabCoverageFrom(freq.localCheckpoint(true))
+  }
+
+  /** Same oracle as the batch vocabulary coverage — the point. */
+  val q257_stream_vocab_coverage_sql: String = TextQueries.q79_vocab_coverage_sql
+
   /** q202 — STREAMING session paths: q132's top trigram-path report
     * maintained incrementally — the TWENTY-FOURTH pairing, and the
     * online form of sessionization itself: per-user state is the
@@ -3404,6 +3428,7 @@ object StreamQueries {
     "q254_stream_zipf" -> (q254_stream_zipf _),
     "q255_stream_heavy_hitters" -> (q255_stream_heavy_hitters _),
     "q256_stream_pmi" -> (q256_stream_pmi _),
+    "q257_stream_vocab_coverage" -> (q257_stream_vocab_coverage _),
     "q202_stream_paths" -> (q202_stream_paths _),
     "q203_stream_gap_fill" -> (q203_stream_gap_fill _),
     "q200_stream_conversion_lag" -> (q200_stream_conversion_lag _),
@@ -3488,6 +3513,7 @@ object StreamQueries {
     "q254_stream_zipf" -> q254_stream_zipf_sql,
     "q255_stream_heavy_hitters" -> q255_stream_heavy_hitters_sql,
     "q256_stream_pmi" -> q256_stream_pmi_sql,
+    "q257_stream_vocab_coverage" -> q257_stream_vocab_coverage_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,
     "q203_stream_gap_fill" -> q203_stream_gap_fill_sql,
     "q200_stream_conversion_lag" -> q200_stream_conversion_lag_sql,

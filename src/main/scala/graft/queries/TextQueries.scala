@@ -1421,11 +1421,17 @@ object TextQueries {
     * corpus-sized) → conditional agg. Per-lang window parallelism is
     * lang-count-bounded, but its input is only the vocabulary.
     */
-  def q79_vocab_coverage(spark: SparkSession, dir: String): DataFrame = {
-    val freq = tokenized(spark, dir)
+  def q79_vocab_coverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageFrom(tokenized(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("lang"), explode(col("tk")).as("tok"))
-      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")))
+
+  /** The coverage-curve tail over a (lang, tok, c) vocabulary
+    * histogram — shared verbatim by batch q79 and its streaming twin
+    * q257 (pairing #73), the same histogram q254's Zipf fit reads.
+    */
+  private[queries] def vocabCoverageFrom(freq: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))
     val cum = freq
       .withColumn("rank", row_number().over(w))

@@ -542,6 +542,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q257 streaming vocab coverage is bit-identical to batch q79 (pairing #73)") {
+    val batch = graft.queries.TextQueries.q79_vocab_coverage(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q257_stream_vocab_coverage(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q202 streaming session paths are bit-identical to batch q132 (pairing #24)") {
     val batch = graft.queries.EventQueries.q132_top_paths(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q202_stream_paths(spark, dir).collect().toSeq
