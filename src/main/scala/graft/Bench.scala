@@ -57,7 +57,7 @@ object Bench {
     // shift the headline total against prior rounds and crowd the
     // compact line's width budget. They still run in Verify (the
     // gate) and in `sbt test`.
-    val benched = SparkEntry.queries.filterNot(_._1.matches("q\\d+d\\d+_.*"))
+    val benched = SparkEntry.queries.filterNot(_._1.matches("q\\d+d\\d+[a-z]?_.*"))
 
     def runSf(dir: String): Seq[(String, Double)] =
       benched.toSeq.sortBy(_._1).map { case (name, fn) =>

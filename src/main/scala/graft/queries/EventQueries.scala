@@ -942,85 +942,6 @@ object EventQueries {
        |FROM m JOIN ex USING (ta, tb) ORDER BY ta, tb""".stripMargin
   }
 
-  /** q187d1 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2): the raw
-    * per-type bottom-64 sketch rows themselves — (event_type, rank,
-    * hash). Exercises exactly the stages UPSTREAM of q187's pair
-    * math in the driver's oracle engine: hash60 over user ids,
-    * DISTINCT, and per-type ranking. A mismatch here localizes the
-    * divergence to hashing/ingestion; a green d1 with a red q187
-    * localizes it to the list merge/intersect machinery (see
-    * q187d2). Delete once the five r10/r11 reds are two rounds green.
-    */
-  def q187d1_sketch(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("h"))
-    Tables.events(spark, dir)
-      .select(col("event_type"), hash60(col("user_id").cast("string")).as("h"))
-      .distinct()
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 64)
-      .select(col("event_type"), col("rn"), col("h"))
-      .orderBy(col("event_type"), col("rn"))
-  }
-
-  val q187d1_sketch_sql: String = {
-    val h = graft.functions.Determinism.hash60Sql("CAST(user_id AS VARCHAR)")
-    s"""WITH hs AS (SELECT DISTINCT event_type, $h AS h FROM events),
-       |rk AS (SELECT event_type, h,
-       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-       |       FROM hs)
-       |SELECT event_type, CAST(rn AS BIGINT) AS rn, h
-       |FROM rk WHERE rn <= 64 ORDER BY event_type, rn""".stripMargin
-  }
-
-  /** q187d2 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2): the merged
-    * bottom-64 sketch of every type pair, EXPLODED to (ta, tb,
-    * position, hash) rows. Exercises exactly the list machinery the
-    * driver's oracle runs between d1's sketches and q187's integers:
-    * list_concat → list_distinct → list_sort → [1:64] slicing. With
-    * d1 green and d2 red, the driver's list semantics diverge; with
-    * both green and q187 red, only list_intersect / the final
-    * projection remain. Delete once the five r10/r11 reds are two
-    * rounds green.
-    */
-  def q187d2_merge(spark: SparkSession, dir: String): DataFrame = {
-    val k = 64
-    val bottomK = udaf(new graft.operators.Sketches.BottomK(k),
-      org.apache.spark.sql.Encoders.scalaLong)
-    val sk = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id")).distinct()
-      .select(col("event_type"), hash60(col("user_id").cast("string")).as("h"))
-      .groupBy(col("event_type")).agg(bottomK(col("h")).as("bk"))
-    sk.select(col("event_type").as("ta"), col("bk").as("ba"))
-      .join(sk.select(col("event_type").as("tb"), col("bk").as("bb")),
-        col("ta") < col("tb"))
-      .select(col("ta"), col("tb"),
-        posexplode(slice(array_sort(array_union(col("ba"), col("bb"))), 1, k)))
-      .select(col("ta"), col("tb"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("h"))
-      .orderBy(col("ta"), col("tb"), col("pos"))
-  }
-
-  val q187d2_merge_sql: String = {
-    val h = graft.functions.Determinism.hash60Sql("CAST(user_id AS VARCHAR)")
-    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
-       |hs AS (SELECT DISTINCT event_type, $h AS h FROM du),
-       |rk AS (SELECT event_type, h,
-       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-       |       FROM hs),
-       |bk AS (SELECT event_type, list(h ORDER BY h) AS bk
-       |       FROM rk WHERE rn <= 64 GROUP BY 1),
-       |pr AS (SELECT a.event_type AS ta, a.bk AS ba, b.event_type AS tb, b.bk AS bb
-       |       FROM bk a JOIN bk b ON a.event_type < b.event_type),
-       |m AS (SELECT ta, tb,
-       |        (list_sort(list_distinct(list_concat(ba, bb))))[1:64] AS mk
-       |      FROM pr)
-       |SELECT ta, tb, CAST(g.pos AS BIGINT) AS pos, mk[g.pos] AS h
-       |FROM m, generate_series(1, 64) g(pos)
-       |WHERE g.pos <= len(mk)
-       |ORDER BY ta, tb, pos""".stripMargin
-  }
-
   /** q190 — JOURNEY PATTERN MATCHING (the MATCH_RECOGNIZE /
     * Flink-CEP ask, composed from primitives Spark already has):
     * each user's event history renders to a compact symbol string
@@ -1129,8 +1050,6 @@ object EventQueries {
     "q196_timed_conversion" -> (q196_timed_conversion _),
     "q190_journey_patterns" -> (q190_journey_patterns _),
     "q187_kmv_overlap" -> (q187_kmv_overlap _),
-    "q187d1_sketch" -> (q187d1_sketch _),
-    "q187d2_merge" -> (q187d2_merge _),
     "q132_top_paths" -> (q132_top_paths _),
     "q126_ewma" -> (q126_ewma _),
     "q08_unique" -> (q08_unique _),
@@ -1163,8 +1082,6 @@ object EventQueries {
     "q196_timed_conversion" -> q196_timed_conversion_sql,
     "q190_journey_patterns" -> q190_journey_patterns_sql,
     "q187_kmv_overlap" -> q187_kmv_overlap_sql,
-    "q187d1_sketch" -> q187d1_sketch_sql,
-    "q187d2_merge" -> q187d2_merge_sql,
     "q126_ewma" -> q126_ewma_sql,
     "q132_top_paths" -> q132_top_paths_sql,
     "q08_unique" -> q08_unique_sql,

@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   *       arithmetic right-shift
   *   d3  the row_number/COUNT window + rank-targeted selection
   *       machinery (q193's med stage) on a planted-tie frame
-  *   d4  the long→DECIMAL(18,4)/(18,6) renders q185/q193 carried
-  *       until r13 (dropped from their hashed surfaces; this probe
-  *       keeps testing the class so the drop is adjudicable)
+  *   d4a–d4d  the long→DECIMAL(18,4)/(18,6) renders q185/q193
+  *       carried until r13, split per shape (scale × sign) after the
+  *       r13 driver-red conviction of the class, each with a VARCHAR
+  *       render column (VERDICT r13 item 1)
   *   d5  list aggregation → lateral unnest → least/greatest pair
   *       assembly → UNION ALL (q185's post-scoring assembly)
+  *
+  * CORRECTNESS_r13 adjudicated the family: d1/d2/d3/d5 driver-green
+  * (engine conformant on those classes), d4 driver-RED with 14/14
+  * rows and schema matching — the driver's oracle build computes the
+  * decimal render class differently from the pinned DuckDB 1.0.0
+  * replica. The d4a–d4d split names the shape; then the file closes.
   *
   * All names match the qNNNdM diagnostic pattern, so Bench excludes
   * them and the gate treats them as instrumentation. Delete with the
@@ -149,39 +156,63 @@ object ProbeQueries {
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Values covering the exact renders q185/q193 hashed until r13:
-    * the jw band (8800–10000, positive), the negative slope band,
-    * zero, ±1, and a 12-digit magnitude.
+    * the jw band (8800–10000), zero, 1, the slope-band magnitudes,
+    * and a 12-digit magnitude. Positive arm; d4b/d4d negate it.
     */
-  private val renderV: Seq[Long] = Seq(0L, 1L, -1L, 8800L, -8800L,
-    9096L, 10000L, -10000L, 904706L, -904706L, 10060000L, -10060000L,
-    123456789012L, -123456789012L)
+  private val renderPos: Seq[Long] = Seq(0L, 1L, 8800L, 9096L,
+    10000L, 904706L, 10060000L, 123456789012L)
+  private val renderNeg: Seq[Long] = renderPos.filter(_ != 0L).map(-_)
 
-  /** q300d4 — the dropped decimal render class, data-free: the exact
-    * long → DECIMAL(18,0) → ×10⁻⁴/10⁻⁶ literal → DECIMAL(18,s)
-    * chain, over positive AND negative values. q185 was the gate's
-    * only DECIMAL(18,4) hasher and q193/q195 its only NEGATIVE
-    * decimal hashers; r13 removed both from the operator queries —
-    * this probe keeps the class under driver test so the removal is
-    * adjudicable (green probe = renders were innocent; red probe =
-    * root cause found, never hash decimals of this shape again).
+  /** q300d4a–d4d — the dropped decimal render class, split per shape
+    * (VERDICT r13 item 1). r13's single q300d4 went red at the
+    * driver (green on the pinned DuckDB 1.0.0 replica), convicting
+    * the driver's oracle build on the long→DECIMAL render CLASS —
+    * but it hashed 14 rows across four shapes (scale 4/6 × sign), so
+    * it named the class, not the shape. These four subprobes each
+    * carry ONE shape of the identical op chain
+    * (long → DECIMAL(18,0) → ×10⁻⁴/10⁻⁶ literal → DECIMAL(18,s)),
+    * plus a VARCHAR cast of the rendered decimal so the engine's own
+    * string rendering is itself a hashed value: CORRECTNESS_r14's
+    * red/green pattern over {d4a..d4d} names exactly which render
+    * shape the driver's build computes differently, and whichever
+    * side of {decimal hash, varchar render} diverges localizes the
+    * divergence to binary decimal semantics vs string rendering.
+    * Delete with the probe family once the file is closed.
     */
-  def q300d4_probe_render(spark: SparkSession, dir: String): DataFrame = {
+  private def renderProbe(spark: SparkSession, vs: Seq[Long],
+      scale: Int): DataFrame = {
     val sp = spark
     import sp.implicits._
-    renderV.toDF("v").select(col("v"),
-      (col("v").cast("decimal(18,0)") * lit(BigDecimal("0.0001")))
-        .cast("decimal(18,4)").as("r4"),
-      (col("v").cast("decimal(18,0)") * lit(BigDecimal("0.000001")))
-        .cast("decimal(18,6)").as("r6"))
+    val tick = lit(BigDecimal(java.math.BigDecimal.valueOf(1L, scale)))
+    val r = (col("v").cast("decimal(18,0)") * tick)
+      .cast(s"decimal(18,$scale)")
+    vs.toDF("v")
+      .select(col("v"), r.as("r"), r.cast("string").as("r_str"))
       .orderBy(col("v"))
   }
 
-  val q300d4_probe_render_sql: String =
+  private def renderProbeSql(vs: Seq[Long], scale: Int): String = {
+    val tick = java.math.BigDecimal.valueOf(1L, scale).toPlainString
     s"""SELECT v,
-       |  CAST(CAST(v AS DECIMAL(18,0)) * 0.0001 AS DECIMAL(18,4)) AS r4,
-       |  CAST(CAST(v AS DECIMAL(18,0)) * 0.000001 AS DECIMAL(18,6)) AS r6
-       |FROM (SELECT unnest(${longList(renderV)}) AS v)
+       |  CAST(CAST(v AS DECIMAL(18,0)) * $tick AS DECIMAL(18,$scale)) AS r,
+       |  CAST(CAST(CAST(v AS DECIMAL(18,0)) * $tick AS DECIMAL(18,$scale)) AS VARCHAR) AS r_str
+       |FROM (SELECT unnest(${longList(vs)}) AS v)
        |ORDER BY v""".stripMargin
+  }
+
+  def q300d4a_probe_r4pos(spark: SparkSession, dir: String): DataFrame =
+    renderProbe(spark, renderPos, 4)
+  def q300d4b_probe_r4neg(spark: SparkSession, dir: String): DataFrame =
+    renderProbe(spark, renderNeg, 4)
+  def q300d4c_probe_r6pos(spark: SparkSession, dir: String): DataFrame =
+    renderProbe(spark, renderPos, 6)
+  def q300d4d_probe_r6neg(spark: SparkSession, dir: String): DataFrame =
+    renderProbe(spark, renderNeg, 6)
+
+  val q300d4a_probe_r4pos_sql: String = renderProbeSql(renderPos, 4)
+  val q300d4b_probe_r4neg_sql: String = renderProbeSql(renderNeg, 4)
+  val q300d4c_probe_r6pos_sql: String = renderProbeSql(renderPos, 6)
+  val q300d4d_probe_r6neg_sql: String = renderProbeSql(renderNeg, 6)
 
   /** q300d5 — q185's post-scoring assembly, data-free: group a range
     * into per-key lists, lateral-unnest twice into ordered pairs,
@@ -225,13 +256,19 @@ object ProbeQueries {
     "q300d1_probe_intdiv" -> (q300d1_probe_intdiv _),
     "q300d2_probe_bits" -> (q300d2_probe_bits _),
     "q300d3_probe_window" -> (q300d3_probe_window _),
-    "q300d4_probe_render" -> (q300d4_probe_render _),
+    "q300d4a_probe_r4pos" -> (q300d4a_probe_r4pos _),
+    "q300d4b_probe_r4neg" -> (q300d4b_probe_r4neg _),
+    "q300d4c_probe_r6pos" -> (q300d4c_probe_r6pos _),
+    "q300d4d_probe_r6neg" -> (q300d4d_probe_r6neg _),
     "q300d5_probe_lists" -> (q300d5_probe_lists _))
 
   val oracles: Map[String, String] = Map(
     "q300d1_probe_intdiv" -> q300d1_probe_intdiv_sql,
     "q300d2_probe_bits" -> q300d2_probe_bits_sql,
     "q300d3_probe_window" -> q300d3_probe_window_sql,
-    "q300d4_probe_render" -> q300d4_probe_render_sql,
+    "q300d4a_probe_r4pos" -> q300d4a_probe_r4pos_sql,
+    "q300d4b_probe_r4neg" -> q300d4b_probe_r4neg_sql,
+    "q300d4c_probe_r6pos" -> q300d4c_probe_r6pos_sql,
+    "q300d4d_probe_r6neg" -> q300d4d_probe_r6neg_sql,
     "q300d5_probe_lists" -> q300d5_probe_lists_sql)
 }

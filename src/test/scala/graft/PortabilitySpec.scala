@@ -155,10 +155,11 @@ class PortabilitySpec extends AnyFunSuite {
     */
   test("ex-red queries hash only exact-integer surfaces (no float columns)") {
     val exRed = Seq("q185_jaro_linkage", "q187_kmv_overlap", "q193_theil_sen",
-      "q185d1_jw_stats", "q185d2_scored", "q187d1_sketch", "q187d2_merge",
+      "q185d1_jw_stats", "q185d2_scored",
       "q193d1_daily", "q193d2_pairstats", "q193d3_kqstats", "q193d4_selected",
       "q300d1_probe_intdiv", "q300d2_probe_bits", "q300d3_probe_window",
-      "q300d4_probe_render", "q300d5_probe_lists")
+      "q300d4a_probe_r4pos", "q300d4b_probe_r4neg", "q300d4c_probe_r6pos",
+      "q300d4d_probe_r6neg", "q300d5_probe_lists")
     val bad = exRed.flatMap { name =>
       val schema = SparkEntry.queries(name)(spark, dir).schema
       spark.catalog.clearCache()
