@@ -62,6 +62,11 @@ object KCore {
       val w = KHop.frameWidth(n, targetRowsPerTask)
       surv = if (next.rdd.getNumPartitions <= w) next else next.coalesce(w)
     }
-    surv.select(col("n"), col("d"))
+    // Eager lineage cut + cache release (ADVICE r13): survivor set is
+    // node-bounded — materialize and drop the final round's persist so
+    // invocations don't stack storage (pagerankIterFrom's pattern).
+    val out = surv.select(col("n"), col("d")).localCheckpoint(true)
+    cached.unpersist(false)
+    out
   }
 }

@@ -66,6 +66,14 @@ object Sssp {
       val w = KHop.frameWidth(n, targetRowsPerTask)
       dist = if (next.rdd.getNumPartitions <= w) next else next.coalesce(w)
     }
-    dist
+    // Eager lineage cut + cache release (ADVICE r13): the result is
+    // node-bounded, so materialize it as an RDD and drop the final
+    // round's persist — otherwise every invocation in a many-query
+    // session pins one dist frame (and keeps the caller's edge cache
+    // reachable) until an external clearCache. Same pattern as
+    // pagerankIterFrom's post-loop release.
+    val out = dist.localCheckpoint(true)
+    cached.unpersist(false)
+    out
   }
 }

@@ -187,8 +187,12 @@ object ReportQueries {
     val src = Tables.part(spark, dir)
       .filter(pmod(col("p_partkey"), lit(100L)) === 0)
       .select(col("p_partkey").as("n"))
-    graft.operators.Sssp.relax(bidir, src, rounds = 4)
-      .select(col("n").as("p_partkey"), col("d").as("dist"))
+    val dist = graft.operators.Sssp.relax(bidir, src, rounds = 4)
+    // relax's result is an eager localCheckpoint (lineage cut), so the
+    // edge cache is unreachable — release it here (ADVICE r13) instead
+    // of leaving it pinned until a caller's clearCache.
+    bidir.unpersist(false)
+    dist.select(col("n").as("p_partkey"), col("d").as("dist"))
       .orderBy(col("p_partkey"))
   }
 
@@ -241,8 +245,11 @@ object ReportQueries {
     val bidir = edges.select(col("a").as("x"), col("b").as("y"))
       .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
       .persist()
-    graft.operators.KCore.peel(bidir, k = 3L, rounds = 4)
-      .select(col("n").as("p_partkey"), col("d").as("core_deg"))
+    val core = graft.operators.KCore.peel(bidir, k = 3L, rounds = 4)
+    // peel's result is an eager localCheckpoint — the edge cache is
+    // unreachable past it; release here (ADVICE r13).
+    bidir.unpersist(false)
+    core.select(col("n").as("p_partkey"), col("d").as("core_deg"))
       .orderBy(col("p_partkey"))
   }
 

@@ -20,6 +20,8 @@ import graft.functions.Determinism._
 object StreamQueries {
 
   private val runId = new AtomicInteger(0)
+  // per-invocation q243 scratch isolation (ADVICE r13)
+  private val q243Run = new AtomicInteger(0)
 
   /** See [[graft.streaming.Pairing.withStreamShuffle]] — the shared
     * stream-shuffle-width discipline, factored into the pairing
@@ -3351,14 +3353,13 @@ object StreamQueries {
     * key-sized merge; history is never re-read.
     */
   def q243_stream_mv_rollup(spark: SparkSession, dir: String): DataFrame = {
-    val root = RelationalQueries.scratch("q243_mv")
-    // fresh lifecycle per invocation: a bench rep must redo the
-    // maintenance, not serve a previous rep's base
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(root))
+    // fresh lifecycle per invocation, ISOLATED per invocation (ADVICE
+    // r13): a per-run suffix means a bench rep redoes the maintenance
+    // without racing a concurrent same-JVM invocation's recursive
+    // delete against its running stream/serve. Roots are registered
+    // with the scratch shutdown hook; per-run growth is 4 small part
+    // files + a key-sized view, cleaned at JVM exit.
+    val root = RelationalQueries.scratch(s"q243_mv_r${q243Run.incrementAndGet()}")
     val keys = Seq("o_orderpriority", "o_orderstatus")
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))

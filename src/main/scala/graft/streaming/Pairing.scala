@@ -170,9 +170,29 @@ object Pairing {
   /** Test-observable count of states removed through the event-time
     * expiry path — the removal is deliberately invisible in query
     * output, so the lifecycle spec needs a side channel to prove
-    * expiry actually fired.
+    * expiry actually fired. A Spark LongAccumulator, NOT a JVM
+    * AtomicLong (ADVICE r13): the increment runs inside
+    * flatMapGroupsWithState on EXECUTORS, so an AtomicLong would only
+    * move in single-JVM local mode — the accumulator's merged value
+    * reaches the driver on any deployment. Registered lazily against
+    * the live SparkContext and re-registered if the context was
+    * recycled between suites. Task retries can over-count (standard
+    * accumulator semantics) — the side channel proves expiry FIRED,
+    * it is not an exactly-once metric.
     */
-  val expired = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var expiredReg:
+      (org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator) = null
+  private def expiredFor(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    synchronized {
+      val sc = spark.sparkContext
+      if (expiredReg == null || (expiredReg._1 ne sc) || expiredReg._1.isStopped)
+        expiredReg = (sc, sc.longAccumulator("graft.pairing.expired"))
+      expiredReg._2
+    }
+
+  /** Driver-side view of the merged expiry count. */
+  def expiredCount: Long =
+    Option(expiredReg).map(_._2.value.longValue()).getOrElse(0L)
 
   /** The generic core: run a per-key stateful pairing over a
     * caller-prepared typed stream with a caller-declared canonical
@@ -213,13 +233,16 @@ object Pairing {
     val timeoutConf =
       if (expireHorizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
+    // acquired on the DRIVER before closure construction; the closure
+    // captures the (serializable) accumulator itself
+    val expAcc = expireHorizonMs.map(_ => expiredFor(spark))
     withStreamShuffle(spark) {
       val out = stream.groupByKey(key)(ek)
         .flatMapGroupsWithState[S, O](OutputMode.Append, timeoutConf) {
           (k: K, it: Iterator[R], state: GroupState[S]) =>
             if (state.hasTimedOut) {
               state.remove()
-              expired.incrementAndGet()
+              expAcc.foreach(_.add(1L))
               Iterator.empty
             } else {
               val ordered = it.toVector.sortBy(order)

@@ -45,15 +45,22 @@ class PairingLifecycleSpec extends AnyFunSuite {
     // key's deadline is behind the watermark batch B runs under, so
     // its state must be removed there. Disjoint key sets keep the
     // output identical to the no-expiry semantics by construction.
-    def write(name: String, okFrom: Int, okTo: Int): Unit =
+    // distinct EXPLICIT mtimes pin the file→batch order (ADVICE r13:
+    // a sleep-based gap is flaky under coarse filesystem timestamp
+    // granularity or CI clock skew — set the timestamps directly)
+    def write(name: String, okFrom: Int, okTo: Int, mtime: Long): Unit = {
       spark.range(okFrom, okTo)
         .select(col("id").as("ok"),
           (col("id") % 3 + 1).as("ln"),
           (col("id") * 7 % 50).as("m"))
         .coalesce(1).write.parquet(s"$tmp/$name")
-    write("a", 1, 11)
-    Thread.sleep(1500) // distinct mtimes pin the file→batch order
-    write("b", 1000, 1011)
+      new java.io.File(s"$tmp/$name").listFiles
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.setLastModified(mtime), s"setLastModified failed: $f"))
+    }
+    val t0 = System.currentTimeMillis()
+    write("a", 1, 11, t0 - 60000L)
+    write("b", 1000, 1011, t0)
     val files = new java.io.File(tmp).listFiles.flatMap(d =>
       d.listFiles.filter(_.getName.endsWith(".parquet"))).map(_.getAbsolutePath)
     val schema = spark.read.parquet(files.head).schema
@@ -80,9 +87,9 @@ class PairingLifecycleSpec extends AnyFunSuite {
         }.orderBy(col("o")).collect().toSeq
     }
     val plain = run(None)
-    val before = Pairing.expired.get()
+    val before = Pairing.expiredCount
     val ttl = run(Some(1000L))
-    val fired = Pairing.expired.get() - before
+    val fired = Pairing.expiredCount - before
     assert(ttl == plain, s"expiry changed output: $ttl vs $plain")
     assert(fired >= 10, s"expected batch A's 10 order states to expire, got $fired")
   }
