@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.CacheOnce.PersistFreshOps
 
 /** Bounded-depth BFS (k-hop reachability) as a reusable kernel —
   * q138's iterative-traversal primitive (deva: recursive traverse,
@@ -51,7 +52,7 @@ object KHop {
     * churn; 6-variant bisect in PLANS r10).
     */
   private def materializedShaped(df: DataFrame, targetRowsPerTask: Long): (DataFrame, Long) = {
-    val raw = df.persist()
+    val raw = df.persistFresh()
     val n = raw.count()
     val w = frameWidth(n, targetRowsPerTask)
     (if (raw.rdd.getNumPartitions <= w) raw else raw.coalesce(w), n)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.CacheOnce.PersistFreshOps
 
 /** Exact triangle enumeration over an arbitrary undirected edge
   * frame, degree-oriented — the reusable graph-motif kernel behind
@@ -80,7 +81,7 @@ object Triangles {
     // pipeline (e.g. a co-occurrence build) runs once, not once per
     // self-join arm (both frames are edge-count-sized; callers'
     // clearCache discipline bounds residency)
-    val ed = edges.select(col(aCol).as("a"), col(bCol).as("b")).persist()
+    val ed = edges.select(col(aCol).as("a"), col(bCol).as("b")).persistFresh()
     val deg = ed.select(col("a").as("node"))
       .union(ed.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -93,7 +94,7 @@ object Triangles {
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a")).otherwise(col("b")).as("u"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b")).otherwise(col("a")).as("v"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db")).otherwise(col("da")).as("dv"))
-      .persist()
+      .persistFresh()
     e.as("e1").join(e.as("e2"),
         col("e1.u") === col("e2.u") &&
           struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))

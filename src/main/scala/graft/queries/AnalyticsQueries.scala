@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Determinism._
+import graft.operators.CacheOnce.PersistFreshOps
 
 /** Round-8 analytics additions: the exact-quantile / graph-motif /
   * data-profiling / wide-pivot / changelog-compaction family — the
@@ -990,7 +991,7 @@ object AnalyticsQueries {
   private[queries] def clusteringCoeffFrom(spark: SparkSession, dir: String,
       os: DataFrame): DataFrame = {
     val edges = graft.operators.Triangles.cooccurrenceEdges(
-      os, "o", "s", minSupport = 5).persist()
+      os, "o", "s", minSupport = 5).persistFresh()
     val tri = graft.operators.Triangles.triangles(edges)
     val triPerNode = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
@@ -1090,7 +1091,7 @@ object AnalyticsQueries {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persistFresh()
     val n = deg.count() // 1-row scalar (node count), the q104-audited class
     // The deg join is loop-INVARIANT: hoist it out of the power
     // iterations and cache the joined edge frame pre-partitioned by

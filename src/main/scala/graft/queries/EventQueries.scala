@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.AsOf
 import graft.functions.Determinism._
+import graft.operators.CacheOnce.PersistFreshOps
 
 /** Event-stream queries: the deva `Stream` transform surface
   * (`deva/core/compute/ops.py`) evaluated batch-side over the
@@ -871,7 +872,7 @@ object EventQueries {
     */
   def q187_kmv_overlap(spark: SparkSession, dir: String): DataFrame = {
     val du = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id")).distinct().persist()
+      .select(col("event_type"), col("user_id")).distinct().persistFresh()
     du.count() // eager: sketch + exact-audit consumers race a cold cache otherwise
     kmvOverlapFrom(du)
   }

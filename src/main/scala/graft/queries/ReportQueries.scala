@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Determinism._
+import graft.operators.CacheOnce.PersistFreshOps
 
 /** Round-9 reporting / reconciliation family: the warehouse-facing
   * primitives an analytics stack publishes dashboards and data-quality
@@ -128,7 +129,7 @@ object ReportQueries {
       op, "o", "p", minSupport = 2)
     val bidir = edges.select(col("a").as("x"), col("b").as("y"))
       .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
-      .persist()
+      .persistFresh()
     val src = Tables.part(spark, dir)
       .filter(pmod(col("p_partkey"), lit(100L)) === 0)
       .select(col("p_partkey").as("n"))
@@ -296,7 +297,7 @@ object ReportQueries {
     * batch and stream cannot drift.
     */
   private[queries] def madFrom(hist0: DataFrame): DataFrame = {
-    val hist = hist0.persist()
+    val hist = hist0.persistFresh()
     hist.count() // eager: three consumers race a cold cache's partition locks otherwise (the q104 lesson)
     // med2 per type in ONE window + agg pass: the group total rides
     // the same exchange as the cumulative (an unbounded-frame sum —
@@ -602,7 +603,7 @@ object ReportQueries {
   private[queries] def assocRulesFrom(op: DataFrame): DataFrame = {
     val sets = op
       .groupBy(col("o")).agg(collect_set(col("p")).as("ms"))
-      .persist()
+      .persistFresh()
     sets.count() // eager: three consumers race a cold cache's partition locks otherwise (the q104 lesson)
     val nOrders = sets.agg(count(lit(1)).as("n_orders"))
     val sup = sets.select(explode(col("ms")).as("p"))
@@ -842,7 +843,7 @@ object ReportQueries {
   private[queries] def itemCfFrom(op: DataFrame): DataFrame = {
     val sets = op
       .groupBy(col("o")).agg(collect_set(col("p")).as("ms"))
-      .persist()
+      .persistFresh()
     sets.count() // eager: two consumers race a cold cache otherwise (q104 lesson)
     val cx = sets.select(explode(col("ms")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("c"))
@@ -961,7 +962,7 @@ object ReportQueries {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("n_name"), col("ncents"))
-      .persist()
+      .persistFresh()
     shareOfParentFrom(nat)
   }
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Determinism._
+import graft.operators.CacheOnce.PersistFreshOps
 
 /** Round-9i statistical audit kit: the experiment-analysis and
   * data-quality primitives a warehouse team runs daily — A/B
@@ -270,7 +271,7 @@ object StatsQueries {
     * drift.
     */
   private[queries] def medianTestFrom(histT0: DataFrame): DataFrame = {
-    val histT = histT0.persist()
+    val histT = histT0.persistFresh()
     histT.count() // eager: two consumers race a cold cache otherwise (the q104 lesson)
     val histC = histT.groupBy(col("c")).agg(sum(col("cnt")).as("cnt"))
     val cum = graft.operators.Sequence.globalPrefixSum(

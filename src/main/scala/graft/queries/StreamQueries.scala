@@ -1775,6 +1775,134 @@ object StreamQueries {
   /** Same oracle as the batch vocabulary coverage — the point. */
   val q257_stream_vocab_coverage_sql: String = TextQueries.q79_vocab_coverage_sql
 
+  /** q258 — STREAMING tf-idf cosine pairs: q105's shared-term
+    * near-dup report over the DOCUMENTS stream — the SEVENTY-FOURTH
+    * pairing, putting the content-similarity monitor online (template
+    * families and boilerplate clusters surface as docs ingest, not at
+    * the next batch sweep). TWO complete-mode aggregations maintain
+    * the state: the (doc_id, tok, tf) term histogram — exactly the
+    * inverted index a live tf-idf service keeps, distinct-(doc,term)
+    * bounded — and the 1-row corpus size (idf's n is corpus-wide, so
+    * it must count ALL docs, including any the tokenizer empties out
+    * of the term state). df counts, idf weights, norms and the pair
+    * join replay verbatim (shared tfidfPairsFrom, shared oracle).
+    */
+  def q258_stream_tfidf_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val TA = graft.operators.TextAnalysis
+    val n1 = s"q258t_mem_${runId.incrementAndGet()}"
+    val n2 = s"q258n_mem_${runId.incrementAndGet()}"
+    val tokc = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+        .toMemory(spark, n1, "complete")
+    }.localCheckpoint(true)
+    val nd = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .agg(count(lit(1)).as("n")))
+        .toMemory(spark, n2, "complete")
+    }.localCheckpoint(true)
+    TextQueries.tfidfPairsFrom(tokc, nd)
+  }
+
+  /** Same oracle as the batch tf-idf pairs — the point. */
+  val q258_stream_tfidf_pairs_sql: String = TextQueries.q105_tfidf_pairs_sql
+
+  /** q259 — STREAMING bigram perplexity: q107's corpus-LM fluency
+    * gate over the DOCUMENTS stream — the SEVENTY-FIFTH pairing, the
+    * online form of the CCNet-style quality filter (a doc's keep
+    * flag is ready the trigger after it ingests, scored against the
+    * corpus LM as of that trigger). ONE complete-mode aggregation
+    * maintains the distinct (doc_id, lang, bigram, cnt) histogram —
+    * q256's bigram state keyed one level finer, distinct-(doc,
+    * bigram) bounded; corpus frequencies, prefix totals and
+    * vocabulary all DERIVE from it in the projection, so no second
+    * state is needed (shared bigramPerplexityFrom, shared oracle).
+    */
+  def q259_stream_bigram_perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val TA = graft.operators.TextAnalysis
+    val name = s"q259_mem_${runId.incrementAndGet()}"
+    val bgc = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TA.adjacentPairs(TA.tokens(col("text")))).as("bg"))
+          .select(col("doc_id"), col("lang"), col("bg.x").as("x"), col("bg.y").as("y"))
+          .groupBy(col("doc_id"), col("lang"), col("x"), col("y"))
+          .agg(count(lit(1)).as("cnt")))
+        .toMemory(spark, name, "complete")
+    }.localCheckpoint(true)
+    TextQueries.bigramPerplexityFrom(bgc)
+  }
+
+  /** Same oracle as the batch bigram perplexity — the point. */
+  val q259_stream_bigram_perplexity_sql: String =
+    TextQueries.q107_bigram_perplexity_sql
+
+  /** q260 — STREAMING banded edit-distance pairs: q90's typo-level
+    * near-dup report over the DOCUMENTS stream — the SEVENTY-SIXTH
+    * pairing, the online form of the character-noise quarantine (a
+    * crawl's near-verbatim mutations pair up at ingest). TWO
+    * complete-mode aggregations maintain the exact-dup CLASS state
+    * the batch pipeline collapses to anyway: members (cls, doc_id —
+    * the doc→class map) and reps (cls → min doc id + the class's one
+    * text, distinct-text bounded — the same class table the exact
+    * dedup channel keeps, now carrying its text for the levenshtein
+    * verify). Blocking, banded DP and pair expansion replay verbatim
+    * (shared editPairsFrom, shared oracle).
+    */
+  def q260_stream_edit_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = s"q260m_mem_${runId.incrementAndGet()}"
+    val n2 = s"q260r_mem_${runId.incrementAndGet()}"
+    val members = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(md5(col("text")).as("cls"), col("doc_id"))
+          .groupBy(col("cls"), col("doc_id")).agg(count(lit(1)).as("c")))
+        .toMemory(spark, n1, "complete")
+    }.localCheckpoint(true).select(col("cls"), col("doc_id"))
+    val reps = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(md5(col("text")).as("cls"), col("doc_id"), col("text"))
+          .groupBy(col("cls"))
+          .agg(min(col("doc_id")).as("rep_id"), min(col("text")).as("text")))
+        .toMemory(spark, n2, "complete")
+    }.localCheckpoint(true)
+    TextQueries.editPairsFrom(members, reps)
+  }
+
+  /** Same oracle as the batch edit-distance pairs — the point. */
+  val q260_stream_edit_pairs_sql: String = TextQueries.q90_edit_pairs_sql
+
+  /** q261 — STREAMING prefix-filter similarity join: q127's exact
+    * Jaccard≥0.5 pair report over the DOCUMENTS stream — the
+    * SEVENTY-SEVENTH pairing, completing the dedup family's online
+    * coverage at the set-similarity end (exact q239, fuzzy-cosine
+    * q258, typo q260, set-overlap here). ONE complete-mode
+    * aggregation maintains the (doc_id, shingle) membership state —
+    * the inverted shingle index, distinct-(doc, shingle) bounded;
+    * the projection rebuilds each doc's distinct shingle set
+    * (sort_array(collect_list) — every downstream use is set-based,
+    * argued at prefixJoinFrom) and replays the class collapse +
+    * prefix filter + verify verbatim (shared tail, shared oracle).
+    * Empty-shingle docs never enter the membership state; the tail's
+    * docstring proves they are output-inert in the batch frame too.
+    */
+  def q261_stream_prefix_join(spark: SparkSession, dir: String): DataFrame = {
+    val TA = graft.operators.TextAnalysis
+    val name = s"q261_mem_${runId.incrementAndGet()}"
+    val memb = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(TA.shingles(TA.tokens(col("text")), 3))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c")))
+        .toMemory(spark, name, "complete")
+    }.localCheckpoint(true)
+    TextQueries.prefixJoinFrom(
+      memb.groupBy(col("doc_id")).agg(sort_array(collect_list(col("t"))).as("ts")))
+  }
+
+  /** Same oracle as the batch prefix-filter join — the point. */
+  val q261_stream_prefix_join_sql: String = TextQueries.q127_prefix_join_sql
+
   /** q202 — STREAMING session paths: q132's top trigram-path report
     * maintained incrementally — the TWENTY-FOURTH pairing, and the
     * online form of sessionization itself: per-user state is the
@@ -3430,6 +3558,10 @@ object StreamQueries {
     "q255_stream_heavy_hitters" -> (q255_stream_heavy_hitters _),
     "q256_stream_pmi" -> (q256_stream_pmi _),
     "q257_stream_vocab_coverage" -> (q257_stream_vocab_coverage _),
+    "q258_stream_tfidf_pairs" -> (q258_stream_tfidf_pairs _),
+    "q259_stream_bigram_perplexity" -> (q259_stream_bigram_perplexity _),
+    "q260_stream_edit_pairs" -> (q260_stream_edit_pairs _),
+    "q261_stream_prefix_join" -> (q261_stream_prefix_join _),
     "q202_stream_paths" -> (q202_stream_paths _),
     "q203_stream_gap_fill" -> (q203_stream_gap_fill _),
     "q200_stream_conversion_lag" -> (q200_stream_conversion_lag _),
@@ -3515,6 +3647,10 @@ object StreamQueries {
     "q255_stream_heavy_hitters" -> q255_stream_heavy_hitters_sql,
     "q256_stream_pmi" -> q256_stream_pmi_sql,
     "q257_stream_vocab_coverage" -> q257_stream_vocab_coverage_sql,
+    "q258_stream_tfidf_pairs" -> q258_stream_tfidf_pairs_sql,
+    "q259_stream_bigram_perplexity" -> q259_stream_bigram_perplexity_sql,
+    "q260_stream_edit_pairs" -> q260_stream_edit_pairs_sql,
+    "q261_stream_prefix_join" -> q261_stream_prefix_join_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,
     "q203_stream_gap_fill" -> q203_stream_gap_fill_sql,
     "q200_stream_conversion_lag" -> q200_stream_conversion_lag_sql,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Dedup, GroupTopK, TextAnalysis => TA}
+import graft.operators.CacheOnce.PersistFreshOps
 
 /** LLM-training-data text operators over `documents` (SURVEY §2.6):
   * token counting, quality scoring, language ID, exact/fuzzy dedup
@@ -591,12 +592,12 @@ object TextQueries {
     val filtered = Tables.documents(spark, dir)
       .filter(quality >= 0.3)
       .select(col("doc_id"), col("lang"), col("text"), nTok.as("n_tokens"))
-      .persist()
+      .persistFresh()
     val keepExact = filtered
       .select(col("doc_id"), md5(concat_ws(" ", array_sort(toks))).as("nk"))
       .groupBy(col("nk")).agg(min(col("doc_id")).as("doc_id"))
     val survivors = filtered.join(keepExact.select("doc_id"), Seq("doc_id"), "left_semi")
-      .persist()
+      .persistFresh()
     val pairs = Dedup.lshCandidatePairs(sigFrameOf(survivors), "doc_id")
     val dropIds = Dedup.connectedComponents(pairs, "a_id", "b_id")
       .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
@@ -1245,11 +1246,24 @@ object TextQueries {
     */
   private val maxLev = 10
   def q90_edit_pairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val classes = docs.withColumn("cls", md5(col("text")))
-    val members = classes.select(col("cls"), col("doc_id"))
-    val reps = classes.groupBy(col("cls"))
-      .agg(min(col("doc_id")).as("rep_id"), min(col("text")).as("text"))
+    val classes = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("cls", md5(col("text")))
+    editPairsFrom(
+      classes.select(col("cls"), col("doc_id")),
+      classes.groupBy(col("cls"))
+        .agg(min(col("doc_id")).as("rep_id"), min(col("text")).as("text")))
+  }
+
+  /** The banded edit-distance tail over the exact-dup CLASS state —
+    * members (cls, doc_id) and reps (cls, rep_id, text) — shared
+    * verbatim by batch q90 and its streaming twin q260 (pairing #76):
+    * rep simhash + length-banded blocking, pre-DP length prune,
+    * banded levenshtein verification, member-pair expansion, lev-0
+    * within-class pairs. All members of a class share one text (cls
+    * is its md5), so the class table IS the sufficient state.
+    */
+  private[queries] def editPairsFrom(members: DataFrame, reps: DataFrame): DataFrame = {
     val repToks = reps.select(col("rep_id"), explode(TA.tokens(col("text"))).as("tok"))
     val fp = Dedup.simhash(repToks, "rep_id")
     // LENGTH-BANDED blocking (r9): a pair can only pass the lev ≤ t
@@ -1294,11 +1308,13 @@ object TextQueries {
       .join(members.select(col("cls").as("cls_b"), col("doc_id").as("db")), Seq("cls_b"))
       .select(least(col("da"), col("db")).as("a_id"),
         greatest(col("da"), col("db")).as("b_id"), col("lev"), col("max_len"))
-    val withinPairs = classes
-      .select(col("cls"), col("doc_id"), length(col("text")).cast("long").as("len"))
+    // every member of a class has the class's one text, so len comes
+    // from the rep — bit-identical to a per-member min(len)
+    val withinPairs = members
       .groupBy(col("cls"))
-      .agg(collect_list(col("doc_id")).as("ids"), min(col("len")).as("len"))
+      .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
+      .join(reps.select(col("cls"), length(col("text")).cast("long").as("len")), Seq("cls"))
       .select(col("ids"), col("len"), explode(col("ids")).as("a_id"))
       .select(col("a_id"), col("len"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
@@ -2448,9 +2464,9 @@ object TextQueries {
     * ~1 s with the zip bigram build and the sequential pin).
     */
   private[queries] def pmiFrom(uni0: DataFrame, bi0: DataFrame): DataFrame = {
-    val uni = uni0.persist()
+    val uni = uni0.persistFresh()
     val nUni = uni.agg(sum(col("c"))).collect()(0).getLong(0)
-    val bi = bi0.persist()
+    val bi = bi0.persistFresh()
     val nBi = bi.agg(sum(col("c_xy"))).collect()(0).getLong(0)
     bi.filter(col("c_xy") >= pmiMinCount)
       .join(broadcast(uni.select(col("tok").as("x"), col("c").as("cx"))), "x")
@@ -2518,6 +2534,16 @@ object TextQueries {
     val nd = docs.agg(count(lit(1)).as("n"))
     val tokc = docs.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tfidfPairsFrom(tokc, nd)
+  }
+
+  /** The tf-idf cosine-pair tail over the (doc_id, tok, tf) term
+    * histogram plus a 1-row corpus-size frame — shared verbatim by
+    * batch q105 and its streaming twin q258 (pairing #74): df counts,
+    * decq-quantized idf weights, per-doc norms, shared-term pair join,
+    * cosine threshold.
+    */
+  private[queries] def tfidfPairsFrom(tokc: DataFrame, nd: DataFrame): DataFrame = {
     val dfr = tokc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = tokc.join(dfr, "tok").crossJoin(broadcast(nd))
       .filter(col("df") <= least(greatest(lit(2L), expr("n div 5")), lit(1000L)))
@@ -2631,7 +2657,7 @@ object TextQueries {
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"),
         col("quality"))
-      .persist() // feeds both the argmax pass and the kept-flag join
+      .persistFresh() // feeds both the argmax pass and the kept-flag join
     val best = GroupTopK.rank(withC, Seq("cluster_id"),
         Seq(col("quality").desc, col("doc_id")), 1, "pos")
       .select(col("cluster_id"), col("doc_id").as("best_id"))
@@ -2730,9 +2756,20 @@ object TextQueries {
     // means the two bgc derivations are separate plans).
     val bgc = bg.groupBy(col("doc_id"), col("lang"), col("x"), col("y"))
       .agg(count(lit(1)).as("cnt"))
+    bigramPerplexityFrom(bgc)
+  }
+
+  /** The bigram-perplexity tail over the distinct (doc_id, lang, x,
+    * y, cnt) per-doc bigram histogram — shared verbatim by batch q107
+    * and its streaming twin q259 (pairing #75): corpus bigram
+    * frequencies, prefix totals and vocabulary derive FROM the
+    * histogram, then the add-one-smoothed surprisal scores and
+    * per-doc keep flags replay identically.
+    */
+  private[queries] def bigramPerplexityFrom(bgc: DataFrame): DataFrame = {
     val bfreq = bgc.groupBy(col("lang"), col("x"), col("y"))
       .agg(sum(col("cnt")).as("c_xy"))
-      .persist() // vocab²-bounded (q104's rule) — feeds three consumers
+      .persistFresh() // vocab²-bounded (q104's rule) — feeds three consumers
     val pfx = bfreq.groupBy(col("lang"), col("x")).agg(sum(col("c_xy")).as("c_px"))
     val voc = bfreq.groupBy(col("lang")).agg(countDistinct(col("y")).as("v"))
     bgc.join(broadcast(bfreq), Seq("lang", "x", "y"))
@@ -2899,6 +2936,21 @@ object TextQueries {
       .select(col("doc_id"), toks.as("tk"))
       .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), array_distinct(TA.shingles(col("tk"), 3)).as("ts"))
+    prefixJoinFrom(docs)
+  }
+
+  /** The prefix-filter exact-similarity tail over the (doc_id, ts)
+    * distinct-shingle-set frame — shared verbatim by batch q127 and
+    * its streaming twin q261 (pairing #77): exact-class collapse,
+    * df-ordered prefix emission, candidate join, set verification,
+    * member-pair expansion. A doc with an EMPTY shingle set is
+    * output-inert here (it emits no prefix rows, its within-class
+    * pairs are sz>0-filtered, and a cross pair against it can never
+    * reach inter·2 ≥ uni with inter 0 < uni), so a caller that drops
+    * empty docs — the stream twin's membership state never sees them
+    * — produces the identical frame.
+    */
+  private[queries] def prefixJoinFrom(docs: DataFrame): DataFrame = {
     // EXACT-CLASS COLLAPSE (the q90 lesson, structural here): group
     // docs with identical shingle SETS and run the join on one
     // representative per class. Under heavy duplication — the normal
@@ -2927,7 +2979,7 @@ object TextQueries {
         first(col("ts")).as("ts"),
         max(size(col("ts"))).as("sz"),
         count(lit(1)).as("m"))
-      .persist()
+      .persistFresh()
     // materialize the cache ONCE before the main job: four consumers
     // (df branch, prefix branch, verify, within-class expansion)
     // otherwise race the cold cache and serialize on its

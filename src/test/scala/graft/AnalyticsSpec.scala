@@ -550,6 +550,38 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q258 streaming tf-idf pairs are bit-identical to batch q105 (pairing #74)") {
+    val batch = graft.queries.TextQueries.q105_tfidf_pairs(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q258_stream_tfidf_pairs(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q259 streaming bigram perplexity is bit-identical to batch q107 (pairing #75)") {
+    val batch = graft.queries.TextQueries.q107_bigram_perplexity(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q259_stream_bigram_perplexity(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q260 streaming edit-distance pairs are bit-identical to batch q90 (pairing #76)") {
+    val batch = graft.queries.TextQueries.q90_edit_pairs(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q260_stream_edit_pairs(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q261 streaming prefix-filter join is bit-identical to batch q127 (pairing #77)") {
+    val batch = graft.queries.TextQueries.q127_prefix_join(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q261_stream_prefix_join(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q202 streaming session paths are bit-identical to batch q132 (pairing #24)") {
     val batch = graft.queries.EventQueries.q132_top_paths(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q202_stream_paths(spark, dir).collect().toSeq
