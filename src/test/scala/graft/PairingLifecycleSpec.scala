@@ -17,15 +17,14 @@ class PairingLifecycleSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(cores = 4, shufflePartitions = 4)
   val dir = "/root/testdata/sf0.001"
 
-  test("q224 in expiry mode is bit-identical to the gate entry") {
+  test("q224 gate entry (expiry ON since r14) is bit-identical to the never-expire variant") {
     val gate = graft.queries.StreamQueries
       .q224_stream_component_census(spark, dir).collect().toSeq
-    val ttl = graft.queries.StreamQueries
-      .q224_with_expiry(spark, dir, horizonMs = 7L * 24 * 3600 * 1000)
-      .collect().toSeq
+    val plain = graft.queries.StreamQueries
+      .q224_without_expiry(spark, dir).collect().toSeq
     assert(gate.nonEmpty)
-    assert(ttl == gate,
-      s"first diff: ${ttl.zip(gate).find(p => p._1 != p._2)}")
+    assert(gate == plain,
+      s"first diff: ${gate.zip(plain).find(p => p._1 != p._2)}")
   }
 
   test("q243 MV-maintained rollup is bit-identical to batch q33 (pairing #63)") {
