@@ -328,6 +328,120 @@ object StatsQueries {
        |  CAST(c.contrib_q AS DOUBLE) AS contrib, g.chi2, g.dof
        |FROM contrib c, g ORDER BY 1, 2""".stripMargin
 
+  /** q262 — KRUSKAL–WALLIS rank test across event types: do the k
+    * event types share one value distribution? The k-sample
+    * generalization of q246's two-sample rank-sum, completing the
+    * rank family PROPERLY (r13 designed and rejected this test for
+    * int64 overflow of RAW rank-square sums ~ N³/k²; VERDICT r13
+    * item 7 asked for the bound to be re-verified — the fix is the
+    * NORMALIZED form below, whose per-group contribution is bounded
+    * by H ≤ N−1, inside the decq int64 edge to ~9×10¹² events, i.e.
+    * past the 100 TB row count). Mood's median test (q252) remains
+    * beside it: medians test location only, ranks test the whole
+    * distribution shift.
+    *
+    * Exactness (the q246 doctrine, per group): ranks never
+    * materialize per row — the corpus collapses to the (type, cents)
+    * histogram; the pooled cumulative gives each value run's doubled
+    * midrank 2·cumBefore + t + 1, so each group's DOUBLED rank sum
+    * 2R_g is an exact DECIMAL(38,0), as is the tie term Σ(t³−t).
+    * The statistic then runs in the q150 contribution discipline:
+    * each group's normalized term
+    * 12/(N(N+1)) · n_g · (R_g/n_g − (N+1)/2)² is ONE mirrored double
+    * expression of those exact integers, decq-floor-quantized at
+    * 1e-6, and H is their exact decimal sum — group order cannot
+    * move a bit. The tie-corrected H' divides by the mirrored
+    * 1 − Σ(t³−t)/(N³−N).
+    *
+    * Scale/shape: ONE corpus aggregation to the histogram (map-side
+    * partials), the global cumulative via Sequence.globalPrefixSum
+    * (never a single-task window), a value-domain-bounded broadcast
+    * join back, and label-bounded finals.
+    */
+  def q262_kruskal_wallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallisFrom(Tables.events(spark, dir)
+      .groupBy(col("event_type"), cents(col("value")).as("c"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q262's readout from the (event_type, c, cnt) value histogram —
+    * pooled midranks, per-group doubled rank sums, normalized
+    * contributions, tie-corrected H. Shared verbatim by the
+    * streaming twin q263 so batch and stream cannot drift.
+    */
+  private[queries] def kruskalWallisFrom(histT0: DataFrame): DataFrame = {
+    val histT = histT0.persistFresh()
+    histT.count() // eager: two consumers race a cold cache otherwise (the q104 lesson)
+    val histC = histT.groupBy(col("c")).agg(sum(col("cnt")).as("t"))
+    val cum = graft.operators.Sequence.globalPrefixSum(
+      histC, Seq(col("c")), "t", "cum")
+    val perG = histT
+      .join(broadcast(cum.select(col("c"), col("t"), col("cum"))), Seq("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_g"),
+        sum(col("cnt").cast("decimal(38,0)")
+          * (lit(2) * (col("cum") - col("t")) + col("t") + 1)).as("r2"))
+    val glob = cum.agg(sum(col("t")).as("n"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t")).as("tie3"))
+    val nd = col("n").cast("double")
+    val ngd = col("n_g").cast("double")
+    val meanDiff = col("r2").cast("double") / (lit(2.0) * ngd) -
+      (nd + lit(1.0)) / lit(2.0)
+    val scored = perG.crossJoin(broadcast(glob))
+      .withColumn("contrib_q",
+        decq(lit(12.0) / (nd * (nd + lit(1.0))) * ngd * meanDiff * meanDiff, 6))
+    val g = scored.groupBy()
+      .agg(sum(col("contrib_q")).as("hq"),
+        count(lit(1)).as("k"),
+        first(col("n")).as("n"),
+        first(col("tie3")).as("tie3"))
+      .select(col("hq").cast("double").as("h"),
+        (col("hq").cast("double") /
+          (lit(1.0) - col("tie3").cast("double")
+            / (col("n").cast("double") * col("n").cast("double")
+              * col("n").cast("double") - col("n").cast("double")))).as("h_tie"),
+        (col("k") - 1).cast("long").as("dof"))
+    scored
+      .select(col("event_type"), col("n_g"),
+        col("contrib_q").cast("double").as("contrib"))
+      .crossJoin(broadcast(g))
+      .orderBy(col("event_type"))
+  }
+
+  val q262_kruskal_wallis_sql: String =
+    s"""WITH ht AS (
+       |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |hc AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS t FROM ht GROUP BY 1),
+       |cum AS (SELECT c, t, SUM(t) OVER (ORDER BY c) AS cum FROM hc),
+       |pg AS (
+       |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_g,
+       |    SUM(CAST(cnt AS DECIMAL(38,0)) * (2 * (cum - t) + t + 1)) AS r2
+       |  FROM ht JOIN cum USING (c) GROUP BY 1),
+       |gtot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+       |    SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3 FROM cum),
+       |scored AS (
+       |  SELECT event_type, n_g, n, tie3,
+       |    ${decqSql(
+      """12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+              * CAST(n_g AS DOUBLE)
+              * (CAST(r2 AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / 2.0)
+              * (CAST(r2 AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / 2.0)""", 6)} AS contrib_q
+       |  FROM pg, gtot),
+       |g AS (
+       |  SELECT CAST(SUM(contrib_q) AS DOUBLE) AS h,
+       |    CAST(SUM(contrib_q) AS DOUBLE)
+       |      / (1.0 - CAST(MAX(tie3) AS DOUBLE)
+       |         / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+       |            * CAST(MAX(n) AS DOUBLE) - CAST(MAX(n) AS DOUBLE))) AS h_tie,
+       |    CAST(COUNT(*) - 1 AS BIGINT) AS dof
+       |  FROM scored)
+       |SELECT s.event_type, s.n_g, CAST(s.contrib_q AS DOUBLE) AS contrib,
+       |  g.h, g.h_tie, g.dof
+       |FROM scored s, g ORDER BY 1""".stripMargin
+
   /** q150 — chi-square test of independence over the (market
     * segment × order priority) contingency table: is order priority
     * distributed independently of customer segment? The categorical
@@ -789,6 +903,7 @@ object StatsQueries {
     "q149_ab_test" -> (q149_ab_test _),
     "q246_mann_whitney" -> (q246_mann_whitney _),
     "q252_median_test" -> (q252_median_test _),
+    "q262_kruskal_wallis" -> (q262_kruskal_wallis _),
     "q150_chi_square" -> (q150_chi_square _),
     "q151_benford" -> (q151_benford _),
     "q152_expectations" -> (q152_expectations _),
@@ -799,6 +914,7 @@ object StatsQueries {
     "q149_ab_test" -> q149_ab_test_sql,
     "q246_mann_whitney" -> q246_mann_whitney_sql,
     "q252_median_test" -> q252_median_test_sql,
+    "q262_kruskal_wallis" -> q262_kruskal_wallis_sql,
     "q150_chi_square" -> q150_chi_square_sql,
     "q151_benford" -> q151_benford_sql,
     "q152_expectations" -> q152_expectations_sql,

@@ -1638,6 +1638,31 @@ object StreamQueries {
   /** Same oracle as the batch median test — the point. */
   val q253_stream_median_test_sql: String = StatsQueries.q252_median_test_sql
 
+  /** q263 — STREAMING Kruskal–Wallis: q262's k-sample rank test over
+    * the EVENTS stream — the SEVENTY-EIGHTH pairing, the rank
+    * family's online k-sample form (the monitor that says "one of
+    * the k event types drifted in DISTRIBUTION, not just location"
+    * the trigger it happens). State is the SAME (event_type, cents)
+    * histogram q253's median test maintains — one online value
+    * histogram serves both robust k-sample reports, the q254/q257
+    * amortization on the events side; midranks, doubled rank sums
+    * and the normalized tie-corrected H replay verbatim (shared
+    * kruskalWallisFrom, shared oracle).
+    */
+  def q263_stream_kruskal_wallis(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q263_mem_${runId.incrementAndGet()}"
+    val hist = withStreamShuffle(spark) {
+      EventFlow(EventFlow.fromEvents(spark, dir).df
+          .groupBy(col("event_type"), StatsQueries.cents(col("value")).as("c"))
+          .agg(count(lit(1)).as("cnt")))
+        .toMemory(spark, name, "complete")
+    }
+    StatsQueries.kruskalWallisFrom(hist.localCheckpoint(true))
+  }
+
+  /** Same oracle as the batch Kruskal–Wallis — the point. */
+  val q263_stream_kruskal_wallis_sql: String = StatsQueries.q262_kruskal_wallis_sql
+
   /** q254 — STREAMING Zipf monitor: q100's per-language rank-
     * frequency slope over the DOCUMENTS stream — the SEVENTIETH
     * pairing, the ingest-time "is this crawl's token distribution
@@ -3593,6 +3618,7 @@ object StreamQueries {
     "q259_stream_bigram_perplexity" -> (q259_stream_bigram_perplexity _),
     "q260_stream_edit_pairs" -> (q260_stream_edit_pairs _),
     "q261_stream_prefix_join" -> (q261_stream_prefix_join _),
+    "q263_stream_kruskal_wallis" -> (q263_stream_kruskal_wallis _),
     "q202_stream_paths" -> (q202_stream_paths _),
     "q203_stream_gap_fill" -> (q203_stream_gap_fill _),
     "q200_stream_conversion_lag" -> (q200_stream_conversion_lag _),
@@ -3682,6 +3708,7 @@ object StreamQueries {
     "q259_stream_bigram_perplexity" -> q259_stream_bigram_perplexity_sql,
     "q260_stream_edit_pairs" -> q260_stream_edit_pairs_sql,
     "q261_stream_prefix_join" -> q261_stream_prefix_join_sql,
+    "q263_stream_kruskal_wallis" -> q263_stream_kruskal_wallis_sql,
     "q202_stream_paths" -> q202_stream_paths_sql,
     "q203_stream_gap_fill" -> q203_stream_gap_fill_sql,
     "q200_stream_conversion_lag" -> q200_stream_conversion_lag_sql,

@@ -126,6 +126,52 @@ class StatsSpec extends AnyFunSuite {
       s"chi2: got ${rows.head.getAs[Double]("chi2")} want $chi2")
   }
 
+  test("q262 Kruskal–Wallis H equals a classical midrank recount") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), centsOf(r.getDouble(1))))
+    // classical definition: midranks over the pooled sorted values
+    val sorted = ev.map(_._2).sorted
+    val n = sorted.length
+    val rankOf: Map[Long, Double] = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+    val groups = ev.groupBy(_._1)
+    val nd = n.toDouble
+    val h = 12.0 / (nd * (nd + 1.0)) * groups.values.map { g =>
+      val rbar = g.map(e => rankOf(e._2)).sum / g.length
+      g.length.toDouble * (rbar - (nd + 1.0) / 2.0) * (rbar - (nd + 1.0) / 2.0)
+    }.sum
+    val tie3 = ev.map(_._2).groupBy(identity).values
+      .map { g => val t = g.size.toLong; (t * t * t - t).toDouble }.sum
+    val hTie = h / (1.0 - tie3 / (nd * nd * nd - nd))
+    val rows = StatsQueries.q262_kruskal_wallis(spark, dir).collect()
+    assert(rows.length == groups.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) == groups(r.getString(0)).length.toLong,
+        s"n_g mismatch for ${r.getString(0)}")
+    }
+    // the gate's H sums decq-quantized (1e-6-floored) contributions:
+    // within k·1e-6 of the classical statistic
+    val k = groups.size
+    assert(math.abs(rows.head.getAs[Double]("h") - h) <= k * 1e-6 + 1e-12,
+      s"h: got ${rows.head.getAs[Double]("h")} want $h")
+    assert(math.abs(rows.head.getAs[Double]("h_tie") - hTie) <= (k * 1e-6) * 2 + 1e-12,
+      s"h_tie: got ${rows.head.getAs[Double]("h_tie")} want $hTie")
+    assert(rows.head.getAs[Long]("dof") == (k - 1).toLong)
+    // the contribution envelope that readmitted the test (r13 rejected
+    // the RAW rank-square form for int64 overflow): each normalized
+    // term is ≤ H ≤ N−1, far inside decq's 9.2e12 @1e-6 edge
+    assert(rows.map(_.getAs[Double]("contrib")).forall(c => c >= 0 && c <= nd))
+  }
+
+  test("q263 streaming Kruskal–Wallis is bit-identical to batch q262 (pairing #78)") {
+    val batch = StatsQueries.q262_kruskal_wallis(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q263_stream_kruskal_wallis(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q253 streaming median test is bit-identical to batch q252 (pairing #69)") {
     val batch = StatsQueries.q252_median_test(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q253_stream_median_test(spark, dir).collect().toSeq
