@@ -31,4 +31,18 @@ object CacheOnce {
     def persistFresh(): DataFrame =
       if (df.storageLevel == StorageLevel.NONE) df.persist() else df
   }
+
+  /** persistFresh with an OWNERSHIP-AWARE release handle: the handle
+    * unpersists only if this call created the entry. For builders
+    * that persist-then-release an internal frame whose plan another
+    * builder may ALSO cache and keep (q138's khop edge frame and
+    * q249's k-core edge frame are the same canonicalized plan): a
+    * plain persist would warn against the live entry, and a plain
+    * release would STEAL it from the invocation that owns it.
+    */
+  def borrowPersist(df: DataFrame): (DataFrame, () => Unit) =
+    if (df.storageLevel == StorageLevel.NONE) {
+      val p = df.persist()
+      (p, () => { p.unpersist(blocking = true); () })
+    } else (df, () => ())
 }

@@ -155,7 +155,7 @@ object Dedup {
       val idType = edges.schema("src").dataType
       val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
+      edges.unpersist(blocking = true)
       // path-compressed union-find; root carries the component min
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -192,19 +192,19 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist()
       val s = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-      labels.unpersist()
+      labels.unpersist(blocking = true)
       labels = next
       converged = s == prevSum
       prevSum = s
       i += 1
     }
-    edges.unpersist()
+    edges.unpersist(blocking = true)
     // an unconverged result silently mislabels components (q65 would
     // keep several docs of one true cluster) — fail loudly instead;
     // rounds needed = component diameter, so hitting this means the
     // pair graph has long chains and maxIter must be raised
     if (!converged) {
-      labels.unpersist()
+      labels.unpersist(blocking = true)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — component diameter exceeds maxIter")
     }

@@ -57,7 +57,7 @@ object KCore {
         .groupBy(edges("x").as("n")).agg(count(lit(1)).as("d"))
       val next = deg.filter(col("d") >= k).persist()
       val n = next.count()
-      cached.unpersist()
+      cached.unpersist(blocking = true)
       cached = next
       val w = KHop.frameWidth(n, targetRowsPerTask)
       surv = if (next.rdd.getNumPartitions <= w) next else next.coalesce(w)
@@ -66,7 +66,7 @@ object KCore {
     // node-bounded — materialize and drop the final round's persist so
     // invocations don't stack storage (pagerankIterFrom's pattern).
     val out = surv.select(col("n"), col("d")).localCheckpoint(true)
-    cached.unpersist(false)
+    cached.unpersist(blocking = true)
     out
   }
 }

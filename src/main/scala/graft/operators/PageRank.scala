@@ -79,13 +79,13 @@ object PageRank {
       i += 1
     }
     if (!converged) {
-      deg.unpersist(); edges.unpersist()
+      deg.unpersist(blocking = true); edges.unpersist(blocking = true)
       throw new IllegalStateException(
         s"PageRank did not converge within $maxIter rounds (tol=$tol)")
     }
     val out = pr.join(deg, pr("id") === deg("src"))
       .select(col("id").as("node"), col("deg"), col("pr"))
-    edges.unpersist()
+    edges.unpersist(blocking = true)
     out
   }
 }

@@ -61,7 +61,7 @@ object Sssp {
       val next = dist.unionByName(cand)
         .groupBy(col("n")).agg(min(col("d")).as("d")).persist()
       val n = next.count()
-      cached.unpersist()
+      cached.unpersist(blocking = true)
       cached = next
       val w = KHop.frameWidth(n, targetRowsPerTask)
       dist = if (next.rdd.getNumPartitions <= w) next else next.coalesce(w)
@@ -73,7 +73,7 @@ object Sssp {
     // reachable) until an external clearCache. Same pattern as
     // pagerankIterFrom's post-loop release.
     val out = dist.localCheckpoint(true)
-    cached.unpersist(false)
+    cached.unpersist(blocking = true)
     out
   }
 }

@@ -123,7 +123,7 @@ object VectorIndex {
         }.toMap
       cents = cents ++ updated // empty cells keep their old centroid
     }
-    sample.unpersist()
+    sample.unpersist(blocking = true)
     cents.toSeq.sortBy(_._1).toDF("cell", "cemb")
   }
 
@@ -190,7 +190,7 @@ object VectorIndex {
       .persist()
     val empty = Seq.empty[(Long, Long, Long, Long, Double)]
       .toDF("probe_id", "rank", "vec_id", "cell", "cosine")
-    val release = () => { pcells.unpersist(); () }
+    val release = () => { pcells.unpersist(blocking = true); () }
     store.lookup(pcells.select(col("cell"))) match {
       case None => (empty, release)
       case Some(cands) =>

@@ -1133,8 +1133,8 @@ object AnalyticsQueries {
     // decode join (callers' clearCache releases it). Without this the
     // three stacked persists (sym, deg, symDeg) outlive every
     // invocation in a many-query session.
-    sym.unpersist(false)
-    symDeg.unpersist(false)
+    sym.unpersist(blocking = true)
+    symDeg.unpersist(blocking = true)
     pr.join(deg, pr("id") === deg("src"))
       .select(
         when(col("id") % 2 === 0,

@@ -182,17 +182,18 @@ object ReportQueries {
     val sup = graft.operators.Triangles.cooccurrenceSupport(
         op, "o", "p", minSupport = 2)
       .withColumn("w", expr("1000 div support"))
-    val bidir = sup.select(col("a").as("x"), col("b").as("y"), col("w"))
-      .unionByName(sup.select(col("b").as("x"), col("a").as("y"), col("w")))
-      .persist()
+    // ownership-aware cache (VERDICT r13 item 4): persist unless an
+    // identical-plan entry is already live, and release only what THIS
+    // call created — relax's result is an eager localCheckpoint
+    // (lineage cut), so an owned edge cache is unreachable past it.
+    val (bidir, releaseBidir) = graft.operators.CacheOnce.borrowPersist(
+      sup.select(col("a").as("x"), col("b").as("y"), col("w"))
+        .unionByName(sup.select(col("b").as("x"), col("a").as("y"), col("w"))))
     val src = Tables.part(spark, dir)
       .filter(pmod(col("p_partkey"), lit(100L)) === 0)
       .select(col("p_partkey").as("n"))
     val dist = graft.operators.Sssp.relax(bidir, src, rounds = 4)
-    // relax's result is an eager localCheckpoint (lineage cut), so the
-    // edge cache is unreachable — release it here (ADVICE r13) instead
-    // of leaving it pinned until a caller's clearCache.
-    bidir.unpersist(false)
+    releaseBidir()
     dist.select(col("n").as("p_partkey"), col("d").as("dist"))
       .orderBy(col("p_partkey"))
   }
@@ -243,13 +244,17 @@ object ReportQueries {
   private[queries] def kcoreFrom(op: DataFrame): DataFrame = {
     val edges = graft.operators.Triangles.cooccurrenceEdges(
       op, "o", "p", minSupport = 2)
-    val bidir = edges.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
-      .persist()
+    // ownership-aware cache: this bidir is the SAME canonicalized plan
+    // as khopFrom's (identical construction over the same input), so a
+    // prior k-hop invocation may hold it live — borrow, don't re-persist
+    // (the CacheManager warning class) or steal-release (VERDICT r13
+    // item 4). peel's result is an eager localCheckpoint, so an owned
+    // cache is unreachable past it.
+    val (bidir, releaseBidir) = graft.operators.CacheOnce.borrowPersist(
+      edges.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(edges.select(col("b").as("x"), col("a").as("y"))))
     val core = graft.operators.KCore.peel(bidir, k = 3L, rounds = 4)
-    // peel's result is an eager localCheckpoint — the edge cache is
-    // unreachable past it; release here (ADVICE r13).
-    bidir.unpersist(false)
+    releaseBidir()
     core.select(col("n").as("p_partkey"), col("d").as("core_deg"))
       .orderBy(col("p_partkey"))
   }

@@ -2859,8 +2859,16 @@ object StreamQueries {
     * item 6): the scale-safe configuration — per-order state removed
     * once the watermark passes a quiet order's deadline — is the
     * certified configuration, not a spec-only variant.
+    * GRAFT_PAIRING_TTL overrides: "off" disables (the pre-r14
+    * behavior, for A/B-ing the TTL machinery's cost), any long is a
+    * horizon in ms (a deployment sizes this to its ingest lag).
     */
-  private[queries] val orderTtlMs: Long = 7L * 24 * 3600 * 1000
+  private[queries] val orderTtlMs: Option[Long] =
+    sys.env.get("GRAFT_PAIRING_TTL") match {
+      case Some("off") => None
+      case Some(ms) => Some(ms.trim.toLong)
+      case None => Some(7L * 24 * 3600 * 1000)
+    }
 
   /** Shared prelude for the per-order membership pairings (#44/#45
     * and the #47–#50 basket/graph family): pairs and edges cannot
@@ -2880,7 +2888,7 @@ object StreamQueries {
     * for genuinely multi-batch replays by PairingLifecycleSpec.
     */
   private[queries] def orderMembers(spark: SparkSession, dir: String,
-      member: Column, expireHorizonMs: Option[Long] = Some(orderTtlMs))(
+      member: Column, expireHorizonMs: Option[Long] = orderTtlMs)(
       project: DataFrame => DataFrame): DataFrame = {
     val sp = spark
     import sp.implicits._
@@ -2968,20 +2976,21 @@ object StreamQueries {
     // the key, which the projection's distinct absorbs — so unlike
     // the membership states, q226's output is expiry-safe even when
     // a key DOES reappear past its horizon.
-    val st = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+    val base = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
         col("l_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("ok"), col("ln"),
         (col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      // +1: orderkey 0 must not tie the initial watermark (see
-      // orderMembers — the late-drop would silently lose its edges)
-      .withColumn("evt", timestamp_millis((col("ok") + 1) * 3600000L))
-      .withWatermark("evt", "0 milliseconds")
+    val st = orderTtlMs.fold(base)(_ =>
+        // +1: orderkey 0 must not tie the initial watermark (see
+        // orderMembers — the late-drop would silently lose its edges)
+        base.withColumn("evt", timestamp_millis((col("ok") + 1) * 3600000L))
+          .withWatermark("evt", "0 milliseconds"))
       .as[graft.streaming.Pairing.LiEdge]
     graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiEdge,
         (Long, Long), Long, (Long, Long)](
-      spark, st, Seq("a", "b"), r => (r.ok, r.ln), Some(orderTtlMs))(
+      spark, st, Seq("a", "b"), r => (r.ok, r.ln), orderTtlMs)(
       r => (r.a, r.b))(0L) { (k, s0, ordered) =>
         (s0 + ordered.size,
           if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2)))

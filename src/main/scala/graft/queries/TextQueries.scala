@@ -2638,7 +2638,7 @@ object TextQueries {
         val cc = Dedup.connectedComponents(
           Dedup.lshCandidatePairs(sigFrame(spark, dir), "doc_id"), "a_id", "b_id")
         cc.write.mode("overwrite").parquet(path)
-        cc.unpersist()
+        cc.unpersist(blocking = true)
       }
     }
     spark.read.parquet(path)

@@ -377,7 +377,7 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     val touched = incoming.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted
     refreshLock() // the probe job may have consumed a chunk of the lease
-    if (touched.isEmpty) { incoming.unpersist(); return }
+    if (touched.isEmpty) { incoming.unpersist(blocking = true); return }
     val existingTouched = touched.map(b => new org.apache.hadoop.fs.Path(rootPath, s"b=$b"))
       .filter(fs.exists)
     val merged = if (existingTouched.nonEmpty) {
@@ -415,7 +415,7 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
     touched.foreach(completeSwap)
     deleteOrThrow(manifestPath)
     deleteOrThrow(stagedPath)
-    incoming.unpersist()
+    incoming.unpersist(blocking = true)
   }
 
   // mergeSchema: after an evolveSchema upsert, only the TOUCHED buckets

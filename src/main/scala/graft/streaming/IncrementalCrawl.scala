@@ -63,7 +63,7 @@ object IncrementalCrawl {
     fetched.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     store.upsert(fetched.select(col(urlCol).as("url"),
       col(idCol).cast("long").as("v"), lit(batchId).as("b")))
-    fetched.unpersist()
+    fetched.unpersist(blocking = true)
     ()
   }
 }

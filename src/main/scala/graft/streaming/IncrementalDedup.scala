@@ -80,7 +80,7 @@ object IncrementalDedup {
     admitted.drop("__nk").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     store.upsert(admitted.select(col("__nk").as("nk"),
       col(idCol).cast("long").as("v"), lit(batchId).as("b")))
-    admitted.unpersist()
+    admitted.unpersist(blocking = true)
     ()
   }
 }

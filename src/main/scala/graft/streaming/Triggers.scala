@@ -28,7 +28,7 @@ object Triggers {
       flow.where(cond).foreachBatchSink(checkpoint, trigger) { (batch, id) =>
         val hits = batch.persist()
         try if (hits.count() > 0) action(hits, id)
-        finally { hits.unpersist(); () }
+        finally { hits.unpersist(blocking = true); () }
       }
   }
 }

@@ -284,7 +284,23 @@ object ScaleSmoke {
       // the globalPrefixSum range exchange is the one total order;
       // k-core's per-round degree recount is edge-linear with a
       // node-bounded broadcast survivor set
-      "q244_sssp", "q246_mann_whitney", "q249_kcore")
+      "q244_sssp", "q246_mann_whitney", "q249_kcore",
+      // round 14: the k-core replay twin joins q226/q229 as the third
+      // measured point of the per-trigger replay family (VERDICT r13
+      // item 5 asks for a ×25 rung beside ×10 so "linear in
+      // accumulated edges" is a measured slope — run with
+      // only=q226_stream_pagerank,q229_stream_khop,q250_stream_kcore
+      // at both factors); Kruskal–Wallis folds to the same
+      // value-domain histogram as q246 (the rank partials' DECIMAL
+      // overflow envelope is the thing the ×N run certifies)
+      "q250_stream_kcore", "q262_kruskal_wallis",
+      // round 14 pairings #74–#77: the online text/similarity
+      // monitors — complete-mode histogram states over ×N docs; the
+      // replayed batch tails follow the q105/q107/q90/q127 width laws
+      // already smoked above, so the ×N number isolates the state
+      // maintenance + rebuild cost
+      "q258_stream_tfidf_pairs", "q259_stream_bigram_perplexity",
+      "q260_stream_edit_pairs", "q261_stream_prefix_join")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

@@ -326,17 +326,51 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q244/q249 iterate with broadcast frontier joins, never a sort-merge of the edge frame") {
-    // relax()/peel() materialize each round eagerly, so the returned
-    // frame's lineage is the FINAL round — the representative one:
-    // earlier rounds ran the identical shape. The dist/survivor side
-    // is node-bounded with exact post-count stats, so it must
-    // broadcast; an SMJ here would re-sort the edge frame per round.
-    val sssp = plan("q244_sssp")
-    assert(sssp.contains("BroadcastHashJoin"), "SSSP round join should broadcast dist")
-    assert(!sssp.contains("SortMergeJoin"), "SSSP must not sort-merge the edge frame")
-    val kcore = plan("q249_kcore")
-    assert(kcore.contains("BroadcastHashJoin"), "k-core round joins should broadcast survivors")
-    assert(!kcore.contains("SortMergeJoin"), "k-core must not sort-merge the edge frame")
+    // Since r14 relax()/peel() END with an eager localCheckpoint
+    // (cache release, ADVICE r13), so the RETURNED frame's lineage is
+    // a bare RDD scan and the old final-plan inspection sees no
+    // joins. Audit the rounds as they actually EXECUTE instead: a
+    // QueryExecutionListener captures every action's final plan
+    // (each round's count() is its own execution), which is the
+    // stronger form — all rounds, not a final-round proxy. The
+    // dist/survivor side is node-bounded with exact post-count
+    // stats, so it must broadcast; an SMJ would re-sort the edge
+    // frame per round.
+    def roundPlans(q: String): Seq[String] = {
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          plans.add(qe.executedPlan.toString)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try {
+        SparkEntry.queries(q)(spark, dir).count()
+        // the listener bus is async: wait for the round executions
+        // (joins) to surface, not just the final RDD-scan count
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline &&
+          !plans.toArray.exists(_.toString.contains("BroadcastHashJoin")))
+          Thread.sleep(100)
+        import scala.jdk.CollectionConverters._
+        plans.asScala.toSeq
+      } finally {
+        spark.listenerManager.unregister(l)
+        spark.catalog.clearCache()
+      }
+    }
+    val sssp = roundPlans("q244_sssp")
+    assert(sssp.exists(_.contains("BroadcastHashJoin")),
+      "SSSP round join should broadcast dist")
+    assert(!sssp.exists(_.contains("SortMergeJoin")),
+      "SSSP must not sort-merge the edge frame")
+    val kcore = roundPlans("q249_kcore")
+    assert(kcore.exists(_.contains("BroadcastHashJoin")),
+      "k-core round joins should broadcast survivors")
+    assert(!kcore.exists(_.contains("SortMergeJoin")),
+      "k-core must not sort-merge the edge frame")
   }
 
   test("projection pruning: q02 reads only needed lineitem columns") {
