@@ -3154,7 +3154,7 @@ object TextQueries {
       .select(col("doc_id"), lower(substring(col("text"), 1, 32)).as("title"))
     val cls = t.groupBy(col("title"))
       .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("ids"))
-      .persist()
+      .persistFresh()
     cls.count() // eager: two consumers race a cold cache otherwise (the q104 lesson)
     val candReps = cls
       .select(substring(col("title"), 1, 2).as("pfx"), col("rep_id"))

@@ -366,12 +366,26 @@ class KvStore(spark: SparkSession, path: String, keyCols: Seq[String],
   private def upsertLocked(batch: DataFrame, evolveSchema: Boolean): Unit = {
     require((keyCols :+ versionCol).forall(batch.columns.contains),
       s"batch must carry key columns $keyCols and version column $versionCol — got ${batch.columns.mkString(",")}")
-    val nb = buckets
     // persisted: evaluated once for the touched-bucket probe and once
     // more by the staged write — without caching, a foreachBatch
     // source would be re-read per action
     val incoming = batch.withColumn("__gen", lit(1)).withColumn("__b", bucketOf)
       .persist()
+    // a FAILED upsert (schema rejection, lease overrun, staged-write
+    // crash) must release the cache too — r14's duplicate-persist
+    // hunt found a retried upsert re-persisting the leaked entry's
+    // identical plan. The happy paths below release-and-return, so
+    // this catch only fires on the failure routes.
+    try upsertStaged(incoming, evolveSchema)
+    catch { case e: Throwable =>
+      try incoming.unpersist(blocking = true)
+      catch { case e2: Throwable if e2 ne e => e.addSuppressed(e2) }
+      throw e
+    }
+  }
+
+  private def upsertStaged(incoming: DataFrame, evolveSchema: Boolean): Unit = {
+    val nb = buckets
     // bucket ids are bounded by nb (a constant), so this collect is a
     // ≤ nb-element driver list, not a data-sized one
     val touched = incoming.select("__b").distinct()

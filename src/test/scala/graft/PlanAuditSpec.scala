@@ -12,6 +12,7 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(cores = 4, shufflePartitions = 4)
   val dir = "/root/testdata/sf0.001"
 
+
   def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
