@@ -1848,7 +1848,12 @@ object StreamQueries {
     val TA = graft.operators.TextAnalysis
     val name = s"q259_mem_${runId.incrementAndGet()}"
     val bgc = withStreamShuffle(spark) {
+      // raw text through an exchange before the interpreted
+      // tokenize+zip explode — the q107 batch lesson applied to the
+      // single-file micro-batch scan (see q261)
       EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .repartition(col("doc_id"))
           .select(col("doc_id"), col("lang"),
             explode(TA.adjacentPairs(TA.tokens(col("text")))).as("bg"))
           .select(col("doc_id"), col("lang"), col("bg.x").as("x"), col("bg.y").as("y"))
@@ -1915,7 +1920,14 @@ object StreamQueries {
     val TA = graft.operators.TextAnalysis
     val name = s"q261_mem_${runId.incrementAndGet()}"
     val memb = withStreamShuffle(spark) {
+      // raw text through an exchange BEFORE the interpreted
+      // tokenize+shingle explode — the single-file micro-batch scan
+      // is one task, and leaving the HOF pipeline on it serializes
+      // the whole maintenance pass (the q127/q107 batch lesson,
+      // measured ~9 s → ~6 s at sf0.1 here)
       EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
             explode(array_distinct(TA.shingles(TA.tokens(col("text")), 3))).as("t"))
           .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c")))
