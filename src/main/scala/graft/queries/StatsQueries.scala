@@ -241,6 +241,208 @@ object StatsQueries {
        |  / (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS auc
        |FROM g""".stripMargin
 
+  /** q264 — two-sample KOLMOGOROV–SMIRNOV test on the same hash-split
+    * arms as q246: the max ECDF gap D = sup_v |F₀(v) − F₁(v)|, the
+    * DISTRIBUTION-SHAPE counterpart of the rank family (q246's
+    * rank-sum detects a stochastic shift, q252 a location shift; KS
+    * sees ANY divergence — variance, tails, bimodality — and is the
+    * standard guardrail-metric test when an A/B arm changes shape
+    * without moving the mean). Reported with the scaled statistic
+    * √(n₀n₁/(n₀+n₁))·D (the asymptotic Kolmogorov form) and the
+    * cents value where the max gap is attained. deva: groupby +
+    * custom stats lambda over the user pipe.
+    *
+    * Exactness (the q246 doctrine): ECDFs never materialize as
+    * floats — the corpus collapses to the (c, m0, m1) value
+    * histogram, the two cumulatives ride
+    * [[graft.operators.Sequence.globalPrefixSum]], and the gap is the
+    * exact integer |n₁·cum₀(v) − n₀·cum₁(v)| in DECIMAL(38,0) (the
+    * cross-product can reach N² ~ 10²⁴ at 10¹² users — q144's
+    * discipline); max and argmin-location are order-free over exact
+    * decimals, and the only floats are the final mirrored casts /
+    * divisions / sqrt of exact scalars.
+    *
+    * Scale/shape: ONE corpus aggregation to the per-user frame, one
+    * histogram aggregation, two range-exchange prefix sums over the
+    * value-domain-bounded histogram, a histogram-keyed join plus
+    * 1-row broadcasts — no per-row rank join, no global sort.
+    */
+  def q264_ks_test(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(lit(0L))).as("c"))
+    ksFrom(perUser)
+  }
+
+  /** q264's readout from the per-user (user_id, c) frame — arm
+    * assignment, value histogram, per-arm cumulatives, exact integer
+    * gap, D and the Kolmogorov-scaled statistic. Shared verbatim by
+    * the streaming twin q265 so batch and stream cannot drift.
+    */
+  private[queries] def ksFrom(perUser0: DataFrame): DataFrame = {
+    val hist = perUser0
+      .withColumn("arm", pmod(hash60(col("user_id").cast("string")), lit(2L)))
+      .groupBy(col("c"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("m0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("m1"))
+      .withColumn("t", col("m0") + col("m1"))
+      .persistFresh()
+    hist.count() // eager: three consumers (two prefix sums + totals) race a cold cache otherwise
+    val cum = graft.operators.Sequence.globalPrefixSum(
+      hist, Seq(col("c")), "t", "cum")
+    val cum0 = graft.operators.Sequence.globalPrefixSum(
+      hist.select(col("c"), col("m0")), Seq(col("c")), "m0", "cum0")
+      .select(col("c"), col("cum0"))
+    val g = hist.agg(sum(col("m0")).as("n0"), sum(col("m1")).as("n1"))
+    val gap = cum.join(cum0, Seq("c")).crossJoin(broadcast(g))
+      .select(col("c"),
+        abs(col("n1").cast("decimal(38,0)") * col("cum0")
+          - col("n0").cast("decimal(38,0)") * (col("cum") - col("cum0"))).as("gp"))
+      .persistFresh()
+    gap.count() // eager: the max and the argmax-location both read it
+    val dm = gap.agg(max(col("gp")).as("dnum"))
+    val at = gap.crossJoin(broadcast(dm)).filter(col("gp") === col("dnum"))
+      .agg(min(col("c")).as("at_c"))
+    val n0d = col("n0").cast("double")
+    val n1d = col("n1").cast("double")
+    g.crossJoin(broadcast(dm)).crossJoin(broadcast(at))
+      .select(col("n0"), col("n1"),
+        (col("dnum").cast("double") / (n0d * n1d)).as("d"),
+        (sqrt(n0d * n1d / (n0d + n1d))
+          * (col("dnum").cast("double") / (n0d * n1d))).as("ks"),
+        col("at_c"))
+  }
+
+  val q264_ks_test_sql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS c
+       |  FROM events GROUP BY user_id),
+       |armd AS (
+       |  SELECT ${hash60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm, c FROM pu),
+       |hist AS (
+       |  SELECT c,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1
+       |  FROM armd GROUP BY c),
+       |cum AS (SELECT c, m0, m1, m0 + m1 AS t,
+       |    SUM(m0 + m1) OVER (ORDER BY c) AS cum,
+       |    SUM(m0) OVER (ORDER BY c) AS cum0 FROM hist),
+       |g AS (SELECT CAST(SUM(m0) AS BIGINT) AS n0,
+       |    CAST(SUM(m1) AS BIGINT) AS n1 FROM hist),
+       |gap AS (SELECT c,
+       |    abs(CAST(n1 AS DECIMAL(38,0)) * cum0
+       |      - CAST(n0 AS DECIMAL(38,0)) * (cum - cum0)) AS gp
+       |  FROM cum, g),
+       |dm AS (SELECT MAX(gp) AS dnum FROM gap),
+       |loc AS (SELECT CAST(MIN(c) AS BIGINT) AS at_c FROM gap, dm WHERE gp = dnum)
+       |SELECT n0, n1,
+       |  CAST(dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS d,
+       |  sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+       |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+       |    * (CAST(dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))) AS ks,
+       |  at_c
+       |FROM g, dm, loc""".stripMargin
+
+  /** q266 — SPEARMAN rank correlation between per-user activity and
+    * per-user spend: does engagement (event count) MONOTONICALLY
+    * track revenue (purchase cents)? Pearson-on-midranks — the
+    * tie-correct Spearman — so one whale user cannot drag the
+    * coefficient the way it drags q131/q169's Pearson: the rank
+    * family's bivariate member beside the two-sample tests (q246 KS
+    * q264) and the robust trend (q193). deva: groupby + custom stats
+    * lambda over the user pipe.
+    *
+    * Exactness: both marginals collapse to value histograms whose
+    * pooled cumulatives ([[graft.operators.Sequence.globalPrefixSum]])
+    * give each value run's DOUBLED midrank 2·cumBefore + t + 1 — an
+    * exact int64; the centered doubled rank d = 2r − (N+1) is exact
+    * (Σd = 0 by construction), and the three moment sums Σdxdy, Σdx²,
+    * Σdy² run in DECIMAL(38,0) (per-row products reach 4N² — q144
+    * discipline; the sums are ≤ 4N³ ~ 4×10³⁶ at 10¹² users, inside
+    * the 38-digit cap). rho is ONE mirrored double expression of
+    * those exact sums. Doubling cancels: Pearson is scale-invariant,
+    * so Pearson(2r_x, 2r_y) = Pearson(r_x, r_y) exactly.
+    *
+    * Scale/shape: ONE corpus aggregation to the per-user frame, two
+    * histogram aggregations + range-exchange prefix sums (value-
+    * domain bounded), two rank-map hash joins back to the per-user
+    * frame (the x map is label-ish and broadcasts; the y map is
+    * distinct-spend bounded — a plain hash join, never collected),
+    * one moment aggregation with map-side partials.
+    */
+  def q266_spearman(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(lit(0L))).as("y"))
+    spearmanFrom(perUser)
+  }
+
+  /** q266's readout from the per-user (user_id, x, y) frame —
+    * marginal midranks, centered doubled ranks, exact decimal
+    * moments, rho. Shared verbatim by the streaming twin q267 so
+    * batch and stream cannot drift.
+    */
+  private[queries] def spearmanFrom(perUser0: DataFrame): DataFrame = {
+    val pu = perUser0.persistFresh()
+    pu.count() // eager: four consumers (two histograms, the count, the join) race a cold cache otherwise
+    def rankMap(vc: String, rn: String): DataFrame = {
+      val hist = pu.groupBy(col(vc)).agg(count(lit(1)).as("t"))
+      graft.operators.Sequence.globalPrefixSum(hist, Seq(col(vc)), "t", "cum")
+        .select(col(vc),
+          (lit(2) * (col("cum") - col("t")) + col("t") + 1).as(rn))
+    }
+    val rx = rankMap("x", "r2x")
+    val ry = rankMap("y", "r2y")
+    val g = pu.agg(count(lit(1)).as("n"))
+    val dd = pu.join(rx, Seq("x")).join(ry, Seq("y"))
+      .crossJoin(broadcast(g))
+      .select((col("r2x") - (col("n") + 1)).as("dx"),
+        (col("r2y") - (col("n") + 1)).as("dy"))
+    val m = dd.agg(count(lit(1)).as("n"),
+      sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"),
+      sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+      sum(col("dy").cast("decimal(38,0)") * col("dy")).as("syy"))
+    m.select(col("n"),
+      (col("sxy").cast("double")
+        / (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double")))).as("rho"),
+      col("sxy").cast("double").as("sxy"),
+      col("sxx").cast("double").as("sxx"),
+      col("syy").cast("double").as("syy"))
+  }
+
+  val q266_spearman_sql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS y
+       |  FROM events GROUP BY user_id),
+       |hx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM pu GROUP BY x),
+       |cx AS (SELECT x, t, SUM(t) OVER (ORDER BY x) AS cum FROM hx),
+       |rx AS (SELECT x, CAST(2 * (cum - t) + t + 1 AS BIGINT) AS r2x FROM cx),
+       |hy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM pu GROUP BY y),
+       |cy AS (SELECT y, t, SUM(t) OVER (ORDER BY y) AS cum FROM hy),
+       |ry AS (SELECT y, CAST(2 * (cum - t) + t + 1 AS BIGINT) AS r2y FROM cy),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pu),
+       |dd AS (SELECT CAST(r2x - (n + 1) AS BIGINT) AS dx,
+       |    CAST(r2y - (n + 1) AS BIGINT) AS dy
+       |  FROM pu JOIN rx USING (x) JOIN ry USING (y), g),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(dx AS DECIMAL(38,0)) * dy) AS sxy,
+       |    SUM(CAST(dx AS DECIMAL(38,0)) * dx) AS sxx,
+       |    SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS syy
+       |  FROM dd)
+       |SELECT n,
+       |  CAST(sxy AS DOUBLE)
+       |    / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) AS rho,
+       |  CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+       |  CAST(syy AS DOUBLE) AS syy
+       |FROM m""".stripMargin
+
   /** q252 — Mood's MEDIAN TEST across event types: do the k event
     * types share a common value median? Each type's counts above /
     * below the POOLED median form a k×2 contingency table judged by
@@ -904,6 +1106,8 @@ object StatsQueries {
     "q246_mann_whitney" -> (q246_mann_whitney _),
     "q252_median_test" -> (q252_median_test _),
     "q262_kruskal_wallis" -> (q262_kruskal_wallis _),
+    "q264_ks_test" -> (q264_ks_test _),
+    "q266_spearman" -> (q266_spearman _),
     "q150_chi_square" -> (q150_chi_square _),
     "q151_benford" -> (q151_benford _),
     "q152_expectations" -> (q152_expectations _),
@@ -915,6 +1119,8 @@ object StatsQueries {
     "q246_mann_whitney" -> q246_mann_whitney_sql,
     "q252_median_test" -> q252_median_test_sql,
     "q262_kruskal_wallis" -> q262_kruskal_wallis_sql,
+    "q264_ks_test" -> q264_ks_test_sql,
+    "q266_spearman" -> q266_spearman_sql,
     "q150_chi_square" -> q150_chi_square_sql,
     "q151_benford" -> q151_benford_sql,
     "q152_expectations" -> q152_expectations_sql,

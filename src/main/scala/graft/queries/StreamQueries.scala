@@ -1543,6 +1543,74 @@ object StreamQueries {
   /** Same oracle as the batch rank-sum readout — the point. */
   val q247_stream_mann_whitney_sql: String = StatsQueries.q246_mann_whitney_sql
 
+  /** q265 — STREAMING Kolmogorov–Smirnov: q264's two-sample max-ECDF-
+    * gap test maintained online — the SEVENTY-NINTH pairing, the
+    * online "the arm changed SHAPE, not just level" monitor beside
+    * the rank-sum (q247) and the location tests (q253). State is the
+    * SAME per-user (seq, purchase-cents) accumulator q247 keeps —
+    * one user-keyed stateful channel serves the whole two-sample
+    * family; histogram, prefix sums, exact integer gap and the
+    * D/√-scaled readout replay verbatim (shared ksFrom, shared
+    * oracle).
+    */
+  def q265_stream_ks_test(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Long), (Long, Long, Long)](
+      spark, dir, Seq("user_id", "seq", "c"))(
+      _.user_id)((0L, 0L)) { (u, s0, ordered) =>
+        var (seq, c) = s0
+        ordered.foreach { e =>
+          seq += 1
+          if (e.event_type == "purchase")
+            c += graft.functions.Determinism.centsOfDouble(e.value)
+        }
+        ((seq, c),
+          if (ordered.isEmpty) Vector.empty else Vector((u, seq, c)))
+      } { t =>
+        StatsQueries.ksFrom(t.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("c"))).as("b"))
+          .select(col("user_id"), col("b.c").as("c")))
+      }
+  }
+
+  /** Same oracle as the batch KS readout — the point. */
+  val q265_stream_ks_test_sql: String = StatsQueries.q264_ks_test_sql
+
+  /** q267 — STREAMING Spearman: q266's engagement-vs-spend rank
+    * correlation maintained online — the EIGHTIETH pairing, the live
+    * "does activity still buy revenue" dial. State is the SAME
+    * per-user (seq, purchase-cents) accumulator as q247/q265 — the
+    * event count IS the seq the channel already tracks, so the ONE
+    * user-keyed state now serves rank-sum, KS and the bivariate rank
+    * correlation (the q254/q257 amortization on the user channel);
+    * midrank maps, centered doubled ranks and the exact decimal
+    * moments replay verbatim (shared spearmanFrom, shared oracle).
+    */
+  def q267_stream_spearman(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Long), (Long, Long, Long)](
+      spark, dir, Seq("user_id", "seq", "c"))(
+      _.user_id)((0L, 0L)) { (u, s0, ordered) =>
+        var (seq, c) = s0
+        ordered.foreach { e =>
+          seq += 1
+          if (e.event_type == "purchase")
+            c += graft.functions.Determinism.centsOfDouble(e.value)
+        }
+        ((seq, c),
+          if (ordered.isEmpty) Vector.empty else Vector((u, seq, c)))
+      } { t =>
+        StatsQueries.spearmanFrom(t.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("c"))).as("b"))
+          .select(col("user_id"), col("b.seq").as("x"), col("b.c").as("y")))
+      }
+  }
+
+  /** Same oracle as the batch Spearman readout — the point. */
+  val q267_stream_spearman_sql: String = StatsQueries.q266_spearman_sql
+
   /** q248 — STREAMING brute-force cosine top-k: q50's exact ANN
     * baseline over the EMBEDDINGS stream — the SIXTY-SIXTH pairing,
     * and the vector family's first online form: an ingest-time
@@ -3628,6 +3696,8 @@ object StreamQueries {
     "q204_stream_mad" -> (q204_stream_mad _),
     "q201_stream_ab_test" -> (q201_stream_ab_test _),
     "q247_stream_mann_whitney" -> (q247_stream_mann_whitney _),
+    "q265_stream_ks_test" -> (q265_stream_ks_test _),
+    "q267_stream_spearman" -> (q267_stream_spearman _),
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
     "q253_stream_median_test" -> (q253_stream_median_test _),
@@ -3718,6 +3788,8 @@ object StreamQueries {
     "q204_stream_mad" -> q204_stream_mad_sql,
     "q201_stream_ab_test" -> q201_stream_ab_test_sql,
     "q247_stream_mann_whitney" -> q247_stream_mann_whitney_sql,
+    "q265_stream_ks_test" -> q265_stream_ks_test_sql,
+    "q267_stream_spearman" -> q267_stream_spearman_sql,
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
     "q253_stream_median_test" -> q253_stream_median_test_sql,

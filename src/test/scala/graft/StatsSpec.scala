@@ -172,6 +172,97 @@ class StatsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q264 KS statistic equals a classical two-ECDF recount") {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, es) =>
+        (u, es.filter(_._2 == "purchase").map(e => centsOf(e._3)).sum)
+      }.toVector
+    // arm assignment via the SAME hash the query uses (portable md5-60)
+    val arms = {
+      val sp = spark
+      import sp.implicits._
+      perUser.map(_._1).toDF("user_id")
+        .select(col("user_id"),
+          graft.functions.Determinism.hash60(col("user_id").cast("string")).as("h"))
+        .collect().map(r => r.getLong(0) -> (((r.getLong(1) % 2) + 2) % 2)).toMap
+    }
+    val a0 = perUser.filter(p => arms(p._1) == 0L).map(_._2).sorted
+    val a1 = perUser.filter(p => arms(p._1) == 1L).map(_._2).sorted
+    val (n0, n1) = (a0.size.toLong, a1.size.toLong)
+    // classical definition: D = sup over the pooled support of the
+    // ECDF gap; exact integer numerator n1·F0·n0 − n0·F1·n1
+    val gaps = (a0 ++ a1).distinct.sorted.map { v =>
+      (v, math.abs(n1 * a0.count(_ <= v) - n0 * a1.count(_ <= v)))
+    }
+    val dnum = gaps.map(_._2).max
+    val d = dnum.toDouble / (n0.toDouble * n1.toDouble)
+    val ks = math.sqrt(n0.toDouble * n1.toDouble / (n0.toDouble + n1.toDouble)) * d
+    val atC = gaps.filter(_._2 == dnum).map(_._1).min
+    val row = StatsQueries.q264_ks_test(spark, dir).collect().head
+    assert(row.getAs[Long]("n0") == n0, s"n0: got ${row.getAs[Long]("n0")} want $n0")
+    assert(row.getAs[Long]("n1") == n1, s"n1: got ${row.getAs[Long]("n1")} want $n1")
+    // d is a single division of the same exact integers — bit-equal
+    assert(row.getAs[Double]("d") == d, s"d: got ${row.getAs[Double]("d")} want $d")
+    assert(math.abs(row.getAs[Double]("ks") - ks) < 1e-12,
+      s"ks: got ${row.getAs[Double]("ks")} want $ks")
+    assert(row.getAs[Long]("at_c") == atC,
+      s"at_c: got ${row.getAs[Long]("at_c")} want $atC")
+  }
+
+  test("q265 streaming KS is bit-identical to batch q264 (pairing #79)") {
+    val batch = StatsQueries.q264_ks_test(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q265_stream_ks_test(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q266 Spearman rho equals a classical Pearson-on-midranks recount") {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).toVector.map { case (_, es) =>
+        // toVector FIRST: mapping a Map to (x, y) pairs would re-key
+        // (and silently dedup) by x
+        (es.length.toLong,
+          es.filter(_._2 == "purchase").map(e => centsOf(e._3)).sum)
+      }
+    // classical midranks over each marginal
+    def midranks(vs: Vector[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+    }
+    val mrx = midranks(perUser.map(_._1))
+    val mry = midranks(perUser.map(_._2))
+    val rxs = perUser.map(p => mrx(p._1))
+    val rys = perUser.map(p => mry(p._2))
+    val n = perUser.length.toDouble
+    val (mx, my) = (rxs.sum / n, rys.sum / n)
+    val sxy = rxs.zip(rys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sxx = rxs.map(a => (a - mx) * (a - mx)).sum
+    val syy = rys.map(b => (b - my) * (b - my)).sum
+    val rho = sxy / (math.sqrt(sxx) * math.sqrt(syy))
+    val row = StatsQueries.q266_spearman(spark, dir).collect().head
+    assert(row.getAs[Long]("n") == perUser.length.toLong)
+    // the gate's moments are exact ints of DOUBLED ranks: 4× the
+    // classical float moments (doubling cancels in rho)
+    assert(math.abs(row.getAs[Double]("sxy") - 4.0 * sxy) < 1e-6 * math.abs(4.0 * sxy) + 1e-6,
+      s"sxy: got ${row.getAs[Double]("sxy")} want ${4.0 * sxy}")
+    assert(math.abs(row.getAs[Double]("rho") - rho) < 1e-12,
+      s"rho: got ${row.getAs[Double]("rho")} want $rho")
+  }
+
+  test("q267 streaming Spearman is bit-identical to batch q266 (pairing #80)") {
+    val batch = StatsQueries.q266_spearman(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q267_stream_spearman(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q253 streaming median test is bit-identical to batch q252 (pairing #69)") {
     val batch = StatsQueries.q252_median_test(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q253_stream_median_test(spark, dir).collect().toSeq
