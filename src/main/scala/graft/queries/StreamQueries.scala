@@ -1936,6 +1936,117 @@ object StreamQueries {
   val q259_stream_bigram_perplexity_sql: String =
     TextQueries.q107_bigram_perplexity_sql
 
+  /** q268 — STREAMING BM25: q89's lexical ranker over the DOCUMENTS
+    * stream — the EIGHTY-FIRST pairing, the online form of the
+    * retrieval arm (a production search service never rebuilds its
+    * index per batch sweep; it maintains postings + doc lengths as
+    * docs ingest and scores queries against the live stats). TWO
+    * complete-mode aggregations maintain EXACTLY that state: the
+    * query-term-filtered (doc_id, tok, tf) postings (term-bounded —
+    * the online index only grows with matching docs) and the
+    * (doc_id, dl) length table (df counts, N and avgdl all DERIVE in
+    * the projection — BM25's corpus stats are functions of the two
+    * states, never a third). Scoring + the top-20 rank tail replay
+    * verbatim (shared bm25RankedFrom, shared oracle).
+    */
+  def q268_stream_bm25(spark: SparkSession, dir: String): DataFrame = {
+    val TA = graft.operators.TextAnalysis
+    val n1 = s"q268t_mem_${runId.incrementAndGet()}"
+    val n2 = s"q268l_mem_${runId.incrementAndGet()}"
+    val tf = withStreamShuffle(spark) {
+      // raw text through an exchange before the interpreted tokenize
+      // explode — the q259/q261 single-file micro-batch scan lesson
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+          .filter(col("tok").isin(TextQueries.bm25Terms: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+        .toMemory(spark, n1, "complete")
+    }.localCheckpoint(true)
+    val dl = withStreamShuffle(spark) {
+      // length state includes docs with NO query-term hits (N and
+      // avgdl are corpus-wide) — a separate aggregation, not a
+      // projection of the postings state
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(TA.tokens(col("text"))).cast("long").as("dl"))
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+        .toMemory(spark, n2, "complete")
+    }.localCheckpoint(true)
+    TextQueries.bm25RankedFrom(tf, dl)
+  }
+
+  /** Same oracle as the batch BM25 ranking — the point. */
+  val q268_stream_bm25_sql: String = TextQueries.q89_bm25_sql
+
+  /** q269 — STREAMING Jensen–Shannon divergence: q101's pairwise
+    * source-language drift matrix over the DOCUMENTS stream — the
+    * EIGHTY-SECOND pairing, the online form of the mixture-tuning
+    * diagnostic (read live beside the Zipf monitor q254 and the
+    * source-overlap audit: "did this crawl batch move source A's
+    * language away from source B's"). ONE complete-mode aggregation
+    * maintains the (source, tok, c) unigram histogram — q257's
+    * (lang, tok) state keyed by source, distinct-(source, token)
+    * bounded; totals, probabilities, the intersection-only pair join
+    * and the decomposed JS combine replay verbatim (shared
+    * jsDivergenceFrom, shared oracle).
+    */
+  def q269_stream_js_divergence(spark: SparkSession, dir: String): DataFrame = {
+    val TA = graft.operators.TextAnalysis
+    val name = s"q269_mem_${runId.incrementAndGet()}"
+    val freq = withStreamShuffle(spark) {
+      // raw text through an exchange before the interpreted tokenize
+      // explode — the q259/q261 single-file micro-batch scan lesson
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("source"), col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
+        .toMemory(spark, name, "complete")
+    }
+    TextQueries.jsDivergenceFrom(freq.localCheckpoint(true))
+  }
+
+  /** Same oracle as the batch JS divergence — the point. */
+  val q269_stream_js_divergence_sql: String =
+    TextQueries.q101_js_divergence_sql
+
+  /** q270 — STREAMING decontamination: q75's eval-set 5-gram overlap
+    * check over the DOCUMENTS stream — the EIGHTY-THIRD pairing, and
+    * the one a training-data pipeline most obviously wants ONLINE:
+    * benchmark leakage must be caught at ingest, not at the next
+    * batch sweep before a training run. ONE complete-mode
+    * aggregation maintains the (doc_id, shingle) 5-gram membership —
+    * q261's inverted shingle index one gram longer; the eval split
+    * (doc_id % 31), broadcast semi-join and per-doc distinct count
+    * replay verbatim (shared decontaminateFrom, shared oracle — the
+    * tail is dup-insensitive by construction, which is exactly what
+    * lets the compacted membership state stand in for the exploded
+    * batch frame).
+    */
+  def q270_stream_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val TA = graft.operators.TextAnalysis
+    val name = s"q270_mem_${runId.incrementAndGet()}"
+    val sh = withStreamShuffle(spark) {
+      // raw text through an exchange before the interpreted
+      // tokenize+shingle explode — the q259/q261 scan lesson
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            explode(TA.shingles(TA.tokens(col("text")), 5)).as("s"))
+          .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("cnt")))
+        .toMemory(spark, name, "complete")
+    }
+    TextQueries.decontaminateFrom(
+      sh.localCheckpoint(true).select(col("doc_id"), col("s")))
+  }
+
+  /** Same oracle as the batch decontamination — the point. */
+  val q270_stream_decontaminate_sql: String =
+    TextQueries.q75_decontaminate_sql
+
   /** q260 — STREAMING banded edit-distance pairs: q90's typo-level
     * near-dup report over the DOCUMENTS stream — the SEVENTY-SIXTH
     * pairing, the online form of the character-noise quarantine (a
@@ -3698,6 +3809,9 @@ object StreamQueries {
     "q247_stream_mann_whitney" -> (q247_stream_mann_whitney _),
     "q265_stream_ks_test" -> (q265_stream_ks_test _),
     "q267_stream_spearman" -> (q267_stream_spearman _),
+    "q268_stream_bm25" -> (q268_stream_bm25 _),
+    "q269_stream_js_divergence" -> (q269_stream_js_divergence _),
+    "q270_stream_decontaminate" -> (q270_stream_decontaminate _),
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
     "q253_stream_median_test" -> (q253_stream_median_test _),
@@ -3790,6 +3904,9 @@ object StreamQueries {
     "q247_stream_mann_whitney" -> q247_stream_mann_whitney_sql,
     "q265_stream_ks_test" -> q265_stream_ks_test_sql,
     "q267_stream_spearman" -> q267_stream_spearman_sql,
+    "q268_stream_bm25" -> q268_stream_bm25_sql,
+    "q269_stream_js_divergence" -> q269_stream_js_divergence_sql,
+    "q270_stream_decontaminate" -> q270_stream_decontaminate_sql,
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
     "q253_stream_median_test" -> q253_stream_median_test_sql,

@@ -364,9 +364,18 @@ object TextQueries {
     * (Determinism.hash60) to shrink the broadcast, or swap to a
     * shuffle semi-join if the eval set ever outgrows broadcast.
     */
-  def q75_decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = tokenized(spark, dir)
-      .select(col("doc_id"), explode(TA.shingles(col("tk"), 5)).as("s"))
+  def q75_decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateFrom(tokenized(spark, dir)
+      .select(col("doc_id"), explode(TA.shingles(col("tk"), 5)).as("s")))
+
+  /** q75's readout from the (doc_id, s) 5-gram membership frame —
+    * eval split, broadcast semi-join, per-doc shared count. Shared
+    * verbatim by the streaming twin q270 so batch and stream cannot
+    * drift. Duplicate (doc_id, s) rows are harmless by construction:
+    * the eval side distincts and the corpus side counts DISTINCT
+    * shared shingles — which is what lets the twin's compacted
+    * membership state replay it bit-identically. */
+  private[queries] def decontaminateFrom(sh: DataFrame): DataFrame = {
     val evalShingles = sh.filter(col("doc_id") % 31 === 0)
       .select(col("s")).distinct()
     sh.filter(col("doc_id") % 31 =!= 0)
@@ -1061,22 +1070,15 @@ object TextQueries {
     * corpus-keyed shuffle carries slim (doc_id, long) rows. Top-20
     * via TakeOrderedAndProject over the scored frame only.
     */
-  private val bm25Terms = Seq("window", "join", "dup")
-  /** The BM25-scored (doc_id, score_dec) frame — q89's scoring,
-    * shared with the q179 hybrid-retrieval fusion. */
-  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+  private[queries] val bm25Terms = Seq("window", "join", "dup")
+  /** The BM25 scoring tail over a term-filtered (doc_id, tok, tf)
+    * postings frame and a (doc_id, dl) doc-length frame — EXACTLY
+    * the state an online BM25 service keeps (query-term postings +
+    * lengths; df/N/avgdl all DERIVE from them). Shared verbatim by
+    * batch q89/q179 and the streaming twin q268 so the online index
+    * cannot drift from the batch ranker. */
+  private[queries] def bm25ScoredFrom(tf: DataFrame, dl: DataFrame): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    // explode THEN filter, deliberately: filtering inside the array
-    // lambda looks cheaper (no discarded rows) but functions.filter
-    // is a HigherOrderFunction — interpreted per ELEMENT, outside
-    // whole-stage codegen (the r5 lesson) — and measured SLOWER at
-    // the ×10 smoke (3.7 s vs 2.8 s) than generating corpus-of-token
-    // rows inside a codegen'd generate+filter span
-    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .filter(col("tok").isin(bm25Terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(df), Seq("tok"))
@@ -1093,18 +1095,47 @@ object TextQueries {
       .groupBy(col("doc_id")).agg(sum(col("s")).as("score_dec"))
   }
 
-  def q89_bm25(spark: SparkSession, dir: String): DataFrame = {
-    val scored = bm25Scored(spark, dir)
-    // top-k FIRST (TakeOrderedAndProject — parallel partial top-k, no
-    // total sort), then number the 20 survivors; the partition-less
-    // window runs over a limit-bounded frame (PlanAuditSpec's rule)
-    scored
+  /** The BM25-scored (doc_id, score_dec) frame — q89's scoring,
+    * shared with the q179 hybrid-retrieval fusion. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    // explode THEN filter, deliberately: filtering inside the array
+    // lambda looks cheaper (no discarded rows) but functions.filter
+    // is a HigherOrderFunction — interpreted per ELEMENT, outside
+    // whole-stage codegen (the r5 lesson) — and measured SLOWER at
+    // the ×10 smoke (3.7 s vs 2.8 s) than generating corpus-of-token
+    // rows inside a codegen'd generate+filter span
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    bm25ScoredFrom(tf, dl)
+  }
+
+  /** q89's full ranked readout over the same two frames — the
+    * streaming twin q268's projection entry point, so batch and
+    * stream share the whole rank tail too. */
+  private[queries] def bm25RankedFrom(tf: DataFrame, dl: DataFrame): DataFrame =
+    bm25ScoredFrom(tf, dl)
       .orderBy(col("score_dec").desc, col("doc_id")).limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_dec").desc, col("doc_id"))))
       .select(col("rank").cast("long").as("rank"), col("doc_id"),
         col("score_dec").cast("double").as("score"))
       .orderBy(col("rank"))
+
+  def q89_bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // batch frames for the shared tail: see bm25Scored for the
+    // explode-then-filter rationale
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // top-k FIRST (TakeOrderedAndProject — parallel partial top-k, no
+    // total sort), then number the 20 survivors; the partition-less
+    // window runs over a limit-bounded frame (PlanAuditSpec's rule)
+    bm25RankedFrom(tf, dl)
   }
 
   /** The q89 scoring CTE stack (through `scored`), shared verbatim by
@@ -1959,7 +1990,15 @@ object TextQueries {
   def q101_js_divergence(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("source"), explode(toks).as("tok"))
-    val freq = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    jsDivergenceFrom(
+      tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
+  }
+
+  /** q101's readout from the (source, tok, c) unigram histogram —
+    * totals, probabilities, the intersection pair join and the
+    * decomposed JS combine. Shared verbatim by the streaming twin
+    * q269 so batch and stream cannot drift. */
+  private[queries] def jsDivergenceFrom(freq: DataFrame): DataFrame = {
     val tot = freq.groupBy(col("source")).agg(sum(col("c")).as("total"))
     val p = freq.join(broadcast(tot), "source")
       .select(col("source"), col("tok"),

@@ -566,6 +566,30 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q268 streaming BM25 is bit-identical to batch q89 (pairing #81)") {
+    val batch = graft.queries.TextQueries.q89_bm25(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q268_stream_bm25(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q269 streaming JS divergence is bit-identical to batch q101 (pairing #82)") {
+    val batch = graft.queries.TextQueries.q101_js_divergence(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q269_stream_js_divergence(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q270 streaming decontamination is bit-identical to batch q75 (pairing #83)") {
+    val batch = graft.queries.TextQueries.q75_decontaminate(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q270_stream_decontaminate(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q260 streaming edit-distance pairs are bit-identical to batch q90 (pairing #76)") {
     val batch = graft.queries.TextQueries.q90_edit_pairs(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q260_stream_edit_pairs(spark, dir).collect().toSeq
