@@ -1681,6 +1681,42 @@ object StreamQueries {
   /** Same oracle as the batch IVF serve — the point. */
   val q251_stream_ivf_topk_sql: String = VectorQueries.q51_ivf_topk_sql
 
+  /** q271 — STREAMING semantic dedup: q86's SemDeDup cell-pruned
+    * near-dup removal over the EMBEDDINGS stream — the EIGHTY-FOURTH
+    * pairing, completing the online vector family (serve: q248
+    * brute-force, q251 IVF; now CURATION: which just-ingested
+    * vectors are semantic dups of the corpus so far). Same per-vec_id
+    * compacted embedding state as q248/q251; the projection rebuilds
+    * the corpus and re-derives the count-pinned centroid set FROM
+    * THE REBUILT FRAME (same count → same modulus → same centroids
+    * as batch — the q251 lesson, now shared via semdedupFrom), then
+    * replays cell assignment, within-cell pairs and the keep-lowest
+    * rule verbatim (shared oracle + parity spec).
+    */
+  def q271_stream_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[graft.streaming.Pairing.VecRow]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.VecRow,
+        Long, (Long, Seq[Float]), (Long, Long, Seq[Float])](
+      spark, st, Seq("vec_id", "seq", "emb"), r => (r.vec_id, 0L))(
+      _.vec_id)((0L, Seq.empty[Float])) { (id, s0, ordered) =>
+        val seq = s0._1 + ordered.size
+        val emb = if (ordered.isEmpty) s0._2 else ordered.last.embedding
+        ((seq, emb),
+          if (ordered.isEmpty) Vector.empty else Vector((id, seq, emb)))
+      } { t =>
+        VectorQueries.semdedupFrom(t.groupBy(col("vec_id"))
+          .agg(max(struct(col("seq"), col("emb"))).as("b"))
+          .select(col("vec_id"), col("b.emb").as("embedding")))
+      }
+  }
+
+  /** Same oracle as the batch SemDeDup — the point. */
+  val q271_stream_semdedup_sql: String = VectorQueries.q86_semdedup_sql
+
   /** q253 — STREAMING Mood's median test: q252's k-sample robust
     * location test maintained online — the SIXTY-NINTH pairing,
     * joining the online robust-stats family (q247 rank-sum, q204
@@ -3814,6 +3850,7 @@ object StreamQueries {
     "q270_stream_decontaminate" -> (q270_stream_decontaminate _),
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
+    "q271_stream_semdedup" -> (q271_stream_semdedup _),
     "q253_stream_median_test" -> (q253_stream_median_test _),
     "q254_stream_zipf" -> (q254_stream_zipf _),
     "q255_stream_heavy_hitters" -> (q255_stream_heavy_hitters _),
@@ -3909,6 +3946,7 @@ object StreamQueries {
     "q270_stream_decontaminate" -> q270_stream_decontaminate_sql,
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
+    "q271_stream_semdedup" -> q271_stream_semdedup_sql,
     "q253_stream_median_test" -> q253_stream_median_test_sql,
     "q254_stream_zipf" -> q254_stream_zipf_sql,
     "q255_stream_heavy_hitters" -> q255_stream_heavy_hitters_sql,

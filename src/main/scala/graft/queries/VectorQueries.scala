@@ -384,11 +384,20 @@ object VectorQueries {
     * top-0.1% tail; a real corpus's planted-dup regime uses 0.95+ —
     * the knob, not the shape.
     */
-  def q86_semdedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+  def q86_semdedup(spark: SparkSession, dir: String): DataFrame =
+    semdedupFrom(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** q86's SemDeDup tail over an arbitrary (vec_id, embedding)
+    * frame — the count-pinned seed rule travels with the frame (the
+    * q251 lesson) so the streaming twin q271's rebuilt corpus
+    * derives the SAME centroids as batch. Shared verbatim by q86 and
+    * q271 so batch and stream cannot drift. */
+  private[queries] def semdedupFrom(base: DataFrame): DataFrame = {
     // k-bounded seed collect (count-derived modulus) — NOT a fraction
     // of the corpus; see seedModulus
-    val seeds = base.filter(col("vec_id") % seedModulus(spark, dir) === 0)
+    val mod = math.max(1L, base.count() / seedK)
+    val seeds = base.filter(col("vec_id") % mod === 0)
       .collect().sortBy(_.getLong(0))
     val ids = seeds.map(_.getLong(0))
     val mat = seeds.map(_.getSeq[Float](1).map(_.toDouble).toArray)

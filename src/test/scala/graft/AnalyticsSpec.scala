@@ -518,6 +518,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q271 streaming semantic dedup is bit-identical to batch q86 (pairing #84)") {
+    val batch = graft.queries.VectorQueries.q86_semdedup(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q271_stream_semdedup(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q254 streaming Zipf monitor is bit-identical to batch q100 (pairing #70)") {
     val batch = graft.queries.TextQueries.q100_zipf_slope(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q254_stream_zipf(spark, dir).collect().toSeq
