@@ -1176,8 +1176,104 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** q272 — HITS hubs & authorities over the DIRECTED customer→
+    * supplier purchase graph (Kleinberg's mutual-reinforcement
+    * ranking): a customer is a good HUB if it buys from good
+    * authorities, a supplier a good AUTHORITY if good hubs buy from
+    * it — the bipartite-native centrality PageRank's symmetrized
+    * random walk (q189) cannot express (PageRank mixes both roles
+    * into one score; HITS keeps the two sides' roles distinct, which
+    * is what a marketplace/curation screen wants: "influential
+    * buyers" vs "canonical suppliers"). Two full mutual-reinforcement
+    * rounds, genuinely iterative — auth² aggregates hub¹ which
+    * aggregates auth¹: a one-shot degree count cannot produce it.
+    *
+    * Exactness — STRONGER than the PageRank doctrine: HITS power
+    * iterations are pure edge-sums, so skipping the classical
+    * per-round normalization (a rescale that cancels in the final
+    * relative scores) keeps every intermediate an EXACT INTEGER —
+    * auth¹ = indegree, hub¹ = Σ auth¹, auth² = Σ hub¹, hub² = Σ auth²
+    * in DECIMAL(38,0) (bounded by d⁴ ≤ 10³² at in/out-degree 10⁸ —
+    * inside the cap; no decq, no float drift anywhere in the loop).
+    * The only floats are the final mirrored casts and the per-side
+    * max-normalized relative score (one division of exact decimals).
+    *
+    * Scale/shape: the pagerankIterFrom hygiene — edge frame
+    * persisted+counted (exact AQE stats), each round ONE hash join
+    * of the edge frame against a node-bounded frame + one agg
+    * shuffle, eager lineage cut per round, edge cache released
+    * before the readout; max scalars broadcast.
+    */
+  def q272_hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    hitsFrom(edges)
+  }
+
+  /** The HITS tail over a distinct encoded (a, b) DIRECTED bipartite
+    * edge frame — shared verbatim by batch q272 and its streaming
+    * twin q273 (pairing #85): two exact-integer mutual-reinforcement
+    * rounds, per-side max normalization, node decode.
+    */
+  private[graft] def hitsFrom(edges: DataFrame): DataFrame = {
+    val e = edges.persistFresh()
+    e.count() // eager: four round-joins consume it — a cold cache would race
+    val auth1 = e.groupBy(col("b"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("a1"))
+    val hub1 = e.join(auth1, "b").groupBy(col("a"))
+      .agg(sum(col("a1")).as("h1")).localCheckpoint(true)
+    val auth2 = e.join(hub1, "a").groupBy(col("b"))
+      .agg(sum(col("h1")).as("a2")).localCheckpoint(true)
+    val hub2 = e.join(auth2, "b").groupBy(col("a"))
+      .agg(sum(col("a2")).as("h2")).localCheckpoint(true)
+    // rounds are eager LogicalRDDs — the edge cache has no reader left
+    e.unpersist(blocking = true)
+    val hm = hub2.agg(max(col("h2")).as("m"))
+    val am = auth2.agg(max(col("a2")).as("m"))
+    hub2.crossJoin(broadcast(hm))
+      .select(
+        concat(lit("c"), (col("a") / 2).cast("long").cast("string")).as("node"),
+        lit("hub").as("kind"),
+        col("h2").cast("double").as("score"),
+        (col("h2").cast("double") / col("m").cast("double")).as("rel"))
+      .unionAll(auth2.crossJoin(broadcast(am))
+        .select(
+          concat(lit("s"), ((col("b") - 1) / 2).cast("long").cast("string")).as("node"),
+          lit("auth").as("kind"),
+          col("a2").cast("double").as("score"),
+          (col("a2").cast("double") / col("m").cast("double")).as("rel")))
+      .orderBy(col("kind"), col("node"))
+  }
+
+  val q272_hits_sql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |a1t AS (SELECT b, CAST(COUNT(*) AS DECIMAL(38,0)) AS a1 FROM e GROUP BY b),
+       |h1t AS (SELECT a, SUM(a1) AS h1 FROM e JOIN a1t USING (b) GROUP BY a),
+       |a2t AS (SELECT b, SUM(h1) AS a2 FROM e JOIN h1t USING (a) GROUP BY b),
+       |h2t AS (SELECT a, SUM(a2) AS h2 FROM e JOIN a2t USING (b) GROUP BY a),
+       |hm AS (SELECT MAX(h2) AS m FROM h2t),
+       |am AS (SELECT MAX(a2) AS m FROM a2t)
+       |SELECT node, kind, score, rel FROM (
+       |  SELECT 'c' || CAST(a // 2 AS VARCHAR) AS node, 'hub' AS kind,
+       |    CAST(h2 AS DOUBLE) AS score,
+       |    CAST(h2 AS DOUBLE) / CAST(m AS DOUBLE) AS rel
+       |  FROM h2t, hm
+       |  UNION ALL
+       |  SELECT 's' || CAST((b - 1) // 2 AS VARCHAR) AS node, 'auth' AS kind,
+       |    CAST(a2 AS DOUBLE) AS score,
+       |    CAST(a2 AS DOUBLE) / CAST(m AS DOUBLE) AS rel
+       |  FROM a2t, am)
+       |ORDER BY kind, node""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_pagerank_iter" -> (q189_pagerank_iter _),
+    "q272_hits" -> (q272_hits _),
     "q186_clustering_coeff" -> (q186_clustering_coeff _),
     "q182_pit_join" -> (q182_pit_join _),
     "q183_snapshot_diff" -> (q183_snapshot_diff _),
@@ -1199,6 +1295,7 @@ object AnalyticsQueries {
 
   def oracles: Map[String, String] = Map(
     "q189_pagerank_iter" -> q189_pagerank_iter_sql,
+    "q272_hits" -> q272_hits_sql,
     "q186_clustering_coeff" -> q186_clustering_coeff_sql,
     "q182_pit_join" -> q182_pit_join_sql,
     "q183_snapshot_diff" -> q183_snapshot_diff_sql,

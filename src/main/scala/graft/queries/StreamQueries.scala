@@ -3229,6 +3229,49 @@ object StreamQueries {
   /** Same oracle as the batch multi-iteration PageRank — the point. */
   val q226_stream_pagerank_sql: String = AnalyticsQueries.q189_pagerank_iter_sql
 
+  /** q273 — STREAMING HITS: q272's hubs-and-authorities ranking over
+    * the LINEITEM stream — the EIGHTY-FIFTH pairing, the online
+    * "influential buyers / canonical suppliers" board beside the
+    * PageRank twin q226 (SAME edge-keyed state, one more consumer of
+    * it — the graph-channel amortization). The iterations never run
+    * on the stream: the projection rebuilds the distinct directed
+    * edge frame and replays q272's two exact-integer
+    * mutual-reinforcement rounds verbatim (shared hitsFrom, shared
+    * oracle). Expiry-on like q226, and expiry-safe the same way: a
+    * re-observed edge re-inits and re-emits, which the projection's
+    * distinct absorbs.
+    */
+  def q273_stream_hits(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val base = graft.streaming.Pairing.tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        col("l_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("ln"),
+        (col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+    val st = orderTtlMs.fold(base)(_ =>
+        // +1: orderkey 0 must not tie the initial watermark (see
+        // orderMembers — the late-drop would silently lose its edges)
+        base.withColumn("evt", timestamp_millis((col("ok") + 1) * 3600000L))
+          .withWatermark("evt", "0 milliseconds"))
+      .as[graft.streaming.Pairing.LiEdge]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiEdge,
+        (Long, Long), Long, (Long, Long)](
+      spark, st, Seq("a", "b"), r => (r.ok, r.ln), orderTtlMs)(
+      r => (r.a, r.b))(0L) { (k, s0, ordered) =>
+        (s0 + ordered.size,
+          if (ordered.isEmpty) Vector.empty else Vector((k._1, k._2)))
+      } { t =>
+        AnalyticsQueries.hitsFrom(t.select(col("a"), col("b")).distinct())
+      }
+  }
+
+  /** Same oracle as the batch HITS — the point. */
+  val q273_stream_hits_sql: String = AnalyticsQueries.q272_hits_sql
+
   /** q227 — STREAMING association rules: q145's market-basket
     * confidence/lift report over the LINEITEM stream — the
     * FORTY-SEVENTH pairing. Baskets ARE per-order membership sets,
@@ -3821,6 +3864,7 @@ object StreamQueries {
     "q224_stream_component_census" -> (q224_stream_component_census _),
     "q225_stream_clustering_coeff" -> (q225_stream_clustering_coeff _),
     "q226_stream_pagerank" -> (q226_stream_pagerank _),
+    "q273_stream_hits" -> (q273_stream_hits _),
     "q227_stream_assoc_rules" -> (q227_stream_assoc_rules _),
     "q228_stream_item_cf" -> (q228_stream_item_cf _),
     "q229_stream_khop" -> (q229_stream_khop _),
@@ -3917,6 +3961,7 @@ object StreamQueries {
     "q224_stream_component_census" -> q224_stream_component_census_sql,
     "q225_stream_clustering_coeff" -> q225_stream_clustering_coeff_sql,
     "q226_stream_pagerank" -> q226_stream_pagerank_sql,
+    "q273_stream_hits" -> q273_stream_hits_sql,
     "q227_stream_assoc_rules" -> q227_stream_assoc_rules_sql,
     "q228_stream_item_cf" -> q228_stream_item_cf_sql,
     "q229_stream_khop" -> q229_stream_khop_sql,

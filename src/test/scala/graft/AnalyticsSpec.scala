@@ -462,6 +462,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q273 streaming HITS is bit-identical to batch q272 (pairing #85)") {
+    val batch = graft.queries.AnalyticsQueries.q272_hits(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q273_stream_hits(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q226 streaming PageRank is bit-identical to batch q189 (pairing #46)") {
     val batch = graft.queries.AnalyticsQueries.q189_pagerank_iter(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q226_stream_pagerank(spark, dir).collect().toSeq

@@ -91,4 +91,36 @@ class PageRankSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("hitsFrom: exact two-round mutual reinforcement on a planted graph " +
+      "(indegree ties, round-2 authority separates — genuinely iterative)") {
+    // encoded bipartite: hub c_i → a = 2i, auth s_j → b = 2j+1.
+    // All three auths have indegree 2 (a one-shot degree count CANNOT
+    // rank them); the middle auth s1 is cited by the two strongest
+    // hubs, so auth² separates it: s0=6, s1=8, s2=6.
+    val edges = Seq((0L, 1L), (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L))
+    val rows = graft.queries.AnalyticsQueries.hitsFrom(edgesDf(edges)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // classical recount, unnormalized integer power iterations:
+    // auth1 = indeg; hub1 = Σ auth1; auth2 = Σ hub1; hub2 = Σ auth2
+    val auth1 = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val hub1 = edges.groupBy(_._1).view.mapValues(_.map(e => auth1(e._2)).sum).toMap
+    val auth2 = edges.groupBy(_._2).view.mapValues(_.map(e => hub1(e._1)).sum).toMap
+    val hub2 = edges.groupBy(_._1).view.mapValues(_.map(e => auth2(e._2)).sum).toMap
+    assert(auth1.values.toSet.size == 1, "planted graph must TIE round-1 authority")
+    assert(auth2.values.toSet.size > 1, "round-2 authority must separate")
+    val hm = hub2.values.max.toDouble
+    val am = auth2.values.max.toDouble
+    hub2.foreach { case (a, h) =>
+      val got = rows((s"c${a / 2}", "hub"))
+      assert(got == (h.toDouble, h.toDouble / hm), s"hub c${a / 2}: $got vs $h")
+    }
+    auth2.foreach { case (b, v) =>
+      val got = rows((s"s${(b - 1) / 2}", "auth"))
+      assert(got == (v.toDouble, v.toDouble / am), s"auth s${(b - 1) / 2}: $got vs $v")
+    }
+    assert(rows.size == hub2.size + auth2.size)
+    spark.catalog.clearCache()
+  }
 }
