@@ -346,6 +346,104 @@ object StatsQueries {
        |  at_c
        |FROM g, dm, loc""".stripMargin
 
+  /** q274 — WILCOXON SIGNED-RANK test on paired per-user spend:
+    * each user's purchase cents on EVEN epoch-days vs ODD epoch-days
+    * form a natural within-user pair (an interleaved time A/B), and
+    * the signed-rank test asks whether the paired difference is
+    * symmetric about zero — the PAIRED member of the rank family
+    * (q246 tests independent arms; pairing controls for user-level
+    * heterogeneity, which is why a paired design detects shifts the
+    * independent test drowns in between-user variance). Standard
+    * conventions: zero differences dropped, midranks on |d|,
+    * tie-corrected normal z, rank-biserial effect size.
+    *
+    * Exactness (the q246 doctrine): per-user d is integer cents; the
+    * corpus collapses to the (|d|, pos, neg) histogram; pooled
+    * midranks on |d| from [[graft.operators.Sequence.globalPrefixSum]]
+    * give the DOUBLED positive-rank sum 2W⁺ as an exact
+    * DECIMAL(38,0) (≤ 2n² — inside the cap at any scale), the tie
+    * term Σ(t³−t) likewise; z and the rank-biserial are ONE mirrored
+    * double expression each over those exact scalars.
+    *
+    * Scale/shape: ONE corpus aggregation to the per-user frame, one
+    * histogram aggregation, one range-exchange prefix sum over the
+    * value-domain-bounded histogram, a 1-row final.
+    */
+  def q274_wilcoxon(spark: SparkSession, dir: String): DataFrame = {
+    val dayParity = expr("(unix_micros(ts) div 86400000000) % 2")
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && dayParity === 0,
+          cents(col("value"))).otherwise(lit(0L))).as("ce"),
+        sum(when(col("event_type") === "purchase" && dayParity === 1,
+          cents(col("value"))).otherwise(lit(0L))).as("co"))
+    wilcoxonFrom(perUser)
+  }
+
+  /** q274's readout from the per-user (ce, co) paired-cents frame —
+    * nonzero differences, |d| histogram, doubled positive-rank sum,
+    * tie-corrected z, rank-biserial. Shared verbatim by the
+    * streaming twin q275 so batch and stream cannot drift.
+    */
+  private[queries] def wilcoxonFrom(perUser0: DataFrame): DataFrame = {
+    val hist = perUser0
+      .select((col("ce") - col("co")).as("d"))
+      .filter(col("d") =!= 0)
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("p"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("m"))
+      .withColumn("t", col("p") + col("m"))
+    val cum = graft.operators.Sequence.globalPrefixSum(
+      hist, Seq(col("ad")), "t", "cum")
+    val g = cum.agg(
+      sum(col("p")).as("np"),
+      sum(col("m")).as("nm"),
+      sum(col("p").cast("decimal(38,0)")
+        * (lit(2) * (col("cum") - col("t")) + col("t") + 1)).as("w2"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t")).as("tie3"))
+    val nd = (col("np") + col("nm")).cast("double")
+    g.select(col("np"), col("nm"),
+      ((col("w2").cast("double") - nd * (nd + lit(1.0)) / lit(2.0))
+        / (lit(2.0) * sqrt(nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) / lit(24.0)
+          - col("tie3").cast("double") / lit(48.0)))).as("z_w"),
+      ((lit(2.0) * col("w2").cast("double") - nd * (nd + lit(1.0)))
+        / (nd * (nd + lit(1.0)))).as("rb"))
+  }
+
+  val q274_wilcoxon_sql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |          AND (epoch_us(ts) // 86400000000) % 2 = 0
+       |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS ce,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |          AND (epoch_us(ts) // 86400000000) % 2 = 1
+       |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS co
+       |  FROM events GROUP BY user_id),
+       |dd AS (SELECT ce - co AS d FROM pu WHERE ce - co <> 0),
+       |hist AS (
+       |  SELECT abs(d) AS ad,
+       |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |  FROM dd GROUP BY abs(d)),
+       |cum AS (SELECT ad, p, m, p + m AS t,
+       |    SUM(p + m) OVER (ORDER BY ad) AS cum FROM hist),
+       |g AS (SELECT
+       |    CAST(SUM(p) AS BIGINT) AS np,
+       |    CAST(SUM(m) AS BIGINT) AS nm,
+       |    SUM(CAST(p AS DECIMAL(38,0)) * (2 * (cum - t) + t + 1)) AS w2,
+       |    SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3
+       |  FROM cum)
+       |SELECT np, nm,
+       |  (CAST(w2 AS DOUBLE) - CAST(np + nm AS DOUBLE) * (CAST(np + nm AS DOUBLE) + 1.0) / 2.0)
+       |  / (2.0 * sqrt(CAST(np + nm AS DOUBLE) * (CAST(np + nm AS DOUBLE) + 1.0)
+       |       * (2.0 * CAST(np + nm AS DOUBLE) + 1.0) / 24.0
+       |       - CAST(tie3 AS DOUBLE) / 48.0)) AS z_w,
+       |  (2.0 * CAST(w2 AS DOUBLE) - CAST(np + nm AS DOUBLE) * (CAST(np + nm AS DOUBLE) + 1.0))
+       |  / (CAST(np + nm AS DOUBLE) * (CAST(np + nm AS DOUBLE) + 1.0)) AS rb
+       |FROM g""".stripMargin
+
   /** q266 — SPEARMAN rank correlation between per-user activity and
     * per-user spend: does engagement (event count) MONOTONICALLY
     * track revenue (purchase cents)? Pearson-on-midranks — the
@@ -1108,6 +1206,7 @@ object StatsQueries {
     "q262_kruskal_wallis" -> (q262_kruskal_wallis _),
     "q264_ks_test" -> (q264_ks_test _),
     "q266_spearman" -> (q266_spearman _),
+    "q274_wilcoxon" -> (q274_wilcoxon _),
     "q150_chi_square" -> (q150_chi_square _),
     "q151_benford" -> (q151_benford _),
     "q152_expectations" -> (q152_expectations _),
@@ -1121,6 +1220,7 @@ object StatsQueries {
     "q262_kruskal_wallis" -> q262_kruskal_wallis_sql,
     "q264_ks_test" -> q264_ks_test_sql,
     "q266_spearman" -> q266_spearman_sql,
+    "q274_wilcoxon" -> q274_wilcoxon_sql,
     "q150_chi_square" -> q150_chi_square_sql,
     "q151_benford" -> q151_benford_sql,
     "q152_expectations" -> q152_expectations_sql,

@@ -1611,6 +1611,45 @@ object StreamQueries {
   /** Same oracle as the batch Spearman readout — the point. */
   val q267_stream_spearman_sql: String = StatsQueries.q266_spearman_sql
 
+  /** q275 — STREAMING Wilcoxon signed-rank: q274's paired
+    * even-vs-odd-day spend test maintained online — the EIGHTY-SIXTH
+    * pairing, completing the online rank family's paired member
+    * (rank-sum q247, KS q265, Spearman q267 — all on the same user
+    * channel; this one keeps TWO parity-split cents accumulators per
+    * user). The JVM day-parity computation mirrors the batch
+    * column's `unix_micros div 86400000000` exactly (epoch seconds ×
+    * 10⁶ + nanos/1000, positive epochs → truncating and floor
+    * division agree); histogram, midranks, 2W⁺ and the tie-corrected
+    * readout replay verbatim (shared wilcoxonFrom, shared oracle).
+    */
+  def q275_stream_wilcoxon(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    graft.streaming.Pairing.run[Long, (Long, Long, Long), (Long, Long, Long, Long)](
+      spark, dir, Seq("user_id", "seq", "ce", "co"))(
+      _.user_id)((0L, 0L, 0L)) { (u, s0, ordered) =>
+        var (seq, ce, co) = s0
+        ordered.foreach { e =>
+          seq += 1
+          if (e.event_type == "purchase") {
+            val micros = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+            val c = graft.functions.Determinism.centsOfDouble(e.value)
+            if (Math.floorDiv(micros, 86400000000L) % 2 == 0) ce += c else co += c
+          }
+        }
+        ((seq, ce, co),
+          if (ordered.isEmpty) Vector.empty else Vector((u, seq, ce, co)))
+      } { t =>
+        StatsQueries.wilcoxonFrom(t.groupBy(col("user_id"))
+          .agg(max(struct(col("seq"), col("ce"), col("co"))).as("b"))
+          .select(col("b.ce").as("ce"), col("b.co").as("co")))
+      }
+  }
+
+  /** Same oracle as the batch signed-rank readout — the point. */
+  val q275_stream_wilcoxon_sql: String = StatsQueries.q274_wilcoxon_sql
+
   /** q248 — STREAMING brute-force cosine top-k: q50's exact ANN
     * baseline over the EMBEDDINGS stream — the SIXTY-SIXTH pairing,
     * and the vector family's first online form: an ingest-time
@@ -3889,6 +3928,7 @@ object StreamQueries {
     "q247_stream_mann_whitney" -> (q247_stream_mann_whitney _),
     "q265_stream_ks_test" -> (q265_stream_ks_test _),
     "q267_stream_spearman" -> (q267_stream_spearman _),
+    "q275_stream_wilcoxon" -> (q275_stream_wilcoxon _),
     "q268_stream_bm25" -> (q268_stream_bm25 _),
     "q269_stream_js_divergence" -> (q269_stream_js_divergence _),
     "q270_stream_decontaminate" -> (q270_stream_decontaminate _),
@@ -3986,6 +4026,7 @@ object StreamQueries {
     "q247_stream_mann_whitney" -> q247_stream_mann_whitney_sql,
     "q265_stream_ks_test" -> q265_stream_ks_test_sql,
     "q267_stream_spearman" -> q267_stream_spearman_sql,
+    "q275_stream_wilcoxon" -> q275_stream_wilcoxon_sql,
     "q268_stream_bm25" -> q268_stream_bm25_sql,
     "q269_stream_js_divergence" -> q269_stream_js_divergence_sql,
     "q270_stream_decontaminate" -> q270_stream_decontaminate_sql,

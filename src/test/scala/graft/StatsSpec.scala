@@ -263,6 +263,47 @@ class StatsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q274 Wilcoxon signed-rank equals a classical midrank recount") {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3)))
+      .groupBy(_._1).toVector.map { case (_, es) =>
+        def half(par: Long) = es.filter { e =>
+          val micros = Math.floorDiv(e._4.getTime, 1000L) * 1000000L +
+            e._4.getNanos / 1000L
+          e._2 == "purchase" && Math.floorDiv(micros, 86400000000L) % 2 == par
+        }.map(e => centsOf(e._3)).sum
+        half(0L) - half(1L)
+      }.filter(_ != 0L)
+    val n = perUser.length
+    val sortedAbs = perUser.map(math.abs).sorted
+    val rankOf: Map[Long, Double] = sortedAbs.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+    val wPlus = perUser.filter(_ > 0).map(d => rankOf(math.abs(d))).sum
+    val nd = n.toDouble
+    val tie3 = perUser.map(math.abs).groupBy(identity).values
+      .map { g => val t = g.size.toLong; (t * t * t - t).toDouble }.sum
+    val z = (wPlus - nd * (nd + 1.0) / 4.0) /
+      math.sqrt(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0 - tie3 / 48.0)
+    val rb = (4.0 * wPlus - nd * (nd + 1.0)) / (nd * (nd + 1.0))
+    val row = StatsQueries.q274_wilcoxon(spark, dir).collect().head
+    assert(row.getAs[Long]("np") == perUser.count(_ > 0).toLong)
+    assert(row.getAs[Long]("nm") == perUser.count(_ < 0).toLong)
+    assert(math.abs(row.getAs[Double]("z_w") - z) < 1e-10,
+      s"z: got ${row.getAs[Double]("z_w")} want $z")
+    assert(math.abs(row.getAs[Double]("rb") - rb) < 1e-12,
+      s"rb: got ${row.getAs[Double]("rb")} want $rb")
+  }
+
+  test("q275 streaming Wilcoxon is bit-identical to batch q274 (pairing #86)") {
+    val batch = StatsQueries.q274_wilcoxon(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q275_stream_wilcoxon(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q253 streaming median test is bit-identical to batch q252 (pairing #69)") {
     val batch = StatsQueries.q252_median_test(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q253_stream_median_test(spark, dir).collect().toSeq
