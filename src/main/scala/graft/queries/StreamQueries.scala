@@ -2122,6 +2122,73 @@ object StreamQueries {
   val q270_stream_decontaminate_sql: String =
     TextQueries.q75_decontaminate_sql
 
+  /** The online MinHash index state, rebuilt as a signature frame:
+    * TWO complete-mode aggregations — the (doc_id) universe (a
+    * shingle-less doc still needs its sentinel signature) and the
+    * (doc_id, shingle-hash) membership (dup rows harmless — min is
+    * dup-insensitive, see sigFromHashes). Shared by the q276/q277
+    * twins, which are two readouts of ONE index state — exactly how
+    * a production dedup service serves both its candidate-pair feed
+    * and its cluster assignment from one maintained index.
+    */
+  private def streamSigFrame(spark: SparkSession, dir: String, tag: String): DataFrame = {
+    val TA = graft.operators.TextAnalysis
+    val n1 = s"${tag}i_mem_${runId.incrementAndGet()}"
+    val n2 = s"${tag}h_mem_${runId.incrementAndGet()}"
+    val ids = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("cnt")))
+        .toMemory(spark, n1, "complete")
+    }.localCheckpoint(true)
+    val hashes = withStreamShuffle(spark) {
+      // raw text through an exchange before the interpreted
+      // tokenize+shingle explode — the q259/q261 scan lesson
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            explode(TA.shingles(TA.tokens(col("text")), 3)).as("s"))
+          .select(col("doc_id"), graft.operators.Dedup.baseHash(col("s")).as("h"))
+          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt")))
+        .toMemory(spark, n2, "complete")
+    }.localCheckpoint(true)
+    TextQueries.sigFromHashes(
+      ids.select(col("doc_id")), hashes.select(col("doc_id"), col("h")))
+  }
+
+  /** q276 — STREAMING MinHash-LSH candidate pairs: q45's near-dup
+    * candidate feed over the DOCUMENTS stream — the EIGHTY-SEVENTH
+    * pairing, putting the dedup family's MINHASH end online (exact
+    * q239, cosine q258, typo q260, set-overlap q261, semantic q271 —
+    * this is the banded-signature workhorse between them). State is
+    * the online MinHash index (doc universe + shingle-hash
+    * membership); signatures, banding and in-bucket pair expansion
+    * replay verbatim (shared sigFromHashes + minhashPairsFrom,
+    * shared oracle).
+    */
+  def q276_stream_minhash_pairs(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.minhashPairsFrom(streamSigFrame(spark, dir, "q276"))
+
+  /** Same oracle as the batch LSH pairs — the point. */
+  val q276_stream_minhash_pairs_sql: String =
+    TextQueries.q45_minhash_lsh_pairs_sql
+
+  /** q277 — STREAMING near-dup clustering: q54's connected-component
+    * cluster assignment over the DOCUMENTS stream — the
+    * EIGHTY-EIGHTH pairing, the SECOND readout of q276's index state
+    * (one maintained index serves the candidate feed AND the cluster
+    * map — the amortization a production dedup service runs on);
+    * signatures, banding, pair expansion and the CC label
+    * propagation replay verbatim (shared dedupClustersFrom, shared
+    * recursive-CTE oracle).
+    */
+  def q277_stream_dedup_clusters(spark: SparkSession, dir: String): DataFrame =
+    TextQueries.dedupClustersFrom(streamSigFrame(spark, dir, "q277"))
+
+  /** Same oracle as the batch dedup clusters — the point. */
+  val q277_stream_dedup_clusters_sql: String =
+    TextQueries.q54_dedup_clusters_sql
+
   /** q260 — STREAMING banded edit-distance pairs: q90's typo-level
     * near-dup report over the DOCUMENTS stream — the SEVENTY-SIXTH
     * pairing, the online form of the character-noise quarantine (a
@@ -3932,6 +3999,8 @@ object StreamQueries {
     "q268_stream_bm25" -> (q268_stream_bm25 _),
     "q269_stream_js_divergence" -> (q269_stream_js_divergence _),
     "q270_stream_decontaminate" -> (q270_stream_decontaminate _),
+    "q276_stream_minhash_pairs" -> (q276_stream_minhash_pairs _),
+    "q277_stream_dedup_clusters" -> (q277_stream_dedup_clusters _),
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
     "q271_stream_semdedup" -> (q271_stream_semdedup _),
@@ -4030,6 +4099,8 @@ object StreamQueries {
     "q268_stream_bm25" -> q268_stream_bm25_sql,
     "q269_stream_js_divergence" -> q269_stream_js_divergence_sql,
     "q270_stream_decontaminate" -> q270_stream_decontaminate_sql,
+    "q276_stream_minhash_pairs" -> q276_stream_minhash_pairs_sql,
+    "q277_stream_dedup_clusters" -> q277_stream_dedup_clusters_sql,
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
     "q271_stream_semdedup" -> q271_stream_semdedup_sql,

@@ -51,19 +51,45 @@ object TextQueries {
       .select(col("doc_id"), toks.as("tk"))
       .repartition(col("doc_id"))
 
-  private def sigFrameOf(docs: DataFrame): DataFrame = {
-    val perShingle = docs.select(col("doc_id"), toks.as("tk"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(TA.shingles(col("tk"), 3)).as("s"))
-      .select(col("doc_id"), Dedup.baseHash(col("s")).as("h"))
+  private def sigFrameOf(docs: DataFrame): DataFrame =
+    sigFromHashes(
+      docs.select(col("doc_id")),
+      docs.select(col("doc_id"), toks.as("tk"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(TA.shingles(col("tk"), 3)).as("s"))
+        .select(col("doc_id"), Dedup.baseHash(col("s")).as("h")))
+
+  /** The MinHash signature build from a (doc_id) universe and a
+    * (doc_id, h) shingle-HASH frame — EXACTLY the state an online
+    * MinHash index keeps (duplicate hash rows are harmless: min is
+    * dup-insensitive, which is what lets the twins' compacted
+    * membership state stand in for the exploded batch frame; the id
+    * universe exists because shingle-less docs still need their
+    * sentinel signature). Shared verbatim by the batch sig frame and
+    * the q276/q277 streaming twins so online signatures cannot drift
+    * from batch. */
+  private[queries] def sigFromHashes(docIds: DataFrame, hashes: DataFrame): DataFrame = {
     val aggs = Dedup.perms.indices.map { i =>
       min(Dedup.permuted(col("h"), i)).as(s"m$i")
     }
-    val sig = perShingle.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    docs.select(col("doc_id")).join(sig, Seq("doc_id"), "left")
+    val sig = hashes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    docIds.join(sig, Seq("doc_id"), "left")
       .select(col("doc_id") +:
         Dedup.perms.indices.map(i => coalesce(col(s"m$i"), lit(Dedup.P)).as(s"m$i")): _*)
   }
+
+  /** q45's tail over a signature frame — shared by batch and the
+    * streaming twin q276. */
+  private[queries] def minhashPairsFrom(sig: DataFrame): DataFrame =
+    Dedup.lshCandidatePairs(sig, "doc_id").orderBy(col("a_id"), col("b_id"))
+
+  /** q54's tail over a signature frame — shared by batch and the
+    * streaming twin q277. */
+  private[queries] def dedupClustersFrom(sig: DataFrame): DataFrame =
+    Dedup.connectedComponents(Dedup.lshCandidatePairs(sig, "doc_id"), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_keep"))
+      .orderBy(col("doc_id"))
 
   private def sigFrame(spark: SparkSession, dir: String): DataFrame =
     sigFrameOf(Tables.documents(spark, dir))
@@ -185,8 +211,7 @@ object TextQueries {
     * (shuffle on band key), never an O(n²) cross join.
     */
   def q45_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.lshCandidatePairs(sigFrame(spark, dir), "doc_id")
-      .orderBy(col("a_id"), col("b_id"))
+    minhashPairsFrom(sigFrame(spark, dir))
 
   private val bandedCte: String = {
     val sigRefs = Dedup.perms.indices.map(i => s"m$i")
@@ -479,13 +504,8 @@ object TextQueries {
     * components with a recursive transitive closure — verifying the
     * distributed iteration against an independent exact algorithm.
     */
-  def q54_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.lshCandidatePairs(sigFrame(spark, dir), "doc_id")
-    Dedup.connectedComponents(pairs, "a_id", "b_id")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        (col("id") === col("label")).as("is_keep"))
-      .orderBy(col("doc_id"))
-  }
+  def q54_dedup_clusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersFrom(sigFrame(spark, dir))
 
   val q54_dedup_clusters_sql: String =
     s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -606,6 +606,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q276 streaming MinHash-LSH pairs are bit-identical to batch q45 (pairing #87)") {
+    val batch = graft.queries.TextQueries.q45_minhash_lsh_pairs(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q276_stream_minhash_pairs(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q277 streaming dedup clusters are bit-identical to batch q54 (pairing #88)") {
+    val batch = graft.queries.TextQueries.q54_dedup_clusters(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q277_stream_dedup_clusters(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q260 streaming edit-distance pairs are bit-identical to batch q90 (pairing #76)") {
     val batch = graft.queries.TextQueries.q90_edit_pairs(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q260_stream_edit_pairs(spark, dir).collect().toSeq
