@@ -2189,6 +2189,62 @@ object StreamQueries {
   val q277_stream_dedup_clusters_sql: String =
     TextQueries.q54_dedup_clusters_sql
 
+  /** q278 — STREAMING source-overlap matrix: q95's verbatim
+    * window-overlap audit over the DOCUMENTS stream — the
+    * EIGHTY-NINTH pairing, the contamination dial read beside the
+    * statistical JS drift (q269): "how much VERBATIM text do sources
+    * share as of this trigger". State is the compacted (doc_id,
+    * source, text) doc store — the q260 rep-text idiom: an exact
+    * verbatim-window auditor NEEDS the text, so the text IS the
+    * state; rolling-window hashes, candidate windows and the
+    * source-set pair expansion replay verbatim (shared
+    * sourceOverlapFrom, shared oracle).
+    */
+  def q278_stream_source_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q278_mem_${runId.incrementAndGet()}"
+    val d = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .groupBy(col("doc_id"))
+          .agg(max(struct(col("source"), col("text"))).as("b")))
+        .toMemory(spark, name, "complete")
+    }
+    TextQueries.sourceOverlapFrom(d.localCheckpoint(true)
+      .select(col("doc_id"), col("b.source").as("source"), col("b.text").as("text")))
+  }
+
+  /** Same oracle as the batch source overlap — the point. */
+  val q278_stream_source_overlap_sql: String =
+    TextQueries.q95_source_overlap_sql
+
+  /** q279 — STREAMING BPE merge step: q92's next-merge candidate
+    * ranking over the DOCUMENTS stream — the NINETIETH pairing, the
+    * online form of tokenizer training's inner loop (the word
+    * histogram is THE sufficient statistic for a BPE merge step, so
+    * a live corpus maintains it and ranks candidate merges on
+    * demand). ONE complete-mode aggregation maintains the (w, freq)
+    * word-frequency state; the adjacent-pair expansion and top-k
+    * rank replay verbatim (shared bpePairsFrom, shared oracle).
+    */
+  def q279_stream_bpe_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val TA = graft.operators.TextAnalysis
+    val name = s"q279_mem_${runId.incrementAndGet()}"
+    val wf = withStreamShuffle(spark) {
+      // raw text through an exchange before the interpreted tokenize
+      // explode — the q259/q261 scan lesson
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .select(explode(TA.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+        .toMemory(spark, name, "complete")
+    }
+    TextQueries.bpePairsFrom(wf.localCheckpoint(true))
+  }
+
+  /** Same oracle as the batch BPE merge step — the point. */
+  val q279_stream_bpe_pairs_sql: String = TextQueries.q92_bpe_pairs_sql
+
   /** q260 — STREAMING banded edit-distance pairs: q90's typo-level
     * near-dup report over the DOCUMENTS stream — the SEVENTY-SIXTH
     * pairing, the online form of the character-noise quarantine (a
@@ -4001,6 +4057,8 @@ object StreamQueries {
     "q270_stream_decontaminate" -> (q270_stream_decontaminate _),
     "q276_stream_minhash_pairs" -> (q276_stream_minhash_pairs _),
     "q277_stream_dedup_clusters" -> (q277_stream_dedup_clusters _),
+    "q278_stream_source_overlap" -> (q278_stream_source_overlap _),
+    "q279_stream_bpe_pairs" -> (q279_stream_bpe_pairs _),
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
     "q271_stream_semdedup" -> (q271_stream_semdedup _),
@@ -4101,6 +4159,8 @@ object StreamQueries {
     "q270_stream_decontaminate" -> q270_stream_decontaminate_sql,
     "q276_stream_minhash_pairs" -> q276_stream_minhash_pairs_sql,
     "q277_stream_dedup_clusters" -> q277_stream_dedup_clusters_sql,
+    "q278_stream_source_overlap" -> q278_stream_source_overlap_sql,
+    "q279_stream_bpe_pairs" -> q279_stream_bpe_pairs_sql,
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
     "q271_stream_semdedup" -> q271_stream_semdedup_sql,

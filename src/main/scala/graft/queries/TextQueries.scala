@@ -2254,10 +2254,16 @@ object TextQueries {
     * the k survivors (the limit-bounded window rule, as q89).
     */
   private val bpeTopK = 30
-  def q92_bpe_pairs(spark: SparkSession, dir: String): DataFrame = {
-    val wf = Tables.documents(spark, dir)
+  def q92_bpe_pairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairsFrom(Tables.documents(spark, dir)
       .select(explode(toks).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+
+  /** q92's merge-step readout from the (w, freq) word-frequency
+    * histogram — exactly the state a streaming tokenizer-training
+    * pipeline maintains. Shared verbatim by the streaming twin q279
+    * so batch and stream cannot drift. */
+  private[queries] def bpePairsFrom(wf: DataFrame): DataFrame = {
     // sequence(1, len-1) must be guarded: Spark's sequence(1, 0) is
     // the DESCENDING [1, 0], not empty (DuckDB's range(1, 1) is)
     val pc = wf
@@ -2423,9 +2429,18 @@ object TextQueries {
     * (where ×N replication makes EVERY window within-source-shared,
     * the collapse's worst case).
     */
-  def q95_source_overlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val tok = tokenized(spark, dir)
+  def q95_source_overlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** q95's verbatim-overlap matrix from a (doc_id, source, text)
+    * frame — the compacted doc store (the q260 rep-text idiom: an
+    * exact verbatim-window auditor NEEDS the text, so the text IS
+    * the state). Shared verbatim by the streaming twin q278 so batch
+    * and stream cannot drift. */
+  private[queries] def sourceOverlapFrom(d: DataFrame): DataFrame = {
+    val docs = d.select(col("doc_id"), col("source"))
+    val tok = d.select(col("doc_id"), toks.as("tk")).repartition(col("doc_id"))
     val wins = tok.select(col("doc_id"),
       posexplode(graft.plans.RollingWindowHash(col("tk"), winLen)).as(Seq("pos", "h")))
     val perPair = wins.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("m"))

@@ -622,6 +622,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q278 streaming source overlap is bit-identical to batch q95 (pairing #89)") {
+    val batch = graft.queries.TextQueries.q95_source_overlap(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q278_stream_source_overlap(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q279 streaming BPE pairs are bit-identical to batch q92 (pairing #90)") {
+    val batch = graft.queries.TextQueries.q92_bpe_pairs(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q279_stream_bpe_pairs(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q260 streaming edit-distance pairs are bit-identical to batch q90 (pairing #76)") {
     val batch = graft.queries.TextQueries.q90_edit_pairs(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q260_stream_edit_pairs(spark, dir).collect().toSeq
