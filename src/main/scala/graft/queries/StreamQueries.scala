@@ -2245,6 +2245,60 @@ object StreamQueries {
   /** Same oracle as the batch BPE merge step — the point. */
   val q279_stream_bpe_pairs_sql: String = TextQueries.q92_bpe_pairs_sql
 
+  /** q280 — STREAMING curation funnel: q99's first-drop attribution
+    * over the DOCUMENTS stream — the NINETY-FIRST pairing, and the
+    * composite that shows the whole ONLINE CURATION PIPELINE in one
+    * report: language, length, stopword-quality, exact-dup and
+    * contamination screens all evaluated against the corpus AS OF
+    * THIS TRIGGER (a doc's exact-dup verdict can change as its twin
+    * arrives; the funnel is live, not a nightly sweep). State is the
+    * compacted (doc_id, source, lang, text) doc store — q278's
+    * state, one more consumer; every stage derives from it in the
+    * shared funnelFrom tail (shared oracle).
+    */
+  def q280_stream_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q280_mem_${runId.incrementAndGet()}"
+    val d = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+          .groupBy(col("doc_id"))
+          .agg(max(struct(col("source"), col("lang"), col("text"))).as("b")))
+        .toMemory(spark, name, "complete")
+    }
+    TextQueries.funnelFrom(d.localCheckpoint(true)
+      .select(col("doc_id"), col("b.source").as("source"),
+        col("b.lang").as("lang"), col("b.text").as("text")))
+  }
+
+  /** Same oracle as the batch curation funnel — the point. */
+  val q280_stream_funnel_sql: String = TextQueries.q99_funnel_sql
+
+  /** q281 — STREAMING exact-quota mixture: q102's reproducible
+    * sampler over the DOCUMENTS stream — the NINETY-SECOND pairing,
+    * the live form of "which exact docs are in the training mix
+    * right now" (the plan reallocates as sources grow — a new doc
+    * can push a previously-selected one out, and the hash ranking
+    * makes the survivor set a pure function of the corpus, so the
+    * online and nightly answers agree by construction). State is the
+    * slim (doc_id, source) membership — counts, the
+    * largest-remainder plan and the hash-ranked survivors ALL derive
+    * from it (shared mixtureExactFrom, shared oracle).
+    */
+  def q281_stream_mixture_exact(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q281_mem_${runId.incrementAndGet()}"
+    val d = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .groupBy(col("doc_id")).agg(max(col("source")).as("source")))
+        .toMemory(spark, name, "complete")
+    }
+    TextQueries.mixtureExactFrom(d.localCheckpoint(true))
+  }
+
+  /** Same oracle as the batch exact-quota mixture — the point. */
+  val q281_stream_mixture_exact_sql: String =
+    TextQueries.q102_mixture_exact_sql
+
   /** q260 — STREAMING banded edit-distance pairs: q90's typo-level
     * near-dup report over the DOCUMENTS stream — the SEVENTY-SIXTH
     * pairing, the online form of the character-noise quarantine (a
@@ -4059,6 +4113,8 @@ object StreamQueries {
     "q277_stream_dedup_clusters" -> (q277_stream_dedup_clusters _),
     "q278_stream_source_overlap" -> (q278_stream_source_overlap _),
     "q279_stream_bpe_pairs" -> (q279_stream_bpe_pairs _),
+    "q280_stream_funnel" -> (q280_stream_funnel _),
+    "q281_stream_mixture_exact" -> (q281_stream_mixture_exact _),
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
     "q271_stream_semdedup" -> (q271_stream_semdedup _),
@@ -4161,6 +4217,8 @@ object StreamQueries {
     "q277_stream_dedup_clusters" -> q277_stream_dedup_clusters_sql,
     "q278_stream_source_overlap" -> q278_stream_source_overlap_sql,
     "q279_stream_bpe_pairs" -> q279_stream_bpe_pairs_sql,
+    "q280_stream_funnel" -> q280_stream_funnel_sql,
+    "q281_stream_mixture_exact" -> q281_stream_mixture_exact_sql,
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
     "q271_stream_semdedup" -> q271_stream_semdedup_sql,

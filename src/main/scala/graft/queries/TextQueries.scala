@@ -1633,10 +1633,16 @@ object TextQueries {
     * labels), so the quadratic term is bounded and driver-free while
     * the single real shuffle stays the groupBy(source) count.
     */
-  def q82_mix_largest_remainder(spark: SparkSession, dir: String): DataFrame = {
+  def q82_mix_largest_remainder(spark: SparkSession, dir: String): DataFrame =
+    mixLargestRemainderFrom(Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
+
+  /** q82's largest-remainder allocation from the (source, n_docs)
+    * counts frame — shared verbatim by batch q82/q102 and the
+    * streaming twin q281. */
+  private[queries] def mixLargestRemainderFrom(counts0: DataFrame): DataFrame = {
     val w = floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
-    val counts = Tables.documents(spark, dir)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val counts = counts0
       .withColumn("w_q", w)
     val based = counts
       .crossJoin(broadcast(counts.agg(sum(col("w_q")).as("sum_w"))))
@@ -1948,17 +1954,26 @@ object TextQueries {
     * a curation run picks by whether "exactly N" is a contract or a
     * target.
     */
-  def q102_mixture_exact(spark: SparkSession, dir: String): DataFrame = {
+  def q102_mixture_exact(spark: SparkSession, dir: String): DataFrame =
+    mixtureExactFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")))
+
+  /** q102's exact-quota selection from the (doc_id, source)
+    * membership frame — the ENTIRE mixture pipeline (counts →
+    * largest-remainder plan → hash-ranked survivors) is a function
+    * of that slim membership, which is what makes the online form
+    * cheap. Shared verbatim by the streaming twin q281 so batch and
+    * stream cannot drift. */
+  private[queries] def mixtureExactFrom(d: DataFrame): DataFrame = {
     // quota = planned/100 (min 1): the gate corpus is small relative
     // to q82's 10000-doc budget, and an always-oversubscribed quota
     // would never exercise the drop path — this keeps ~1% and the
     // oracle must agree on exactly WHICH rows survive
-    val planned = q82_mix_largest_remainder(spark, dir)
+    val planned = mixLargestRemainderFrom(
+      d.groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
       .select(col("source"),
         greatest(lit(1L), expr("planned div 100")).as("quota"))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .join(broadcast(planned), Seq("source"))
+    val docs = d.join(broadcast(planned), Seq("source"))
     graft.operators.GroupTopK.rank(docs, Seq("source"),
       Seq(graft.functions.Determinism.hash60(
         concat(lit("mix:"), col("doc_id").cast("string"))), col("doc_id")),
@@ -2095,16 +2110,26 @@ object TextQueries {
     * "minimum among survivors of earlier stages") — deterministic,
     * order-free, and what a one-pass pipeline can know.
     */
-  def q99_funnel(spark: SparkSession, dir: String): DataFrame = {
+  def q99_funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text")))
+
+  /** q99's whole first-drop curation funnel from a (doc_id, source,
+    * lang, text) frame — the compacted doc store again (q278's
+    * state): every stage (language, length, stopword quality, exact
+    * dup, contamination) derives from it. Shared verbatim by the
+    * streaming twin q280 so the ONLINE funnel cannot drift from the
+    * batch sweep. */
+  private[queries] def funnelFrom(d: DataFrame): DataFrame = {
     val nTok = size(toks).cast("long")
     val stopRatio = TA.stopCount(toks, TA.stopEn).cast("double") /
       greatest(nTok, lit(1L)).cast("double")
-    val base = Tables.documents(spark, dir)
+    val base = d
       .select(col("doc_id"), col("source"), col("lang"),
         nTok.as("n_tokens"), stopRatio.as("stop_ratio"),
         md5(col("text")).as("sig"))
     val rep = base.groupBy(col("sig")).agg(min(col("doc_id")).as("rep_id"))
-    val sh = tokenized(spark, dir)
+    val sh = d.select(col("doc_id"), toks.as("tk")).repartition(col("doc_id"))
       .select(col("doc_id"), explode(TA.shingles(col("tk"), 5)).as("s"))
     val evalSh = sh.filter(col("doc_id") % 31 === 0).select(col("s")).distinct()
     val contam = sh.filter(col("doc_id") % 31 =!= 0)

@@ -300,7 +300,19 @@ object ScaleSmoke {
       // already smoked above, so the ×N number isolates the state
       // maintenance + rebuild cost
       "q258_stream_tfidf_pairs", "q259_stream_bigram_perplexity",
-      "q260_stream_edit_pairs", "q261_stream_prefix_join")
+      "q260_stream_edit_pairs", "q261_stream_prefix_join",
+      // round 14 continuation: the new exact rank tests fold to
+      // value-domain histograms (same envelope as q246/q262 — the ×N
+      // run certifies the DECIMAL(38,0) rank partials and the double
+      // prefix-sum in KS); Spearman adds the distinct-spend rank-map
+      // hash join, the one join here whose build side grows with
+      // users; HITS is two exact-integer edge-sum rounds (edge-linear
+      // like SSSP, without even the decq step); the online BM25 /
+      // MinHash-index twins measure postings/membership state
+      // maintenance + verbatim tail replay at ×N docs
+      "q264_ks_test", "q266_spearman", "q274_wilcoxon", "q272_hits",
+      "q268_stream_bm25", "q276_stream_minhash_pairs",
+      "q279_stream_bpe_pairs")
     // round 5: the two persisted-serving paths — not SparkEntry
     // queries (they need a built store), so they run as named extras
     val extras = Seq("vidx", "heartbeat")

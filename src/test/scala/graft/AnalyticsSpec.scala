@@ -638,6 +638,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q280 streaming curation funnel is bit-identical to batch q99 (pairing #91)") {
+    val batch = graft.queries.TextQueries.q99_funnel(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q280_stream_funnel(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("q281 streaming exact-quota mixture is bit-identical to batch q102 (pairing #92)") {
+    val batch = graft.queries.TextQueries.q102_mixture_exact(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q281_stream_mixture_exact(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q260 streaming edit-distance pairs are bit-identical to batch q90 (pairing #76)") {
     val batch = graft.queries.TextQueries.q90_edit_pairs(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q260_stream_edit_pairs(spark, dir).collect().toSeq
