@@ -1220,7 +1220,10 @@ object AnalyticsQueries {
     * rounds, per-side max normalization, node decode.
     */
   private[graft] def hitsFrom(edges: DataFrame): DataFrame = {
-    val e = edges.persistFresh()
+    // persist-then-RELEASE builder → borrowPersist (ownership-aware:
+    // a plain unpersist would steal a live identical-plan entry from
+    // whichever invocation owns it — the q138/q249 edge-frame lesson)
+    val (e, release) = graft.operators.CacheOnce.borrowPersist(edges)
     e.count() // eager: four round-joins consume it — a cold cache would race
     val auth1 = e.groupBy(col("b"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("a1"))
@@ -1231,7 +1234,7 @@ object AnalyticsQueries {
     val hub2 = e.join(auth2, "b").groupBy(col("a"))
       .agg(sum(col("a2")).as("h2")).localCheckpoint(true)
     // rounds are eager LogicalRDDs — the edge cache has no reader left
-    e.unpersist(blocking = true)
+    release()
     val hm = hub2.agg(max(col("h2")).as("m"))
     val am = auth2.agg(max(col("a2")).as("m"))
     hub2.crossJoin(broadcast(hm))
