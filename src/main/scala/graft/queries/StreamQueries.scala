@@ -1756,6 +1756,41 @@ object StreamQueries {
   /** Same oracle as the batch SemDeDup — the point. */
   val q271_stream_semdedup_sql: String = VectorQueries.q86_semdedup_sql
 
+  /** q282 — STREAMING IVF+PQ serve: q166's two-stage production ANN
+    * path over the EMBEDDINGS stream — the NINETY-THIRD pairing,
+    * completing the online vector family's SERVING ladder (q248
+    * exact flat, q251 IVF coarse, now IVF + int8 PQ shortlist +
+    * exact rerank — the FAISS-style path a production recall/latency
+    * trade actually ships). Same per-vec_id compacted state; the
+    * projection rebuilds the corpus and derives centroids, int8
+    * codes and both ranking stages from the REBUILT frame (the
+    * count-pinned seed rule travels with it — shared ivfPqFrom,
+    * shared oracle).
+    */
+  def q282_stream_ivf_pq(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val st = graft.streaming.Pairing.tableStream(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[graft.streaming.Pairing.VecRow]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.VecRow,
+        Long, (Long, Seq[Float]), (Long, Long, Seq[Float])](
+      spark, st, Seq("vec_id", "seq", "emb"), r => (r.vec_id, 0L))(
+      _.vec_id)((0L, Seq.empty[Float])) { (id, s0, ordered) =>
+        val seq = s0._1 + ordered.size
+        val emb = if (ordered.isEmpty) s0._2 else ordered.last.embedding
+        ((seq, emb),
+          if (ordered.isEmpty) Vector.empty else Vector((id, seq, emb)))
+      } { t =>
+        VectorQueries.ivfPqFrom(t.groupBy(col("vec_id"))
+          .agg(max(struct(col("seq"), col("emb"))).as("b"))
+          .select(col("vec_id"), col("b.emb").as("embedding")))
+      }
+  }
+
+  /** Same oracle as the batch IVF+PQ serve — the point. */
+  val q282_stream_ivf_pq_sql: String = VectorQueries.q166_ivf_pq_sql
+
   /** q253 — STREAMING Mood's median test: q252's k-sample robust
     * location test maintained online — the SIXTY-NINTH pairing,
     * joining the online robust-stats family (q247 rank-sum, q204
@@ -4118,6 +4153,7 @@ object StreamQueries {
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
     "q271_stream_semdedup" -> (q271_stream_semdedup _),
+    "q282_stream_ivf_pq" -> (q282_stream_ivf_pq _),
     "q253_stream_median_test" -> (q253_stream_median_test _),
     "q254_stream_zipf" -> (q254_stream_zipf _),
     "q255_stream_heavy_hitters" -> (q255_stream_heavy_hitters _),
@@ -4222,6 +4258,7 @@ object StreamQueries {
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
     "q271_stream_semdedup" -> q271_stream_semdedup_sql,
+    "q282_stream_ivf_pq" -> q282_stream_ivf_pq_sql,
     "q253_stream_median_test" -> q253_stream_median_test_sql,
     "q254_stream_zipf" -> q254_stream_zipf_sql,
     "q255_stream_heavy_hitters" -> q255_stream_heavy_hitters_sql,

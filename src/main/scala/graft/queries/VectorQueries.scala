@@ -448,9 +448,19 @@ object VectorQueries {
     * touched for 20 candidates per probe — the FAISS IVF-PQ serving
     * pattern as one declarative plan.
     */
-  def q166_ivf_pq(spark: SparkSession, dir: String): DataFrame = {
-    val (e, cent) = embWithCents(spark, dir)
-    val codes = Tables.embeddings(spark, dir)
+  def q166_ivf_pq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqFrom(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** q166's two-stage IVF+PQ serve over an arbitrary (vec_id,
+    * embedding) frame — centroids, int8 codes and both ranking
+    * stages all derive from it (the count-pinned seed rule travels
+    * with the frame, as embCentsFrom). Shared verbatim by batch q166
+    * and the streaming twin q282 so the online production ANN path
+    * cannot drift from batch. */
+  private[queries] def ivfPqFrom(emb: DataFrame): DataFrame = {
+    val (e, cent) = embCentsFrom(emb)
+    val codes = emb
       .select(col("vec_id"), col("embedding"), Similarity.qScale(col("embedding")).as("scale"))
       .select(col("vec_id"), col("scale"),
         Similarity.quantize(col("embedding"), col("scale")).as("codes"))

@@ -534,6 +534,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q282 streaming IVF+PQ serve is bit-identical to batch q166 (pairing #93)") {
+    val batch = graft.queries.VectorQueries.q166_ivf_pq(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q282_stream_ivf_pq(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q254 streaming Zipf monitor is bit-identical to batch q100 (pairing #70)") {
     val batch = graft.queries.TextQueries.q100_zipf_slope(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q254_stream_zipf(spark, dir).collect().toSeq
