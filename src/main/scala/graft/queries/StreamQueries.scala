@@ -2334,6 +2334,29 @@ object StreamQueries {
   val q281_stream_mixture_exact_sql: String =
     TextQueries.q102_mixture_exact_sql
 
+  /** q283 — STREAMING hash-gate mixture audit: q98's thresholded
+    * keep-rate readout over the DOCUMENTS stream — the NINETY-FOURTH
+    * pairing, the SECOND consumer of q281's slim (doc_id, source)
+    * membership state (one maintained membership serves the exact
+    * sampler AND the rate audit — plan, per-source hash threshold
+    * and achieved-vs-planned deviation all derive; shared
+    * mixtureApplyFrom, shared oracle).
+    */
+  def q283_stream_mixture_apply(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"q283_mem_${runId.incrementAndGet()}"
+    val d = withStreamShuffle(spark) {
+      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .groupBy(col("doc_id")).agg(max(col("source")).as("source")))
+        .toMemory(spark, name, "complete")
+    }
+    TextQueries.mixtureApplyFrom(d.localCheckpoint(true))
+  }
+
+  /** Same oracle as the batch mixture apply — the point. */
+  val q283_stream_mixture_apply_sql: String =
+    TextQueries.q98_mixture_apply_sql
+
   /** q260 — STREAMING banded edit-distance pairs: q90's typo-level
     * near-dup report over the DOCUMENTS stream — the SEVENTY-SIXTH
     * pairing, the online form of the character-noise quarantine (a
@@ -4150,6 +4173,7 @@ object StreamQueries {
     "q279_stream_bpe_pairs" -> (q279_stream_bpe_pairs _),
     "q280_stream_funnel" -> (q280_stream_funnel _),
     "q281_stream_mixture_exact" -> (q281_stream_mixture_exact _),
+    "q283_stream_mixture_apply" -> (q283_stream_mixture_apply _),
     "q248_stream_ann_topk" -> (q248_stream_ann_topk _),
     "q251_stream_ivf_topk" -> (q251_stream_ivf_topk _),
     "q271_stream_semdedup" -> (q271_stream_semdedup _),
@@ -4255,6 +4279,7 @@ object StreamQueries {
     "q279_stream_bpe_pairs" -> q279_stream_bpe_pairs_sql,
     "q280_stream_funnel" -> q280_stream_funnel_sql,
     "q281_stream_mixture_exact" -> q281_stream_mixture_exact_sql,
+    "q283_stream_mixture_apply" -> q283_stream_mixture_apply_sql,
     "q248_stream_ann_topk" -> q248_stream_ann_topk_sql,
     "q251_stream_ivf_topk" -> q251_stream_ivf_topk_sql,
     "q271_stream_semdedup" -> q271_stream_semdedup_sql,

@@ -1899,16 +1899,24 @@ object TextQueries {
     * function of doc_id in both engines (portable md5-60 hash), so
     * the gate hashes the whole summary.
     */
-  def q98_mixture_apply(spark: SparkSession, dir: String): DataFrame = {
-    val planned = q82_mix_largest_remainder(spark, dir)
+  def q98_mixture_apply(spark: SparkSession, dir: String): DataFrame =
+    mixtureApplyFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")))
+
+  /** q98's hash-gate mixture readout from the (doc_id, source)
+    * membership frame — q102's twin state, second consumer (plan +
+    * threshold + achieved counts all derive). Shared verbatim by the
+    * streaming twin q283 so batch and stream cannot drift. */
+  private[queries] def mixtureApplyFrom(d: DataFrame): DataFrame = {
+    val planned = mixLargestRemainderFrom(
+      d.groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
       .withColumn("thr",
         least(lit(1000000L), expr("1000000 * planned div n_docs")))
     val keep = pmod(
       graft.functions.Determinism.hash60(
         concat(lit("mix:"), col("doc_id").cast("string"))),
       lit(1000000L)) < col("thr")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
+    d
       .join(broadcast(planned), Seq("source"))
       .groupBy(col("source"), col("n_docs"), col("planned"), col("thr"))
       .agg(sum(when(keep, 1L).otherwise(0L)).as("achieved"))

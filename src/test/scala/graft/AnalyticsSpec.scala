@@ -654,6 +654,14 @@ class AnalyticsSpec extends AnyFunSuite {
       s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("q283 streaming mixture apply is bit-identical to batch q98 (pairing #94)") {
+    val batch = graft.queries.TextQueries.q98_mixture_apply(spark, dir).collect().toSeq
+    val stream = graft.queries.StreamQueries.q283_stream_mixture_apply(spark, dir).collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"first diff: ${stream.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("q281 streaming exact-quota mixture is bit-identical to batch q102 (pairing #92)") {
     val batch = graft.queries.TextQueries.q102_mixture_exact(spark, dir).collect().toSeq
     val stream = graft.queries.StreamQueries.q281_stream_mixture_exact(spark, dir).collect().toSeq
