@@ -8,9 +8,9 @@ object SparkEntry {
     RelationalQueries.q01_agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++ StreamQueries.defs ++ AnalyticsQueries.defs ++ ReportQueries.defs ++ StatsQueries.defs ++ TimeSeriesQueries.defs ++ LifecycleQueries.defs ++ OpsQueries.defs ++ ProbeQueries.defs
+    RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++ StreamQueries.defs ++ AnalyticsQueries.defs ++ ReportQueries.defs ++ StatsQueries.defs ++ TimeSeriesQueries.defs ++ LifecycleQueries.defs ++ OpsQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++ StreamQueries.oracles ++ AnalyticsQueries.oracles ++ ReportQueries.oracles ++ StatsQueries.oracles ++ TimeSeriesQueries.oracles ++ LifecycleQueries.oracles ++ OpsQueries.oracles ++ ProbeQueries.oracles
+    RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++ StreamQueries.oracles ++ AnalyticsQueries.oracles ++ ReportQueries.oracles ++ StatsQueries.oracles ++ TimeSeriesQueries.oracles ++ LifecycleQueries.oracles ++ OpsQueries.oracles
 }

@@ -107,9 +107,10 @@ object Determinism {
       s"END AS BIGINT))"
 
   /** The round-12 pmod-identity rendering of floor division — kept
-    * ONLY for the q300d1 engine-conformance probe, which tests both
-    * renderings data-free against [[floorDiv]] so the driver's oracle
-    * build convicts or exonerates each form explicitly.
+    * ONLY for the opt-in render canary (tools/Probe, VERDICT r14
+    * stretch 8), which tests both renderings data-free against
+    * [[floorDiv]] if a future driver environment ever shows
+    * unexplained integer-class reds.
     */
   def floorDivPmodSql(a: String, b: String): String =
     s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"

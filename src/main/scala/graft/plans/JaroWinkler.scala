@@ -267,11 +267,12 @@ object JaroWinklerQ4 {
       JaroWinklerQ4(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
-/** [[JaroWinklerSim.statsPacked]] as an expression — the q185d1
-  * DIAGNOSTIC surface (VERDICT r11 item 2): one long packing
-  * (l1, l2, m, t, pfx), so a driver-side hash mismatch pinpoints
-  * WHICH matcher stage its oracle computes differently. Inputs are
-  * ≤ 63 bytes by contract (loud require in the kernel).
+/** [[JaroWinklerSim.statsPacked]] as an expression: one long packing
+  * (l1, l2, m, t, pfx) of the matcher's full stat vector — built for
+  * the r11 driver-divergence forensics (the q185d1 diagnostic,
+  * deleted r15 once the file closed) and kept as the spec-pinned
+  * exact-integer surface of the matcher kernel. Inputs are ≤ 63
+  * bytes by contract (loud require in the kernel).
   */
 case class JaroWinklerPack(left: Expression, right: Expression) extends BinaryExpression {
 

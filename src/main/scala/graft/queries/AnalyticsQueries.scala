@@ -1239,13 +1239,15 @@ object AnalyticsQueries {
     val am = auth2.agg(max(col("a2")).as("m"))
     hub2.crossJoin(broadcast(hm))
       .select(
-        concat(lit("c"), (col("a") / 2).cast("long").cast("string")).as("node"),
+        // integer division (ADVICE r14): `/` is double division, exact
+        // only below 2^53 — `div` matches the oracle's `//` at any key
+        concat(lit("c"), expr("a div 2").cast("string")).as("node"),
         lit("hub").as("kind"),
         col("h2").cast("double").as("score"),
         (col("h2").cast("double") / col("m").cast("double")).as("rel"))
       .unionAll(auth2.crossJoin(broadcast(am))
         .select(
-          concat(lit("s"), ((col("b") - 1) / 2).cast("long").cast("string")).as("node"),
+          concat(lit("s"), expr("(b - 1) div 2").cast("string")).as("node"),
           lit("auth").as("kind"),
           col("a2").cast("double").as("score"),
           (col("a2").cast("double") / col("m").cast("double")).as("rel")))

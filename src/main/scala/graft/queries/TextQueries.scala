@@ -3288,8 +3288,8 @@ object TextQueries {
     // cross-tab showed q185 was the gate's ONLY query hashing a
     // DECIMAL(18,4) / `· 0.0001` render — an entirely unexonerated
     // class, unlike every other op this query uses. jw_q4 carries the
-    // full information (jw = jw_q4 · 10⁻⁴); the q300d4 render probe
-    // tests the dropped class data-free.
+    // full information (jw = jw_q4 · 10⁻⁴); the opt-in render canary
+    // (tools/Probe) tests the dropped class data-free.
     val within = cls
       .filter(size(col("ids")) > 1)
       .select(col("ids"), explode(col("ids")).as("a_id"))
@@ -3402,83 +3402,8 @@ object TextQueries {
        |      UNION ALL SELECT a_id, b_id, jwq4 FROM within)
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** q185d1 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2, remote
-    * root-cause search): every candidate rep pair's full matcher
-    * stat vector, packed into one exact int64
-    * (((((l1·64+l2)·64+m)·64+t)·8+pfx) — [[graft.plans.JaroWinklerPack]]).
-    * If the driver ever disagrees with q185 again, this row set says
-    * WHICH stage diverges: a jwpack mismatch means the matcher
-    * itself; a green q185d1 with red q185 means the scoring/threshold
-    * arithmetic. Delete once the five r10/r11 reds are two rounds
-    * green.
-    */
-  def q185d1_jw_stats(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"), lower(substring(col("text"), 1, 32)).as("title"))
-    val cls = t.groupBy(col("title")).agg(min(col("doc_id")).as("rep_id"))
-    val a = cls.select(col("rep_id").as("ra"), col("title").as("ta"),
-      substring(col("title"), 1, 2).as("pfx2"))
-    val b = cls.select(col("rep_id").as("rb"), col("title").as("tb"),
-      substring(col("title"), 1, 2).as("pfx2"))
-    a.join(b, Seq("pfx2")).filter(col("ra") < col("rb"))
-      .select(col("ra"), col("rb"),
-        graft.plans.JaroWinklerPack(col("ta"), col("tb")).as("jwpack"))
-      .orderBy(col("ra"), col("rb"))
-  }
-
-  val q185d1_jw_stats_sql: String =
-    s"""WITH t AS (SELECT doc_id, lower(substr(text, 1, 32)) AS title FROM documents),
-       |cls AS (SELECT title, MIN(doc_id) AS rep_id FROM t GROUP BY title),
-       |cand AS (
-       |  SELECT a.rep_id AS ra, b.rep_id AS rb, a.title AS ta, b.title AS tb
-       |  FROM cls a JOIN cls b
-       |    ON substr(a.title, 1, 2) = substr(b.title, 1, 2)
-       |    AND a.rep_id < b.rep_id),
-       |${jwMatcherSql("cand", Seq("ra", "rb"))}
-       |SELECT ra, rb,
-       |  CAST(((((l1 * 64 + l2) * 64 + m) * 64 + t) * 8 + pfx) AS BIGINT) AS jwpack
-       |FROM jw_final ORDER BY ra, rb""".stripMargin
-
-  /** q185d2 — TEMPORARY DIAGNOSTIC (VERDICT r12 item 1): the scored
-    * rep-pair frame (ra, rb, jwq4) straight off jw_final + the
-    * jwQ4Sql arithmetic — BIGINT only, NO threshold, NO unnest, NO
-    * render. The one stage past the driver-green d1: d2 red convicts
-    * the `//`-CASE scoring arithmetic itself; d2 green + q185 red
-    * convicts the assembly (threshold/unnest/least/greatest/union) —
-    * and since r13 also dropped q185's unexonerated DECIMAL(18,4)
-    * render, a green d2 + green q185 retroactively convicts that
-    * render. Delete with the diagnostic family.
-    */
-  def q185d2_scored(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"), lower(substring(col("text"), 1, 32)).as("title"))
-    val cls = t.groupBy(col("title")).agg(min(col("doc_id")).as("rep_id"))
-    val a = cls.select(col("rep_id").as("ra"), col("title").as("ta"),
-      substring(col("title"), 1, 2).as("pfx2"))
-    val b = cls.select(col("rep_id").as("rb"), col("title").as("tb"),
-      substring(col("title"), 1, 2).as("pfx2"))
-    a.join(b, Seq("pfx2")).filter(col("ra") < col("rb"))
-      .select(col("ra"), col("rb"),
-        graft.plans.JaroWinklerQ4(col("ta"), col("tb")).as("jwq4"))
-      .orderBy(col("ra"), col("rb"))
-  }
-
-  val q185d2_scored_sql: String =
-    s"""WITH t AS (SELECT doc_id, lower(substr(text, 1, 32)) AS title FROM documents),
-       |cls AS (SELECT title, MIN(doc_id) AS rep_id FROM t GROUP BY title),
-       |cand AS (
-       |  SELECT a.rep_id AS ra, b.rep_id AS rb, a.title AS ta, b.title AS tb
-       |  FROM cls a JOIN cls b
-       |    ON substr(a.title, 1, 2) = substr(b.title, 1, 2)
-       |    AND a.rep_id < b.rep_id),
-       |${jwMatcherSql("cand", Seq("ra", "rb"))}
-       |SELECT ra, rb, $jwQ4Sql AS jwq4
-       |FROM jw_final ORDER BY ra, rb""".stripMargin
-
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_jaro_linkage" -> (q185_jaro_linkage _),
-    "q185d2_scored" -> (q185d2_scored _),
-    "q185d1_jw_stats" -> (q185d1_jw_stats _),
     "q167_rag_chunks" -> (q167_rag_chunks _),
     "q179_hybrid_rrf" -> (q179_hybrid_rrf _),
     "q127_prefix_join" -> (q127_prefix_join _),
@@ -3534,8 +3459,6 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q185_jaro_linkage" -> q185_jaro_linkage_sql,
-    "q185d1_jw_stats" -> q185d1_jw_stats_sql,
-    "q185d2_scored" -> q185d2_scored_sql,
     "q167_rag_chunks" -> q167_rag_chunks_sql,
     "q179_hybrid_rrf" -> q179_hybrid_rrf_sql,
     "q123_weighted_sample" -> q123_weighted_sample_sql,

@@ -392,7 +392,8 @@ object TimeSeriesQueries {
       // NEGATIVE decimal — q193/q195's negative slopes were one of
       // the gate's only unexonerated hashed classes. slope_q6 carries
       // the full information (dollars/day = slope_q6 · 10⁻⁶); the
-      // q300d4 render probe tests the dropped class data-free.
+      // opt-in render canary (tools/Probe) tests the dropped class
+      // data-free.
       .orderBy(col("event_type"))
   }
 
@@ -437,188 +438,8 @@ object TimeSeriesQueries {
       |ORDER BY m.event_type""".stripMargin
   }
 
-  /** q193d1 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2): the
-    * collapsed (event_type, day-index, cents) daily frame q193's
-    * pair expansion consumes — pure integers, exercising exactly the
-    * stages upstream of the pair math in the driver's oracle:
-    * parquet timestamp/double ingestion, the dec2 cents cast, the
-    * date arithmetic. A mismatch here means the driver's DuckDB
-    * ingests or casts these shapes differently; green d1 with red
-    * q193 localizes to windows/rank/selection. Delete once the five
-    * r10/r11 reds are two rounds green.
-    */
-  def q193d1_daily(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum((dec2(col("value")) * 100).cast("long")).as("y"))
-      .select(col("event_type"),
-        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("d"),
-        col("y"))
-      .orderBy(col("event_type"), col("d"))
-
-  val q193d1_daily_sql: String =
-    """SELECT event_type,
-      |  CAST(date_trunc('day', ts)::DATE - DATE '2024-01-01' AS BIGINT) AS d,
-      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** q193d2 — TEMPORARY DIAGNOSTIC (VERDICT r11 item 2): the slope
-    * pair frame AGGREGATED per (event_type, den) to exact-integer
-    * marginals — count, sum/min/max of numerators. Bounded at
-    * labels × calendar rows, it fingerprints the whole pair
-    * expansion without shipping days² rows: with d1 green and d2
-    * red, the driver's join/pair construction diverges; with both
-    * green and q193 red, only the rank window and median selection
-    * remain. Delete once the five r10/r11 reds are two rounds green.
-    */
-  def q193d2_pairstats(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum((dec2(col("value")) * 100).cast("long")).as("y"))
-      .select(col("event_type"),
-        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("d"),
-        col("y"))
-    daily.select(col("event_type"), col("d").as("da"), col("y").as("ya"))
-      .join(daily.select(col("event_type"), col("d").as("db"), col("y").as("yb")),
-        Seq("event_type"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("event_type"), (col("db") - col("da")).as("den"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("yb") - col("ya")).as("sum_num"),
-        min(col("yb") - col("ya")).as("min_num"),
-        max(col("yb") - col("ya")).as("max_num"))
-      .orderBy(col("event_type"), col("den"))
-  }
-
-  val q193d2_pairstats_sql: String =
-    """WITH daily AS (
-      |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
-      |  FROM events GROUP BY 1, 2),
-      |dd AS (SELECT event_type, CAST(day - DATE '2024-01-01' AS BIGINT) AS d, y
-      |       FROM daily)
-      |SELECT a.event_type, CAST(b.d - a.d AS BIGINT) AS den,
-      |  CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(b.y - a.y) AS BIGINT) AS sum_num,
-      |  CAST(MIN(b.y - a.y) AS BIGINT) AS min_num,
-      |  CAST(MAX(b.y - a.y) AS BIGINT) AS max_num
-      |FROM dd a JOIN dd b ON a.event_type = b.event_type AND a.d < b.d
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** The collapsed daily frame shared by q193 and its diagnostics. */
-  private def tsDaily(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum((dec2(col("value")) * 100).cast("long")).as("y"))
-      .select(col("event_type"),
-        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("d"),
-        col("y"))
-
-  /** The exact-rational slope-pair frame with its integer sort key —
-    * q193's kq stage, shared by the d3/d4 diagnostics.
-    */
-  private def tsPairs(daily: DataFrame): DataFrame = {
-    import graft.functions.Determinism.floorDiv
-    daily.select(col("event_type"), col("d").as("da"), col("y").as("ya"))
-      .join(daily.select(col("event_type"), col("d").as("db"), col("y").as("yb")),
-        Seq("event_type"))
-      .filter(col("da") < col("db"))
-      .select(col("event_type"),
-        (col("yb") - col("ya")).as("num"),
-        (col("db") - col("da")).as("den"))
-      .withColumn("kq", floorDiv(col("num") * lit(1048576L), col("den")))
-  }
-
-  private val tsDailySqlCtes: String =
-    """daily AS (
-      |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
-      |  FROM events GROUP BY 1, 2),
-      |dd AS (SELECT event_type, CAST(day - DATE '2024-01-01' AS BIGINT) AS d, y
-      |       FROM daily),
-      |pr AS (
-      |  SELECT a.event_type, CAST(b.y - a.y AS BIGINT) AS num,
-      |    CAST(b.d - a.d AS BIGINT) AS den
-      |  FROM dd a JOIN dd b ON a.event_type = b.event_type AND a.d < b.d)""".stripMargin
-
-  /** q193d3 — TEMPORARY DIAGNOSTIC (VERDICT r12 item 1): the kq
-    * stage — per-(event_type, den) exact-integer marginals of the
-    * floor-div sort key kq = floorDiv(num·2²⁰, den), the first stage
-    * past the driver-green d2 frame. d2 green + d3 red convicts the
-    * oracle's floor-division (now the r13 non-negative-operand
-    * rendering) on negative dividends; d3 green moves suspicion to
-    * the rank window (d4). Delete with the diagnostic family.
-    */
-  def q193d3_kqstats(spark: SparkSession, dir: String): DataFrame =
-    tsPairs(tsDaily(spark, dir))
-      .groupBy(col("event_type"), col("den"))
-      .agg(count(lit(1)).as("cnt"),
-        min(col("kq")).as("min_kq"),
-        max(col("kq")).as("max_kq"),
-        sum(col("kq")).as("sum_kq"))
-      .orderBy(col("event_type"), col("den"))
-
-  val q193d3_kqstats_sql: String = {
-    import graft.functions.Determinism.floorDivSql
-    s"""WITH $tsDailySqlCtes,
-      |kq AS (
-      |  SELECT event_type, num, den,
-      |    ${floorDivSql("num * 1048576", "den")} AS kq
-      |  FROM pr)
-      |SELECT event_type, den, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(MIN(kq) AS BIGINT) AS min_kq,
-      |  CAST(MAX(kq) AS BIGINT) AS max_kq,
-      |  CAST(SUM(kq) AS BIGINT) AS sum_kq
-      |FROM kq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
-
-  /** q193d4 — TEMPORARY DIAGNOSTIC (VERDICT r12 item 1): the rank
-    * window + median selection WITHOUT the final slope floor-div and
-    * without the n_days join — exactly q193's med stage. d3 green +
-    * d4 red convicts the row_number/COUNT window machinery; d4 green
-    * + q193 red convicts the single remaining op between them (the
-    * slope_q6 floor-div). Delete with the diagnostic family.
-    */
-  def q193d4_selected(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-    tsPairs(tsDaily(spark, dir))
-      .withColumn("rn", row_number().over(w.orderBy(col("kq"), col("num"), col("den"))))
-      .withColumn("n", count(lit(1)).over(w))
-      .groupBy(col("event_type"))
-      .agg(first(col("n")).as("n_pairs"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("num"))).as("lo_num"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("den"))).as("lo_den"),
-        max(when(col("rn") === expr("n div 2 + 1"), col("num"))).as("hi_num"),
-        max(when(col("rn") === expr("n div 2 + 1"), col("den"))).as("hi_den"))
-      .orderBy(col("event_type"))
-  }
-
-  val q193d4_selected_sql: String = {
-    import graft.functions.Determinism.floorDivSql
-    s"""WITH $tsDailySqlCtes,
-      |kq AS (
-      |  SELECT event_type, num, den,
-      |    ${floorDivSql("num * 1048576", "den")} AS kq
-      |  FROM pr),
-      |rk AS (
-      |  SELECT event_type, num, den,
-      |    row_number() OVER (PARTITION BY event_type ORDER BY kq, num, den) AS rn,
-      |    COUNT(*) OVER (PARTITION BY event_type) AS n
-      |  FROM kq)
-      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
-      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN num END) AS lo_num,
-      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN den END) AS lo_den,
-      |  MAX(CASE WHEN rn = n // 2 + 1 THEN num END) AS hi_num,
-      |  MAX(CASE WHEN rn = n // 2 + 1 THEN den END) AS hi_den
-      |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
-  }
-
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_theil_sen" -> (q193_theil_sen _),
-    "q193d1_daily" -> (q193d1_daily _),
-    "q193d2_pairstats" -> (q193d2_pairstats _),
-    "q193d3_kqstats" -> (q193d3_kqstats _),
-    "q193d4_selected" -> (q193d4_selected _),
     "q154_acf" -> (q154_acf _),
     "q155_seasonal" -> (q155_seasonal _),
     "q156_holt" -> (q156_holt _),
@@ -626,10 +447,6 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "q193_theil_sen" -> q193_theil_sen_sql,
-    "q193d1_daily" -> q193d1_daily_sql,
-    "q193d2_pairstats" -> q193d2_pairstats_sql,
-    "q193d3_kqstats" -> q193d3_kqstats_sql,
-    "q193d4_selected" -> q193d4_selected_sql,
     "q154_acf" -> q154_acf_sql,
     "q155_seasonal" -> q155_seasonal_sql,
     "q156_holt" -> q156_holt_sql,

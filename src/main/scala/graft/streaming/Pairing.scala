@@ -105,6 +105,31 @@ object Pairing {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Scoped state-store provider override for the BIG-STATE pairings
+    * (VERDICT r14 item 4). The default HDFSBackedStateStoreProvider
+    * keeps every partition's key map ON-HEAP and retains recent
+    * versions — at the edge-keyed family's ×25 rung (~1M keys in one
+    * JVM) that heap residency is the measured super-linear term
+    * (SCALE_r14: q226 slope 3.5 vs data 2.5). RocksDB moves the maps
+    * to native memory + local disk, so state size stops competing
+    * with execution memory for GC. Opt-in per call site via
+    * runStream(bigState = true) — the label/value-bounded pairings
+    * keep the default provider (their states are tiny; RocksDB's
+    * per-partition native setup would be pure fixed cost across ~90
+    * queries). GRAFT_PAIRING_STATESTORE=hdfs flips the family back
+    * for A/B measurement (the SCALE_r15 experiment).
+    */
+  def withBigStateStore[T](spark: SparkSession)(body: => T): T = {
+    if (sys.env.get("GRAFT_PAIRING_STATESTORE").contains("hdfs")) body
+    else {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Run a per-key stateful streaming pairing over the events table.
     *
     * @param cols    sink column names for the emission tuples
@@ -167,6 +192,31 @@ object Pairing {
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
+  /** Synthetic event time for fact rows under expiry mode: TPC-H fact
+    * rows carry no ingestion timestamp, so the TTL clock derives one
+    * from the replay key — orderkey-as-hours. A production fact
+    * stream uses its ingestion/commit timestamp instead. Two
+    * load-bearing details, shared by every orderkey-keyed pairing
+    * (q226/q245/q273 and the LiEdge family):
+    *
+    *   - The +1: orderkey 0 (present at sf0.01) would map to the
+    *     EPOCH, tie the stateful operator's initial watermark (0),
+    *     and be dropped as late — one silently missing order (caught
+    *     by the r14 gate when expiry went default: q227/q228 drifted
+    *     in their 4th digit; the probe found exactly one absent
+    *     membership row).
+    *   - The ceiling (ADVICE r14): (ok+1)·3 600 000 ms overflows the
+    *     long-MICROS timestamp range (±2⁶³ µs ≈ ±292k years) once
+    *     orderkey exceeds ~2.56e12 — far above TPC-H sf100k's ~6e12
+    *     ROWS but only ~1.5e12 ORDERS at sf250k. A deployment past
+    *     that scale shrinks the multiplier (minutes/seconds-as-key)
+    *     or, correctly, uses real ingestion time; the per-query call
+    *     sites inherit this bound from here, in one place.
+    */
+  def orderkeyEventTime(ok: Column): Column =
+    org.apache.spark.sql.functions.timestamp_millis(
+      (ok + org.apache.spark.sql.functions.lit(1L)) * 3600000L)
+
   /** Test-observable count of states removed through the event-time
     * expiry path — the removal is deliberately invisible in query
     * output, so the lifecycle spec needs a side channel to prove
@@ -224,7 +274,7 @@ object Pairing {
     */
   def runStream[R, K, S, O](spark: SparkSession, stream: Dataset[R],
       cols: Seq[String], order: R => (Long, Long),
-      expireHorizonMs: Option[Long] = None)
+      expireHorizonMs: Option[Long] = None, bigState: Boolean = false)
       (key: R => K)(init: => S)
       (step: (K, S, Vector[R]) => (S, Vector[O]))
       (project: DataFrame => DataFrame)
@@ -236,7 +286,9 @@ object Pairing {
     // acquired on the DRIVER before closure construction; the closure
     // captures the (serializable) accumulator itself
     val expAcc = expireHorizonMs.map(_ => expiredFor(spark))
-    withStreamShuffle(spark) {
+    def maybeBig[T](body: => T): T =
+      if (bigState) withBigStateStore(spark)(body) else body
+    maybeBig { withStreamShuffle(spark) {
       val out = stream.groupByKey(key)(ek)
         .flatMapGroupsWithState[S, O](OutputMode.Append, timeoutConf) {
           (k: K, it: Iterator[R], state: GroupState[S]) =>
@@ -256,7 +308,7 @@ object Pairing {
       val q = out.toDF(cols: _*).writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    }
+    } }
     // localCheckpoint: see [[run]] — MemoryPlan attributes break
     // self-joining projections without it; the sink is emission-sized.
     project(spark.table(name).localCheckpoint(true))

@@ -10,7 +10,53 @@ import graft.{Sessions, SparkEntry}
   * AQE byte-coalescing failure mode found in q127.
   */
 object Probe {
+
+  /** The long→DECIMAL(18,4|6) render canary (VERDICT r14 stretch 8).
+    *
+    * Closed file it guards: rounds 11–14 established that the
+    * DRIVER's oracle build diverges from pinned DuckDB 1.0.0 on the
+    * entire long→DECIMAL(18,4|6) render class, both signs,
+    * independent of data (the q300d4a–d probes, red at the driver /
+    * green on the replica for two consecutive rounds, deleted r15).
+    * That fact lives in SURVEY §4. If the driver environment ever
+    * upgrades its oracle build, the fact goes stale SILENTLY — so
+    * this canary stays, data-free, OUTSIDE the gate, behind
+    * GRAFT_RENDER_CANARY=1 (or a `canary` arg). Run it only when a
+    * CORRECTNESS artifact shows unexplained decimal-class reds: it
+    * prints the Spark-computed frame plus the exact DuckDB SQL to
+    * run by hand; value-identical output means the divergence is
+    * gone and the SURVEY §4 paragraph should be retired.
+    */
+  def renderCanary(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val vs = Seq(0L, 1L, 8800L, 9096L, 10000L, 904706L, 10060000L,
+      123456789012L)
+    val all = vs ++ vs.filter(_ != 0L).map(-_)
+    val sp = spark
+    import sp.implicits._
+    Seq(4, 6).foreach { scale =>
+      val tick = lit(BigDecimal(java.math.BigDecimal.valueOf(1L, scale)))
+      val r = (col("v").cast("decimal(18,0)") * tick)
+        .cast(s"decimal(18,$scale)")
+      val out = all.toDF("v")
+        .select(col("v"), r.as("r"), r.cast("string").as("r_str"))
+        .orderBy(col("v")).collect()
+      println(s"[canary] scale $scale (spark):")
+      out.foreach(row => println(s"[canary]   ${row.mkString(" | ")}"))
+      val tickSql = java.math.BigDecimal.valueOf(1L, scale).toPlainString
+      println(s"[canary] scale $scale oracle SQL (run in the driver's DuckDB AND pinned 1.0.0):")
+      println(
+        s"""[canary]   SELECT v, CAST(CAST(v AS DECIMAL(18,0)) * $tickSql AS DECIMAL(18,$scale)) AS r,
+           |[canary]     CAST(CAST(CAST(v AS DECIMAL(18,0)) * $tickSql AS DECIMAL(18,$scale)) AS VARCHAR) AS r_str
+           |[canary]   FROM (SELECT unnest(${all.mkString("[", ", ", "]::BIGINT[]")}) AS v) ORDER BY v""".stripMargin)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("canary") || sys.env.get("GRAFT_RENDER_CANARY").contains("1")) {
+      val sp = Sessions.local(cores = 2, shufflePartitions = 2)
+      sp.sparkContext.setLogLevel("ERROR")
+      renderCanary(sp); sp.stop(); return
+    }
     val dir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
     val only = args.find(_.startsWith("only=")).map(_.drop(5).split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

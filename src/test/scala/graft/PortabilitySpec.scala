@@ -144,22 +144,20 @@ class PortabilitySpec extends AnyFunSuite {
     assert(oracleViolations("SELECT CAST(0.30103 AS DECIMAL(14,12)) FROM t").isEmpty)
   }
 
-  /** Round-12 inverse arm (VERDICT r11 item 3): the five formerly
-    * driver-red queries (and their diagnostics) must hash NOTHING an
-    * engine build can compute differently — their output schemas
-    * carry no floating-point column at all; every decimal is fed by
-    * an exact long (the plan lint above rejects any double→decimal
-    * feed). Streaming twins q194/q195 share these projections
-    * verbatim (Pairing parity specs pin bit-equality), so the batch
-    * schemas cover them.
+  /** Round-12 inverse arm (VERDICT r11 item 3): the formerly
+    * driver-red queries must hash NOTHING an engine build can compute
+    * differently — their output schemas carry no floating-point
+    * column at all; every decimal is fed by an exact long (the plan
+    * lint above rejects any double→decimal feed). Streaming twins
+    * q194/q195 share these projections verbatim (Pairing parity
+    * specs pin bit-equality), so the batch schemas cover them. The
+    * r11–r14 diagnostic family (q185d, q193d, q300d) delivered its
+    * verdict and was deleted in r15 (VERDICT r14 item 2); the
+    * operator queries keep the exact-integer contract the file
+    * established.
     */
   test("ex-red queries hash only exact-integer surfaces (no float columns)") {
-    val exRed = Seq("q185_jaro_linkage", "q187_kmv_overlap", "q193_theil_sen",
-      "q185d1_jw_stats", "q185d2_scored",
-      "q193d1_daily", "q193d2_pairstats", "q193d3_kqstats", "q193d4_selected",
-      "q300d1_probe_intdiv", "q300d2_probe_bits", "q300d3_probe_window",
-      "q300d4a_probe_r4pos", "q300d4b_probe_r4neg", "q300d4c_probe_r6pos",
-      "q300d4d_probe_r6neg", "q300d5_probe_lists")
+    val exRed = Seq("q185_jaro_linkage", "q187_kmv_overlap", "q193_theil_sen")
     val bad = exRed.flatMap { name =>
       val schema = SparkEntry.queries(name)(spark, dir).schema
       spark.catalog.clearCache()
