@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two-JVM Topic fan-out under `kill -9` (VERDICT r14 stretch 7).
+  *
+  * ScheduleTopicSpec proves the pub/sub/trim contracts inside one
+  * JVM; this spec closes the remaining credibility gap for the 🔶
+  * IPC rows (SURVEY §2 rows 27/28c/64) by actually forking the
+  * processes a deployment runs: a PUBLISHER JVM appending batches to
+  * the topic directory and a SUBSCRIBER JVM tailing it into a
+  * parquet sink — then `kill -9`ing the subscriber mid-stream,
+  * restarting it on the same checkpoint, and asserting EXACTLY-ONCE
+  * delivery of the full published set.
+  *
+  * Why the assertion is airtight: the file-stream source logs each
+  * batch's files in the checkpoint BEFORE processing and marks a
+  * commit AFTER the sink's transactional rename; a kill between the
+  * two leaves an offsets entry without a commit marker, which the
+  * restart reprocesses against the SAME file list. The parquet sink
+  * registers output files in _spark_metadata only at commit, so any
+  * part files the killed attempt left behind are invisible orphans
+  * to a metadata-log read. Reading outDir with Spark therefore
+  * yields each published row exactly once — which is what the final
+  * multiset comparison checks, row for row.
+  */
+class TopicIpcSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(cores = 2, shufflePartitions = 2)
+
+  private val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+
+  /** Fork a TopicIpc role in a fresh JVM: same classpath as this
+    * (already-forked) test JVM, plus the JDK-17 --add-opens set Spark
+    * needs (inherited from THIS JVM's runtime args — the one place
+    * they're guaranteed present and current).
+    */
+  private def fork(logName: String, roleArgs: Seq[String]): Process = {
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .sliding(2).collect { case Seq("--add-opens", v) => Seq("--add-opens", v) }
+      .toSeq.flatten
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"), "graft.tools.TopicIpc") ++ roleArgs
+    val log = Files.createTempFile(s"topic_ipc_$logName", ".log").toFile
+    new ProcessBuilder(cmd: _*)
+      .redirectOutput(log).redirectErrorStream(true)
+      .start()
+  }
+
+  /** Rows committed to the subscriber's sink so far — a metadata-log
+    * read, so uncommitted orphans never count. 0 until the first
+    * commit (no _spark_metadata yet).
+    */
+  private def committedCount(outDir: String): Long =
+    if (!Files.exists(Paths.get(outDir, "_spark_metadata"))) 0L
+    else
+      try spark.read.parquet(outDir).count()
+      catch { case _: Throwable => 0L }
+
+  private def awaitExit(p: Process, what: String, timeoutSec: Long = 180): Int = {
+    assert(p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS),
+      s"$what did not exit within ${timeoutSec}s")
+    p.exitValue()
+  }
+
+  test("publisher JVM + subscriber JVM: kill -9 mid-stream, restart, exactly-once") {
+    val root = Files.createTempDirectory("topic_ipc").toString
+    val outDir = s"$root/sub_out"
+    val ckpt = s"$root/sub_ckpt"
+    Files.createDirectories(Paths.get(s"$root/ipc")) // subscriber may start first
+
+    val batches = 14
+    val rows = 200
+    // ~430 ms/batch publish cadence: slow enough that the kill lands
+    // while the topic is still growing, fast enough to keep the test
+    // under a minute of publishing
+    val publisher = fork("pub", Seq("publisher", root, "ipc",
+      batches.toString, rows.toString, "400"))
+    val sub1 = fork("sub1", Seq("subscribe", root, "ipc", outDir, ckpt))
+
+    // wait for the subscriber to have COMMITTED at least one batch —
+    // the kill must land on a subscriber with real checkpoint state,
+    // not one still booting its session
+    val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
+    while (committedCount(outDir) == 0L && System.nanoTime() < deadline)
+      Thread.sleep(500)
+    val beforeKill = committedCount(outDir)
+    assert(beforeKill > 0L, "subscriber never committed a batch before the kill window")
+
+    sub1.destroyForcibly() // SIGKILL — no shutdown hooks, no cleanup
+    sub1.waitFor()
+
+    // the publisher must finish its full run AFTER the kill, so the
+    // restart has a genuine backlog (kill-window rows + post-kill rows)
+    assert(awaitExit(publisher, "publisher") == 0, "publisher JVM failed")
+    val published = batches.toLong * rows
+    val afterKill = committedCount(outDir)
+    assert(afterKill < published,
+      s"kill left nothing to recover ($afterKill of $published already committed) — " +
+        "widen the publish cadence")
+
+    // restart on the SAME checkpoint in drain mode: recover + catch up + exit
+    val sub2 = fork("sub2", Seq("drain", root, "ipc", outDir, ckpt))
+    assert(awaitExit(sub2, "drain subscriber") == 0, "drain subscriber JVM failed")
+
+    // exactly-once, row for row: the committed sink equals the
+    // enumerable published multiset — no loss (kill recovery), no
+    // dups (offsets-without-commit reprocessed once, orphans invisible)
+    val got = spark.read.parquet(outDir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (0 until batches).flatMap(b =>
+      (0 until rows).map(j => b.toLong * 1000000L + j)).sorted
+    assert(got.length == want.length,
+      s"expected ${want.length} rows exactly once, got ${got.length}")
+    assert(got == want, "committed sink diverges from the published multiset")
+  }
+}
