@@ -3427,8 +3427,10 @@ object StreamQueries {
     graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiPair,
         Long, (Long, Seq[Long]), (Long, Long, Seq[Long])](
       spark, st, Seq("o", "seq", "ms"), r => (r.ok, r.ln), expireHorizonMs,
-      // order-count keys (150k/sf0.1, ×N under replication) — the
-      // big-state family runs on RocksDB (Pairing.withBigStateStore)
+      // order-count keys (150k/sf0.1, ×N under replication) — marked
+      // big-state: GRAFT_PAIRING_STATESTORE=rocksdb moves this family
+      // off-heap when deployed state outgrows executor heap (the
+      // measured default stays on-heap — Pairing.withBigStateStore)
       bigState = true)(
       _.ok)((0L, Seq.empty[Long])) { (o, s0, ordered) =>
         val seen = s0._1 + ordered.size
@@ -3510,7 +3512,8 @@ object StreamQueries {
     graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiEdge,
         (Long, Long), Long, (Long, Long)](
       spark, st, Seq("a", "b"), r => (r.ok, r.ln), orderTtlMs,
-      // edge-count keys (~400k at ×10) — RocksDB off-heap state
+      // edge-count keys (~400k at ×10) — marked big-state (see
+      // Pairing.withBigStateStore for the measured provider choice)
       bigState = true)(
       r => (r.a, r.b))(0L) { (k, s0, ordered) =>
         (s0 + ordered.size,
@@ -3555,7 +3558,8 @@ object StreamQueries {
     graft.streaming.Pairing.runStream[graft.streaming.Pairing.LiEdge,
         (Long, Long), Long, (Long, Long)](
       spark, st, Seq("a", "b"), r => (r.ok, r.ln), orderTtlMs,
-      // edge-count keys (~400k at ×10) — RocksDB off-heap state
+      // edge-count keys (~400k at ×10) — marked big-state (see
+      // Pairing.withBigStateStore for the measured provider choice)
       bigState = true)(
       r => (r.a, r.b))(0L) { (k, s0, ordered) =>
         (s0 + ordered.size,

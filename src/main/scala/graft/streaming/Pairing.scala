@@ -105,22 +105,25 @@ object Pairing {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** Scoped state-store provider override for the BIG-STATE pairings
-    * (VERDICT r14 item 4). The default HDFSBackedStateStoreProvider
-    * keeps every partition's key map ON-HEAP and retains recent
-    * versions — at the edge-keyed family's ×25 rung (~1M keys in one
-    * JVM) that heap residency is the measured super-linear term
-    * (SCALE_r14: q226 slope 3.5 vs data 2.5). RocksDB moves the maps
-    * to native memory + local disk, so state size stops competing
-    * with execution memory for GC. Opt-in per call site via
-    * runStream(bigState = true) — the label/value-bounded pairings
-    * keep the default provider (their states are tiny; RocksDB's
-    * per-partition native setup would be pure fixed cost across ~90
-    * queries). GRAFT_PAIRING_STATESTORE=hdfs flips the family back
-    * for A/B measurement (the SCALE_r15 experiment).
+  /** Scoped state-store provider switch for the BIG-STATE pairings
+    * (VERDICT r14 item 4), resolved by MEASUREMENT in r15. The r14
+    * hypothesis was that the default on-heap provider's state
+    * residency caused q226's super-linear ×25 replay cost (slope 3.5
+    * vs data 2.5); the r15 quiet-box A/B matrix (SCALE_r15.json)
+    * refuted it: the r14 number was box contention. On a quiet box
+    * the ON-HEAP provider is exactly edge-linear (q226 ×10 50.5 s →
+    * ×25 125.9 s = 2.49× vs data 2.5×) and BEATS RocksDB at both
+    * rungs (67.7 s / 187.8 s) — at ~1M keys the state is ~100 MB,
+    * trivial for the heap, while RocksDB pays native get/put +
+    * serialization on every group access. So the DEFAULT stays
+    * on-heap, and RocksDB is the opt-in path
+    * (GRAFT_PAIRING_STATESTORE=rocksdb) for deployments whose keyed
+    * state genuinely outgrows executor heap (tens of GB — the 100 TB
+    * crossover this harness cannot reach). The bigState call sites
+    * stay marked so the switch travels with the family that needs it.
     */
   def withBigStateStore[T](spark: SparkSession)(body: => T): T = {
-    if (sys.env.get("GRAFT_PAIRING_STATESTORE").contains("hdfs")) body
+    if (!sys.env.get("GRAFT_PAIRING_STATESTORE").contains("rocksdb")) body
     else {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.get(key)
