@@ -149,12 +149,20 @@ object Bench {
       val mkLine = mkKeyed(identity, sfTag, auxField) _
       val mkShort = mkKeyed(_.takeWhile(_ != '_'), sfTag, auxField) _
       val mkNum = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag, auxField) _
+      // sparse WITH scalars before the lean rungs (r15): at today's
+      // gate the sparse map + the three aux/split scalars fit with
+      // ~400 chars to spare, so the final parsed line keeps the aux
+      // cross-check; the scalar-less rungs below remain the fallback
+      // if the slow-query count ever doubles
+      val mkNumSparseScalars = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag,
+        auxField, sparse = true) _
       val mkNumLean = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag, auxField,
         scalars = false) _
       val mkNumSparse = mkKeyed(_.takeWhile(_ != '_').drop(1), sfTag, auxField,
         scalars = false, sparse = true) _
       Seq(mkLine(roundN(2)), mkLine(roundN(1)), mkLine(roundN(0)),
           mkShort(roundN(1)), mkShort(roundN(0)), mkNum(roundN(1)), mkNum(roundN(0)),
+          mkNumSparseScalars(roundN(0)),
           mkNumLean(roundN(0)), mkNumSparse(roundN(0)))
         .find(_.length <= 1900).getOrElse(totalsOnly)
     }
