@@ -13,11 +13,15 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * SparkContext.
   *
   * Roles (all args positional after the role):
-  *   - `publisher root topic batches rowsPerBatch sleepMs` —
-  *     publishes `batches` batches of `rowsPerBatch` rows each
-  *     (id = batch·1e6 + j, so the full published set is enumerable
-  *     by the asserting spec), sleeping between batches so a
-  *     subscriber kill lands while the topic is still growing.
+  *   - `publisher root topic batches rowsPerBatch sleepMs
+  *     [gateAfter gateFile]` — publishes `batches` batches of
+  *     `rowsPerBatch` rows each (id = batch·1e6 + j, so the full
+  *     published set is enumerable by the asserting spec), sleeping
+  *     between batches. With the optional gate args the publisher
+  *     BLOCKS after `gateAfter` batches until `gateFile` exists —
+  *     the spec's handle for making "the subscriber was killed while
+  *     the topic was still growing" deterministic instead of a race
+  *     against JVM boot times.
   *   - `subscribe root topic outDir checkpoint` — continuous
   *     file-stream subscriber (250 ms trigger) writing a parquet
   *     sink; runs until killed. This is the process the spec
@@ -38,17 +42,31 @@ object TopicIpc {
     val schema = new StructType().add("id", LongType).add("batch", LongType)
     role match {
       case "publisher" =>
-        val Array(_, root, topic, batches, rowsPerBatch, sleepMs) = args
+        val (root, topic, batches, rowsPerBatch, sleepMs) =
+          (args(1), args(2), args(3).toInt, args(4).toInt, args(5).toLong)
+        val gate: Option[(Int, java.nio.file.Path)] =
+          if (args.length > 7) Some((args(6).toInt, java.nio.file.Paths.get(args(7))))
+          else None
         val t = graft.sources.Topic(spark, root, topic)
         val sp = spark
         import sp.implicits._
-        (0 until batches.toInt).foreach { b =>
-          val df = (0 until rowsPerBatch.toInt)
+        (0 until batches).foreach { b =>
+          gate.foreach { case (after, f) =>
+            if (b == after) {
+              val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+              while (!java.nio.file.Files.exists(f)) {
+                if (System.nanoTime() > deadline)
+                  sys.error(s"gate file $f never appeared")
+                Thread.sleep(100)
+              }
+            }
+          }
+          val df = (0 until rowsPerBatch)
             .map(j => (b.toLong * 1000000L + j, b.toLong))
             .toDF("id", "batch").coalesce(1)
           t.publish(df)
           println(s"[topic-ipc] published batch $b")
-          Thread.sleep(sleepMs.toLong)
+          Thread.sleep(sleepMs)
         }
       case "subscribe" | "drain" =>
         val Array(_, root, topic, outDir, ckpt) = args

@@ -74,13 +74,16 @@ class TopicIpcSpec extends AnyFunSuite {
     val ckpt = s"$root/sub_ckpt"
     Files.createDirectories(Paths.get(s"$root/ipc")) // subscriber may start first
 
-    val batches = 14
+    val batches = 10
     val rows = 200
-    // ~430 ms/batch publish cadence: slow enough that the kill lands
-    // while the topic is still growing, fast enough to keep the test
-    // under a minute of publishing
+    val gateFile = Paths.get(root, "publish_gate")
+    // the publisher BLOCKS after 4 batches until the spec's gate file
+    // appears — created only AFTER the kill — so "the subscriber died
+    // while the topic was still growing" is guaranteed by ordering,
+    // not by a race against two JVMs' boot times (the first draft
+    // raced and flaked under suite contention)
     val publisher = fork("pub", Seq("publisher", root, "ipc",
-      batches.toString, rows.toString, "400"))
+      batches.toString, rows.toString, "50", "4", gateFile.toString))
     val sub1 = fork("sub1", Seq("subscribe", root, "ipc", outDir, ckpt))
 
     // wait for the subscriber to have COMMITTED at least one batch —
@@ -95,14 +98,14 @@ class TopicIpcSpec extends AnyFunSuite {
     sub1.destroyForcibly() // SIGKILL — no shutdown hooks, no cleanup
     sub1.waitFor()
 
-    // the publisher must finish its full run AFTER the kill, so the
-    // restart has a genuine backlog (kill-window rows + post-kill rows)
+    // open the gate: batches 4..9 publish only now, with the
+    // subscriber dead — the restart has a guaranteed backlog
+    Files.createFile(gateFile)
     assert(awaitExit(publisher, "publisher") == 0, "publisher JVM failed")
     val published = batches.toLong * rows
     val afterKill = committedCount(outDir)
     assert(afterKill < published,
-      s"kill left nothing to recover ($afterKill of $published already committed) — " +
-        "widen the publish cadence")
+      s"kill left nothing to recover ($afterKill of $published already committed)")
 
     // restart on the SAME checkpoint in drain mode: recover + catch up + exit
     val sub2 = fork("sub2", Seq("drain", root, "ipc", outDir, ckpt))
@@ -118,5 +121,46 @@ class TopicIpcSpec extends AnyFunSuite {
     assert(got.length == want.length,
       s"expected ${want.length} rows exactly once, got ${got.length}")
     assert(got == want, "committed sink diverges from the published multiset")
+  }
+
+  /** The PUBLISHER side of the same contract: Topic.publish stages a
+    * batch in a dot-prefixed dir and renames part files in only after
+    * the write commits, so a publisher killed -9 MID-PUBLISH must
+    * never leave a partial batch visible. Each published batch is one
+    * part file here (coalesce(1)), so the per-FILE atomicity the
+    * docstring promises becomes per-BATCH: after the kill, every
+    * batch id present in the topic carries EXACTLY rowsPerBatch rows
+    * — all-or-nothing, no torn batch. Leftover .stage_* dirs are the
+    * documented crash residue (invisible to readers, GC-able).
+    */
+  test("publisher killed -9 mid-publish never exposes a partial batch") {
+    val root = Files.createTempDirectory("topic_ipc_pub").toString
+    Files.createDirectories(Paths.get(s"$root/atomic"))
+
+    val rows = 5000 // big enough that a write is killable mid-flight
+    val publisher = fork("pubkill", Seq("publisher", root, "atomic",
+      "200", rows.toString, "0"))
+    // let a few batches land, then SIGKILL whenever the loop happens
+    // to be — staging, writing, or renaming
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    def topicFiles(): Int = {
+      val d = Paths.get(s"$root/atomic")
+      Files.list(d).iterator.asScala.count { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    while (topicFiles() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(topicFiles() >= 3, "publisher never landed its first batches")
+    publisher.destroyForcibly()
+    publisher.waitFor()
+
+    val byBatch = spark.read.parquet(s"$root/atomic")
+      .groupBy("batch").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(byBatch.nonEmpty)
+    val torn = byBatch.filter(_._2 != rows.toLong)
+    assert(torn.isEmpty,
+      s"partial batches visible after publisher kill: ${torn.mkString(", ")}")
   }
 }
