@@ -123,7 +123,11 @@ object Pairing {
     * stay marked so the switch travels with the family that needs it.
     */
   def withBigStateStore[T](spark: SparkSession)(body: => T): T = {
-    if (!sys.env.get("GRAFT_PAIRING_STATESTORE").contains("rocksdb")) body
+    // system property first (lets a spec exercise the RocksDB branch
+    // in-process — env vars are immutable per JVM), env second
+    val want = sys.props.get("graft.pairing.statestore")
+      .orElse(sys.env.get("GRAFT_PAIRING_STATESTORE"))
+    if (!want.contains("rocksdb")) body
     else {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.get(key)

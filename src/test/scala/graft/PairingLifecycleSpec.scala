@@ -27,6 +27,24 @@ class PairingLifecycleSpec extends AnyFunSuite {
       s"first diff: ${gate.zip(plain).find(p => p._1 != p._2)}")
   }
 
+  test("the RocksDB opt-in path is parity-green (bigState family off-heap)") {
+    // the default provider is on-heap (measured faster at any state
+    // size this harness reaches — SCALE_r15.json); the RocksDB branch
+    // is the documented opt-in for state that outgrows executor heap
+    // and must not rot as dead code: run a bigState pairing under it
+    // and assert bit-equality with the on-heap default's output.
+    val heap = graft.queries.StreamQueries
+      .q224_stream_component_census(spark, dir).collect().toSeq
+    sys.props("graft.pairing.statestore") = "rocksdb"
+    try {
+      val rocks = graft.queries.StreamQueries
+        .q224_stream_component_census(spark, dir).collect().toSeq
+      assert(rocks.nonEmpty)
+      assert(rocks == heap,
+        s"first diff: ${rocks.zip(heap).find(p => p._1 != p._2)}")
+    } finally sys.props.remove("graft.pairing.statestore")
+  }
+
   test("q243 MV-maintained rollup is bit-identical to batch q33 (pairing #63)") {
     val batch = graft.queries.RelationalQueries.q33_rollup(spark, dir).collect().toSeq
     val mv = graft.queries.StreamQueries.q243_stream_mv_rollup(spark, dir).collect().toSeq
