@@ -103,7 +103,7 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy(col("user_id"))
+    EventFlow.drainMemorySink(spark, name).orderBy(col("user_id"))
   }
 
   val q62_stream_accumulate_sql: String =
@@ -406,7 +406,7 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy(col("event_id"))
+    EventFlow.drainMemorySink(spark, name).orderBy(col("event_id"))
   }
 
   /** Same oracle as the batch detector — the point of the query. */
@@ -543,7 +543,7 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy(col("user_id"), col("ts"), col("event_id"))
+    EventFlow.drainMemorySink(spark, name).orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
   /** Same oracle as the batch smoother — the point of the query. */
@@ -679,7 +679,7 @@ object StreamQueries {
     }
     // one emission per key per batch; n_days only grows, so the
     // max-struct picks each key's final state (the q121 idiom)
-    spark.table(name)
+    EventFlow.drainMemorySink(spark, name)
       .groupBy(col("event_type"))
       .agg(max(struct(col("n_days"), col("level"), col("trend"), col("forecast_7"))).as("s"))
       .select(col("event_type"), col("s.n_days").as("n_days"),
@@ -743,7 +743,7 @@ object StreamQueries {
     }
     // one emission per user per batch; fields are set-once and stage
     // only grows, so min-ignoring-nulls + max(stage) pick the finals
-    spark.table(name)
+    EventFlow.drainMemorySink(spark, name)
       .groupBy(col("user_id"))
       .agg(min(col("fv")).as("fv"), min(col("fc")).as("fc"),
         min(col("fp")).as("fp"), max(col("stage")).as("stage"))
@@ -880,7 +880,7 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    spark.table(name)
+    EventFlow.drainMemorySink(spark, name)
       .withColumn("bucket", length(bin(col("gap_us"))).cast("long"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -934,9 +934,11 @@ object StreamQueries {
     }
     // counts and totals both derive from the one emitted-pairs view —
     // the q103 memory-sink-view pitfall — so the projection runs as
-    // Spark SQL over a temp view, mirroring the oracle
-    spark.table(name).createOrReplaceTempView(s"${name}_t")
-    spark.sql(
+    // Spark SQL over a temp view, mirroring the oracle; spark.sql
+    // analyzes eagerly, so the helper view can be dropped right after
+    // (it would otherwise pin the drained frame like the sink did)
+    EventFlow.drainMemorySink(spark, name).createOrReplaceTempView(s"${name}_t")
+    val out = spark.sql(
       s"""WITH tr AS (
          |  SELECT event_type, next_type, COUNT(*) AS c
          |  FROM ${name}_t GROUP BY event_type, next_type),
@@ -945,6 +947,8 @@ object StreamQueries {
          |  CAST(tr.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
          |FROM tr JOIN tot t ON tr.event_type = t.event_type
          |ORDER BY tr.event_type, tr.next_type""".stripMargin)
+    spark.catalog.dropTempView(s"${name}_t")
+    out
   }
 
   /** Same oracle as the batch transition matrix — the point. */
@@ -999,7 +1003,7 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    spark.table(name)
+    EventFlow.drainMemorySink(spark, name)
       .select(col("channel"), col("m"),
         // decq mirrors q175's floor-int64 credit quantization — the
         // parity property depends on the identical edge

@@ -82,8 +82,16 @@ final case class EventFlow(df: DataFrame) {
 
   // ---- sinks -------------------------------------------------------
 
-  /** Run to completion over available data into an in-memory table
-    * and return the result (batch-like smoke path for tests/gate).
+  /** Memory-sink drain: run to completion, then return the sink's
+    * rows as an EAGER local checkpoint and RELEASE the sink itself —
+    * drop the temp view and clear the terminated-query registry, the
+    * two strong references that otherwise pin every sink's rows on
+    * the heap for the life of the process. Found in the r15 bench:
+    * 283 queries × reps of never-dropped sinks (some order- or
+    * edge-sized) accumulate into GC pressure that inflates the
+    * late-alphabet pairings 3–6× in-process while their isolated
+    * medians sit at their floors. Callers get a frame whose plan is a
+    * LogicalRDD — independent of the view name, safe to use lazily.
     */
   def toMemory(spark: SparkSession, name: String, outputMode: String): DataFrame = {
     val q = df.writeStream
@@ -92,7 +100,7 @@ final case class EventFlow(df: DataFrame) {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    EventFlow.drainMemorySink(spark, name)
   }
 
   /** Streaming parquet sink (deva to_textfile/Sink analogue). */
@@ -121,6 +129,22 @@ final case class EventFlow(df: DataFrame) {
 }
 
 object EventFlow {
+
+  /** Read a completed memory sink once and RELEASE it: eager local
+    * checkpoint of its rows, then drop the temp view and clear the
+    * terminated-query registry — the two references that otherwise
+    * pin the sink (and everything it emitted) on the heap for the
+    * process lifetime. Shared by [[EventFlow.toMemory]],
+    * Pairing.run/runStream, and the queries that start their memory
+    * sinks directly. The returned frame's plan is a LogicalRDD —
+    * independent of the view name, safe to use lazily after the drop.
+    */
+  def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    out
+  }
 
   /** File-source flow over a parquet path (deva from_textfile's
     * tail-a-growing-source analogue; new files become new events).

@@ -176,8 +176,8 @@ object Pairing {
     // (they don't dedup like relation outputs); checkpointing swaps
     // in a LogicalRDD with fresh attribute ids on the standard dedup
     // path. The sink is emission-sized, so the materialization is
-    // trivial.
-    project(spark.table(name).localCheckpoint(true))
+    // trivial. Then release the sink (see runStream).
+    project(EventFlow.drainMemorySink(spark, name))
   }
 
   /** Open any parquet table of the test schema as a file STREAM,
@@ -318,7 +318,10 @@ object Pairing {
     } }
     // localCheckpoint: see [[run]] — MemoryPlan attributes break
     // self-joining projections without it; the sink is emission-sized.
-    project(spark.table(name).localCheckpoint(true))
+    // Then RELEASE the sink (view + terminated-query registry) so the
+    // gate run's heap doesn't accumulate every pairing's emissions —
+    // the r15 EventFlow.toMemory lesson, applied to the same sink here.
+    project(EventFlow.drainMemorySink(spark, name))
   }
 
   /** [[run]] over the DOCUMENTS table — the corpus-side pairing
