@@ -107,10 +107,11 @@ object Determinism {
       s"END AS BIGINT))"
 
   /** The round-12 pmod-identity rendering of floor division — kept
-    * ONLY for the opt-in render canary (tools/Probe, VERDICT r14
-    * stretch 8), which tests both renderings data-free against
-    * [[floorDiv]] if a future driver environment ever shows
-    * unexplained integer-class reds.
+    * ONLY for the opt-in render canary's floor-div arm
+    * ([[graft.tools.Probe.renderCanary]]), which emits oracle SQL
+    * evaluating this rendering AND [[floorDivSql]] against
+    * Math.floorDiv expectations, data-free, if a future driver
+    * environment ever shows unexplained integer-class reds.
     */
   def floorDivPmodSql(a: String, b: String): String =
     s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"

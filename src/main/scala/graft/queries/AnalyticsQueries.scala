@@ -1138,9 +1138,12 @@ object AnalyticsQueries {
     pr.join(deg, pr("id") === deg("src"))
       .select(
         when(col("id") % 2 === 0,
-          concat(lit("c"), (col("id") / 2).cast("long").cast("string")))
+          // integer division (ADVICE r14 / VERDICT r15 item 2): `/` is
+          // double division, exact only below 2^53 — `div` matches the
+          // oracle's `//` at any key (hitsFrom precedent)
+          concat(lit("c"), expr("id div 2").cast("string")))
           .otherwise(
-            concat(lit("s"), ((col("id") - 1) / 2).cast("long").cast("string")))
+            concat(lit("s"), expr("(id - 1) div 2").cast("string")))
           .as("node"),
         col("deg"), col("pr"))
       .orderBy(col("node"))

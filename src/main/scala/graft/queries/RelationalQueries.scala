@@ -786,9 +786,12 @@ object RelationalQueries {
       .agg(count(lit(1)).as("deg"), sum(col("c")).as("inc"))
       .select(
         when(col("dst") % 2 === 0,
-          concat(lit("c"), (col("dst") / 2).cast("long").cast("string")))
+          // integer division (VERDICT r15 item 2): `/` is double
+          // division, exact only below 2^53 — `div` stays exact at
+          // any key width (hitsFrom precedent, AnalyticsQueries)
+          concat(lit("c"), expr("dst div 2").cast("string")))
           .otherwise(
-            concat(lit("s"), ((col("dst") - 1) / 2).cast("long").cast("string")))
+            concat(lit("s"), expr("(dst - 1) div 2").cast("string")))
           .as("node"),
         col("deg"),
         (lit(0.15) / col("n").cast("double") +

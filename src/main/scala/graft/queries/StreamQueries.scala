@@ -2182,16 +2182,36 @@ object StreamQueries {
     * via warm()).
     */
   @volatile private var sigMemo:
-      (org.apache.spark.SparkContext, String, DataFrame) = null
+      (org.apache.spark.SparkContext, String, DataFrame, Seq[DataFrame]) = null
   private def streamSigFrame(spark: SparkSession, dir: String,
       tag: String): DataFrame = synchronized {
     val sc = spark.sparkContext
     if (sigMemo == null || (sigMemo._1 ne sc) || sc.isStopped ||
-        sigMemo._2 != dir)
-      sigMemo = (sc, dir, buildSigFrame(spark, dir, tag))
+        sigMemo._2 != dir) {
+      // release the superseded index's checkpoint blocks before the
+      // memo pointer moves (ADVICE r15): on a dir change within one
+      // live context (e.g. Bench's main-SF → aux-sf0.01 transition)
+      // the old eagerly-checkpointed frames would otherwise pin
+      // executor storage until the ContextCleaner got around to them
+      // — the same heap-accumulation class drainMemorySink targets.
+      if (sigMemo != null && (sigMemo._1 eq sc) && !sc.isStopped)
+        sigMemo._4.foreach(releaseCheckpoint)
+      val (sig, ckpts) = buildSigFrame(spark, dir, tag)
+      sigMemo = (sc, dir, sig, ckpts)
+    }
     sigMemo._3
   }
-  private def buildSigFrame(spark: SparkSession, dir: String, tag: String): DataFrame = {
+  /** Unpersist the RDD behind an eagerly localCheckpoint'ed frame
+    * (its plan is a LogicalRDD leaf; a plain `.rdd.unpersist` would
+    * only touch a derived MapPartitionsRDD, not the pinned blocks). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+  private def buildSigFrame(spark: SparkSession, dir: String,
+      tag: String): (DataFrame, Seq[DataFrame]) = {
     val TA = graft.operators.TextAnalysis
     val n1 = s"${tag}i_mem_${runId.incrementAndGet()}"
     val n2 = s"${tag}h_mem_${runId.incrementAndGet()}"
@@ -2212,8 +2232,9 @@ object StreamQueries {
           .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt")))
         .toMemory(spark, n2, "complete")
     }.localCheckpoint(true)
-    TextQueries.sigFromHashes(
-      ids.select(col("doc_id")), hashes.select(col("doc_id"), col("h")))
+    (TextQueries.sigFromHashes(
+      ids.select(col("doc_id")), hashes.select(col("doc_id"), col("h"))),
+      Seq(ids, hashes))
   }
 
   /** q276 — STREAMING MinHash-LSH candidate pairs: q45's near-dup

@@ -131,18 +131,19 @@ final case class EventFlow(df: DataFrame) {
 object EventFlow {
 
   /** Read a completed memory sink once and RELEASE it: eager local
-    * checkpoint of its rows, then drop the temp view and clear the
-    * terminated-query registry — the two references that otherwise
-    * pin the sink (and everything it emitted) on the heap for the
-    * process lifetime. Shared by [[EventFlow.toMemory]],
-    * Pairing.run/runStream, and the queries that start their memory
-    * sinks directly. The returned frame's plan is a LogicalRDD —
-    * independent of the view name, safe to use lazily after the drop.
+    * checkpoint of its rows, then drop the temp view — the reference
+    * that otherwise pins the sink (and everything it emitted) on the
+    * heap for the process lifetime (terminated queries themselves are
+    * already unregistered by Spark's unregisterTerminatedStream; the
+    * view drop + checkpoint do the actual release — ADVICE r15).
+    * Shared by [[EventFlow.toMemory]], Pairing.run/runStream, and the
+    * queries that start their memory sinks directly. The returned
+    * frame's plan is a LogicalRDD — independent of the view name,
+    * safe to use lazily after the drop.
     */
   def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
-    spark.streams.resetTerminated()
     out
   }
 

@@ -49,6 +49,29 @@ object Probe {
            |[canary]     CAST(CAST(CAST(v AS DECIMAL(18,0)) * $tickSql AS DECIMAL(18,$scale)) AS VARCHAR) AS r_str
            |[canary]   FROM (SELECT unnest(${all.mkString("[", ", ", "]::BIGINT[]")}) AS v) ORDER BY v""".stripMargin)
     }
+    // floor-division arm (ADVICE r15): exercises BOTH SQL renderings —
+    // Determinism.floorDivSql (the gate's non-negative-operand form)
+    // and floorDivPmodSql (the r12 pmod identity, kept only for this
+    // canary) — against Math.floorDiv, data-free. fd_expect rides in
+    // the same SQL so a divergent row is visible without cross-
+    // referencing this stdout.
+    val fdPairs = for {
+      a <- Seq(-123456789012L, -17L, -10L, -3L, -1L, 0L, 1L, 3L, 10L, 17L, 123456789012L)
+      b <- Seq(1L, 2L, 3L, 7L, 1000L)
+    } yield (a, b)
+    val (fdA, fdB) = (fdPairs.map(_._1), fdPairs.map(_._2))
+    val fdExpect = fdPairs.map { case (a, b) => Math.floorDiv(a, b) }
+    println("[canary] floor-div oracle SQL (run in the driver's DuckDB AND pinned 1.0.0; fd1 and fd2 must equal fd_expect on every row):")
+    println(
+      s"""[canary]   SELECT a, b, fd_expect,
+         |[canary]     ${graft.functions.Determinism.floorDivSql("a", "b")} AS fd1,
+         |[canary]     ${graft.functions.Determinism.floorDivPmodSql("a", "b")} AS fd2
+         |[canary]   FROM (SELECT unnest(${fdA.mkString("[", ", ", "]::BIGINT[]")}) AS a,
+         |[canary]                unnest(${fdB.mkString("[", ", ", "]::BIGINT[]")}) AS b,
+         |[canary]                unnest(${fdExpect.mkString("[", ", ", "]::BIGINT[]")}) AS fd_expect)
+         |[canary]   WHERE ${graft.functions.Determinism.floorDivSql("a", "b")} <> fd_expect
+         |[canary]      OR ${graft.functions.Determinism.floorDivPmodSql("a", "b")} <> fd_expect""".stripMargin)
+    println("[canary] (an empty result = both renderings agree with Math.floorDiv)")
   }
 
   def main(args: Array[String]): Unit = {

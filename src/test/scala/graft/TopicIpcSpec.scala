@@ -144,14 +144,28 @@ class TopicIpcSpec extends AnyFunSuite {
     // to be — staging, writing, or renaming
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
     def topicFiles(): Int = {
-      val d = Paths.get(s"$root/atomic")
-      Files.list(d).iterator.asScala.count { p =>
+      // close the directory stream per poll (ADVICE r15: the unclosed
+      // Files.list leaked a handle every 50 ms for up to 120 s)
+      val s = Files.list(Paths.get(s"$root/atomic"))
+      try s.iterator.asScala.count { p =>
         val n = p.getFileName.toString
         Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-      }
+      } finally s.close()
+    }
+    def staging(): Boolean = {
+      val s = Files.list(Paths.get(s"$root/atomic"))
+      try s.iterator.asScala.exists(
+        _.getFileName.toString.startsWith(".stage_"))
+      finally s.close()
     }
     while (topicFiles() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
     assert(topicFiles() >= 3, "publisher never landed its first batches")
+    // land the kill while a .stage_* dir provably exists (ADVICE r15:
+    // an unconditioned kill only probabilistically hit mid-publish),
+    // falling back to an unconditioned kill at the deadline — the
+    // atomicity assertion below holds either way.
+    while (!staging() && publisher.isAlive && System.nanoTime() < deadline)
+      Thread.sleep(1)
     publisher.destroyForcibly()
     publisher.waitFor()
 
