@@ -33,6 +33,50 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 
+// ---- Parallel forked test groups (VERDICT r15 item 3) ----
+// The suite's wall is dominated by sequential execution inside ONE
+// forked JVM (sbt's testForkedParallel default). Split the suites into
+// fixed groups, each its own forked JVM with its own SparkContext,
+// run concurrently. Within a group suites stay SEQUENTIAL (the
+// live-port/IPC/streaming specs must not interleave with themselves).
+// Cross-group isolation holds because every spec binds ephemeral
+// ports, writes per-process temp dirs, and only ScaleOpsSpec touches
+// ./spark-warehouse (one group). Budget: 6 groups × local[4] sessions
+// = 24 cores ≤ 32; 6 × 8g heap caps well under the box's 128 GiB.
+// The pin map spreads the known wall-heavy suites (streaming
+// pairings, IPC polls, scheduler waits, the big query suites) one per
+// group; the CPU-bound rest round-robins.
+val testGroupCount = 6
+val testGroupPin: Map[String, Int] = Map(
+  "graft.StreamingSpec" -> 0, "graft.CronTriggerSpec" -> 0,
+  "graft.StreamToStoreSpec" -> 1, "graft.FlowSourcesSpec" -> 1,
+  "graft.QueriesSpec" -> 2, "graft.HttpIngestSpec" -> 2,
+  "graft.PairingLifecycleSpec" -> 3, "graft.LiveSourcesSpec" -> 3,
+  "graft.TopicIpcSpec" -> 4, "graft.AnalyticsSpec" -> 4,
+  "graft.ScheduleTopicSpec" -> 5, "graft.PlanAuditSpec" -> 5,
+)
+// per-test durations in the log (scalatest -oD): the data the group
+// pin map is balanced against — re-derive the map from a fresh run's
+// per-suite sums when adding a heavy spec.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val fo = (Test / forkOptions).value
+  val (pinned, rest) = tests.partition(t => testGroupPin.contains(t.name))
+  val assigned =
+    pinned.map(t => testGroupPin(t.name) -> t) ++
+      rest.sortBy(_.name).zipWithIndex.map { case (t, i) =>
+        (i % testGroupCount) -> t }
+  assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (i, ts) =>
+    Tests.Group(s"graft-tests-g$i", ts.map(_._2), Tests.SubProcess(fo))
+  }
+}
+// sbt's defaults pin ForkedTestGroup to 1 — raise it or the groups
+// above still run one at a time.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(32),
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount))
+
 // The bench driver parses the LAST stdout line of the sbt invocation
 // as the metric JSON. The forked Bench JVM prints that JSON, but sbt's
 // "[success] Total time: ..." epilogue then lands after it and becomes

@@ -12,6 +12,8 @@ import graft.streaming.Schedule
 /** Runnable tour of the library surface a reference (deva) user would
   * reach for — the README's examples, executable:
   *   sbt "runMain graft.Examples /root/testdata/sf0.001"
+  * The full operator manual — every SURVEY §2 capability mapped to
+  * its entry point, with API snippets — is OPERATORS.md.
   */
 object Examples {
   def main(args: Array[String]): Unit = {

@@ -313,9 +313,11 @@ object ScaleSmoke {
       "q264_ks_test", "q266_spearman", "q274_wilcoxon", "q272_hits",
       "q268_stream_bm25", "q276_stream_minhash_pairs",
       "q279_stream_bpe_pairs")
-    // round 5: the two persisted-serving paths — not SparkEntry
-    // queries (they need a built store), so they run as named extras
-    val extras = Seq("vidx", "heartbeat")
+    // round 5: the persisted-serving paths — not SparkEntry
+    // queries (they need a built store), so they run as named extras.
+    // round 16 adds sidx (the q73 postings index: build / incremental
+    // tick / serve — VERDICT r15 item 6's maintained-index rung).
+    val extras = Seq("vidx", "heartbeat", "sidx")
     val only = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").toSet)
     // a typo'd name must fail the smoke, not pass it vacuously
@@ -334,7 +336,8 @@ object ScaleSmoke {
       name -> sec
     } ++
       (if (only.forall(_.contains("vidx"))) smokeVectorIndex(spark, out, factor) else Nil) ++
-      (if (only.forall(_.contains("heartbeat"))) smokeHeartbeat(spark, factor) else Nil)
+      (if (only.forall(_.contains("heartbeat"))) smokeHeartbeat(spark, factor) else Nil) ++
+      (if (only.forall(_.contains("sidx"))) smokeSearchIndex(spark, out, factor) else Nil)
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale_smoke_total","value":${times.map(_._2).sum},"unit":"sec","factor":$factor,"queries":$qs}"""
     println(line)
@@ -373,6 +376,14 @@ object ScaleSmoke {
     val (cents, tTrain) = timed("vidx_train")(
       VectorIndex.train(spark, vecs, k, iters = 2, samplePermille = 100))
     val (_, tIndex) = timed("vidx_index")(VectorIndex.index(store, vecs, cents))
+    // incremental tick (r16): a 1% delta arrives under the watched
+    // dir — tick cost must track the delta, not the corpus
+    val srcDir = s"$base/src"
+    vecs.sample(withReplacement = false, 0.01, seed = 7)
+      .withColumn("vec_id", col("vec_id") + lit(900_000_000L))
+      .write.mode("append").parquet(srcDir)
+    val (_, tTick) = timed("vidx_tick")(
+      VectorIndex.updateTick(spark, srcDir, vecs.schema, s"$base/ckpt", store, cents))
     val probeIds = vecs.select(col("vec_id")).orderBy(col("vec_id")).limit(10)
       .collect().map(_.getLong(0)).toSeq
     val probes = vecs.filter(col("vec_id").isin(probeIds.map(Long.box): _*))
@@ -382,7 +393,44 @@ object ScaleSmoke {
     require(nServed == probeIds.length * 5L,
       s"expected ${probeIds.length * 5} served rows, got $nServed")
     println(s"[scale] vidx n=$n k=$k served=$nServed")
-    Seq(tTrain, tIndex, tServe)
+    Seq(tTrain, tIndex, tTick, tServe)
+  }
+
+  /** Persisted full-text postings at scale (the q73 serve path —
+    * VERDICT r15 item 6's maintained-index rung): the bulk build
+    * scales with the corpus; the incremental tick must scale with the
+    * DELTA only (1% of the corpus here, whatever the factor); serve
+    * reads ≤|terms| bucket dirs, so the serve number should stay
+    * ~flat as the corpus multiplies. Query terms are picked from the
+    * corpus head so the AND is satisfiable at any factor.
+    */
+  def smokeSearchIndex(spark: SparkSession, out: String, factor: Int): Seq[(String, Double)] = {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = docs.limit(1000)
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).count().orderBy(col("count").desc, col("tok")).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_scale_sidx").toString
+    val store = graft.operators.SearchIndex.open(spark, s"$base/postings", numBuckets = 32)
+    val (_, tBuild) = timed("sidx_build")(
+      graft.operators.SearchIndex.index(store, docs, "doc_id", "text"))
+    // delta tick: 1% new docs land under the watched dir; the tick's
+    // cost is the thing that must NOT grow with the corpus factor
+    val srcDir = s"$base/src"
+    docs.sample(withReplacement = false, 0.01, seed = 7)
+      .withColumn("doc_id", col("doc_id") + lit(900_000_000L))
+      .write.mode("append").parquet(srcDir)
+    val (_, tTick) = timed("sidx_tick")(
+      graft.operators.SearchIndex.updateTick(spark, srcDir, docs.schema,
+        s"$base/ckpt", store, "doc_id", "text"))
+    val (hits, tServe) = timed("sidx_serve") {
+      (1 to 5).map(_ =>
+        graft.operators.SearchIndex.search(spark, store, terms, 10).count()).sum
+    }
+    require(hits > 0, s"sidx serve returned no hits for terms $terms")
+    println(s"[scale] sidx terms=${terms.mkString(",")} hits=$hits")
+    Seq(tBuild, tTick, tServe)
   }
 
   /** Heartbeat liveness at scale: the beat LOG grows with factor
