@@ -118,9 +118,15 @@ object Pairing {
     * serialization on every group access. So the DEFAULT stays
     * on-heap, and RocksDB is the opt-in path
     * (GRAFT_PAIRING_STATESTORE=rocksdb) for deployments whose keyed
-    * state genuinely outgrows executor heap (tens of GB — the 100 TB
-    * crossover this harness cannot reach). The bigState call sites
-    * stay marked so the switch travels with the family that needs it.
+    * state genuinely outgrows executor heap. The r16 StateScale rung
+    * (graft.tools.StateScale, SCALE_r16.json) MEASURED that
+    * crossover on the 8 GiB JVM: on-heap wins at 2M synthetic keys
+    * (12.3 s vs 24.9 s), RocksDB wins at 10M (87.6 s vs 102.3 s),
+    * and at 30M keys on-heap DIES (java.lang.OutOfMemoryError,
+    * reproduced twice) while RocksDB completes — so the opt-in
+    * threshold is keyed state around a quarter of executor heap,
+    * not "tens of GB". The bigState call sites stay marked so the
+    * switch travels with the family that needs it.
     */
   def withBigStateStore[T](spark: SparkSession)(body: => T): T = {
     // system property first (lets a spec exercise the RocksDB branch
