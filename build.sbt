@@ -47,26 +47,44 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // pairings, IPC polls, scheduler waits, the big query suites) one per
 // group; the CPU-bound rest round-robins.
 val testGroupCount = 6
-val testGroupPin: Map[String, Int] = Map(
-  "graft.StreamingSpec" -> 0, "graft.CronTriggerSpec" -> 0,
-  "graft.StreamToStoreSpec" -> 1, "graft.FlowSourcesSpec" -> 1,
-  "graft.QueriesSpec" -> 2, "graft.HttpIngestSpec" -> 2,
-  "graft.PairingLifecycleSpec" -> 3, "graft.LiveSourcesSpec" -> 3,
-  "graft.TopicIpcSpec" -> 4, "graft.AnalyticsSpec" -> 4,
-  "graft.ScheduleTopicSpec" -> 5, "graft.PlanAuditSpec" -> 5,
+// Measured per-suite wall seconds (JUnit XML `time` from the r16
+// instrumented run — target/test-reports/*.xml). Groups are packed
+// greedily longest-first (LPT), so balance survives suite additions:
+// an unlisted suite gets the default weight and lands in the
+// lightest group. Re-measure (any `sbt test` emits the XML) and
+// refresh when a suite's cost changes materially — the floor is the
+// single heaviest suite (PlanAuditSpec, ~760 s).
+val testSuiteWeights: Map[String, Double] = Map(
+  "graft.PlanAuditSpec" -> 759, "graft.QueriesSpec" -> 700,
+  "graft.AnalyticsSpec" -> 437, "graft.PageRankSpec" -> 303,
+  "graft.SsspSpec" -> 257, "graft.ClusterTraverseSpec" -> 244,
+  "graft.LifecycleSpec" -> 126, "graft.ReportSpec" -> 100,
+  "graft.TopicIpcSpec" -> 99, "graft.ScheduleTopicSpec" -> 94,
+  "graft.FlowSourcesSpec" -> 92, "graft.OpsSpec" -> 54,
+  "graft.PairingLifecycleSpec" -> 50, "graft.PortabilitySpec" -> 50,
+  "graft.StreamToStoreSpec" -> 44, "graft.StatsSpec" -> 40,
+  "graft.Hash60Spec" -> 38, "graft.StreamingSpec" -> 26,
+  "graft.CronTriggerSpec" -> 17, "graft.SearchIndexSpec" -> 17,
+  "graft.KCoreSpec" -> 15, "graft.VectorIndexSpec" -> 14,
+  "graft.ZOrderSpec" -> 13, "graft.LiveSourcesSpec" -> 11,
+  "graft.TimeSeriesSpec" -> 10,
 )
-// per-test durations in the log (scalatest -oD): the data the group
-// pin map is balanced against — re-derive the map from a fresh run's
-// per-suite sums when adding a heavy spec.
+// per-test durations in the log (scalatest -oD) plus per-suite JUnit
+// XML (-u, robust under group interleaving): the data the weight map
+// above is derived from.
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-u", "target/test-reports")
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val fo = (Test / forkOptions).value
-  val (pinned, rest) = tests.partition(t => testGroupPin.contains(t.name))
-  val assigned =
-    pinned.map(t => testGroupPin(t.name) -> t) ++
-      rest.sortBy(_.name).zipWithIndex.map { case (t, i) =>
-        (i % testGroupCount) -> t }
+  def weight(n: String): Double = testSuiteWeights.getOrElse(n, 10.0)
+  val loads = Array.fill(testGroupCount)(0.0)
+  val assigned = tests.sortBy(t => (-weight(t.name), t.name)).map { t =>
+    val g = loads.zipWithIndex.minBy(_._1)._2
+    loads(g) += weight(t.name)
+    g -> t
+  }
   assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (i, ts) =>
     Tests.Group(s"graft-tests-g$i", ts.map(_._2), Tests.SubProcess(fo))
   }
