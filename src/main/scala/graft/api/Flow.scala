@@ -146,7 +146,7 @@ final case class Flow(df: DataFrame) {
     */
   def partitioned(n: Int, order: Seq[Column]): Flow =
     Flow(graft.operators.Sequence.globalRowNumber(df, order, "__idx")
-      .withColumn("__grp", floor((col("__idx") - 1) / n).cast("long"))
+      .withColumn("__grp", expr(s"(__idx - 1) div $n"))
       .drop("__idx"))
 
   def head(n: Int, order: Seq[Column]): Flow = Flow(df.orderBy(order: _*).limit(n))

@@ -31,9 +31,12 @@ object RangeJoin {
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightLo: String, rightHi: String,
       bucketSec: Long): DataFrame = {
-    val lb = left.withColumn("__bucket", floor(col(leftTs) / bucketSec))
+    // integer `div`, not floor(a/b): epoch-seconds are integral, and
+    // the exact-integer spelling stays exact at any key width (the
+    // float-division decode class is banned tree-wide)
+    val lb = left.withColumn("__bucket", expr(s"$leftTs div $bucketSec"))
     val rb = right.withColumn("__bucket",
-      explode(sequence(floor(col(rightLo) / bucketSec), floor(col(rightHi) / bucketSec))))
+      explode(sequence(expr(s"$rightLo div $bucketSec"), expr(s"$rightHi div $bucketSec"))))
     lb.join(rb, Seq(key, "__bucket"))
       .filter(col(leftTs) >= col(rightLo) && col(leftTs) <= col(rightHi))
       .drop("__bucket")

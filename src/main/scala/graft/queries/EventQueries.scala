@@ -168,7 +168,7 @@ object EventQueries {
     graft.operators.Sequence.globalRowNumber(
       Tables.events(spark, dir).select(col("ts"), col("event_id"), col("value")),
       Seq(col("ts"), col("event_id")), "idx")
-      .withColumn("grp", floor((col("idx") - 1) / 100).cast("long"))
+      .withColumn("grp", expr("(idx - 1) div 100"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"),
         min(col("event_id")).as("first_id"), max(col("event_id")).as("last_id"))
@@ -177,7 +177,7 @@ object EventQueries {
   val q20_partition_sql: String =
     """SELECT grp, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
       |  MIN(event_id) AS first_id, MAX(event_id) AS last_id
-      |FROM (SELECT *, CAST(floor((ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1) / 100) AS BIGINT) AS grp FROM events) t
+      |FROM (SELECT *, CAST((ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1) // 100 AS BIGINT) AS grp FROM events) t
       |GROUP BY grp ORDER BY grp""".stripMargin
 
   /** q23 — deva `catch`/error channel (core.py:879): errors become a

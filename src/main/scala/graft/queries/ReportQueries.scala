@@ -689,7 +689,7 @@ object ReportQueries {
   private[queries] def lagQuantilesFrom(fp: DataFrame): DataFrame = {
     val hist = fp.select(
         (dayofweek(timestamp_micros(col("v_us"))) - 1).cast("long").as("dow"),
-        ((col("p_us") - col("v_us")) / 1000000).cast("long").as("d_s"))
+        expr("(p_us - v_us) div 1000000").as("d_s"))
       .groupBy(col("dow"), col("d_s")).agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.partitionBy(col("dow")).orderBy(col("d_s"))))

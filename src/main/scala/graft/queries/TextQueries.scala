@@ -788,10 +788,10 @@ object TextQueries {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
-      .select(col("lang"), (col("doc_id") / shardSpan).cast("long").as("shard"),
+      .select(col("lang"), expr(s"doc_id div $shardSpan").as("shard"),
         col("doc_id"), size(toks).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin", ((col("cum") - col("n_tokens")) / cap).cast("long"))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $cap"))
       .groupBy(col("lang"), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
       .orderBy(col("lang"), col("shard"), col("bin"))
@@ -799,7 +799,7 @@ object TextQueries {
 
   val q72_seq_packing_sql: String =
     s"""WITH t AS (
-       |  SELECT lang, CAST(floor(CAST(doc_id AS DOUBLE) / 1000) AS BIGINT) AS shard,
+       |  SELECT lang, CAST(doc_id // 1000 AS BIGINT) AS shard,
        |    doc_id, CAST(len(${TA.tokensSql}) AS BIGINT) AS n_tokens
        |  FROM documents),
        |c AS (
@@ -807,7 +807,7 @@ object TextQueries {
        |    SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM t)
-       |SELECT lang, shard, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS bin,
+       |SELECT lang, shard, CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin,
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
        |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
 
@@ -1335,7 +1335,7 @@ object TextQueries {
       .select(col("rep_id"), col("simhash"), col("j"), col("bval"), col("len"),
         explode(array(lit(0L), lit(1L))).as("off"))
       .select(col("rep_id"), col("simhash"), col("j"), col("bval"),
-        (floor(col("len") / 16) + col("off")).as("band"))
+        (expr("len div 16") + col("off")).as("band"))
     val candReps = blocks
       .groupBy(col("j"), col("bval"), col("band"))
       .agg(collect_list(col("rep_id")).as("ms"))
@@ -3198,7 +3198,7 @@ object TextQueries {
       .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
       .filter(col("n") > 0)
       .select(col("doc_id"),
-        explode(sequence(lit(0L), ((col("n") - 1) / S).cast("long"))).as("chunk_id"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $S").cast("long"))).as("chunk_id"),
         col("tk"))
       .select(col("doc_id"), col("chunk_id"),
         (col("chunk_id") * S + 1).as("start_tok"),
