@@ -830,7 +830,7 @@ object TextQueries {
         // sequence(0, -1) would generate a DESCENDING [0, -1] — guard
         // short docs to an empty grid instead
         when(size(col("tk")) >= passageLen,
-          transform(sequence(lit(0), (size(col("tk")) / passageLen).cast("int") - 1),
+          transform(sequence(lit(0), expr(s"size(tk) div $passageLen").cast("int") - 1),
             i => concat_ws(" ", slice(col("tk"), i * passageLen + 1, lit(passageLen)))))
           .otherwise(array().cast("array<string>")).as("ps"))
       .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "p")))
@@ -3104,7 +3104,7 @@ object TextQueries {
       .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("st"))
       .select(col("rep"), size(col("st")).as("s"),
         explode(transform(
-          slice(col("st"), lit(1), (size(col("st")) / 2).cast("int") + 1),
+          slice(col("st"), lit(1), expr("size(st) div 2").cast("int") + 1),
           e => e.getField("t"))).as("t"))
     val cand = prefixes
       .groupBy(col("t"))
