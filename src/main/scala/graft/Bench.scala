@@ -86,9 +86,14 @@ object Bench {
 
     /** Per-query record: every rep's wall time plus the 1-min loadavg
       * sampled before and after it (times.length + 1 samples — each
-      * boundary shared by adjacent reps). */
+      * boundary shared by adjacent reps). A spread-RETRIED query
+      * (`retried`) carries one more rep whose bracket is its own
+      * (pre, post) pair — the retry runs at end-of-pass, so the
+      * original pass's closing sample would be a stale lie for it:
+      * times.length + 2 samples, the last two bracketing the retry. */
     case class QRun(name: String, times: Vector[Double],
-        loads: Vector[Double], anyFailed: Boolean) {
+        loads: Vector[Double], anyFailed: Boolean,
+        retried: Boolean = false) {
       def best: Double = if (anyFailed || times.isEmpty) -1.0 else times.min
       def spread: Double =
         if (times.isEmpty || times.min <= 0) 1.0 else times.max / times.min
@@ -129,7 +134,7 @@ object Bench {
             q.spread > 3.0) {
           val extra = runOne(q.name, benched(q.name), dir, 1)
           QRun(q.name, q.times ++ extra.times, q.loads ++ extra.loads,
-            q.anyFailed || extra.anyFailed)
+            q.anyFailed || extra.anyFailed, retried = true)
         } else q
       } else first
     }
@@ -151,7 +156,8 @@ object Bench {
     def telemetryLine(rs: Seq[QRun], sf: String): String = {
       def arr(v: Seq[Double]) = v.map(roundN(3)).mkString("[", ",", "]")
       val qs = rs.map { q =>
-        s"\"${q.name}\":{\"reps\":${arr(q.times)},\"loadavg\":${arr(q.loads)}}"
+        val retry = if (q.retried) ",\"retried\":true" else ""
+        s"\"${q.name}\":{\"reps\":${arr(q.times)},\"loadavg\":${arr(q.loads)}$retry}"
       }.mkString("{", ",", "}")
       s"""{"metric":"telemetry","cores":${Runtime.getRuntime.availableProcessors},""" +
         s""""load_start":${roundN(2)(loadAtStart)},"load_end":${roundN(2)(loadavg())},""" +

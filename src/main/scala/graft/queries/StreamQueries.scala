@@ -2215,11 +2215,17 @@ object StreamQueries {
     val TA = graft.operators.TextAnalysis
     val n1 = s"${tag}i_mem_${runId.incrementAndGet()}"
     val n2 = s"${tag}h_mem_${runId.incrementAndGet()}"
+    // no extra localCheckpoint here: toMemory already returns
+    // drainMemorySink's eagerly-checkpointed LogicalRDD — a second
+    // checkpoint would double the pinned copy AND hide the inner one
+    // from releaseCheckpoint (the memo release would then free only
+    // the outer copy while the corpus-sized inner blocks lingered
+    // until the ContextCleaner got to them)
     val ids = withStreamShuffle(spark) {
       EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("cnt")))
         .toMemory(spark, n1, "complete")
-    }.localCheckpoint(true)
+    }
     val hashes = withStreamShuffle(spark) {
       // raw text through an exchange before the interpreted
       // tokenize+shingle explode — the q259/q261 scan lesson
@@ -2231,7 +2237,7 @@ object StreamQueries {
           .select(col("doc_id"), graft.operators.Dedup.baseHash(col("s")).as("h"))
           .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt")))
         .toMemory(spark, n2, "complete")
-    }.localCheckpoint(true)
+    }
     (TextQueries.sigFromHashes(
       ids.select(col("doc_id")), hashes.select(col("doc_id"), col("h"))),
       Seq(ids, hashes))

@@ -51,12 +51,24 @@ object StateScale {
     // each micro-batch touches the FULL key space (worst-case state
     // access pattern, the regime the providers differ in)
     val src = s"/tmp/graft_state_scale/src_${keys}_$files"
-    if (!new java.io.File(src).isDirectory) {
+    // completion marker, not bare directory existence: a prior
+    // generation killed mid-loop (the 30M-key heap rung OOMs by
+    // design) would otherwise leave a partial dataset that every
+    // later run silently reuses — fewer commits, fewer keys, and an
+    // A/B crossover number that understates the workload
+    val done = new java.io.File(src, "_GRAFT_COMPLETE")
+    if (!done.isFile) {
+      val d = new java.io.File(src)
+      if (d.isDirectory) {
+        println(s"[state] partial dataset at $src (no completion marker) — regenerating")
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+      }
       (0 until files).foreach { f =>
         spark.range(keys)
           .select(col("id").as("k"), (col("id") % 1000).as("v"))
           .coalesce(1).write.mode("append").parquet(src)
       }
+      done.createNewFile()
       println(s"[state] wrote $files files x $keys keys at $src")
     }
 

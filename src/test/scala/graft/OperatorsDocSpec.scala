@@ -28,8 +28,14 @@ class OperatorsDocSpec extends AnyFunSuite {
   test("OPERATORS.md carries every SURVEY §2 row id") {
     val surveyIds = surveyS2.collect { case RowId(id) => id }
     assert(surveyIds.length >= 343, s"parsed only ${surveyIds.length} §2 rows")
-    val gen = readAll("OPERATORS.md")
-      .split(java.util.regex.Pattern.quote("<!-- BEGIN GENERATED"))(1)
+    val doc = readAll("OPERATORS.md")
+    val parts = doc.split(java.util.regex.Pattern.quote("<!-- BEGIN GENERATED"))
+    assert(parts.length == 2,
+      "OPERATORS.md has no '<!-- BEGIN GENERATED' marker — " +
+        "run `python3 tools/gen_operators.py` to restore the generated section")
+    // scan only up to the END marker so a row id in trailing
+    // hand-authored prose can't mask its absence from the table
+    val gen = parts(1).split(java.util.regex.Pattern.quote("<!-- END GENERATED"))(0)
     val docIds = gen.linesIterator.collect { case RowId(id) => id }.toSet
     val missing = surveyIds.filterNot(docIds)
     assert(missing.isEmpty,
