@@ -59,8 +59,11 @@ object Triangles {
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), maxGroupSize, "co-occurrence group"))
       .select(col("ms"), explode(col("ms")).as("x"))
-      .select(col("x"), explode(col("ms")).as("y"))
-      .filter(col("x") < col("y"))
+      // second explode over only the members ABOVE x (lambda filter
+      // with an outer reference): emits the n(n-1)/2 upper-triangle
+      // pairs directly instead of all n² ordered pairs then a filter
+      // — halves the exploded row volume for every big group
+      .select(col("x"), explode(filter(col("ms"), y => y > col("x"))).as("y"))
       .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
