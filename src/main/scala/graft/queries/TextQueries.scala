@@ -1342,8 +1342,7 @@ object TextQueries {
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "SimHash block"))
       .select(col("ms"), explode(col("ms")).as("ra"))
-      .select(col("ra"), explode(col("ms")).as("rb"))
-      .filter(col("ra") < col("rb"))
+      .select(col("ra"), explode(filter(col("ms"), rb => rb > col("ra"))).as("rb"))
       .distinct()
     val rtxt = reps.select(col("rep_id"), col("cls"), col("text"))
     val verifiedReps = candReps
@@ -1367,8 +1366,8 @@ object TextQueries {
       .filter(size(col("ids")) > 1)
       .join(reps.select(col("cls"), length(col("text")).cast("long").as("len")), Seq("cls"))
       .select(col("ids"), col("len"), explode(col("ids")).as("a_id"))
-      .select(col("a_id"), col("len"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("len"),
+        explode(filter(col("ids"), b => b > col("a_id"))).as("b_id"))
       .select(col("a_id"), col("b_id"), lit(0L).as("lev"), col("len").as("max_len"))
     crossPairs.unionByName(withinPairs)
       .orderBy(col("a_id"), col("b_id"))
@@ -3146,8 +3145,8 @@ object TextQueries {
       .filter(col("m") >= 2 && col("sz") > 0)
       .select(col("members"), col("sz"))
       .select(col("members"), explode(col("members")).as("a"), col("sz"))
-      .select(col("a"), explode(col("members")).as("b"), col("sz"))
-      .filter(col("a") < col("b"))
+      .select(col("a"),
+        explode(filter(col("members"), b => b > col("a"))).as("b"), col("sz"))
       .select(col("a").as("a_id"), col("b").as("b_id"),
         col("sz").cast("long").as("inter"), col("sz").cast("long").as("uni"))
     crossPairs.unionByName(withinPairs)
@@ -3274,8 +3273,7 @@ object TextQueries {
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "JW prefix block"))
       .select(col("ms"), explode(col("ms")).as("ra"))
-      .select(col("ra"), explode(col("ms")).as("rb"))
-      .filter(col("ra") < col("rb"))
+      .select(col("ra"), explode(filter(col("ms"), rb => rb > col("ra"))).as("rb"))
     val byRep = cls.select(col("rep_id"), col("title"), col("ids"))
     val cross = candReps
       .join(byRep.select(col("rep_id").as("ra"), col("title").as("ta"), col("ids").as("ids_a")), Seq("ra"))
@@ -3297,8 +3295,7 @@ object TextQueries {
     val within = cls
       .filter(size(col("ids")) > 1)
       .select(col("ids"), explode(col("ids")).as("a_id"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), explode(filter(col("ids"), b => b > col("a_id"))).as("b_id"))
       .select(col("a_id"), col("b_id"), lit(10000L).as("jw_q4"))
     cross.unionByName(within).orderBy(col("a_id"), col("b_id"))
   }
