@@ -1895,7 +1895,7 @@ object StreamQueries {
             pmod(hash60(col("tok")), lit(graft.operators.Dedup.P)).as("h"))
           .groupBy(col("tok"), col("h")).agg(count(lit(1)).as("exact_n")))
         .toMemory(spark, name, "complete")
-    }.localCheckpoint(true)
+    }
     def cellKeys = (0 until depth).map { j =>
       val (a, c) = graft.operators.Dedup.perms(j)
       struct(lit(j).as("j"),
@@ -1944,14 +1944,14 @@ object StreamQueries {
           .select(explode(tk).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("c")))
         .toMemory(spark, n1, "complete")
-    }.localCheckpoint(true)
+    }
     val bi = withStreamShuffle(spark) {
       EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
           .select(explode(TA.adjacentPairs(tk)).as("bg"))
           .select(col("bg.x").as("x"), col("bg.y").as("y"))
           .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy")))
         .toMemory(spark, n2, "complete")
-    }.localCheckpoint(true)
+    }
     TextQueries.pmiFrom(uni, bi)
   }
 
@@ -2003,12 +2003,12 @@ object StreamQueries {
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
         .toMemory(spark, n1, "complete")
-    }.localCheckpoint(true)
+    }
     val nd = withStreamShuffle(spark) {
       EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
           .agg(count(lit(1)).as("n")))
         .toMemory(spark, n2, "complete")
-    }.localCheckpoint(true)
+    }
     TextQueries.tfidfPairsFrom(tokc, nd)
   }
 
@@ -2042,7 +2042,7 @@ object StreamQueries {
           .groupBy(col("doc_id"), col("lang"), col("x"), col("y"))
           .agg(count(lit(1)).as("cnt")))
         .toMemory(spark, name, "complete")
-    }.localCheckpoint(true)
+    }
     TextQueries.bigramPerplexityFrom(bgc)
   }
 
@@ -2077,7 +2077,7 @@ object StreamQueries {
           .filter(col("tok").isin(TextQueries.bm25Terms: _*))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
         .toMemory(spark, n1, "complete")
-    }.localCheckpoint(true)
+    }
     val dl = withStreamShuffle(spark) {
       // length state includes docs with NO query-term hits (N and
       // avgdl are corpus-wide) — a separate aggregation, not a
@@ -2087,7 +2087,7 @@ object StreamQueries {
             size(TA.tokens(col("text"))).cast("long").as("dl"))
           .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
         .toMemory(spark, n2, "complete")
-    }.localCheckpoint(true)
+    }
     TextQueries.bm25RankedFrom(tf, dl)
   }
 
@@ -2429,14 +2429,14 @@ object StreamQueries {
           .select(md5(col("text")).as("cls"), col("doc_id"))
           .groupBy(col("cls"), col("doc_id")).agg(count(lit(1)).as("c")))
         .toMemory(spark, n1, "complete")
-    }.localCheckpoint(true).select(col("cls"), col("doc_id"))
+    }.select(col("cls"), col("doc_id"))
     val reps = withStreamShuffle(spark) {
       EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
           .select(md5(col("text")).as("cls"), col("doc_id"), col("text"))
           .groupBy(col("cls"))
           .agg(min(col("doc_id")).as("rep_id"), min(col("text")).as("text")))
         .toMemory(spark, n2, "complete")
-    }.localCheckpoint(true)
+    }
     TextQueries.editPairsFrom(members, reps)
   }
 
@@ -2473,7 +2473,7 @@ object StreamQueries {
             explode(array_distinct(TA.shingles(TA.tokens(col("text")), 3))).as("t"))
           .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c")))
         .toMemory(spark, name, "complete")
-    }.localCheckpoint(true)
+    }
     TextQueries.prefixJoinFrom(
       memb.groupBy(col("doc_id")).agg(sort_array(collect_list(col("t"))).as("ts")))
   }
