@@ -1814,7 +1814,7 @@ object StreamQueries {
           .agg(count(lit(1)).as("cnt")))
         .toMemory(spark, name, "complete")
     }
-    StatsQueries.medianTestFrom(hist.localCheckpoint(true))
+    StatsQueries.medianTestFrom(hist)
   }
 
   /** Same oracle as the batch median test — the point. */
@@ -1839,7 +1839,7 @@ object StreamQueries {
           .agg(count(lit(1)).as("cnt")))
         .toMemory(spark, name, "complete")
     }
-    StatsQueries.kruskalWallisFrom(hist.localCheckpoint(true))
+    StatsQueries.kruskalWallisFrom(hist)
   }
 
   /** Same oracle as the batch Kruskal–Wallis — the point. */
@@ -1866,7 +1866,7 @@ object StreamQueries {
           .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")))
         .toMemory(spark, name, "complete")
     }
-    TextQueries.zipfFrom(freq.localCheckpoint(true))
+    TextQueries.zipfFrom(freq)
   }
 
   /** Same oracle as the batch Zipf fit — the point. */
@@ -1976,7 +1976,7 @@ object StreamQueries {
           .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")))
         .toMemory(spark, name, "complete")
     }
-    TextQueries.vocabCoverageFrom(freq.localCheckpoint(true))
+    TextQueries.vocabCoverageFrom(freq)
   }
 
   /** Same oracle as the batch vocabulary coverage — the point. */
@@ -2119,7 +2119,7 @@ object StreamQueries {
           .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
         .toMemory(spark, name, "complete")
     }
-    TextQueries.jsDivergenceFrom(freq.localCheckpoint(true))
+    TextQueries.jsDivergenceFrom(freq)
   }
 
   /** Same oracle as the batch JS divergence — the point. */
@@ -2154,7 +2154,7 @@ object StreamQueries {
         .toMemory(spark, name, "complete")
     }
     TextQueries.decontaminateFrom(
-      sh.localCheckpoint(true).select(col("doc_id"), col("s")))
+      sh.select(col("doc_id"), col("s")))
   }
 
   /** Same oracle as the batch decontamination — the point. */
@@ -2296,7 +2296,7 @@ object StreamQueries {
           .agg(max(struct(col("source"), col("text"))).as("b")))
         .toMemory(spark, name, "complete")
     }
-    TextQueries.sourceOverlapFrom(d.localCheckpoint(true)
+    TextQueries.sourceOverlapFrom(d
       .select(col("doc_id"), col("b.source").as("source"), col("b.text").as("text")))
   }
 
@@ -2326,7 +2326,7 @@ object StreamQueries {
           .groupBy(col("w")).agg(count(lit(1)).as("freq")))
         .toMemory(spark, name, "complete")
     }
-    TextQueries.bpePairsFrom(wf.localCheckpoint(true))
+    TextQueries.bpePairsFrom(wf)
   }
 
   /** Same oracle as the batch BPE merge step — the point. */
@@ -2352,7 +2352,7 @@ object StreamQueries {
           .agg(max(struct(col("source"), col("lang"), col("text"))).as("b")))
         .toMemory(spark, name, "complete")
     }
-    TextQueries.funnelFrom(d.localCheckpoint(true)
+    TextQueries.funnelFrom(d
       .select(col("doc_id"), col("b.source").as("source"),
         col("b.lang").as("lang"), col("b.text").as("text")))
   }
@@ -2379,7 +2379,7 @@ object StreamQueries {
           .groupBy(col("doc_id")).agg(max(col("source")).as("source")))
         .toMemory(spark, name, "complete")
     }
-    TextQueries.mixtureExactFrom(d.localCheckpoint(true))
+    TextQueries.mixtureExactFrom(d)
   }
 
   /** Same oracle as the batch exact-quota mixture — the point. */
@@ -2402,7 +2402,7 @@ object StreamQueries {
           .groupBy(col("doc_id")).agg(max(col("source")).as("source")))
         .toMemory(spark, name, "complete")
     }
-    TextQueries.mixtureApplyFrom(d.localCheckpoint(true))
+    TextQueries.mixtureApplyFrom(d)
   }
 
   /** Same oracle as the batch mixture apply — the point. */
