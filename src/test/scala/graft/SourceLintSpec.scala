@@ -60,6 +60,27 @@ class SourceLintSpec extends org.scalatest.funsuite.AnyFunSuite {
       "floor-of-column-division (use SQL `div`):\n" + hits.mkString("\n"))
   }
 
+  test("StreamQueries never hand-checkpoints a frame") {
+    // toMemory/runStream already return the drained sink as an
+    // eagerly-checkpointed LogicalRDD — a second localCheckpoint in
+    // a streaming query re-materializes the frame (one extra job, a
+    // doubled transient copy) and, for memoized frames, hides the
+    // inner blocks from the release path (the r16 sigMemo fix).
+    // Iteration lineage cuts belong in operators/ and the batch
+    // tails, never here.
+    val re = """\.localCheckpoint\(""".r
+    val hits = Files.readAllLines(
+        Paths.get("src/main/scala/graft/queries/StreamQueries.scala"))
+      .asScala.zipWithIndex.collect {
+        case (line, i) if re.findFirstIn(line).isDefined &&
+          !line.trim.startsWith("*") && !line.trim.startsWith("//") =>
+          s"StreamQueries.scala:${i + 1}: ${line.trim}"
+      }
+    assert(hits.isEmpty,
+      "hand-checkpoint in StreamQueries (toMemory already drains):\n" +
+        hits.mkString("\n"))
+  }
+
   test("oracle SQL never floors an integral decode through DOUBLE") {
     // CAST(floor(CAST(x AS DOUBLE) / n) AS BIGINT) in an oracle
     // string — DuckDB spells the exact decode `//`. A `+` between
