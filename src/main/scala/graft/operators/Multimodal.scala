@@ -518,8 +518,10 @@ object Multimodal {
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), maxBucket, s"$hashCol band"))
       .select(col("ms"), explode(col("ms")).as("a"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.media_id") < col("b.media_id"))
+      // upper-triangle directly (r16): explode only members above the
+      // pivot instead of all n² ordered pairs then a filter
+      .select(col("a"), explode(filter(col("ms"),
+        b => b.getField("media_id") > col("a.media_id"))).as("b"))
       .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)

@@ -3111,9 +3111,9 @@ object TextQueries {
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "prefix token"))
       .select(col("ms"), explode(col("ms")).as("a"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.rep") < col("b.rep") &&
-        least(col("a.s"), col("b.s")) * 2 >= greatest(col("a.s"), col("b.s")))
+      .select(col("a"), explode(filter(col("ms"),
+        b => b.getField("rep") > col("a.rep"))).as("b"))
+      .filter(least(col("a.s"), col("b.s")) * 2 >= greatest(col("a.s"), col("b.s")))
       .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
       .distinct()
     // classes is the hinted build side: left to size estimates, AQE
