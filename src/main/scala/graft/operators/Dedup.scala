@@ -218,6 +218,28 @@ object Dedup {
     * A tripped guard means the banding/blocking needs retuning (more
     * bands, or salt-split the hot bucket) — not a bigger cluster.
     */
+  /** In-bucket upper-triangle pair expansion, second-generator side:
+    * the members of `ms` strictly ABOVE `pivot`, to be exploded by
+    * the caller beside the pivot's own explode. Emits the n(n-1)/2
+    * unordered pairs directly instead of all n² ordered pairs then a
+    * filter — half the generated rows into every pair shuffle (r16
+    * Triangles measurement: q138 median 6.1→4.0 s).
+    *
+    * INVARIANT (the r9 lesson, now centralized): both generators
+    * must stay codegen'd `explode`s with only this half-pruning
+    * `filter` interpreted per element. The fully-lambda
+    * flatten(transform(transform)) pair form interprets per PAIR and
+    * measured slower; do not "simplify" call sites into it.
+    */
+  def membersAbove(ms: Column, pivot: Column): Column =
+    filter(ms, m => m > pivot)
+
+  /** [[membersAbove]] for STRUCT member arrays ordered by one field
+    * (the id): strict comparison on that field only.
+    */
+  def membersAboveBy(ms: Column, pivot: Column, field: String): Column =
+    filter(ms, m => m.getField(field) > pivot.getField(field))
+
   def cappedMembers(ids: Column, maxBucket: Int, what: String): Column =
     when(size(ids) > maxBucket,
       raise_error(concat(
@@ -247,17 +269,8 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
       .withColumn("ids", cappedMembers(col("ids"), maxBucket, "LSH band"))
-      // in-bucket pairs: explode each member, then explode only the
-      // members ABOVE it (lambda-filtered second generator) — emits
-      // the n(n-1)/2 upper-triangle pairs directly instead of all n²
-      // then a filter. The r9 lesson stands against the fully-lambda
-      // flatten(transform(transform)) form (interpreted per PAIR);
-      // here only the half-pruning filter is interpreted while both
-      // generators stay codegen'd explodes, and the r16 Triangles
-      // measurement (q138 median 6.1→4.0 s) shows the halved row
-      // volume wins.
       .select(col("ids"), explode(col("ids")).as("a"))
-      .select(col("a"), explode(filter(col("ids"), b => b > col("a"))).as("b"))
+      .select(col("a"), explode(membersAbove(col("ids"), col("a"))).as("b"))
       .select(col("a").as("a_id"), col("b").as("b_id"))
       .distinct()
   }

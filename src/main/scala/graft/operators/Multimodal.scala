@@ -520,8 +520,7 @@ object Multimodal {
       .select(col("ms"), explode(col("ms")).as("a"))
       // upper-triangle directly (r16): explode only members above the
       // pivot instead of all n² ordered pairs then a filter
-      .select(col("a"), explode(filter(col("ms"),
-        b => b.getField("media_id") > col("a.media_id"))).as("b"))
+      .select(col("a"), explode(Dedup.membersAboveBy(col("ms"), col("a"), "media_id")).as("b"))
       .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)

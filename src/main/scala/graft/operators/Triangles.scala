@@ -34,9 +34,9 @@ object Triangles {
     * Shape: ONE shuffle builds the per-group member set (collect_set
     * partial-aggregates map-side and dedups (group, member) repeats
     * in the same pass — no separate distinct), pairs expand through
-    * a DOUBLE EXPLODE + x < y filter — both generators codegen'd,
-    * measured 1.5× over the flatten(transform(transform)) lambda
-    * form whose higher-order functions interpret per element —
+    * a double explode whose second generator is pruned to the
+    * members above the pivot ([[Dedup.membersAbove]] — the
+    * upper-triangle idiom and its codegen invariant live there) —
     * bounded by group size with [[Dedup.cappedMembers]] raising
     * loudly on a pathological giant group, and the support count is
     * a second bounded shuffle. The unthresholded projection of a
@@ -59,11 +59,7 @@ object Triangles {
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), maxGroupSize, "co-occurrence group"))
       .select(col("ms"), explode(col("ms")).as("x"))
-      // second explode over only the members ABOVE x (lambda filter
-      // with an outer reference): emits the n(n-1)/2 upper-triangle
-      // pairs directly instead of all n² ordered pairs then a filter
-      // — halves the exploded row volume for every big group
-      .select(col("x"), explode(filter(col("ms"), y => y > col("x"))).as("y"))
+      .select(col("x"), explode(Dedup.membersAbove(col("ms"), col("x"))).as("y"))
       .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)

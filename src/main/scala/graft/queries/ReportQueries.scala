@@ -616,7 +616,7 @@ object ReportQueries {
     val pairs = sets.filter(size(col("ms")) > 1)
       .withColumn("ms", graft.operators.Dedup.cappedMembers(col("ms"), 10000, "assoc order"))
       .select(col("ms"), explode(col("ms")).as("x"))
-      .select(col("x"), explode(filter(col("ms"), y => y > col("x"))).as("y"))
+      .select(col("x"), explode(graft.operators.Dedup.membersAbove(col("ms"), col("x"))).as("y"))
       .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(count(lit(1)).as("sab"))
       .filter(col("sab") >= 3)
@@ -854,7 +854,7 @@ object ReportQueries {
     val pairs = sets.filter(size(col("ms")) > 1)
       .withColumn("ms", graft.operators.Dedup.cappedMembers(col("ms"), 10000, "cf order"))
       .select(col("ms"), explode(col("ms")).as("x"))
-      .select(col("x"), explode(filter(col("ms"), y => y > col("x"))).as("y"))
+      .select(col("x"), explode(graft.operators.Dedup.membersAbove(col("ms"), col("x"))).as("y"))
       .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= 3)

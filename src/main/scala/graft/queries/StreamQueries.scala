@@ -1803,8 +1803,9 @@ object StreamQueries {
     * (label×value-domain-bounded state — the q170 complete-mode
     * idiom); the pooled-median + chi-square tail replays verbatim
     * over the compacted histogram (shared medianTestFrom, shared
-    * oracle; the sink's multiple derivations ride a localCheckpoint
-    * — the memory-sink self-join hazard).
+    * oracle; the sink's multiple derivations ride the checkpoint
+    * toMemory's drain already applied — never a second one here,
+    * SourceLintSpec pins that).
     */
   def q253_stream_median_test(spark: SparkSession, dir: String): DataFrame = {
     val name = s"q253_mem_${runId.incrementAndGet()}"

@@ -1342,7 +1342,7 @@ object TextQueries {
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "SimHash block"))
       .select(col("ms"), explode(col("ms")).as("ra"))
-      .select(col("ra"), explode(filter(col("ms"), rb => rb > col("ra"))).as("rb"))
+      .select(col("ra"), explode(Dedup.membersAbove(col("ms"), col("ra"))).as("rb"))
       .distinct()
     val rtxt = reps.select(col("rep_id"), col("cls"), col("text"))
     val verifiedReps = candReps
@@ -1367,7 +1367,7 @@ object TextQueries {
       .join(reps.select(col("cls"), length(col("text")).cast("long").as("len")), Seq("cls"))
       .select(col("ids"), col("len"), explode(col("ids")).as("a_id"))
       .select(col("a_id"), col("len"),
-        explode(filter(col("ids"), b => b > col("a_id"))).as("b_id"))
+        explode(Dedup.membersAbove(col("ids"), col("a_id"))).as("b_id"))
       .select(col("a_id"), col("b_id"), lit(0L).as("lev"), col("len").as("max_len"))
     crossPairs.unionByName(withinPairs)
       .orderBy(col("a_id"), col("b_id"))
@@ -3111,8 +3111,7 @@ object TextQueries {
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "prefix token"))
       .select(col("ms"), explode(col("ms")).as("a"))
-      .select(col("a"), explode(filter(col("ms"),
-        b => b.getField("rep") > col("a.rep"))).as("b"))
+      .select(col("a"), explode(Dedup.membersAboveBy(col("ms"), col("a"), "rep")).as("b"))
       .filter(least(col("a.s"), col("b.s")) * 2 >= greatest(col("a.s"), col("b.s")))
       .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
       .distinct()
@@ -3146,7 +3145,7 @@ object TextQueries {
       .select(col("members"), col("sz"))
       .select(col("members"), explode(col("members")).as("a"), col("sz"))
       .select(col("a"),
-        explode(filter(col("members"), b => b > col("a"))).as("b"), col("sz"))
+        explode(Dedup.membersAbove(col("members"), col("a"))).as("b"), col("sz"))
       .select(col("a").as("a_id"), col("b").as("b_id"),
         col("sz").cast("long").as("inter"), col("sz").cast("long").as("uni"))
     crossPairs.unionByName(withinPairs)
@@ -3273,7 +3272,7 @@ object TextQueries {
       .filter(size(col("ms")) > 1)
       .withColumn("ms", Dedup.cappedMembers(col("ms"), 10000, "JW prefix block"))
       .select(col("ms"), explode(col("ms")).as("ra"))
-      .select(col("ra"), explode(filter(col("ms"), rb => rb > col("ra"))).as("rb"))
+      .select(col("ra"), explode(Dedup.membersAbove(col("ms"), col("ra"))).as("rb"))
     val byRep = cls.select(col("rep_id"), col("title"), col("ids"))
     val cross = candReps
       .join(byRep.select(col("rep_id").as("ra"), col("title").as("ta"), col("ids").as("ids_a")), Seq("ra"))
@@ -3295,7 +3294,7 @@ object TextQueries {
     val within = cls
       .filter(size(col("ids")) > 1)
       .select(col("ids"), explode(col("ids")).as("a_id"))
-      .select(col("a_id"), explode(filter(col("ids"), b => b > col("a_id"))).as("b_id"))
+      .select(col("a_id"), explode(Dedup.membersAbove(col("ids"), col("a_id"))).as("b_id"))
       .select(col("a_id"), col("b_id"), lit(10000L).as("jw_q4"))
     cross.unionByName(within).orderBy(col("a_id"), col("b_id"))
   }

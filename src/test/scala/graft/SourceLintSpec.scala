@@ -73,7 +73,7 @@ class SourceLintSpec extends org.scalatest.funsuite.AnyFunSuite {
         Paths.get("src/main/scala/graft/queries/StreamQueries.scala"))
       .asScala.zipWithIndex.collect {
         case (line, i) if re.findFirstIn(line).isDefined &&
-          !line.trim.startsWith("*") && !line.trim.startsWith("//") =>
+          !Seq("*", "//", "/*").exists(line.trim.startsWith) =>
           s"StreamQueries.scala:${i + 1}: ${line.trim}"
       }
     assert(hits.isEmpty,
