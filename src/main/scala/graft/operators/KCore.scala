@@ -25,12 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale/shape: the bidirectional edge frame (big, static — the
   * caller's to cache) streams through TWO hash joins per round
-  * against the survivor set; survivors are node-bounded, persisted +
-  * counted (exact AQE stats → the survivor side broadcasts),
-  * width-capped ([[KHop.frameWidth]]), previous round unpersisted —
-  * the same iterative-plan hygiene as [[Sssp.relax]]. Each round is
-  * one count-agg shuffle; degree recounting never touches the
-  * original bipartite corpus, only the projected edge frame.
+  * against the survivor set; survivors are node-bounded and cut per
+  * round with an eager localCheckpoint — the same iterative-plan
+  * hygiene as [[Sssp.relax]] and [[KHop.expand]]. Each round is one
+  * count-agg shuffle; degree recounting never touches the original
+  * bipartite corpus, only the projected edge frame.
   */
 object KCore {
 
@@ -39,34 +38,28 @@ object KCore {
     * rounds at threshold `k`, returning (n, d) — final-peel
     * survivors with the degree the final filter judged.
     */
-  def peel(edges: DataFrame, k: Long, rounds: Int,
-           targetRowsPerTask: Long = 500000L): DataFrame = {
+  def peel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
     require(k >= 1, "k must be positive")
-    // `cached` is the persisted survivor frame (the unpersist
-    // handle); `surv` what downstream reads — the same frame or an
-    // UNPERSISTED coalesce over its cached blocks (one cache entry
-    // per round; never a cache wrapping a cache).
-    var cached = edges.select(col("x").as("n")).distinct().persist()
-    var surv = cached
-    surv.count()
+    // Round discipline (r16, measured in KHop's A/B): each survivor
+    // frame is an eager localCheckpoint — one materialization job per
+    // round, after which the frame is a bare LogicalRDD. The r13–r15
+    // persist+count+width-cap bookkeeping (an extra count job, a
+    // getNumPartitions probe, an explicit unpersist, a coalesce
+    // wrapper per round) cost more than the peel itself at gate
+    // scale; width now comes from AQE's byte-based coalescing (scale-
+    // adaptive, guide §2.2), and the node-bounded survivor side still
+    // broadcasts into the edge joins (PlanAuditSpec audits the round
+    // plans).
+    var surv = edges.select(col("x").as("n")).distinct().localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val deg = edges
+      surv = edges
         .join(surv.select(col("n").as("xa")), edges("x") === col("xa"))
         .join(surv.select(col("n").as("yb")), edges("y") === col("yb"))
         .groupBy(edges("x").as("n")).agg(count(lit(1)).as("d"))
-      val next = deg.filter(col("d") >= k).persist()
-      val n = next.count()
-      cached.unpersist(blocking = true)
-      cached = next
-      val w = KHop.frameWidth(n, targetRowsPerTask)
-      surv = if (next.rdd.getNumPartitions <= w) next else next.coalesce(w)
+        .filter(col("d") >= k)
+        .localCheckpoint(true)
     }
-    // Eager lineage cut + cache release (ADVICE r13): survivor set is
-    // node-bounded — materialize and drop the final round's persist so
-    // invocations don't stack storage (pagerankIterFrom's pattern).
-    val out = surv.select(col("n"), col("d")).localCheckpoint(true)
-    cached.unpersist(blocking = true)
-    out
+    surv.select(col("n"), col("d"))
   }
 }

@@ -25,16 +25,12 @@ import org.apache.spark.sql.functions._
   * cache — it streams through one hash join per round keyed on the
   * frontier column, exactly the iterative-plan hygiene of
   * [[PageRank]] (hoist invariants, never re-derive per round). The
-  * dist frame (node-bounded, small) is persisted + counted each
-  * round — materializing it keeps AQE's size stats exact so the
-  * per-round join stays a broadcast of dist, not a shuffle of the
-  * edges — and capped to [[KHop.frameWidth]] partitions with a
-  * shuffle-free coalesce (the near-empty-task-spray fix measured in
-  * r9). The previous round's cache is unpersisted once its successor
-  * is materialized: rounds never stack storage (KHop must keep its
-  * per-round frames because `reached` unions them; here each round's
-  * aggregate REPLACES the last). Each round is one shuffle (the
-  * min-agg); candidate generation is map-side.
+  * dist frame (node-bounded, small) is cut per round with an eager
+  * localCheckpoint, so each round's join sees a bare LogicalRDD and
+  * the node-bounded dist side broadcasts; partition width comes from
+  * AQE's byte-based coalescing (scale-adaptive, guide §2.2). Each
+  * round is one shuffle (the min-agg); candidate generation is
+  * map-side.
   */
 object Sssp {
 
@@ -44,36 +40,27 @@ object Sssp {
     * returning (n, d) — the exact min cost over paths of ≤ `rounds`
     * edges; nodes beyond `rounds` edges from every source are absent.
     */
-  def relax(edges: DataFrame, src: DataFrame, rounds: Int,
-            targetRowsPerTask: Long = 500000L): DataFrame = {
+  def relax(edges: DataFrame, src: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
-    // `cached` is the round's persisted frame (the unpersist handle);
-    // `dist` is what downstream reads — the same frame, or an
-    // UNPERSISTED coalesce over its cached blocks. One cache entry
-    // per round, never a cache wrapping a cache (the documented AQE
-    // cache-on-cache hazard class).
-    var cached = src.select(col("n")).distinct().withColumn("d", lit(0L)).persist()
-    var dist = cached
-    dist.count()
+    // Round discipline (r16, measured in KHop's A/B): each dist frame
+    // is an eager localCheckpoint — one materialization job per
+    // round, after which the frame is a bare LogicalRDD. The r13–r15
+    // persist+count+width-cap bookkeeping (an extra count job, a
+    // getNumPartitions probe, an explicit unpersist, a coalesce
+    // wrapper per round) cost more than the relaxation itself at gate
+    // scale; width now comes from AQE's byte-based coalescing (scale-
+    // adaptive, guide §2.2), and the node-bounded dist side still
+    // broadcasts into the edge join (PlanAuditSpec audits the round
+    // plans).
+    var dist = src.select(col("n")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val cand = dist.join(edges, dist("n") === edges("x"))
         .select(col("y").as("n"), (col("d") + col("w")).as("d"))
-      val next = dist.unionByName(cand)
-        .groupBy(col("n")).agg(min(col("d")).as("d")).persist()
-      val n = next.count()
-      cached.unpersist(blocking = true)
-      cached = next
-      val w = KHop.frameWidth(n, targetRowsPerTask)
-      dist = if (next.rdd.getNumPartitions <= w) next else next.coalesce(w)
+      dist = dist.unionByName(cand)
+        .groupBy(col("n")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
     }
-    // Eager lineage cut + cache release (ADVICE r13): the result is
-    // node-bounded, so materialize it as an RDD and drop the final
-    // round's persist — otherwise every invocation in a many-query
-    // session pins one dist frame (and keeps the caller's edge cache
-    // reachable) until an external clearCache. Same pattern as
-    // pagerankIterFrom's post-loop release.
-    val out = dist.localCheckpoint(true)
-    cached.unpersist(blocking = true)
-    out
+    dist
   }
 }

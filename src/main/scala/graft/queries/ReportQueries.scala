@@ -106,13 +106,13 @@ object ReportQueries {
     * exactly 4 plan iterations (no data-dependent driver loop); each
     * round is frontier⋈edges (shuffle on the frontier key), a
     * distinct, and an anti-join against the reached set — all hash
-    * operations AQE can re-plan. Round frames persist per round
-    * (1-round-deep lineage) and their partition width is DERIVED from
-    * the materialized frontier count (ceil(n/500k), shuffle-free
-    * cap-down — kills the near-empty-task spray at sf0.1 while a
-    * catalog-sized reached set at 100× keeps hundreds of parallel
-    * tasks; the r9 literal coalesce(1) is gone). The oracle proves
-    * the 4-round fixed point against DuckDB's recursive CTE.
+    * operations AQE can re-plan. Round frames are eager
+    * localCheckpoints (1-round-deep lineage, flat final plan) and
+    * their width is AQE's byte-based coalescing — scale-adaptive: a
+    * catalog-sized reached set at 100× keeps advisory-sized parallel
+    * tasks while sf0.1's tiny frames fold narrow (the r16 kernel
+    * measurement; the r9 literal coalesce(1) stays gone). The oracle
+    * proves the 4-round fixed point against DuckDB's recursive CTE.
     */
   def q138_khop(spark: SparkSession, dir: String): DataFrame =
     khopFrom(spark, dir, Tables.lineitem(spark, dir)
@@ -127,14 +127,19 @@ object ReportQueries {
       op: DataFrame): DataFrame = {
     val edges = graft.operators.Triangles.cooccurrenceEdges(
       op, "o", "p", minSupport = 2)
-    val bidir = edges.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
-      .persistFresh()
+    // ownership-aware cache (kcoreFrom builds the identical plan):
+    // expand's rounds are eager localCheckpoints, so the edge cache is
+    // unreachable past the call and can be released here (r16 — the
+    // old persistFresh leaned on the caller's clearCache).
+    val (bidir, releaseBidir) = graft.operators.CacheOnce.borrowPersist(
+      edges.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(edges.select(col("b").as("x"), col("a").as("y"))))
     val src = Tables.part(spark, dir)
       .filter(pmod(col("p_partkey"), lit(100L)) === 0)
       .select(col("p_partkey").as("n"))
-    graft.operators.KHop.expand(bidir, src, maxHops = 4)
-      .select(col("n").as("p_partkey"), col("hops")).orderBy(col("p_partkey"))
+    val reached = graft.operators.KHop.expand(bidir, src, maxHops = 4)
+    releaseBidir()
+    reached.select(col("n").as("p_partkey"), col("hops")).orderBy(col("p_partkey"))
   }
 
   val q138_khop_sql: String =
@@ -161,11 +166,11 @@ object ReportQueries {
     * Scale/shape: the traversal is [[graft.operators.Sssp.relax]] —
     * exactly 4 plan iterations; each round one hash join against the
     * cached weighted edge frame + one min-agg shuffle, the dist
-    * frame node-bounded, persisted + counted (exact AQE stats →
-    * dist side broadcasts), width-capped, previous round unpersisted
-    * (rounds never stack storage). Every cost is an int64 (div of
-    * positive ints); the oracle unrolls the same 4 rounds as CTEs —
-    * same fixed point, no convergence test on either side.
+    * frame node-bounded and cut per round with an eager
+    * localCheckpoint (dist side broadcasts; width is AQE's byte-based
+    * coalescing — the r16 kernel measurement). Every cost is an int64
+    * (div of positive ints); the oracle unrolls the same 4 rounds as
+    * CTEs — same fixed point, no convergence test on either side.
     */
   def q244_sssp(spark: SparkSession, dir: String): DataFrame =
     ssspFrom(spark, dir, Tables.lineitem(spark, dir)
@@ -226,9 +231,9 @@ object ReportQueries {
     *
     * Scale/shape: the traversal is [[graft.operators.KCore.peel]] —
     * exactly 4 plan iterations; each round two hash joins of the
-    * cached edge frame against the node-bounded survivor set
-    * (persisted + counted → exact AQE stats → survivors broadcast)
-    * plus one count-agg shuffle; previous round unpersisted. Output
+    * cached edge frame against the node-bounded survivor set (cut
+    * per round with an eager localCheckpoint; survivors broadcast)
+    * plus one count-agg shuffle. Output
     * is each final survivor with the integer degree the final filter
     * judged; the oracle unrolls the same 4 peels as CTEs.
     */

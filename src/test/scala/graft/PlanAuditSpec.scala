@@ -327,22 +327,28 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q244/q249 iterate with broadcast frontier joins, never a sort-merge of the edge frame") {
-    // Since r14 relax()/peel() END with an eager localCheckpoint
-    // (cache release, ADVICE r13), so the RETURNED frame's lineage is
-    // a bare RDD scan and the old final-plan inspection sees no
-    // joins. Audit the rounds as they actually EXECUTE instead: a
-    // QueryExecutionListener captures every action's final plan
-    // (each round's count() is its own execution), which is the
-    // stronger form — all rounds, not a final-round proxy. The
-    // dist/survivor side is node-bounded with exact post-count
-    // stats, so it must broadcast; an SMJ would re-sort the edge
-    // frame per round.
+    // relax()/peel() materialize every round with an eager
+    // localCheckpoint (r16 — one job per round, bare-LogicalRDD
+    // lineage), so the RETURNED frame's plan shows no joins. Audit
+    // the rounds as they actually EXECUTE instead: a
+    // QueryExecutionListener captures every action's plan (each
+    // round's checkpoint materialization is its own "checkpoint"
+    // action), which is the stronger form — all rounds, not a
+    // final-round proxy. The dist/survivor side is node-bounded, so
+    // the EXECUTED join must be a broadcast; since r16 the initial
+    // (pre-AQE) round plan may legitimately pencil in an SMJ — the
+    // checkpointed frame carries estimated, not exact, stats — and
+    // AQE's runtime conversion (guide §3.1) is the mechanism that
+    // must fix it, so only the FINAL plan section is audited.
     def roundPlans(q: String): Seq[String] = {
       val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val l = new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(f: String,
             qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
-          plans.add(qe.executedPlan.toString)
+          // AdaptiveSparkPlanExec.toString appends the "== Initial
+          // Plan ==" section after the final plan — keep only what
+          // actually executed
+          plans.add(qe.executedPlan.toString.split("== Initial Plan ==").head)
         override def onFailure(f: String,
             qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
       }
@@ -392,43 +398,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(read.count() > 0)
   }
 
-  test("KHop round-frame width is data-derived and grows with the frontier (no literal 1)") {
+  test("KHop round frames stay flat-plan and narrow under AQE (no spray, no plan blowup)") {
     import graft.operators.KHop
-    // the width law itself: 1 below the per-task target, then linear
-    assert(KHop.frameWidth(0) == 1)
-    assert(KHop.frameWidth(500000) == 1)
-    assert(KHop.frameWidth(500001) == 2)
-    assert(KHop.frameWidth(5000000) == 10)
-    assert(KHop.frameWidth(4999, 500) == 10)
-    val probes = Seq(0L, 1L, 499999L, 500000L, 500001L, 2000000L, 5000000L)
-    assert(probes.map(KHop.frameWidth(_)) == probes.map(KHop.frameWidth(_)).sorted,
-      "frameWidth must be monotone in the frontier size")
-
-    // end-to-end on a planted star graph (hop-1 frontier = 5000
-    // nodes). AQE's byte-based re-planning folds these tiny test
-    // frames to arbitrary widths regardless of row policy, so turn
-    // it off on a cloned session for a deterministic materialized
-    // width — the assertion targets KHop's own cap, which coalesces
-    // DOWN to frameWidth(n) and never below it.
-    val sess = spark.newSession()
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.shuffle.partitions", "8")
-    import sess.implicits._
-    val edges = sess.range(1, 5001).toDF("y").select(lit(0L).as("x"), col("y"))
+    // r16: round width is AQE's byte-based coalescing (scale-adaptive,
+    // guide §2.2) and each round is an eager localCheckpoint — the
+    // r10–r15 per-round count/width-cap bookkeeping measured 2–4× the
+    // traversal itself and its cached-union plan reached 24k explain
+    // lines by round 4 at sf0.1 (KHopVariants A/B, PLANS r16). Pin the
+    // two properties that replaced it: tiny round frames must
+    // materialize NARROW (near-empty-task spray stays dead under the
+    // shipped AQE session), and the result plan must stay a flat
+    // union of RDD scans (constant depth — no re-cached lineage).
+    import spark.implicits._
+    val edges = spark.range(1, 5001).toDF("y").select(lit(0L).as("x"), col("y"))
     val bidir = edges.unionByName(edges.select(col("y").as("x"), col("x").as("y")))
     val src = Seq(0L).toDF("n")
-    val tight = KHop.expand(bidir, src, maxHops = 1, targetRowsPerTask = 500)
-    val loose = KHop.expand(bidir, src, maxHops = 1, targetRowsPerTask = 500000L)
-    // same answer either way…
-    assert(tight.count() == 5001 && loose.count() == 5001)
-    // …but the 5000-row frontier at a 500-row/task target must KEEP
-    // its materialized width (8 shuffle partitions ≤ frameWidth=10),
-    // while the default target correctly folds the tiny frames to 1.
-    assert(tight.rdd.getNumPartitions >= 8,
-      s"large frontier collapsed to ${tight.rdd.getNumPartitions} partitions — width not data-derived")
-    assert(loose.rdd.getNumPartitions <= 2,
-      s"tiny frames kept ${loose.rdd.getNumPartitions} partitions — near-empty spray not capped")
-    sess.catalog.clearCache()
+    val out = KHop.expand(bidir, src, maxHops = 2)
+    assert(out.count() == 5001)
+    assert(out.rdd.getNumPartitions <= 8,
+      s"tiny round frames kept ${out.rdd.getNumPartitions} partitions — near-empty spray is back")
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("InMemoryRelation"),
+      s"round frames must be checkpointed, not cached (plan-blowup class):\n$plan")
+    assert(plan.linesIterator.size < 60,
+      s"round plan must stay a flat union of RDD scans, got ${plan.linesIterator.size} lines")
   }
 
   test("q192 correlated subqueries decorrelate to aggregate+join (no per-row subquery)") {
