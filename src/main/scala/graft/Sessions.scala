@@ -29,6 +29,8 @@ object Sessions {
       // parallelism target; at production scale shuffle bytes dwarf
       // any floor and this setting is inert.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // codegen cache sized for many-query sessions — see Bench.scala
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // keep compute-heavy small shuffles wide — see Sessions.local
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // codegen cache sized for the 283-query gate — see Bench.scala
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
