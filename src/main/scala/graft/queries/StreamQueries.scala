@@ -2448,35 +2448,48 @@ object StreamQueries {
     * Jaccard≥0.5 pair report over the DOCUMENTS stream — the
     * SEVENTY-SEVENTH pairing, completing the dedup family's online
     * coverage at the set-similarity end (exact q239, fuzzy-cosine
-    * q258, typo q260, set-overlap here). ONE complete-mode
-    * aggregation maintains the (doc_id, shingle) membership state —
-    * the inverted shingle index, distinct-(doc, shingle) bounded;
-    * the projection rebuilds each doc's distinct shingle set
-    * (sort_array(collect_list) — every downstream use is set-based,
-    * argued at prefixJoinFrom) and replays the class collapse +
-    * prefix filter + verify verbatim (shared tail, shared oracle).
-    * Empty-shingle docs never enter the membership state; the tail's
+    * q258, typo q260, set-overlap here). State keys by DOC: each
+    * doc's sorted distinct shingle SET (doc-size bounded, the same
+    * bound the batch class collapse enforces), folded per batch and
+    * monotonically growing — r16: the previous form kept a
+    * complete-mode (doc_id, shingle, c) aggregation whose state AND
+    * per-trigger sink image were distinct-(doc, shingle)-sized (~1.2M
+    * rows at sf0.1, most of the pairing's wall); the per-doc fold
+    * keeps the same information in doc-count state rows and emits
+    * doc-count sink rows. The projection compacts to each doc's
+    * latest image (max by set size — growth is monotone, so equal
+    * size means equal set) and replays the class collapse + prefix
+    * filter + verify verbatim (shared tail, shared oracle).
+    * Empty-shingle docs enter with an empty set; the tail's
     * docstring proves they are output-inert in the batch frame too.
     */
   def q261_stream_prefix_join(spark: SparkSession, dir: String): DataFrame = {
     val TA = graft.operators.TextAnalysis
-    val name = s"q261_mem_${runId.incrementAndGet()}"
-    val memb = withStreamShuffle(spark) {
-      // raw text through an exchange BEFORE the interpreted
-      // tokenize+shingle explode — the single-file micro-batch scan
-      // is one task, and leaving the HOF pipeline on it serializes
-      // the whole maintenance pass (the q127/q107 batch lesson,
-      // measured ~9 s → ~6 s at sf0.1 here)
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-          .repartition(col("doc_id"))
-          .select(col("doc_id"),
-            explode(array_distinct(TA.shingles(TA.tokens(col("text")), 3))).as("t"))
-          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c")))
-        .toMemory(spark, name, "complete")
-    }
-    TextQueries.prefixJoinFrom(
-      memb.groupBy(col("doc_id")).agg(sort_array(collect_list(col("t"))).as("ts")))
+    val sp = spark
+    import sp.implicits._
+    // raw text through an exchange BEFORE the interpreted
+    // tokenize+shingle explode — the single-file micro-batch scan
+    // is one task, and leaving the HOF pipeline on it serializes
+    // the whole maintenance pass (the q127/q107 batch lesson,
+    // measured ~9 s → ~6 s at sf0.1 here)
+    val base = graft.streaming.Pairing.tableStream(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(TA.shingles(TA.tokens(col("text")), 3))).as("ts"))
+      .as[graft.streaming.Pairing.DocSet]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.DocSet,
+        Long, Seq[String], (Long, Seq[String])](
+      spark, base, Seq("doc_id", "ts"), d => (d.doc_id, 0L))(
+      _.doc_id)(Seq.empty[String]) { (id, s0, ordered) =>
+        val merged = (s0 ++ ordered.flatMap(_.ts)).distinct.sorted
+        (merged, if (ordered.isEmpty) Vector.empty else Vector((id, merged)))
+      } { t =>
+        TextQueries.prefixJoinFrom(
+          t.groupBy(col("doc_id"))
+            .agg(max(struct(size(col("ts")).as("n"), col("ts").as("ts"))).as("b"))
+            .select(col("doc_id"), col("b.ts").as("ts")))
+      }
   }
 
   /** Same oracle as the batch prefix-filter join — the point. */

@@ -81,6 +81,7 @@ object Pairing {
   case class LiRfLs(ok: Long, ln: Long, rf: String, ls: String, c: Long)
   case class LiFp(ok: Long, ln: Long, bucket: Long, fp: Long, r: Boolean)
   case class DocKey(id: Long, k: String)
+  case class DocSet(doc_id: Long, ts: Seq[String])
   case class VecRow(vec_id: Long, embedding: Seq[Float])
   case class DocSplit(id: Long, lang: String, split: String)
 
