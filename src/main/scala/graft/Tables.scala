@@ -13,9 +13,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Footer-read schema memo, keyed by (dir, table) — r16: every
+    * loader call re-inferred the schema from the parquet footer
+    * (~10–100 ms of driver-side I/O per call), and a 283-query gate
+    * pass builds each table's frame hundreds of times. The schema of
+    * a given path is immutable metadata for the life of the process
+    * (the gate's corpus dirs never change underneath it; test copies
+    * land in fresh temp dirs), so one probe per (dir, table) serves
+    * every subsequent read via `spark.read.schema(...)` — which skips
+    * inference entirely. Metadata only: no rows, plans or results are
+    * memoized.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val path = s"$dir/$name.parquet"
+      val s = schemaMemo.computeIfAbsent((dir, name),
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(s).parquet(path)
+    }
 
   /** events.ts has shipped in three physical forms across driver
     * generations: TIMESTAMP(NANOS) (read nanos-as-long and truncate to
@@ -29,7 +49,13 @@ object Tables {
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    // schema memo: see [[schemaMemo]] — the nanosAsLong conf is set
+    // before the first (probing) read, so the memoized schema is the
+    // same one every per-call inference produced
+    val path = s"$dir/events.parquet"
+    val schema = schemaMemo.computeIfAbsent((dir, "events"),
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -1927,33 +1927,40 @@ object StreamQueries {
     * pairs over the DOCUMENTS stream — the SEVENTY-SECOND pairing,
     * the online collocation monitor (tokenizer-merge candidates and
     * boilerplate phrases surface as they enter the corpus, not at
-    * the next batch rebuild). TWO complete-mode aggregations
-    * maintain the unigram and bigram count histograms — exactly the
-    * state an online collocation/tokenizer-training pipeline keeps,
-    * vocab- and observed-bigram-bounded; both use the SHARED token
-    * and adjacent-pair expressions so counts cannot drift. The
-    * scoring join + decq log PMI + top-k replay verbatim (shared
-    * pmiFrom, shared oracle).
+    * the next batch rebuild). ONE complete-mode aggregation (r16 —
+    * previously TWO full stream passes) maintains the unigram and
+    * bigram count histograms as one tagged state: each doc explodes
+    * into unigram entries (x = tok, y = NULL — arrays_zip against a
+    * same-length null array, codegen'd, no HOF) concatenated with
+    * the SHARED adjacent-pair entries (x, y), so one scan + one
+    * shuffle + one state operator carry exactly the union of the two
+    * histograms (vocab- + observed-bigram-bounded, the same state
+    * rows as before — y's nullness is the tag, and tokenizer output
+    * is never null, so the split-back is exact). The scoring join +
+    * decq log PMI + top-k replay verbatim (shared pmiFrom, shared
+    * oracle).
     */
   def q256_stream_pmi(spark: SparkSession, dir: String): DataFrame = {
     val TA = graft.operators.TextAnalysis
     val tk = TA.tokens(col("text"))
-    val n1 = s"q256u_mem_${runId.incrementAndGet()}"
-    val n2 = s"q256b_mem_${runId.incrementAndGet()}"
-    val uni = withStreamShuffle(spark) {
+    val name = s"q256ub_mem_${runId.incrementAndGet()}"
+    val uniE = arrays_zip(tk.as("x"),
+      array_repeat(lit(null).cast("string"), size(tk)).as("y"))
+    val hist = withStreamShuffle(spark) {
+      // raw text through an exchange before the tokenize+explode —
+      // the q259/q261 single-file micro-batch scan lesson
       EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(explode(tk).as("tok"))
-          .groupBy(col("tok")).agg(count(lit(1)).as("c")))
-        .toMemory(spark, n1, "complete")
+          .select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .select(explode(concat(uniE, TA.adjacentPairs(tk))).as("e"))
+          .select(col("e.x").as("x"), col("e.y").as("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c")))
+        .toMemory(spark, name, "complete")
     }
-    val bi = withStreamShuffle(spark) {
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(explode(TA.adjacentPairs(tk)).as("bg"))
-          .select(col("bg.x").as("x"), col("bg.y").as("y"))
-          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy")))
-        .toMemory(spark, n2, "complete")
-    }
-    TextQueries.pmiFrom(uni, bi)
+    TextQueries.pmiFrom(
+      hist.filter(col("y").isNull).select(col("x").as("tok"), col("c")),
+      hist.filter(col("y").isNotNull)
+        .select(col("x"), col("y"), col("c").as("c_xy")))
   }
 
   /** Same oracle as the batch PMI collocations — the point. */
@@ -1987,30 +1994,53 @@ object StreamQueries {
     * near-dup report over the DOCUMENTS stream — the SEVENTY-FOURTH
     * pairing, putting the content-similarity monitor online (template
     * families and boilerplate clusters surface as docs ingest, not at
-    * the next batch sweep). TWO complete-mode aggregations maintain
-    * the state: the (doc_id, tok, tf) term histogram — exactly the
-    * inverted index a live tf-idf service keeps, distinct-(doc,term)
-    * bounded — and the 1-row corpus size (idf's n is corpus-wide, so
-    * it must count ALL docs, including any the tokenizer empties out
-    * of the term state). df counts, idf weights, norms and the pair
-    * join replay verbatim (shared tfidfPairsFrom, shared oracle).
+    * the next batch sweep). State keys by DOC (r16, the q261 per-doc
+    * fold): each doc's token histogram (doc-size bounded), folded per
+    * batch and monotonically growing — the previous form kept a
+    * complete-mode (doc_id, tok, tf) aggregation whose state AND
+    * per-trigger sink image were distinct-(doc, token)-sized, plus a
+    * SECOND full stream pass for the 1-row corpus size. The per-doc
+    * fold keeps the same information in doc-count state rows, emits
+    * doc-count sink rows, and the corpus size DERIVES from the
+    * compacted doc universe (every doc enters state, including ones
+    * the tokenizer empties — their histogram is just empty, exactly
+    * the docs the batch tokc frame drops but nd still counts). The
+    * projection compacts to each doc's latest image (max by total
+    * token count — growth is monotone), re-explodes the histogram
+    * and replays df counts, idf weights, norms and the pair join
+    * verbatim (shared tfidfPairsFrom, shared oracle).
     */
   def q258_stream_tfidf_pairs(spark: SparkSession, dir: String): DataFrame = {
     val TA = graft.operators.TextAnalysis
-    val n1 = s"q258t_mem_${runId.incrementAndGet()}"
-    val n2 = s"q258n_mem_${runId.incrementAndGet()}"
-    val tokc = withStreamShuffle(spark) {
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
-        .toMemory(spark, n1, "complete")
-    }
-    val nd = withStreamShuffle(spark) {
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .agg(count(lit(1)).as("n")))
-        .toMemory(spark, n2, "complete")
-    }
-    TextQueries.tfidfPairsFrom(tokc, nd)
+    val sp = spark
+    import sp.implicits._
+    // raw text through an exchange before the interpreted tokenize —
+    // the q259/q261 single-file micro-batch scan lesson
+    val base = graft.streaming.Pairing.tableStream(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TA.tokens(col("text")).as("ts"))
+      .as[graft.streaming.Pairing.DocSet]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.DocSet,
+        Long, (Seq[String], Seq[Long]), (Long, Long, Seq[String], Seq[Long])](
+      spark, base, Seq("doc_id", "n", "toks", "tfs"), d => (d.doc_id, 0L))(
+      _.doc_id)((Seq.empty[String], Seq.empty[Long])) { (id, s0, ordered) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        s0._1.iterator.zip(s0._2.iterator).foreach { case (t, c) => m(t) = c }
+        ordered.iterator.flatMap(_.ts).foreach(t => m(t) = m.getOrElse(t, 0L) + 1L)
+        val sorted = m.toSeq.sortBy(_._1)
+        val s1 = (sorted.map(_._1), sorted.map(_._2))
+        (s1, if (ordered.isEmpty) Vector.empty
+             else Vector((id, s1._2.sum, s1._1, s1._2)))
+      } { t =>
+        val compact = t.groupBy(col("doc_id"))
+          .agg(max(struct(col("n"), col("toks"), col("tfs"))).as("b"))
+          .select(col("doc_id"), col("b.toks").as("toks"), col("b.tfs").as("tfs"))
+        val tokc = compact
+          .select(col("doc_id"), explode(arrays_zip(col("toks"), col("tfs"))).as("z"))
+          .select(col("doc_id"), col("z.toks").as("tok"), col("z.tfs").as("tf"))
+        TextQueries.tfidfPairsFrom(tokc, compact.agg(count(lit(1)).as("n")))
+      }
   }
 
   /** Same oracle as the batch tf-idf pairs — the point. */
@@ -2020,31 +2050,57 @@ object StreamQueries {
     * gate over the DOCUMENTS stream — the SEVENTY-FIFTH pairing, the
     * online form of the CCNet-style quality filter (a doc's keep
     * flag is ready the trigger after it ingests, scored against the
-    * corpus LM as of that trigger). ONE complete-mode aggregation
-    * maintains the distinct (doc_id, lang, bigram, cnt) histogram —
-    * q256's bigram state keyed one level finer, distinct-(doc,
-    * bigram) bounded; corpus frequencies, prefix totals and
-    * vocabulary all DERIVE from it in the projection, so no second
-    * state is needed (shared bigramPerplexityFrom, shared oracle).
+    * corpus LM as of that trigger). State keys by DOC (r16, the q261
+    * per-doc fold): each doc's (lang, bigram → cnt) histogram
+    * (doc-size bounded), folded per batch and monotonically growing —
+    * the previous form kept a complete-mode (doc_id, lang, x, y, cnt)
+    * aggregation whose state AND per-trigger sink image were
+    * distinct-(doc, bigram)-sized. Corpus frequencies, prefix totals
+    * and vocabulary all DERIVE from the compacted histogram in the
+    * projection (shared bigramPerplexityFrom, shared oracle). The
+    * bigram zip runs in the fold (tokens.zip(tokens.tail) — the
+    * definition of adjacent pairs), so the shuffle into the state
+    * operator carries each doc's token array once.
     */
   def q259_stream_bigram_perplexity(spark: SparkSession, dir: String): DataFrame = {
     val TA = graft.operators.TextAnalysis
-    val name = s"q259_mem_${runId.incrementAndGet()}"
-    val bgc = withStreamShuffle(spark) {
-      // raw text through an exchange before the interpreted
-      // tokenize+zip explode — the q107 batch lesson applied to the
-      // single-file micro-batch scan (see q261)
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("text"))
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), col("lang"),
-            explode(TA.adjacentPairs(TA.tokens(col("text")))).as("bg"))
-          .select(col("doc_id"), col("lang"), col("bg.x").as("x"), col("bg.y").as("y"))
-          .groupBy(col("doc_id"), col("lang"), col("x"), col("y"))
-          .agg(count(lit(1)).as("cnt")))
-        .toMemory(spark, name, "complete")
-    }
-    TextQueries.bigramPerplexityFrom(bgc)
+    val sp = spark
+    import sp.implicits._
+    // raw text through an exchange before the interpreted tokenize —
+    // the q107 batch lesson applied to the single-file micro-batch
+    // scan (see q261)
+    val base = graft.streaming.Pairing.tableStream(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("ts"))
+      .as[graft.streaming.Pairing.DocLang]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.DocLang,
+        Long, (String, Seq[String], Seq[String], Seq[Long]),
+        (Long, String, Long, Seq[String], Seq[String], Seq[Long])](
+      spark, base, Seq("doc_id", "lang", "n", "xs", "ys", "cnts"),
+      d => (d.doc_id, 0L))(
+      _.doc_id)(("", Seq.empty[String], Seq.empty[String], Seq.empty[Long])) {
+      (id, s0, ordered) =>
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        s0._2.indices.foreach(i => m((s0._2(i), s0._3(i))) = s0._4(i))
+        ordered.iterator.foreach(d =>
+          d.ts.iterator.zip(d.ts.iterator.drop(1)).foreach(bg =>
+            m(bg) = m.getOrElse(bg, 0L) + 1L))
+        val lang = ordered.headOption.map(_.lang).getOrElse(s0._1)
+        val sorted = m.toSeq.sortBy(_._1)
+        val s1 = (lang, sorted.map(_._1._1), sorted.map(_._1._2), sorted.map(_._2))
+        (s1, if (ordered.isEmpty) Vector.empty
+             else Vector((id, lang, s1._4.sum, s1._2, s1._3, s1._4)))
+      } { t =>
+        val bgc = t.groupBy(col("doc_id"))
+          .agg(max(struct(col("n"), col("lang"), col("xs"), col("ys"), col("cnts"))).as("b"))
+          .select(col("doc_id"), col("b.lang").as("lang"),
+            explode(arrays_zip(col("b.xs").as("xs"), col("b.ys").as("ys"),
+              col("b.cnts").as("cnts"))).as("z"))
+          .select(col("doc_id"), col("lang"), col("z.xs").as("x"),
+            col("z.ys").as("y"), col("z.cnts").as("cnt"))
+        TextQueries.bigramPerplexityFrom(bgc)
+      }
   }
 
   /** Same oracle as the batch bigram perplexity — the point. */
@@ -2055,41 +2111,59 @@ object StreamQueries {
     * stream — the EIGHTY-FIRST pairing, the online form of the
     * retrieval arm (a production search service never rebuilds its
     * index per batch sweep; it maintains postings + doc lengths as
-    * docs ingest and scores queries against the live stats). TWO
-    * complete-mode aggregations maintain EXACTLY that state: the
-    * query-term-filtered (doc_id, tok, tf) postings (term-bounded —
-    * the online index only grows with matching docs) and the
-    * (doc_id, dl) length table (df counts, N and avgdl all DERIVE in
-    * the projection — BM25's corpus stats are functions of the two
-    * states, never a third). Scoring + the top-20 rank tail replay
-    * verbatim (shared bm25RankedFrom, shared oracle).
+    * docs ingest and scores queries against the live stats). State
+    * keys by DOC (r16, the q261 per-doc fold): each doc's length AND
+    * its query-term-filtered token histogram live in ONE state row
+    * (term-bounded — at most |bm25Terms| histogram entries per doc),
+    * folded per batch and monotonically growing — the previous form
+    * ran TWO full stream passes (a postings aggregation and a
+    * separate corpus-wide length table; N and avgdl need docs with NO
+    * query-term hits, which is why the length side could not be a
+    * projection of the postings). The per-doc fold carries both in
+    * one pass: every doc enters state, docs without hits just carry
+    * an empty histogram, and the projection splits the compacted
+    * image back into the postings and length frames (df counts, N and
+    * avgdl all DERIVE — BM25's corpus stats are functions of the
+    * state, never a third aggregation). Scoring + the top-20 rank
+    * tail replay verbatim (shared bm25RankedFrom, shared oracle).
     */
   def q268_stream_bm25(spark: SparkSession, dir: String): DataFrame = {
     val TA = graft.operators.TextAnalysis
-    val n1 = s"q268t_mem_${runId.incrementAndGet()}"
-    val n2 = s"q268l_mem_${runId.incrementAndGet()}"
-    val tf = withStreamShuffle(spark) {
-      // raw text through an exchange before the interpreted tokenize
-      // explode — the q259/q261 single-file micro-batch scan lesson
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
-          .filter(col("tok").isin(TextQueries.bm25Terms: _*))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
-        .toMemory(spark, n1, "complete")
-    }
-    val dl = withStreamShuffle(spark) {
-      // length state includes docs with NO query-term hits (N and
-      // avgdl are corpus-wide) — a separate aggregation, not a
-      // projection of the postings state
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(col("doc_id"),
-            size(TA.tokens(col("text"))).cast("long").as("dl"))
-          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
-        .toMemory(spark, n2, "complete")
-    }
-    TextQueries.bm25RankedFrom(tf, dl)
+    val sp = spark
+    import sp.implicits._
+    val terms = TextQueries.bm25Terms.toSet
+    // raw text through an exchange before the interpreted tokenize —
+    // the q259/q261 single-file micro-batch scan lesson
+    val base = graft.streaming.Pairing.tableStream(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TA.tokens(col("text")).as("ts"))
+      .as[graft.streaming.Pairing.DocSet]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.DocSet,
+        Long, (Long, Seq[String], Seq[Long]), (Long, Long, Seq[String], Seq[Long])](
+      spark, base, Seq("doc_id", "dl", "toks", "tfs"), d => (d.doc_id, 0L))(
+      _.doc_id)((0L, Seq.empty[String], Seq.empty[Long])) { (id, s0, ordered) =>
+        var dl = s0._1
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        s0._2.iterator.zip(s0._3.iterator).foreach { case (t, c) => m(t) = c }
+        ordered.iterator.foreach { d =>
+          dl += d.ts.length
+          d.ts.iterator.filter(terms).foreach(t => m(t) = m.getOrElse(t, 0L) + 1L)
+        }
+        val sorted = m.toSeq.sortBy(_._1)
+        val s1 = (dl, sorted.map(_._1), sorted.map(_._2))
+        (s1, if (ordered.isEmpty) Vector.empty
+             else Vector((id, dl, s1._2, s1._3)))
+      } { t =>
+        val compact = t.groupBy(col("doc_id"))
+          .agg(max(struct(col("dl"), col("toks"), col("tfs"))).as("b"))
+          .select(col("doc_id"), col("b.dl").as("dl"),
+            col("b.toks").as("toks"), col("b.tfs").as("tfs"))
+        val tf = compact
+          .select(col("doc_id"), explode(arrays_zip(col("toks"), col("tfs"))).as("z"))
+          .select(col("doc_id"), col("z.toks").as("tok"), col("z.tfs").as("tf"))
+        TextQueries.bm25RankedFrom(tf, compact.select(col("doc_id"), col("dl")))
+      }
   }
 
   /** Same oracle as the batch BM25 ranking — the point. */
@@ -2131,31 +2205,44 @@ object StreamQueries {
     * check over the DOCUMENTS stream — the EIGHTY-THIRD pairing, and
     * the one a training-data pipeline most obviously wants ONLINE:
     * benchmark leakage must be caught at ingest, not at the next
-    * batch sweep before a training run. ONE complete-mode
-    * aggregation maintains the (doc_id, shingle) 5-gram membership —
-    * q261's inverted shingle index one gram longer; the eval split
-    * (doc_id % 31), broadcast semi-join and per-doc distinct count
-    * replay verbatim (shared decontaminateFrom, shared oracle — the
-    * tail is dup-insensitive by construction, which is exactly what
-    * lets the compacted membership state stand in for the exploded
-    * batch frame).
+    * batch sweep before a training run. State keys by DOC (r16, the
+    * q261 per-doc fold — q261's shape verbatim, one gram longer):
+    * each doc's sorted distinct 5-gram set (doc-size bounded), folded
+    * per batch and monotonically growing — the previous form kept a
+    * complete-mode (doc_id, shingle, cnt) aggregation whose state AND
+    * per-trigger sink image were distinct-(doc, shingle)-sized. The
+    * projection compacts to each doc's latest image (max by set size
+    * — growth is monotone), re-explodes the membership and replays
+    * the eval split (doc_id % 31), broadcast semi-join and per-doc
+    * distinct count verbatim (shared decontaminateFrom, shared oracle
+    * — the tail is dup-insensitive by construction, which is exactly
+    * what lets the compacted membership state stand in for the
+    * exploded batch frame).
     */
   def q270_stream_decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val TA = graft.operators.TextAnalysis
-    val name = s"q270_mem_${runId.incrementAndGet()}"
-    val sh = withStreamShuffle(spark) {
-      // raw text through an exchange before the interpreted
-      // tokenize+shingle explode — the q259/q261 scan lesson
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-          .repartition(col("doc_id"))
-          .select(col("doc_id"),
-            explode(TA.shingles(TA.tokens(col("text")), 5)).as("s"))
-          .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("cnt")))
-        .toMemory(spark, name, "complete")
-    }
-    TextQueries.decontaminateFrom(
-      sh.select(col("doc_id"), col("s")))
+    val sp = spark
+    import sp.implicits._
+    // raw text through an exchange before the interpreted
+    // tokenize+shingle pipeline — the q259/q261 scan lesson
+    val base = graft.streaming.Pairing.tableStream(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(TA.shingles(TA.tokens(col("text")), 5))).as("ts"))
+      .as[graft.streaming.Pairing.DocSet]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.DocSet,
+        Long, Seq[String], (Long, Seq[String])](
+      spark, base, Seq("doc_id", "ts"), d => (d.doc_id, 0L))(
+      _.doc_id)(Seq.empty[String]) { (id, s0, ordered) =>
+        val merged = (s0 ++ ordered.flatMap(_.ts)).distinct.sorted
+        (merged, if (ordered.isEmpty) Vector.empty else Vector((id, merged)))
+      } { t =>
+        TextQueries.decontaminateFrom(
+          t.groupBy(col("doc_id"))
+            .agg(max(struct(size(col("ts")).as("n"), col("ts").as("ts"))).as("b"))
+            .select(col("doc_id"), explode(col("b.ts")).as("s")))
+      }
   }
 
   /** Same oracle as the batch decontamination — the point. */
@@ -2413,32 +2500,43 @@ object StreamQueries {
   /** q260 — STREAMING banded edit-distance pairs: q90's typo-level
     * near-dup report over the DOCUMENTS stream — the SEVENTY-SIXTH
     * pairing, the online form of the character-noise quarantine (a
-    * crawl's near-verbatim mutations pair up at ingest). TWO
-    * complete-mode aggregations maintain the exact-dup CLASS state
-    * the batch pipeline collapses to anyway: members (cls, doc_id —
-    * the doc→class map) and reps (cls → min doc id + the class's one
-    * text, distinct-text bounded — the same class table the exact
-    * dedup channel keeps, now carrying its text for the levenshtein
-    * verify). Blocking, banded DP and pair expansion replay verbatim
-    * (shared editPairsFrom, shared oracle).
+    * crawl's near-verbatim mutations pair up at ingest). State keys
+    * by exact-dup CLASS (r16, the q261 fold idiom on the class key):
+    * each class's sorted distinct member-id set plus its one text
+    * (all members of a class share the text — cls IS its md5), folded
+    * per batch and monotonically growing. The previous form ran TWO
+    * full stream passes (a members aggregation and a reps
+    * aggregation); the per-class fold carries both in one pass, and
+    * the projection splits the compacted image back into the members
+    * frame (explode the id set) and the reps frame (min id = head of
+    * the sorted set, the class text). Blocking, banded DP and pair
+    * expansion replay verbatim (shared editPairsFrom, shared oracle).
     */
   def q260_stream_edit_pairs(spark: SparkSession, dir: String): DataFrame = {
-    val n1 = s"q260m_mem_${runId.incrementAndGet()}"
-    val n2 = s"q260r_mem_${runId.incrementAndGet()}"
-    val members = withStreamShuffle(spark) {
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(md5(col("text")).as("cls"), col("doc_id"))
-          .groupBy(col("cls"), col("doc_id")).agg(count(lit(1)).as("c")))
-        .toMemory(spark, n1, "complete")
-    }.select(col("cls"), col("doc_id"))
-    val reps = withStreamShuffle(spark) {
-      EventFlow(graft.streaming.Pairing.tableStream(spark, dir, "documents")
-          .select(md5(col("text")).as("cls"), col("doc_id"), col("text"))
-          .groupBy(col("cls"))
-          .agg(min(col("doc_id")).as("rep_id"), min(col("text")).as("text")))
-        .toMemory(spark, n2, "complete")
-    }
-    TextQueries.editPairsFrom(members, reps)
+    val sp = spark
+    import sp.implicits._
+    val base = graft.streaming.Pairing.tableStream(spark, dir, "documents")
+      .select(md5(col("text")).as("cls"), col("doc_id"), col("text"))
+      .as[graft.streaming.Pairing.ClsDoc]
+    graft.streaming.Pairing.runStream[graft.streaming.Pairing.ClsDoc,
+        String, (Seq[Long], String), (String, Long, Seq[Long], String)](
+      spark, base, Seq("cls", "n", "docs", "text"), r => (r.doc_id, 0L))(
+      _.cls)((Seq.empty[Long], "")) { (cls, s0, ordered) =>
+        if (ordered.isEmpty) (s0, Vector.empty)
+        else {
+          val docs = (s0._1 ++ ordered.map(_.doc_id)).distinct.sorted
+          val text = if (s0._1.nonEmpty) s0._2 else ordered.head.text
+          ((docs, text), Vector((cls, docs.size.toLong, docs, text)))
+        }
+      } { t =>
+        val compact = t.groupBy(col("cls"))
+          .agg(max(struct(col("n"), col("docs"), col("text"))).as("b"))
+          .select(col("cls"), col("b.docs").as("docs"), col("b.text").as("text"))
+        TextQueries.editPairsFrom(
+          compact.select(col("cls"), explode(col("docs")).as("doc_id")),
+          compact.select(col("cls"), element_at(col("docs"), 1).as("rep_id"),
+            col("text")))
+      }
   }
 
   /** Same oracle as the batch edit-distance pairs — the point. */

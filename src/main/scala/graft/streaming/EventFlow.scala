@@ -153,6 +153,10 @@ object EventFlow {
   def fromParquet(spark: SparkSession, path: String, schema: StructType): EventFlow =
     EventFlow(spark.readStream.schema(schema).parquet(path))
 
+  private val eventsSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Boolean, org.apache.spark.sql.types.StructType)]()
+
   /** The test-data events table as a stream, nanos handled as in
     * [[graft.Tables.events]].
     */
@@ -162,22 +166,30 @@ object EventFlow {
     // Spark-written copies (scale smoke, production) are a DIRECTORY
     // of part files. pathGlobFilter matches leaf file names only, so
     // pick the read shape by what's actually on disk.
-    val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val fs = evPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // three layouts: single file (driver testdata), directory of part
-    // files (Spark-written copies), or no literal child at all (e.g. a
-    // date-partitioned tree where events.parquet leaves sit deeper —
-    // the glob-filter branch handles that one, as before)
-    val isDir = fs.exists(evPath) && fs.getFileStatus(evPath).isDirectory
-    // schema from a footer read — the driver's events.parquet stores
-    // nanos-as-long ts, derived copies store real timestamps
-    val schema =
-      if (isDir) spark.read.parquet(evPath.toString).schema
-      else spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    // (isDir, schema) memoized per dir — r16: the footer probe +
+    // layout stat is immutable path metadata re-read by every events
+    // pairing in a gate pass (~0.1 s each, StreamProf). Metadata
+    // only, same doctrine as Tables.schemaMemo. Three layouts: single
+    // file (driver testdata), directory of part files (Spark-written
+    // copies), or no literal child at all (date-partitioned trees —
+    // the glob-filter branch handles that one, as before). The
+    // driver's events.parquet stores nanos-as-long ts, derived copies
+    // store real timestamps — nanosAsLong is set before the first
+    // (probing) read, so the memoized schema matches per-call
+    // inference.
+    val (isDir, schema) = eventsSchemaMemo.computeIfAbsent(dir, { _ =>
+      val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = evPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val d = fs.exists(evPath) && fs.getFileStatus(evPath).isDirectory
+      val s =
+        if (d) spark.read.parquet(evPath.toString).schema
+        else spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      (d, s)
+    })
     // file stream sources need a directory: a dir-shaped table IS one;
     // the single-file form scopes the parent dir by glob filter
     val st =
-      if (isDir) spark.readStream.schema(schema).parquet(evPath.toString)
+      if (isDir) spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
       else spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
     EventFlow(schema("ts").dataType match {

@@ -82,6 +82,8 @@ object Pairing {
   case class LiFp(ok: Long, ln: Long, bucket: Long, fp: Long, r: Boolean)
   case class DocKey(id: Long, k: String)
   case class DocSet(doc_id: Long, ts: Seq[String])
+  case class DocLang(doc_id: Long, lang: String, ts: Seq[String])
+  case class ClsDoc(cls: String, doc_id: Long, text: String)
   case class VecRow(vec_id: Long, embedding: Seq[Float])
   case class DocSplit(id: Long, lang: String, split: String)
 
@@ -195,16 +197,28 @@ object Pairing {
     * before handing it to [[runStream]].
     */
   def tableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
-    val schema =
-      if (isDir) spark.read.parquet(p.toString).schema
-      else spark.read.option("pathGlobFilter", s"$table.parquet").parquet(dir).schema
-    if (isDir) spark.readStream.schema(schema).parquet(p.toString)
+    // (isDir, schema) memo keyed by (dir, table) — r16: the footer
+    // probe + layout stat cost ~0.1 s per streaming query (measured,
+    // StreamProf), repeated for the SAME immutable path metadata by
+    // every pairing in a gate pass. Metadata only — no rows or
+    // results are memoized (same doctrine as Tables.schemaMemo).
+    val (isDir, schema) = streamSchemaMemo.computeIfAbsent((dir, table), { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val d = fs.exists(p) && fs.getFileStatus(p).isDirectory
+      val s =
+        if (d) spark.read.parquet(p.toString).schema
+        else spark.read.option("pathGlobFilter", s"$table.parquet").parquet(dir).schema
+      (d, s)
+    })
+    if (isDir) spark.readStream.schema(schema).parquet(s"$dir/$table.parquet")
     else spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
+
+  private val streamSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (Boolean, org.apache.spark.sql.types.StructType)]()
 
   /** Synthetic event time for fact rows under expiry mode: TPC-H fact
     * rows carry no ingestion timestamp, so the TTL clock derives one
